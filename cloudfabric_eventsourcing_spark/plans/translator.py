@@ -1,0 +1,388 @@
+"""Filter-AST -> pyspark Column translation and ProjectionQuery execution.
+
+This is the Spark counterpart of the reference's four per-backend query
+translators (behavioral spec, read-only):
+  - Postgres SQL:   Implementations/CloudFabric.Projections.Postgresql/
+                    PostgresqlProjectionRepository.cs:472-925
+  - Elasticsearch:  .../ElasticSearch/Helpers/ElasticSearchFilterFactory.cs:37-266
+  - CosmosDB SQL:   .../CosmosDb/CosmosDbProjectionRepository.cs:282-492
+  - in-memory LINQ: CloudFabric.Projections/Queries/FilterExpressionExtensions.cs:48-243
+
+Instead of emitting backend query text, we build a Catalyst logical plan:
+every operator becomes a `pyspark.sql.Column` expression, so predicate
+pushdown / column pruning / partition pruning come free from Catalyst
+(SURVEY.md §4). Declarative all the way down — no UDFs, no collect loops.
+
+Semantics pinned by the reference and kept here:
+  - default string ops are case-SENSITIVE; *-ignore-case via lower() on both
+    sides (OrderStringComparisonTests.cs matrix; Postgres LIKE vs ILIKE,
+    PostgresqlProjectionRepository.cs:746-754);
+  - `eq null` -> IS NULL, `ne null` -> IS NOT NULL (:728-732,786-789);
+  - boolean trees fold left-associatively, connectors with children are
+    parenthesized subtrees (:826-887, FilterExpressionExtensions.cs:157-173);
+  - a filter with empty/"*" property name is a grouping node contributing no
+    predicate of its own (:687-690, FilterExpressionExtensions.cs:50-65);
+  - dotted paths into one level of nested object ("CreatedBy.UserId" — :692-724)
+    or nested array with EXISTS semantics ("Items.Amount" — lateral
+    jsonb_array_elements + GROUP BY id dedup, :704-717,528). We use the
+    `exists()` higher-order function, which needs no unnest + dedup;
+  - `string-contains` on an array property raises ("use ArrayContains
+    instead", :805-811);
+  - full-text search = OR of case-insensitive substring over all searchable
+    columns, incl. searchable fields of nested arrays (ConstructSearchQuery
+    :909-925, InMemoryProjectionRepository.cs:197-210). ES phrase-prefix
+    scoring is a documented divergence (SURVEY.md §7);
+  - total count ignores limit/offset (:531-538,562-566).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import uuid
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.queries.filters import Filter, FilterLogic, FilterOperator
+from cloudfabric_eventsourcing_spark.queries.projection_query import (
+    FacetInfoRequest,
+    FacetStats,
+    ProjectionQuery,
+    ProjectionQueryResult,
+    QueryResultDocument,
+    SortInfo,
+    SortOrder,
+)
+from cloudfabric_eventsourcing_spark.schema import ARRAY, OBJECT, ProjectionSchema, PropertySchema
+
+
+class FilterTranslationError(ValueError):
+    pass
+
+
+def _lit(value) -> Column:
+    """Literal conversion with the engine's canonical representations:
+    uuid -> lowercase string, Decimal/datetime native (C7/C8 cast ladder,
+    PostgresqlProjectionRepository.cs:761-783)."""
+    if isinstance(value, uuid.UUID):
+        return F.lit(str(value).lower())
+    if isinstance(value, (decimal.Decimal, datetime.datetime, datetime.date)):
+        return F.lit(value)
+    return F.lit(value)
+
+
+def _leaf_predicate(col: Column, op: str, value, is_array: bool = False) -> Column:
+    """One (column, operator, value) comparison -> Column predicate."""
+    if op == FilterOperator.Equal:
+        return col.isNull() if value is None else col == _lit(value)
+    if op == FilterOperator.NotEqual:
+        return col.isNotNull() if value is None else col != _lit(value)
+    if op == FilterOperator.Greater:
+        return col > _lit(value)
+    if op == FilterOperator.GreaterOrEqual:
+        return col >= _lit(value)
+    if op == FilterOperator.Lower:
+        return col < _lit(value)
+    if op == FilterOperator.LowerOrEqual:
+        return col <= _lit(value)
+    if op in FilterOperator.STRING_OPS:
+        if is_array:
+            # PostgresqlProjectionRepository.cs:805-811
+            raise FilterTranslationError(
+                f"{op} is not supported on array properties; use "
+                f"{FilterOperator.ArrayContains}"
+            )
+        v = str(value)
+        if op == FilterOperator.StartsWith:
+            return col.startswith(v)
+        if op == FilterOperator.EndsWith:
+            return col.endswith(v)
+        if op == FilterOperator.Contains:
+            return col.contains(v)
+        lowered, lv = F.lower(col), v.lower()
+        if op == FilterOperator.StartsWithIgnoreCase:
+            return lowered.startswith(lv)
+        if op == FilterOperator.EndsWithIgnoreCase:
+            return lowered.endswith(lv)
+        return lowered.contains(lv)
+    if op == FilterOperator.ArrayContains:
+        return F.array_contains(col, _lit(value))
+    raise FilterTranslationError(f"unknown filter operator: {op!r}")
+
+
+def _resolve_path(
+    path: str, schema: Optional[ProjectionSchema]
+) -> tuple[Optional[str], Optional[str], Optional[PropertySchema]]:
+    """Split a dotted path at an array boundary.
+
+    Returns (array_root, remainder, root_prop). If the first segment is a
+    nested-array property, predicates on the remainder get EXISTS semantics
+    (reference supports exactly one nesting level —
+    PostgresqlProjectionRepository.cs:712)."""
+    if schema is None:
+        return None, None, None
+    head = path.split(".", 1)
+    prop = schema.property(head[0])
+    if prop is not None and prop.type == ARRAY and len(head) == 2:
+        return head[0], head[1], prop
+    return None, None, prop
+
+
+def filter_to_column(f: Filter, schema: Optional[ProjectionSchema] = None) -> Column:
+    """Fold the filter tree into one Column predicate (left-associative,
+    grouping rules of ConstructConditionFilter,
+    PostgresqlProjectionRepository.cs:826-887)."""
+    acc: Optional[Column] = None
+    if not f.is_grouping_node:
+        acc = _leaf_to_column(f, schema)
+    for connector in f.filters:
+        child = filter_to_column(connector.filter, schema)
+        if acc is None:
+            acc = child
+        elif connector.logic == FilterLogic.And:
+            acc = acc & child
+        elif connector.logic == FilterLogic.Or:
+            acc = acc | child
+        else:
+            raise FilterTranslationError(f"unknown logic token: {connector.logic!r}")
+    return F.lit(True) if acc is None else acc
+
+
+def _leaf_to_column(f: Filter, schema: Optional[ProjectionSchema]) -> Column:
+    path, op, value = f.property_name, f.operator, f.value
+    array_root, remainder, prop = _resolve_path(path, schema)
+    if array_root is not None:
+        # EXISTS over array elements: exists(Items, x -> x.Amount >= 5).
+        # No explode + GROUP BY id dedup needed (SURVEY.md F12/J1).
+        return F.exists(
+            F.col(array_root),
+            lambda x: _leaf_predicate(x[remainder], op, value),
+        )
+    is_array = prop is not None and prop.type == ARRAY
+    if op == FilterOperator.ArrayContains and prop is None and schema is not None:
+        raise FilterTranslationError(f"unknown property {path!r}")
+    return _leaf_predicate(F.col(path), op, value, is_array=is_array)
+
+
+# ---------------------------------------------------------------------------
+# Full-text search (F13)
+# ---------------------------------------------------------------------------
+
+def _contains_lambda(field: str, needle: str):
+    # single-arg lambda (Spark HOFs dispatch on arity); field/needle bound
+    # via closure, not default args
+    return lambda x: F.lower(x[field]).contains(needle)
+
+
+def search_to_column(
+    search_text: str, schema: Optional[ProjectionSchema]
+) -> Optional[Column]:
+    """OR of lower(col) contains lower(text) over searchable columns; nested
+    array fields via exists() (ConstructSearchQuery,
+    PostgresqlProjectionRepository.cs:909-925)."""
+    if not search_text or search_text == "*" or schema is None:
+        return None
+    needle = search_text.lower()
+    acc: Optional[Column] = None
+    for path in schema.searchable_paths():
+        array_root, remainder, _ = _resolve_path(path, schema)
+        if array_root is not None:
+            pred = F.exists(F.col(array_root), _contains_lambda(remainder, needle))
+        else:
+            pred = F.lower(F.col(path)).contains(needle)
+        acc = pred if acc is None else (acc | pred)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Sorting (O1-O3)
+# ---------------------------------------------------------------------------
+
+def sort_columns(
+    order_by: list[SortInfo], schema: Optional[ProjectionSchema] = None
+) -> list[Column]:
+    cols = []
+    for info in order_by:
+        col = _sort_key_column(info, schema)
+        # Postgres null ordering (the baseline backend): ASC -> NULLS LAST,
+        # DESC -> NULLS FIRST. Spark's default is the opposite for ASC.
+        cols.append(
+            col.desc_nulls_first()
+            if info.order == SortOrder.Desc
+            else col.asc_nulls_last()
+        )
+    return cols
+
+
+def _sort_key_column(info: SortInfo, schema: Optional[ProjectionSchema]) -> Column:
+    array_root, remainder, _ = _resolve_path(info.key_path, schema)
+    if array_root is None:
+        # plain or nested-object path — native struct access (O2; the
+        # reference's Postgres backend cannot do this, ES can —
+        # ElasticSearchProjectionRepository.cs:630-700)
+        return F.col(info.key_path)
+    # O3: sort by an array element selected by EQUAL filters
+    # (SortInfo.Filters — SortInfo.cs:14-35, ES nested-sort filter
+    # ElasticSearchProjectionRepository.cs:655-687). Pick the matching
+    # element's sort field; min over matches for determinism.
+    def element_pred(x) -> Column:
+        acc = F.lit(True)
+        for sf in info.filters:
+            head, _, rest = sf.filter_key_path.partition(".")
+            if head != array_root or not rest:
+                raise FilterTranslationError(
+                    f"sorting filter path {sf.filter_key_path!r} must start "
+                    f"with the sorted array {array_root!r}"
+                )
+            acc = acc & (x[rest] == _lit(sf.filter_value))
+        return acc
+
+    matching = F.filter(F.col(array_root), element_pred)
+    return F.array_min(F.transform(matching, lambda x: x[remainder]))
+
+
+# ---------------------------------------------------------------------------
+# Query execution
+# ---------------------------------------------------------------------------
+
+def apply_query(
+    df: DataFrame,
+    query: ProjectionQuery,
+    schema: Optional[ProjectionSchema] = None,
+    partition_key: Optional[str] = None,
+    partition_key_column: str = "PartitionKey",
+) -> DataFrame:
+    """Filters + search + sort + offset/limit as one declarative plan.
+
+    Mirrors QueryInternal (PostgresqlProjectionRepository.cs:472-579) minus
+    the count round-trip (see run_query). Top-level filters are ANDed
+    (:889-907); partition key is an extra equality (:507-513) that also
+    prunes physical partitions when the table is partitioned by it.
+    """
+    if partition_key is not None:
+        df = df.where(F.col(partition_key_column) == partition_key)
+    for f in query.filters:
+        df = df.where(filter_to_column(f, schema))
+    search = search_to_column(query.search_text, schema)
+    if search is not None:
+        df = df.where(search)
+    if query.order_by:
+        df = df.orderBy(*sort_columns(query.order_by, schema))
+    if query.offset:
+        df = df.offset(query.offset)
+    if query.limit is not None:
+        df = df.limit(query.limit)
+    return df
+
+
+def facet_stats(
+    filtered: DataFrame, requests: list[FacetInfoRequest]
+) -> dict[str, list[FacetStats]]:
+    """Facet aggregation (A6) — declared but never implemented by any
+    reference backend (FacetInfoRequest.cs:3-31, AzureSearch/OpenSearch are
+    empty stubs); implemented properly here with groupBy/count/sum and
+    range bucketing."""
+    out: dict[str, list[FacetStats]] = {}
+    for req in requests:
+        aggs = [F.count(F.lit(1)).alias("count")]
+        if req.sum_by_field:
+            aggs.append(F.sum(F.col(req.sum_by_field)).alias("sum_by_value"))
+        if req.ranges:
+            edges = sorted(req.ranges)
+            bucket = F.lit(None).cast("string")
+            conds = []
+            for lo, hi in zip(edges, edges[1:]):
+                conds.append((lo, hi))
+            col = F.col(req.facet_name)
+            expr = None
+            for lo, hi in conds:
+                label = f"{lo}-{hi}"
+                cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+                expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+            bucket = expr if expr is not None else bucket
+            grouped = (
+                filtered.withColumn("__facet_bucket", bucket)
+                .where(F.col("__facet_bucket").isNotNull())
+                .groupBy("__facet_bucket")
+                .agg(*aggs)
+            )
+            rows = grouped.collect()
+            stats = []
+            for row in rows:
+                lo_s, hi_s = row["__facet_bucket"].split("-")
+                stats.append(
+                    FacetStats(
+                        value=row["__facet_bucket"],
+                        count=row["count"],
+                        range_from=float(lo_s),
+                        range_to=float(hi_s),
+                        sum_by_value=row["sum_by_value"] if req.sum_by_field else None,
+                    )
+                )
+            stats.sort(key=lambda s: s.range_from)
+        else:
+            grouped = filtered.groupBy(F.col(req.facet_name).alias("value")).agg(*aggs)
+            if req.sort == "count":
+                grouped = grouped.orderBy(F.desc("count"), F.asc("value"))
+            else:
+                grouped = grouped.orderBy(F.asc("value"))
+            rows = grouped.limit(req.count).collect()
+            stats = [
+                FacetStats(
+                    value=row["value"],
+                    count=row["count"],
+                    sum_by_value=row["sum_by_value"] if req.sum_by_field else None,
+                )
+                for row in rows
+            ]
+        out[req.facet_name] = stats
+    return out
+
+
+def run_query(
+    df: DataFrame,
+    query: ProjectionQuery,
+    schema: Optional[ProjectionSchema] = None,
+    partition_key: Optional[str] = None,
+    partition_key_column: str = "PartitionKey",
+) -> ProjectionQueryResult[dict]:
+    """Full query: records + total_records_found + facets.
+
+    The reference issues two round-trips (COUNT + page —
+    PostgresqlProjectionRepository.cs:531-579); we share one filtered plan
+    and persist it so the scan runs once for count/page/facets."""
+    filtered = df
+    if partition_key is not None:
+        filtered = filtered.where(F.col(partition_key_column) == partition_key)
+    for f in query.filters:
+        filtered = filtered.where(filter_to_column(f, schema))
+    search = search_to_column(query.search_text, schema)
+    if search is not None:
+        filtered = filtered.where(search)
+
+    filtered = filtered.persist()
+    try:
+        total = filtered.count()
+        page = filtered
+        if query.order_by:
+            page = page.orderBy(*sort_columns(query.order_by, schema))
+        if query.offset:
+            page = page.offset(query.offset)
+        if query.limit is not None:
+            page = page.limit(query.limit)
+        records = [
+            QueryResultDocument(document=row.asDict(recursive=True))
+            for row in page.collect()
+        ]
+        facets = (
+            facet_stats(filtered, query.facet_info_to_return)
+            if query.facet_info_to_return
+            else {}
+        )
+    finally:
+        filtered.unpersist()
+    return ProjectionQueryResult(
+        records=records, total_records_found=total, facets_stats=facets
+    )

@@ -1,0 +1,221 @@
+"""Projection document schema — capability-flagged columns mapped onto Spark
+StructType.
+
+Behavioral spec (reference, read-only):
+  - ProjectionDocumentSchema (SchemaName + Properties, exactly one key):
+      CloudFabric.Projections/ProjectionDocumentSchema.cs:3-28
+  - ProjectionDocumentPropertySchema (TypeCode scalars + capability flags +
+      one-level nesting): ProjectionDocumentPropertySchema.cs:8-45
+  - physical type mapping (Postgres): PostgresqlProjectionRepository.cs:944-989
+  - schema-version hash -> index name suffix:
+      ProjectionDocumentSchemaFactory.cs:22-49, ProjectionRepository.cs:258-260
+
+Spark mapping (SURVEY.md §1.3): scalars map to native Spark types
+(Guid -> StringType canonical lowercase uuid, Decimal -> DecimalType(38,6),
+DateTime -> TimestampType UTC); nested objects -> StructType; nested arrays ->
+ArrayType; capability flags ride in StructField.metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Optional
+
+from pyspark.sql import types as T
+
+# scalar type tokens (mirror .NET TypeCode names used by the reference)
+INT32 = "Int32"
+INT64 = "Int64"
+SINGLE = "Single"
+DOUBLE = "Double"
+DECIMAL = "Decimal"
+BOOLEAN = "Boolean"
+STRING = "String"
+DATETIME = "DateTime"
+GUID = "Guid"  # reference: TypeCode.Object + ObjectTypeHint=Guid
+OBJECT = "Object"  # nested object
+ARRAY = "Array"  # nested array
+
+_SPARK_TYPES = {
+    INT32: T.IntegerType(),
+    INT64: T.LongType(),
+    SINGLE: T.FloatType(),
+    DOUBLE: T.DoubleType(),
+    DECIMAL: T.DecimalType(38, 6),
+    BOOLEAN: T.BooleanType(),
+    STRING: T.StringType(),
+    DATETIME: T.TimestampType(),
+    GUID: T.StringType(),
+}
+
+FLAG_NAMES = (
+    "is_key",
+    "is_searchable",
+    "is_retrievable",
+    "is_filterable",
+    "is_sortable",
+    "is_facetable",
+)
+
+
+@dataclasses.dataclass
+class PropertySchema:
+    """One projection document property (ProjectionDocumentPropertySchema.cs:8-45)."""
+
+    name: str
+    type: str  # one of the scalar tokens, OBJECT, or ARRAY
+    is_key: bool = False
+    is_searchable: bool = False
+    is_retrievable: bool = True
+    is_filterable: bool = False
+    is_sortable: bool = False
+    is_facetable: bool = False
+    facetable_ranges: list = dataclasses.field(default_factory=list)
+    array_element_type: Optional[str] = None  # for ARRAY of scalars
+    # for OBJECT, or ARRAY of objects:
+    nested_properties: list["PropertySchema"] = dataclasses.field(default_factory=list)
+
+    def spark_type(self) -> T.DataType:
+        if self.type == OBJECT:
+            return T.StructType([p.spark_field() for p in self.nested_properties])
+        if self.type == ARRAY:
+            if self.nested_properties:
+                elem = T.StructType([p.spark_field() for p in self.nested_properties])
+            elif self.array_element_type:
+                elem = _SPARK_TYPES[self.array_element_type]
+            else:
+                raise ValueError(
+                    f"array property {self.name!r} needs array_element_type "
+                    "or nested_properties"
+                )
+            return T.ArrayType(elem)
+        try:
+            return _SPARK_TYPES[self.type]
+        except KeyError:
+            raise ValueError(f"unknown property type {self.type!r}") from None
+
+    def spark_field(self) -> T.StructField:
+        meta = {flag: getattr(self, flag) for flag in FLAG_NAMES}
+        meta["cf_type"] = self.type
+        if self.facetable_ranges:
+            meta["facetable_ranges"] = list(self.facetable_ranges)
+        nullable = not self.is_key
+        return T.StructField(self.name, self.spark_type(), nullable, metadata=meta)
+
+
+@dataclasses.dataclass
+class ProjectionSchema:
+    """Named document schema; exactly one key property
+    (ProjectionDocumentSchema.cs:3-28)."""
+
+    schema_name: str
+    properties: list[PropertySchema]
+
+    def __post_init__(self):
+        keys = [p for p in self.properties if p.is_key]
+        if len(keys) != 1:
+            raise ValueError(
+                f"schema {self.schema_name!r} must declare exactly one key "
+                f"property, found {len(keys)}"
+            )
+
+    @property
+    def key_name(self) -> str:
+        return next(p.name for p in self.properties if p.is_key)
+
+    def property(self, name: str) -> Optional[PropertySchema]:
+        return next((p for p in self.properties if p.name == name), None)
+
+    def to_struct_type(self) -> T.StructType:
+        return T.StructType([p.spark_field() for p in self.properties])
+
+    # -- schema-version hash (C5) -----------------------------------------
+    def properties_hash(self) -> str:
+        """Stable 8-hex-digit fingerprint of the property set; the
+        counterpart of the reference's xxHash32 schema hash used to suffix
+        index names (ProjectionDocumentSchemaFactory.cs:22-49). Algorithm
+        differs (sha256-derived) — hashes are opaque name components, only
+        stability matters."""
+        canonical = json.dumps(_canonical(self.properties), sort_keys=True)
+        return hashlib.sha256(canonical.encode()).hexdigest()[:8]
+
+    def index_name(self) -> str:
+        """`{schema_name}_{hash}` lowercased (ProjectionRepository.cs:258-260)."""
+        return f"{self.schema_name}_{self.properties_hash()}".lower()
+
+    def searchable_paths(self) -> list[str]:
+        """Dotted paths of all searchable string columns, including one level
+        into nested objects/arrays (used by full-text search, F13)."""
+        out: list[str] = []
+        for p in self.properties:
+            if p.type in (OBJECT, ARRAY):
+                for n in p.nested_properties:
+                    if n.is_searchable and n.type == STRING:
+                        out.append(f"{p.name}.{n.name}")
+            elif p.is_searchable and p.type == STRING:
+                out.append(p.name)
+        return out
+
+
+def _canonical(props: list[PropertySchema]) -> list:
+    return [
+        {
+            "name": p.name,
+            "type": p.type,
+            "elem": p.array_element_type,
+            "nested": _canonical(p.nested_properties),
+        }
+        for p in props
+    ]
+
+
+def schema_from_struct(name: str, st: T.StructType, key: str) -> ProjectionSchema:
+    """Build a ProjectionSchema from an existing Spark StructType (dynamic
+    schema mode — DynamicProjectionSchemaTests.cs:212-237). Capability flags
+    default to filterable+sortable for scalars."""
+    props = []
+    for field in st.fields:
+        props.append(_prop_from_field(field, is_key=(field.name == key)))
+    return ProjectionSchema(name, props)
+
+
+_FROM_SPARK = {
+    T.IntegerType(): INT32,
+    T.LongType(): INT64,
+    T.FloatType(): SINGLE,
+    T.DoubleType(): DOUBLE,
+    T.BooleanType(): BOOLEAN,
+    T.StringType(): STRING,
+    T.TimestampType(): DATETIME,
+}
+
+
+def _prop_from_field(field: T.StructField, is_key: bool = False) -> PropertySchema:
+    dt = field.dataType
+    if isinstance(dt, T.StructType):
+        return PropertySchema(
+            field.name,
+            OBJECT,
+            nested_properties=[_prop_from_field(f) for f in dt.fields],
+        )
+    if isinstance(dt, T.ArrayType):
+        if isinstance(dt.elementType, T.StructType):
+            return PropertySchema(
+                field.name,
+                ARRAY,
+                is_filterable=True,
+                nested_properties=[_prop_from_field(f) for f in dt.elementType.fields],
+            )
+        elem = _FROM_SPARK.get(dt.elementType, STRING)
+        return PropertySchema(
+            field.name, ARRAY, is_filterable=True, array_element_type=elem
+        )
+    if isinstance(dt, T.DecimalType):
+        token = DECIMAL
+    else:
+        token = _FROM_SPARK.get(dt, STRING)
+    return PropertySchema(
+        field.name, token, is_key=is_key, is_filterable=True, is_sortable=True
+    )

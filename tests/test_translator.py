@@ -1,0 +1,295 @@
+"""Filter/sort/search/facet translation tests.
+
+Ports the representative assertions of the reference suites
+(OrderTests.cs:317-608, OrderStringComparisonTests.cs:58-200,
+DynamicProjectionSchemaTests.cs:394-407 — see FIXTURES.md §5) against a
+projection DataFrame with the order_list_projection shape (FIXTURES.md §2).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from cloudfabric_eventsourcing_spark.plans import (
+    apply_query,
+    filter_to_column,
+    run_query,
+)
+from cloudfabric_eventsourcing_spark.plans.translator import FilterTranslationError
+from cloudfabric_eventsourcing_spark.queries import (
+    FacetInfoRequest,
+    Filter,
+    P,
+    ProjectionQuery,
+    SortInfo,
+    SortingFilter,
+)
+from cloudfabric_eventsourcing_spark.schema import (
+    ARRAY,
+    DATETIME,
+    DECIMAL,
+    GUID,
+    INT64,
+    OBJECT,
+    STRING,
+    ProjectionSchema,
+    PropertySchema,
+)
+
+UTC = datetime.timezone.utc
+NOW = datetime.datetime(2024, 6, 1, tzinfo=UTC)
+OLD = NOW - datetime.timedelta(days=2)
+
+U1, U2, U3 = "u-1", "u-2", "u-3"
+
+
+def order_schema() -> ProjectionSchema:
+    return ProjectionSchema(
+        "order_list_projection",
+        [
+            PropertySchema("Id", GUID, is_key=True),
+            PropertySchema("PartitionKey", STRING, is_filterable=True),
+            PropertySchema("UpdatedAt", DATETIME, is_filterable=True, is_sortable=True),
+            PropertySchema("Name", STRING, is_searchable=True, is_filterable=True, is_sortable=True),
+            PropertySchema("ItemsCount", INT64, is_filterable=True, is_sortable=True),
+            PropertySchema(
+                "Items",
+                ARRAY,
+                is_filterable=True,
+                nested_properties=[
+                    PropertySchema("AddedAt", DATETIME, is_filterable=True),
+                    PropertySchema("Name", STRING, is_searchable=True),
+                    PropertySchema("Amount", DECIMAL, is_filterable=True),
+                ],
+            ),
+            PropertySchema(
+                "CreatedBy",
+                OBJECT,
+                nested_properties=[
+                    PropertySchema("UserId", GUID, is_filterable=True),
+                    PropertySchema("Email", STRING, is_searchable=True, is_sortable=True),
+                ],
+            ),
+            PropertySchema("Tags", ARRAY, is_filterable=True, array_element_type=STRING),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def proj(spark):
+    schema = order_schema()
+    st = schema.to_struct_type()
+
+    def item(name, amount, added=NOW):
+        return {"AddedAt": added, "Name": name, "Amount": amount}
+
+    rows = [
+        Row(
+            Id="o-1",
+            PartitionKey="OrderEntity",
+            UpdatedAt=NOW,
+            Name="First queryable order",
+            ItemsCount=3,
+            Items=[item("Caverna", 12.00, OLD), item("Dixit", 6.59), item("Patchwork", 4.85)],
+            CreatedBy={"UserId": U1, "Email": "john@gmail.com"},
+            Tags=["Dixit", "board"],
+        ),
+        Row(
+            Id="o-2",
+            PartitionKey="OrderEntity",
+            UpdatedAt=NOW,
+            Name="Second queryable order with additional parameter",
+            ItemsCount=1,
+            Items=[item("Eclipse", 6.95)],
+            CreatedBy={"UserId": U2, "Email": "will@gmail.com"},
+            Tags=["space"],
+        ),
+        Row(
+            Id="o-3",
+            PartitionKey="OrderEntity",
+            UpdatedAt=NOW,
+            Name="QwerTy123",
+            ItemsCount=2,
+            Items=[item("Twilight Struggle", 999.0), item("Zeta", 1.0)],
+            CreatedBy={"UserId": U3, "Email": "amy@gmail.com"},
+            Tags=[],
+        ),
+    ]
+    import decimal as _d
+
+    def conv(r):
+        d = r.asDict()
+        d["Items"] = [
+            {**i, "Amount": _d.Decimal(str(i["Amount"]))} for i in d["Items"]
+        ]
+        return d
+
+    return spark.createDataFrame([conv(r) for r in rows], st)
+
+
+S = order_schema()
+
+
+def count_where(df, f: Filter) -> int:
+    return df.where(filter_to_column(f, S)).count()
+
+
+# ---- F1-F3: comparisons ---------------------------------------------------
+
+def test_eq_gt(proj):
+    assert count_where(proj, Filter("ItemsCount", "gt", 1)) == 2
+    assert count_where(proj, Filter("ItemsCount", "eq", 1)) == 1
+    assert count_where(proj, Filter("ItemsCount", "le", 2)) == 2
+
+
+def test_eq_null_is_null(proj):
+    assert count_where(proj, Filter("Name", "eq", None)) == 0
+    assert count_where(proj, Filter("Name", "ne", None)) == 3
+
+
+# ---- F4-F8: string case-sensitivity matrix (OrderStringComparisonTests) ---
+
+def test_startswith_case_matrix(proj):
+    assert count_where(proj, Filter("Name", "string-starts-with", "Qwer")) == 1
+    assert count_where(proj, Filter("Name", "string-starts-with", "qwer")) == 0
+    assert count_where(proj, Filter("Name", "string-starts-with-ignore-case", "qwer")) == 1
+
+
+def test_endswith_contains_matrix(proj):
+    assert count_where(proj, Filter("Name", "string-ends-with", "123")) == 1
+    assert count_where(proj, Filter("Name", "string-contains", "queryable")) == 2
+    assert count_where(proj, Filter("Name", "string-contains", "QUERYABLE")) == 0
+    assert count_where(proj, Filter("Name", "string-contains-ignore-case", "QUERYABLE")) == 2
+
+
+# ---- F9: array-contains on scalar array ----------------------------------
+
+def test_array_contains(proj):
+    assert count_where(proj, Filter("Tags", "array-contains", "Dixit")) == 1
+
+
+def test_string_contains_on_array_raises(proj):
+    with pytest.raises(FilterTranslationError):
+        count_where(proj, Filter("Tags", "string-contains", "Dix"))
+
+
+# ---- F10: boolean nesting -------------------------------------------------
+
+def test_boolean_tree(proj):
+    f = (P("ItemsCount") > 1) & ((P("Name").startswith("Q")) | (P("Name").contains("First")))
+    assert count_where(proj, f) == 2
+    g = Filter("ItemsCount", "eq", 1).or_("ItemsCount", "eq", 3)
+    assert count_where(proj, g) == 2
+
+
+# ---- F11/F12: nested paths ------------------------------------------------
+
+def test_nested_object_path(proj):
+    assert count_where(proj, Filter("CreatedBy.UserId", "eq", U2)) == 1
+
+
+def test_nested_array_exists(proj):
+    # Items.Amount >= 5 -> 3 orders have at least one such item? o-1 (12.0,
+    # 6.59), o-2 (6.95), o-3 (999) -> all 3; use 7 to discriminate
+    assert count_where(proj, Filter("Items.Amount", "ge", 7)) == 2
+    # Items.AddedAt < now-1d -> only o-1 has an old item (FIXTURES.md §5)
+    cutoff = NOW - datetime.timedelta(days=1)
+    assert count_where(proj, Filter("Items.AddedAt", "lt", cutoff)) == 1
+
+
+# ---- F13: search text -----------------------------------------------------
+
+def test_search_text_over_searchable_columns(proj):
+    res = run_query(proj, ProjectionQuery(search_text="ORDER", limit=1), S)
+    assert res.total_records_found == 2
+    assert len(res.records) == 1
+
+
+def test_search_text_nested_array_field(proj):
+    res = run_query(proj, ProjectionQuery(search_text="twilight"), S)
+    assert res.total_records_found == 1
+    assert res.records[0].document["Id"] == "o-3"
+
+
+def test_search_text_email(proj):
+    res = run_query(proj, ProjectionQuery(search_text="will@"), S)
+    assert res.total_records_found == 1
+
+
+# ---- F14: partition key ---------------------------------------------------
+
+def test_partition_key_filter(proj):
+    out = apply_query(proj, ProjectionQuery(), S, partition_key="nope")
+    assert out.count() == 0
+
+
+# ---- O1-O4: sort + pagination --------------------------------------------
+
+def test_sort_nested_path_desc(proj):
+    q = ProjectionQuery(order_by=[SortInfo("CreatedBy.Email", "desc")])
+    emails = [
+        r.document["CreatedBy"]["Email"] for r in run_query(proj, q, S).records
+    ]
+    assert emails == ["will@gmail.com", "john@gmail.com", "amy@gmail.com"]
+
+
+def test_sort_by_filtered_array_element(proj):
+    # sort by Items.Name among elements where Items.Amount == 999; only o-3
+    # has a match -> its key "Twilight Struggle"; others NULL sort last on asc
+    q = ProjectionQuery(
+        order_by=[
+            SortInfo(
+                "Items.Name",
+                "asc",
+                filters=[SortingFilter("Items.Amount", 999.0)],
+            )
+        ]
+    )
+    ids = [r.document["Id"] for r in run_query(proj, q, S).records]
+    assert ids[0] == "o-3"
+
+
+def test_pagination_offset_limit(proj):
+    q = ProjectionQuery(order_by=[SortInfo("Id", "asc")], limit=2, offset=1)
+    res = run_query(proj, q, S)
+    assert [r.document["Id"] for r in res.records] == ["o-2", "o-3"]
+    assert res.total_records_found == 3
+
+
+# ---- A6: facets -----------------------------------------------------------
+
+def test_facets_value_counts(proj):
+    q = ProjectionQuery(facet_info_to_return=[FacetInfoRequest("PartitionKey")])
+    res = run_query(proj, q, S)
+    stats = res.facets_stats["PartitionKey"]
+    assert stats[0].value == "OrderEntity" and stats[0].count == 3
+
+
+def test_facets_ranges_and_sum(proj):
+    q = ProjectionQuery(
+        facet_info_to_return=[
+            FacetInfoRequest("ItemsCount", ranges=[0, 2, 10], sum_by_field="ItemsCount")
+        ]
+    )
+    res = run_query(proj, q, S)
+    stats = res.facets_stats["ItemsCount"]
+    assert [(s.value, s.count) for s in stats] == [("0-2", 1), ("2-10", 2)]
+    assert stats[1].sum_by_value == 5
+
+
+# ---- query-string -> execution round-trip (ProjectionQueryTests.cs) -------
+
+def test_query_string_roundtrip_same_results(proj):
+    from cloudfabric_eventsourcing_spark.queries import querystring as qs
+
+    q = ProjectionQuery(
+        filters=[Filter("ItemsCount", "gt", 1).and_("Name", "string-contains", "e")],
+        order_by=[SortInfo("Id", "asc")],
+    )
+    wire = qs.serialize_query(q)
+    q2 = qs.deserialize_query(wire)
+    a = [r.document["Id"] for r in run_query(proj, q, S).records]
+    b = [r.document["Id"] for r in run_query(proj, q2, S).records]
+    assert a == b and a
