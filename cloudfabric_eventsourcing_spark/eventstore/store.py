@@ -1,0 +1,434 @@
+"""Event stores: in-memory (parity/unit-test backend) and parquet-directory
+(the Spark-facing backend).
+
+Behavioral spec (reference, read-only):
+  - interface: CloudFabric.EventSourcing.EventStore/IEventStore.cs:7-36
+  - append with optimistic concurrency (version precheck in a transaction,
+    consecutive versions, single partition key per batch, post-commit push
+    to subscribers): PostgresqlEventStore.cs:369-471; in-memory CAS:
+    Implementations/...InMemory/InMemoryEventStore.cs:158-213
+  - stream scan ordered by version: PostgresqlEventStore.cs:192-297
+  - chronological scan (replay source), strict `created_at > date_from`,
+    ORDER BY created_at LIMIT n: PostgresqlEventStore.cs:299-367
+  - statistics: :53-99; delete-all :101-136; hard delete :137-178
+  - subscriber push: :462-481
+
+Scale design (SURVEY.md §7): the parquet store is the single-node stand-in
+for a Delta/Iceberg table — an append-only directory of parquet fragments,
+one fragment per committed append batch, with a commit lock providing the
+transaction boundary. Analytical access goes through Spark
+(`to_df`/`read_stream`); point reads (single stream, version checks) use
+pyarrow dataset scans with predicate pushdown driver-side, mirroring the
+reference's indexed point SQL without spinning a distributed job. On a real
+cluster the same API maps onto Delta `MERGE`/append + conflict retry; the
+layout (partition_key=... directories) is chosen so partition pruning works
+identically there.
+
+Divergence (documented): on version conflict BOTH backends raise
+OptimisticConcurrencyError (the reference's Postgres backend throws; its
+in-memory backend returns false — we prefer the stricter contract).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+import threading
+import time
+import uuid
+from typing import Callable, Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from cloudfabric_eventsourcing_spark.eventstore.event import (
+    SCHEMA_VERSION,
+    Event,
+    EventRecord,
+    EventStoreStatistics,
+    EventStream,
+    OptimisticConcurrencyError,
+    StreamNotFoundError,
+)
+
+Subscriber = Callable[[Event], None]
+
+
+class EventStore:
+    """Abstract store (IEventStore.cs:7-36)."""
+
+    def initialize(self) -> None:
+        raise NotImplementedError
+
+    def load_stream(
+        self, stream_id: str, partition_key: str, from_version: Optional[int] = None
+    ) -> EventStream:
+        raise NotImplementedError
+
+    def load_stream_or_throw(self, stream_id: str, partition_key: str) -> EventStream:
+        stream = self.load_stream(stream_id, partition_key)
+        if not stream.events:
+            raise StreamNotFoundError(f"stream {stream_id!r} ({partition_key!r})")
+        return stream
+
+    def load_events(
+        self,
+        partition_key: Optional[str] = None,
+        date_from: Optional[datetime.datetime] = None,
+        limit: int = 250,
+    ) -> list[Event]:
+        raise NotImplementedError
+
+    def append_to_stream(
+        self,
+        user_info: dict,
+        stream_id: str,
+        expected_version: int,
+        events: Iterable[Event],
+    ) -> bool:
+        raise NotImplementedError
+
+    def get_statistics(self) -> EventStoreStatistics:
+        raise NotImplementedError
+
+    def delete_all(self) -> None:
+        raise NotImplementedError
+
+    def hard_delete(self, stream_id: str, partition_key: str) -> bool:
+        raise NotImplementedError
+
+    # S4: in-process push on append (PostgresqlEventStore.cs:473-481)
+    def subscribe(self, handler: Subscriber) -> None:
+        self._subscribers.append(handler)
+
+    _subscribers: list[Subscriber]
+
+    # -- shared helpers -----------------------------------------------------
+    @staticmethod
+    def _prepare_records(
+        user_info: dict,
+        stream_id: str,
+        expected_version: int,
+        events: list[Event],
+    ) -> list[EventRecord]:
+        # single partition key per batch (PostgresqlEventStore.cs:378-381)
+        pks = {e.partition_key for e in events}
+        if len(pks) != 1:
+            raise ValueError(
+                "Partition keys for all events in the stream must be the same"
+            )
+        user_json = json.dumps(user_info or {}, sort_keys=True)
+        records = []
+        version = expected_version
+        for e in events:
+            version += 1
+            ts = e.timestamp
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            records.append(
+                EventRecord(
+                    id=str(uuid.uuid4()),
+                    partition_key=e.partition_key,
+                    created_at=ts,
+                    stream_id=stream_id,
+                    stream_version=version,
+                    event_type=e.event_type,
+                    event_data=e.payload_json(),
+                    user_info=user_json,
+                    eventstore_schema_version=SCHEMA_VERSION,
+                )
+            )
+        return records
+
+    def _push(self, events: list[Event]) -> None:
+        for e in events:
+            for h in self._subscribers:
+                h(e)
+
+
+class InMemoryEventStore(EventStore):
+    """Driver-memory backend (parity with the reference's InMemory store)."""
+
+    def __init__(self) -> None:
+        self._streams: dict[tuple[str, str], list[EventRecord]] = {}
+        self._lock = threading.Lock()
+        self._subscribers = []
+
+    def initialize(self) -> None:
+        pass
+
+    def load_stream(self, stream_id, partition_key, from_version=None):
+        records = sorted(
+            self._streams.get((stream_id, partition_key), []),
+            key=lambda r: r.stream_version,
+        )
+        version = records[-1].stream_version if records else 0
+        if from_version is not None:
+            records = [r for r in records if r.stream_version >= from_version]
+        return EventStream(stream_id, version, [r.to_event() for r in records])
+
+    def load_events(self, partition_key=None, date_from=None, limit=250):
+        records = [
+            r
+            for key, recs in self._streams.items()
+            for r in recs
+            if partition_key is None or key[1] == partition_key
+        ]
+        if date_from is not None:
+            records = [r for r in records if r.created_at > date_from]  # strict >
+        records.sort(key=lambda r: r.created_at)
+        return [r.to_event() for r in records[:limit]]
+
+    def append_to_stream(self, user_info, stream_id, expected_version, events):
+        events = list(events)
+        with self._lock:
+            partition_key = events[0].partition_key
+            current = self.load_stream(stream_id, partition_key)
+            if current.version != expected_version:
+                raise OptimisticConcurrencyError(
+                    f"stream {stream_id}: expected version {expected_version}, "
+                    f"store has {current.version} — another writer appended"
+                )
+            records = self._prepare_records(
+                user_info, stream_id, expected_version, events
+            )
+            self._streams.setdefault((stream_id, partition_key), []).extend(records)
+        self._push(events)
+        return True
+
+    def get_statistics(self):
+        all_ts = [r.created_at for recs in self._streams.values() for r in recs]
+        return EventStoreStatistics(
+            total_events_count=len(all_ts),
+            first_event_created_at=min(all_ts) if all_ts else None,
+            last_event_created_at=max(all_ts) if all_ts else None,
+        )
+
+    def delete_all(self):
+        self._streams.clear()
+
+    def hard_delete(self, stream_id, partition_key):
+        return self._streams.pop((stream_id, partition_key), None) is not None
+
+    # Spark access for the projection/query layers
+    def to_df(self, spark):
+        from pyspark.sql import types as T
+
+        rows = [
+            tuple(getattr(r, f) for f in _ARROW_SCHEMA.names)
+            for recs in self._streams.values()
+            for r in recs
+        ]
+        return spark.createDataFrame(rows, schema=_SPARK_SCHEMA_DDL) if rows else (
+            spark.createDataFrame([], schema=_SPARK_SCHEMA_DDL)
+        )
+
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("partition_key", pa.string()),
+        ("created_at", pa.timestamp("us")),
+        ("stream_id", pa.string()),
+        ("stream_version", pa.int32()),
+        ("event_type", pa.string()),
+        ("event_data", pa.string()),
+        ("user_info", pa.string()),
+        ("eventstore_schema_version", pa.int32()),
+    ]
+)
+
+_SPARK_SCHEMA_DDL = (
+    "id string, partition_key string, created_at timestamp, stream_id string, "
+    "stream_version int, event_type string, event_data string, user_info string, "
+    "eventstore_schema_version int"
+)
+
+
+class ParquetEventStore(EventStore):
+    """Append-only parquet-directory store.
+
+    Layout: `{path}/part-<seq>-<uuid>.parquet`, one fragment per committed
+    append. A `.commit.lock` file (O_EXCL) is the single-writer transaction
+    boundary replacing the reference's SQL transaction; the version
+    precondition is re-checked under the lock, giving the same serializable
+    per-stream semantics (SURVEY.md §7 "genuinely hard parts" #1).
+    """
+
+    LOCK_TIMEOUT_S = 30.0
+
+    def __init__(self, path: str):
+        self.path = path
+        self._subscribers = []
+
+    def initialize(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- dataset helpers ----------------------------------------------------
+    def _fragments(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "part-*.parquet")))
+
+    def _dataset(self) -> Optional[pa_ds.Dataset]:
+        frags = self._fragments()
+        if not frags:
+            return None
+        return pa_ds.dataset(frags, schema=_ARROW_SCHEMA, format="parquet")
+
+    def _scan(self, filter_expr=None, columns=None) -> pa.Table:
+        ds = self._dataset()
+        if ds is None:
+            return _ARROW_SCHEMA.empty_table()
+        return ds.to_table(filter=filter_expr, columns=columns)
+
+    # -- reads --------------------------------------------------------------
+    def load_stream(self, stream_id, partition_key, from_version=None):
+        expr = (pc.field("stream_id") == stream_id) & (
+            pc.field("partition_key") == partition_key
+        )
+        table = self._scan(expr).sort_by("stream_version")
+        version = (
+            int(table["stream_version"][-1].as_py()) if table.num_rows else 0
+        )
+        records = _records_from_table(table)
+        if from_version is not None:
+            records = [r for r in records if r.stream_version >= from_version]
+        return EventStream(stream_id, version, [r.to_event() for r in records])
+
+    def load_events(self, partition_key=None, date_from=None, limit=250):
+        expr = None
+        if partition_key:
+            expr = pc.field("partition_key") == partition_key
+        if date_from is not None:
+            date_expr = pc.field("created_at") > pa.scalar(
+                date_from, type=pa.timestamp("us")
+            )
+            expr = date_expr if expr is None else (expr & date_expr)
+        table = self._scan(expr).sort_by("created_at")
+        records = _records_from_table(table.slice(0, limit))
+        return [r.to_event() for r in records]
+
+    def _max_version(self, stream_id: str, partition_key: str) -> int:
+        expr = (pc.field("stream_id") == stream_id) & (
+            pc.field("partition_key") == partition_key
+        )
+        table = self._scan(expr, columns=["stream_version"])
+        if table.num_rows == 0:
+            return 0
+        return int(pc.max(table["stream_version"]).as_py())
+
+    # -- append (S3) --------------------------------------------------------
+    def append_to_stream(self, user_info, stream_id, expected_version, events):
+        events = list(events)
+        if not events:
+            return True
+        lock_path = os.path.join(self.path, ".commit.lock")
+        deadline = time.monotonic() + self.LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"could not acquire {lock_path}")
+                time.sleep(0.01)
+        try:
+            current = self._max_version(stream_id, events[0].partition_key)
+            if current != expected_version:
+                raise OptimisticConcurrencyError(
+                    f"stream {stream_id}: expected version {expected_version}, "
+                    f"store has {current} — another writer appended"
+                )
+            records = self._prepare_records(
+                user_info, stream_id, expected_version, events
+            )
+            self._write_fragment(records)
+        finally:
+            os.close(fd)
+            os.unlink(lock_path)
+        self._push(events)
+        return True
+
+    def _write_fragment(self, records: list[EventRecord]) -> None:
+        seq = len(self._fragments())
+        name = f"part-{seq:08d}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(self.path, f".tmp-{name}")
+        table = _table_from_records(records)
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.path, name))
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, max_fragments: int = 1) -> None:
+        """Fold many small append fragments into one (the parquet-store
+        analogue of Delta OPTIMIZE; call periodically from a maintenance
+        job)."""
+        frags = self._fragments()
+        if len(frags) <= max_fragments:
+            return
+        table = self._scan().sort_by("created_at")
+        self._replace_all(table)
+
+    def _replace_all(self, table: pa.Table) -> None:
+        tmp = os.path.join(self.path, f".tmp-compact-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(table, tmp)
+        for f in self._fragments():
+            os.unlink(f)
+        os.rename(tmp, os.path.join(self.path, "part-00000000-compacted.parquet"))
+
+    def get_statistics(self):
+        table = self._scan(columns=["created_at"])
+        if table.num_rows == 0:
+            return EventStoreStatistics(0, None, None)
+        return EventStoreStatistics(
+            total_events_count=table.num_rows,
+            first_event_created_at=pc.min(table["created_at"]).as_py(),
+            last_event_created_at=pc.max(table["created_at"]).as_py(),
+        )
+
+    def delete_all(self):
+        for f in self._fragments():
+            os.unlink(f)
+
+    def hard_delete(self, stream_id, partition_key):
+        expr = ~(
+            (pc.field("stream_id") == stream_id)
+            & (pc.field("partition_key") == partition_key)
+        )
+        before = self._scan()
+        if before.num_rows == 0:
+            return False
+        kept = self._scan(expr)
+        if kept.num_rows == before.num_rows:
+            return False
+        self._replace_all(kept)
+        return True
+
+    # -- Spark access -------------------------------------------------------
+    def to_df(self, spark):
+        frags = self._fragments()
+        if not frags:
+            return spark.createDataFrame([], schema=_SPARK_SCHEMA_DDL)
+        return spark.read.schema(_SPARK_SCHEMA_DDL).parquet(self.path)
+
+    def read_stream(self, spark):
+        """Structured Streaming source over the store directory (S4 change
+        feed — each committed fragment becomes part of a micro-batch)."""
+        return (
+            spark.readStream.schema(_SPARK_SCHEMA_DDL)
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(self.path)
+        )
+
+
+def _table_from_records(records: list[EventRecord]) -> pa.Table:
+    cols = {
+        name: [getattr(r, name) for r in records] for name in _ARROW_SCHEMA.names
+    }
+    return pa.table(cols, schema=_ARROW_SCHEMA)
+
+
+def _records_from_table(table: pa.Table) -> list[EventRecord]:
+    return [EventRecord(**row) for row in table.to_pylist()]

@@ -1,0 +1,121 @@
+"""Test domain: Order aggregate + events, port of the reference test domain
+(/root/reference/CloudFabric.EventSourcing.Tests/Domain/*: Order.cs,
+Events/OrderPlaced.cs, OrderItemAdded.cs, OrderItemRemoved.cs,
+ValueObjects/OrderItem.cs, PartitionKeys.cs)."""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import decimal
+
+from cloudfabric_eventsourcing_spark.domain import AggregateBase
+from cloudfabric_eventsourcing_spark.eventstore import Event, register_event_type
+
+ORDERS_PARTITION_KEY = "OrderEntity"
+
+
+def utcnow():
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+@dataclasses.dataclass
+class OrderItem:
+    added_at: datetime.datetime
+    name: str
+    amount: decimal.Decimal
+
+    @staticmethod
+    def from_dict(d):
+        if isinstance(d, OrderItem):
+            return d
+        added = d["added_at"]
+        if isinstance(added, str):
+            added = datetime.datetime.fromisoformat(added)
+        return OrderItem(added, d["name"], decimal.Decimal(str(d["amount"])))
+
+
+@register_event_type
+@dataclasses.dataclass
+class OrderPlaced(Event):
+    order_name: str = ""
+    items: list = dataclasses.field(default_factory=list)
+    created_by_id: str = ""
+    created_by_email: str = ""
+
+
+@register_event_type
+@dataclasses.dataclass
+class OrderItemAdded(Event):
+    item: dict = dataclasses.field(default_factory=dict)
+
+
+@register_event_type
+@dataclasses.dataclass
+class OrderItemRemoved(Event):
+    item_name: str = ""
+
+
+class Order(AggregateBase):
+    @property
+    def partition_key(self) -> str:
+        return ORDERS_PARTITION_KEY
+
+    def __init__(self, *args, **kwargs):
+        self.name = ""
+        self.items: list[OrderItem] = []
+        self.created_by_id = ""
+        self.created_by_email = ""
+        if args and isinstance(args[0], list):
+            super().__init__(args[0])
+        else:
+            super().__init__()
+            if kwargs or len(args) >= 2:
+                id_, name = args[0], args[1]
+                items = args[2] if len(args) > 2 else kwargs.get("items", [])
+                self.apply(
+                    OrderPlaced(
+                        aggregate_id=id_,
+                        partition_key=ORDERS_PARTITION_KEY,
+                        order_name=name,
+                        items=[dataclasses.asdict(i) for i in items],
+                        created_by_id=kwargs.get("created_by_id", ""),
+                        created_by_email=kwargs.get("created_by_email", ""),
+                    )
+                )
+
+    def add_item(self, item: OrderItem):
+        self.apply(
+            OrderItemAdded(
+                aggregate_id=self.id,
+                partition_key=ORDERS_PARTITION_KEY,
+                item=dataclasses.asdict(item),
+            )
+        )
+
+    def remove_item(self, name: str):
+        self.apply(
+            OrderItemRemoved(
+                aggregate_id=self.id,
+                partition_key=ORDERS_PARTITION_KEY,
+                item_name=name,
+            )
+        )
+
+    # fold handlers (On(...) in the reference, Order.cs)
+    def on_OrderPlaced(self, e: OrderPlaced):
+        self._id = e.aggregate_id
+        self.name = e.order_name
+        self.items = [OrderItem.from_dict(i) for i in e.items]
+        self.created_by_id = e.created_by_id
+        self.created_by_email = e.created_by_email
+
+    def on_OrderItemAdded(self, e: OrderItemAdded):
+        self.items.append(OrderItem.from_dict(e.item))
+
+    def on_OrderItemRemoved(self, e: OrderItemRemoved):
+        # remove only the FIRST name match (OrdersListProjectionBuilder.cs:58-66)
+        for idx, item in enumerate(self.items):
+            if item.name == e.item_name:
+                del self.items[idx]
+                break

@@ -1,0 +1,233 @@
+"""Event store + aggregate round-trips over BOTH backends — the engine's
+version of the reference's backend-parameterized differential suites
+(OrderTests.cs:23-130, MetadataRepositoryTests.cs)."""
+
+import datetime
+import decimal
+import threading
+
+import pytest
+
+from cloudfabric_eventsourcing_spark.domain import AggregateRepository
+from cloudfabric_eventsourcing_spark.eventstore import (
+    InMemoryEventStore,
+    InMemoryMetadataRepository,
+    JsonFileMetadataRepository,
+    OptimisticConcurrencyError,
+    ParquetEventStore,
+    StreamNotFoundError,
+)
+from tests.domain_fixtures import (
+    ORDERS_PARTITION_KEY,
+    Order,
+    OrderItem,
+    OrderPlaced,
+    utcnow,
+)
+
+USER = {"userId": "11111111-1111-1111-1111-111111111111"}
+
+
+@pytest.fixture(params=["memory", "parquet"])
+def store(request, tmp_path):
+    if request.param == "memory":
+        s = InMemoryEventStore()
+    else:
+        s = ParquetEventStore(str(tmp_path / "events"))
+    s.initialize()
+    return s
+
+
+def make_order(oid="2c55f399-0000-0000-0000-000000000001"):
+    return Order(
+        oid,
+        "New Year's Gifts",
+        [OrderItem(utcnow(), "Caverna", decimal.Decimal("12.00"))],
+        created_by_email="john@gmail.com",
+    )
+
+
+def test_aggregate_roundtrip(store):
+    repo = AggregateRepository(store, Order)
+    order = make_order()
+    assert order.version == 0 and len(order.uncommitted_events) == 1
+    repo.save(USER, order)
+    assert order.version == 1 and not order.uncommitted_events
+
+    loaded = repo.load(order.id, ORDERS_PARTITION_KEY)
+    assert loaded is not None
+    assert loaded.name == "New Year's Gifts"
+    assert loaded.items[0].name == "Caverna"
+    assert loaded.items[0].amount == decimal.Decimal("12.00")
+    assert loaded.version == 1
+
+
+def test_load_missing_returns_none_or_throws(store):
+    repo = AggregateRepository(store, Order)
+    assert repo.load("9e55f399-0000-0000-0000-00000000dead", "OrderEntity") is None
+    with pytest.raises(StreamNotFoundError):
+        store.load_stream_or_throw("9e55f399-0000-0000-0000-00000000dead", "OrderEntity")
+
+
+def test_104_event_fold(store):
+    # the benchmark scenario: place + add 100 items, reload, fold
+    # (OrderTests.cs:72-130, Benchmark.cs:30-46)
+    repo = AggregateRepository(store, Order)
+    order = make_order()
+    repo.save(USER, order)
+    loaded = repo.load(order.id, ORDERS_PARTITION_KEY)
+    for i in range(100):
+        loaded.add_item(OrderItem(utcnow(), f"Eclipse-{i}", decimal.Decimal("6.95") + i))
+    repo.save(USER, loaded)
+    final = repo.load(order.id, ORDERS_PARTITION_KEY)
+    assert final.version == 101
+    assert len(final.items) == 101
+    assert final.items[-1].name == "Eclipse-99"
+
+
+def test_optimistic_concurrency_conflict(store):
+    repo = AggregateRepository(store, Order)
+    order = make_order()
+    repo.save(USER, order)
+
+    a = repo.load(order.id, ORDERS_PARTITION_KEY)
+    b = repo.load(order.id, ORDERS_PARTITION_KEY)
+    a.add_item(OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")))
+    b.add_item(OrderItem(utcnow(), "Eclipse", decimal.Decimal("6.95")))
+    repo.save(USER, a)
+    with pytest.raises(OptimisticConcurrencyError):
+        repo.save(USER, b)
+    # loser reloads and retries — the reference contract
+    b2 = repo.load(order.id, ORDERS_PARTITION_KEY)
+    b2.add_item(OrderItem(utcnow(), "Eclipse", decimal.Decimal("6.95")))
+    assert repo.save(USER, b2)
+    assert len(repo.load(order.id, ORDERS_PARTITION_KEY).items) == 3
+
+
+def test_concurrent_writers_serialize(store):
+    # hammer one stream from 8 threads; exactly the winners' events land,
+    # versions stay consecutive (PostgresqlEventStore.cs:386-409 semantics)
+    repo = AggregateRepository(store, Order)
+    order = make_order()
+    repo.save(USER, order)
+    success = []
+
+    def writer(n):
+        for _ in range(5):
+            try:
+                o = repo.load(order.id, ORDERS_PARTITION_KEY)
+                o.add_item(OrderItem(utcnow(), f"t{n}", decimal.Decimal("1.00")))
+                repo.save(USER, o)
+                success.append(n)
+                return
+            except OptimisticConcurrencyError:
+                continue
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stream = store.load_stream(order.id, ORDERS_PARTITION_KEY)
+    assert stream.version == 1 + len(success)
+    versions = [store.load_stream(order.id, ORDERS_PARTITION_KEY).version]
+    assert versions[0] == stream.version
+
+
+def test_load_stream_from_version(store):
+    repo = AggregateRepository(store, Order)
+    order = make_order()
+    repo.save(USER, order)
+    o = repo.load(order.id, ORDERS_PARTITION_KEY)
+    for i in range(4):
+        o.add_item(OrderItem(utcnow(), f"i{i}", decimal.Decimal("1.00")))
+    repo.save(USER, o)
+    partial = store.load_stream(order.id, ORDERS_PARTITION_KEY, from_version=3)
+    assert [type(e).__name__ for e in partial.events] == ["OrderItemAdded"] * 3
+    assert partial.version == 5
+
+
+def test_load_events_cursor_and_limit(store):
+    repo = AggregateRepository(store, Order)
+    for i in range(3):
+        repo.save(USER, make_order(f"2c55f399-0000-0000-0000-00000000000{i}"))
+    all_events = store.load_events(ORDERS_PARTITION_KEY, limit=250)
+    assert len(all_events) == 3
+    # strict > cursor (PostgresqlEventStore.cs:319-322)
+    after = store.load_events(ORDERS_PARTITION_KEY, date_from=all_events[0].timestamp)
+    assert len(after) == len([e for e in all_events if e.timestamp > all_events[0].timestamp])
+    limited = store.load_events(ORDERS_PARTITION_KEY, limit=2)
+    assert len(limited) == 2
+
+
+def test_partition_key_mixing_rejected(store):
+    ev1 = OrderPlaced(aggregate_id="x", partition_key="A", order_name="a")
+    ev2 = OrderPlaced(aggregate_id="x", partition_key="B", order_name="b")
+    with pytest.raises(ValueError):
+        store.append_to_stream(USER, "x", 0, [ev1, ev2])
+
+
+def test_statistics_and_deletes(store):
+    repo = AggregateRepository(store, Order)
+    o1 = make_order("2c55f399-0000-0000-0000-000000000011")
+    o2 = make_order("2c55f399-0000-0000-0000-000000000012")
+    repo.save(USER, o1)
+    repo.save(USER, o2)
+    stats = store.get_statistics()
+    assert stats.total_events_count == 2
+    assert stats.first_event_created_at <= stats.last_event_created_at
+
+    assert store.hard_delete(o1.id, ORDERS_PARTITION_KEY) is True
+    assert store.hard_delete(o1.id, ORDERS_PARTITION_KEY) is False
+    assert store.load_stream(o1.id, ORDERS_PARTITION_KEY).events == []
+    assert len(store.load_stream(o2.id, ORDERS_PARTITION_KEY).events) == 1
+
+    store.delete_all()
+    assert store.get_statistics().total_events_count == 0
+
+
+def test_subscriber_push_on_append(store):
+    seen = []
+    store.subscribe(lambda e: seen.append(type(e).__name__))
+    repo = AggregateRepository(store, Order)
+    order = make_order()
+    repo.save(USER, order)
+    o = repo.load(order.id, ORDERS_PARTITION_KEY)
+    o.add_item(OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")))
+    repo.save(USER, o)
+    assert seen == ["OrderPlaced", "OrderItemAdded"]
+
+
+def test_natural_key_hash_stable():
+    a = Order.hash_string_to_guid("john@gmail.com")
+    b = Order.hash_string_to_guid("john@gmail.com")
+    c = Order.hash_string_to_guid("will@gmail.com")
+    assert a == b and a != c and len(a) == 36
+
+
+def test_parquet_store_spark_view(spark, tmp_path):
+    store = ParquetEventStore(str(tmp_path / "events"))
+    store.initialize()
+    repo = AggregateRepository(store, Order)
+    for i in range(5):
+        o = make_order(f"2c55f399-0000-0000-0000-0000000000{i:02d}")
+        repo.save(USER, o)
+    df = store.to_df(spark)
+    assert df.count() == 5
+    assert df.where("event_type = 'OrderPlaced'").count() == 5
+    store.compact()
+    assert store.to_df(spark).count() == 5
+    assert len(store._fragments()) == 1
+
+
+def test_metadata_repository(tmp_path):
+    for repo in (
+        InMemoryMetadataRepository(),
+        JsonFileMetadataRepository(str(tmp_path / "meta.json")),
+    ):
+        item = {"name": "config", "nested": {"a": [1, 2, 3]}}
+        repo.upsert_item("cfg", "P1", item)
+        assert repo.load_item("cfg", "P1") == item
+        assert repo.load_item("cfg", "P2") is None
+        repo.upsert_item("cfg", "P1", {"name": "v2"})
+        assert repo.load_item("cfg", "P1") == {"name": "v2"}
