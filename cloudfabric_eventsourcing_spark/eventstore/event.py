@@ -155,6 +155,10 @@ class EventRecord:
         ev = event_from_record(self.event_type, self.event_data)
         ev.aggregate_id = ev.aggregate_id or self.stream_id
         ev.partition_key = ev.partition_key or self.partition_key
+        # envelope identity for exact replay dedup (not a dataclass field —
+        # payload JSON stays free of storage concerns)
+        ev._record_id = self.id  # type: ignore[attr-defined]
+        ev._stream_version = self.stream_version  # type: ignore[attr-defined]
         return ev
 
 

@@ -1,0 +1,215 @@
+"""Pure-Python Filter AST evaluator over dict documents — the in-memory
+backend's query engine.
+
+Behavioral spec (reference, read-only): the compiled-LINQ in-memory backend
+(CloudFabric.Projections/Queries/FilterExpressionExtensions.cs:48-243 and
+Implementations/...InMemory/InMemoryProjectionRepository.cs:176-233).
+
+Shares semantics with plans/translator.py (same AST, same case-sensitivity,
+null, EXISTS and null-ordering rules) — the two are differential-tested
+against each other, mirroring how the reference runs the same suites on 4
+backends."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+from typing import Any, Optional
+
+from cloudfabric_eventsourcing_spark.queries.filters import Filter, FilterLogic, FilterOperator
+from cloudfabric_eventsourcing_spark.queries.projection_query import (
+    ProjectionQuery,
+    SortInfo,
+    SortOrder,
+)
+from cloudfabric_eventsourcing_spark.schema import ProjectionSchema
+
+
+def _get_path(doc: Any, path: str):
+    cur = doc
+    for seg in path.split("."):
+        if cur is None:
+            return None
+        if isinstance(cur, dict):
+            cur = cur.get(seg)
+        else:
+            cur = getattr(cur, seg, None)
+    return cur
+
+
+def _coerce_pair(a, b):
+    """Comparable coercion: decimals/floats mix, naive/aware datetimes."""
+    if isinstance(a, decimal.Decimal) and isinstance(b, float):
+        b = decimal.Decimal(str(b))
+    elif isinstance(b, decimal.Decimal) and isinstance(a, float):
+        a = decimal.Decimal(str(a))
+    if isinstance(a, datetime.datetime) and isinstance(b, datetime.datetime):
+        if (a.tzinfo is None) != (b.tzinfo is None):
+            a = a.replace(tzinfo=None)
+            b = b.replace(tzinfo=None)
+    return a, b
+
+
+def _leaf(doc_value, op: str, value) -> bool:
+    if op == FilterOperator.Equal:
+        if value is None:
+            return doc_value is None
+        if doc_value is None:
+            return False
+        a, b = _coerce_pair(doc_value, value)
+        return a == b
+    if op == FilterOperator.NotEqual:
+        if value is None:
+            return doc_value is not None
+        if doc_value is None:
+            return False  # SQL semantics: NULL != x is not TRUE
+        a, b = _coerce_pair(doc_value, value)
+        return a != b
+    if op in FilterOperator.ORDERED_OPS:
+        if doc_value is None:
+            return False
+        a, b = _coerce_pair(doc_value, value)
+        return {
+            FilterOperator.Greater: a > b,
+            FilterOperator.GreaterOrEqual: a >= b,
+            FilterOperator.Lower: a < b,
+            FilterOperator.LowerOrEqual: a <= b,
+        }[op]
+    if op in FilterOperator.STRING_OPS:
+        if doc_value is None:
+            return False
+        s, v = str(doc_value), str(value)
+        if op == FilterOperator.StartsWith:
+            return s.startswith(v)
+        if op == FilterOperator.EndsWith:
+            return s.endswith(v)
+        if op == FilterOperator.Contains:
+            return v in s
+        s, v = s.lower(), v.lower()
+        if op == FilterOperator.StartsWithIgnoreCase:
+            return s.startswith(v)
+        if op == FilterOperator.EndsWithIgnoreCase:
+            return s.endswith(v)
+        return v in s
+    if op == FilterOperator.ArrayContains:
+        if doc_value is None:
+            return False
+        return any(_leaf(x, FilterOperator.Equal, value) for x in doc_value)
+    raise ValueError(f"unknown filter operator: {op!r}")
+
+
+def eval_filter(f: Filter, doc: dict, schema: Optional[ProjectionSchema] = None) -> bool:
+    acc: Optional[bool] = None
+    if not f.is_grouping_node:
+        acc = _eval_leaf(f, doc, schema)
+    for c in f.filters:
+        child = eval_filter(c.filter, doc, schema)
+        if acc is None:
+            acc = child
+        elif c.logic == FilterLogic.And:
+            acc = acc and child
+        elif c.logic == FilterLogic.Or:
+            acc = acc or child
+        else:
+            raise ValueError(f"unknown logic token: {c.logic!r}")
+    return True if acc is None else acc
+
+
+def _eval_leaf(f: Filter, doc: dict, schema: Optional[ProjectionSchema]) -> bool:
+    path, op, value = f.property_name, f.operator, f.value
+    head, _, rest = path.partition(".")
+    head_val = _get_path(doc, head)
+    if rest and isinstance(head_val, list):
+        # EXISTS over array elements (Array.Exists in the reference,
+        # FilterExpressionExtensions.cs:224-243)
+        return any(
+            _leaf(_get_path(elem, rest), op, value) for elem in head_val
+        )
+    return _leaf(_get_path(doc, path), op, value)
+
+
+def eval_search(search_text: str, doc: dict, schema: Optional[ProjectionSchema]) -> bool:
+    if not search_text or search_text == "*" or schema is None:
+        return True
+    needle = search_text.lower()
+    for path in schema.searchable_paths():
+        head, _, rest = path.partition(".")
+        head_val = _get_path(doc, head)
+        if rest and isinstance(head_val, list):
+            if any(
+                needle in str(_get_path(e, rest)).lower()
+                for e in head_val
+                if _get_path(e, rest) is not None
+            ):
+                return True
+        else:
+            v = _get_path(doc, path)
+            if v is not None and needle in str(v).lower():
+                return True
+    return False
+
+
+class _NullsKey:
+    """Sort key wrapper: Postgres ordering — ASC nulls last, DESC nulls
+    first (translator.sort_columns parity)."""
+
+    __slots__ = ("value", "descending")
+
+    def __init__(self, value, descending: bool):
+        self.value = value
+        self.descending = descending
+
+    def __lt__(self, other: "_NullsKey") -> bool:
+        a, b = self.value, other.value
+        if a is None and b is None:
+            return False
+        if a is None:
+            return self.descending  # nulls first on desc, last on asc
+        if b is None:
+            return not self.descending
+        a, b = _coerce_pair(a, b)
+        return (a > b) if self.descending else (a < b)
+
+
+def _sort_value(info: SortInfo, doc: dict):
+    head, _, rest = info.key_path.partition(".")
+    head_val = _get_path(doc, head)
+    if rest and isinstance(head_val, list):
+        matches = []
+        for elem in head_val:
+            ok = True
+            for sf in info.filters:
+                _, _, sub = sf.filter_key_path.partition(".")
+                ev, fv = _coerce_pair(_get_path(elem, sub), sf.filter_value)
+                if ev != fv:
+                    ok = False
+                    break
+            if ok:
+                v = _get_path(elem, rest)
+                if v is not None:
+                    matches.append(v)
+        return min(matches) if matches else None
+    return _get_path(doc, info.key_path)
+
+
+def run_query_docs(
+    docs: list[dict],
+    query: ProjectionQuery,
+    schema: Optional[ProjectionSchema] = None,
+) -> tuple[list[dict], int]:
+    """Returns (page, total) with the same semantics as translator.run_query."""
+    filtered = [
+        d
+        for d in docs
+        if all(eval_filter(f, d, schema) for f in query.filters)
+        and eval_search(query.search_text, d, schema)
+    ]
+    total = len(filtered)
+    if query.order_by:
+        for info in reversed(query.order_by):  # stable multi-key sort
+            desc = info.order == SortOrder.Desc
+            filtered.sort(key=lambda d, i=info, dd=desc: _NullsKey(_sort_value(i, d), dd))
+    page = filtered[query.offset :]
+    if query.limit is not None:
+        page = page[: query.limit]
+    return page, total

@@ -1,0 +1,395 @@
+"""Projection repositories: upsert/get/delete/query documents per index.
+
+Behavioral spec (reference, read-only):
+  - interface + index resolution: CloudFabric.Projections/ProjectionRepository.cs:11-111,252-373
+  - Postgres upsert `INSERT ... ON CONFLICT DO UPDATE`: Implementations/
+    .../PostgresqlProjectionRepository.cs:390-470; point get :197-302;
+    deletes :304-388; query :472-677
+  - in-memory dict backend: InMemoryProjectionRepository.cs:155-233
+
+Backends:
+  - InMemoryProjectionRepository — dict-of-dicts + the pure-Python AST
+    evaluator (plans/pyeval). The live-maintenance fast path for small
+    working sets and the parity backend for tests.
+  - ParquetProjectionRepository — one directory per index holding an atomic
+    snapshot parquet; upserts are batch MERGEs (read-minus-keys + concat +
+    atomic snapshot swap), queries go through Spark + the Column
+    translator. This is the single-node stand-in for a Delta table with
+    `MERGE INTO` (SURVEY.md S7); on a cluster the same repository API maps
+    onto Delta MERGE inside foreachBatch. Documents are stored COLUMNAR —
+    an upgrade over the reference's row stores, free with parquet.
+
+Every operation stamps PartitionKey + UpdatedAt like the reference
+(PostgresqlProjectionRepository.cs:400-427).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import threading
+import uuid
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from cloudfabric_eventsourcing_spark.plans import pyeval
+from cloudfabric_eventsourcing_spark.plans.translator import facet_stats, run_query as spark_run_query
+from cloudfabric_eventsourcing_spark.queries.projection_query import (
+    ProjectionQuery,
+    ProjectionQueryResult,
+    QueryResultDocument,
+)
+from cloudfabric_eventsourcing_spark.schema import (
+    ARRAY,
+    BOOLEAN,
+    DATETIME,
+    DECIMAL,
+    DOUBLE,
+    GUID,
+    INT32,
+    INT64,
+    OBJECT,
+    SINGLE,
+    STRING,
+    ProjectionSchema,
+    PropertySchema,
+)
+from cloudfabric_eventsourcing_spark.projections.state import (
+    IndexSelector,
+    ProjectionIndexStateStore,
+)
+
+_ARROW_SCALARS = {
+    INT32: pa.int32(),
+    INT64: pa.int64(),
+    SINGLE: pa.float32(),
+    DOUBLE: pa.float64(),
+    DECIMAL: pa.decimal128(38, 6),
+    BOOLEAN: pa.bool_(),
+    STRING: pa.string(),
+    DATETIME: pa.timestamp("us"),
+    GUID: pa.string(),
+}
+
+
+def _arrow_type(p: PropertySchema) -> pa.DataType:
+    if p.type == OBJECT:
+        return pa.struct([(n.name, _arrow_type(n)) for n in p.nested_properties])
+    if p.type == ARRAY:
+        if p.nested_properties:
+            return pa.list_(
+                pa.struct([(n.name, _arrow_type(n)) for n in p.nested_properties])
+            )
+        return pa.list_(_ARROW_SCALARS[p.array_element_type])
+    return _ARROW_SCALARS[p.type]
+
+
+def arrow_schema(schema: ProjectionSchema) -> pa.Schema:
+    return pa.schema([(p.name, _arrow_type(p)) for p in schema.properties])
+
+
+class ProjectionRepository:
+    """Base: index resolution via the state store + document lifecycle."""
+
+    def __init__(self, schema: ProjectionSchema, state_store: ProjectionIndexStateStore):
+        self.schema = schema
+        self.state_store = state_store
+
+    # -- physical ops implemented by backends -------------------------------
+    def _create_index(self, index_name: str, schema: ProjectionSchema) -> None:
+        raise NotImplementedError
+
+    def _upsert_batch(self, index_name: str, docs: list[dict]) -> None:
+        raise NotImplementedError
+
+    def _get(self, index_name: str, id: str, partition_key: str) -> Optional[dict]:
+        raise NotImplementedError
+
+    def _delete(self, index_name: str, id: str, partition_key: str) -> None:
+        raise NotImplementedError
+
+    def _delete_all(self, index_name: str, partition_key: Optional[str]) -> None:
+        raise NotImplementedError
+
+    def _query(
+        self, index_name: str, schema: ProjectionSchema, query: ProjectionQuery,
+        partition_key: Optional[str]
+    ) -> ProjectionQueryResult[dict]:
+        raise NotImplementedError
+
+    # -- public API ---------------------------------------------------------
+    def ensure_index(self, selector: str = IndexSelector.Write) -> str:
+        name, _ = self.state_store.resolve_index(
+            self.schema, IndexSelector.ProjectionRebuild, self._create_index
+        )
+        return name
+
+    def _resolve(self, selector: str) -> tuple[str, ProjectionSchema]:
+        return self.state_store.resolve_index(self.schema, selector, self._create_index)
+
+    def upsert(
+        self,
+        document: dict,
+        partition_key: str,
+        updated_at: Optional[datetime.datetime] = None,
+        selector: str = IndexSelector.Write,
+    ) -> None:
+        self.upsert_batch([document], partition_key, updated_at, selector)
+
+    def upsert_batch(
+        self,
+        documents: list[dict],
+        partition_key: str,
+        updated_at: Optional[datetime.datetime] = None,
+        selector: str = IndexSelector.Write,
+    ) -> None:
+        index_name, schema = self._resolve(selector)
+        stamped = []
+        for doc in documents:
+            d = dict(doc)
+            d["PartitionKey"] = partition_key
+            if "UpdatedAt" in {p.name for p in schema.properties}:
+                d["UpdatedAt"] = updated_at or _utcnow()
+            stamped.append(d)
+        self._upsert_batch(index_name, stamped)
+
+    def single(
+        self, id: str, partition_key: str, selector: str = IndexSelector.ReadOnly
+    ) -> Optional[dict]:
+        index_name, _ = self._resolve(selector)
+        return self._get(index_name, id, partition_key)
+
+    def delete(
+        self, id: str, partition_key: str, selector: str = IndexSelector.Write
+    ) -> None:
+        index_name, _ = self._resolve(selector)
+        self._delete(index_name, id, partition_key)
+
+    def delete_all(
+        self, partition_key: Optional[str] = None, selector: str = IndexSelector.Write
+    ) -> None:
+        index_name, _ = self._resolve(selector)
+        self._delete_all(index_name, partition_key)
+
+    def query(
+        self,
+        query: ProjectionQuery,
+        partition_key: Optional[str] = None,
+        selector: str = IndexSelector.ReadOnly,
+    ) -> ProjectionQueryResult[dict]:
+        index_name, schema = self._resolve(selector)
+        return self._query(index_name, schema, query, partition_key)
+
+
+class InMemoryProjectionRepository(ProjectionRepository):
+    def __init__(self, schema, state_store):
+        super().__init__(schema, state_store)
+        self._indexes: dict[str, dict[tuple[str, str], dict]] = {}
+        self._lock = threading.Lock()
+
+    def _create_index(self, index_name, schema):
+        self._indexes.setdefault(index_name, {})
+
+    def _key(self, doc_or_id) -> str:
+        key_name = self.schema.key_name
+        if isinstance(doc_or_id, dict):
+            return str(doc_or_id[key_name])
+        return str(doc_or_id)
+
+    def _upsert_batch(self, index_name, docs):
+        with self._lock:
+            index = self._indexes.setdefault(index_name, {})
+            for doc in docs:
+                index[(self._key(doc), doc["PartitionKey"])] = doc
+
+    def _get(self, index_name, id, partition_key):
+        doc = self._indexes.get(index_name, {}).get((str(id), partition_key))
+        return dict(doc) if doc else None
+
+    def _delete(self, index_name, id, partition_key):
+        self._indexes.get(index_name, {}).pop((str(id), partition_key), None)
+
+    def _delete_all(self, index_name, partition_key):
+        index = self._indexes.get(index_name, {})
+        if partition_key is None:
+            index.clear()
+        else:
+            for k in [k for k in index if k[1] == partition_key]:
+                del index[k]
+
+    def _query(self, index_name, schema, query, partition_key):
+        docs = list(self._indexes.get(index_name, {}).values())
+        if partition_key is not None:
+            docs = [d for d in docs if d.get("PartitionKey") == partition_key]
+        page, total = pyeval.run_query_docs(docs, query, schema)
+        return ProjectionQueryResult(
+            records=[QueryResultDocument(document=dict(d)) for d in page],
+            total_records_found=total,
+        )
+
+
+class ParquetProjectionRepository(ProjectionRepository):
+    """Snapshot-parquet backend; requires a SparkSession for queries."""
+
+    def __init__(self, schema, state_store, base_path: str, spark=None):
+        super().__init__(schema, state_store)
+        self.base_path = base_path
+        self.spark = spark
+        self._lock = threading.Lock()
+        self._schemas: dict[str, ProjectionSchema] = {}
+
+    # -- snapshot helpers ---------------------------------------------------
+    def _dir(self, index_name: str) -> str:
+        return os.path.join(self.base_path, index_name)
+
+    def _snapshot_path(self, index_name: str) -> Optional[str]:
+        snaps = sorted(glob.glob(os.path.join(self._dir(index_name), "snapshot-*.parquet")))
+        return snaps[-1] if snaps else None
+
+    def _read(self, index_name: str) -> pa.Table:
+        path = self._snapshot_path(index_name)
+        schema = self._index_schema(index_name)
+        if path is None:
+            return arrow_schema(schema).empty_table()
+        return pq.read_table(path)
+
+    def _index_schema(self, index_name: str) -> ProjectionSchema:
+        return self._schemas.get(index_name, self.schema)
+
+    def _write_snapshot(self, index_name: str, table: pa.Table) -> None:
+        d = self._dir(index_name)
+        os.makedirs(d, exist_ok=True)
+        old = self._snapshot_path(index_name)
+        seq = 0 if old is None else int(os.path.basename(old).split("-")[1].split(".")[0]) + 1
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.parquet")
+        # coerce any ns timestamps (e.g. INT96 read back from a Spark
+        # write) to µs so Spark can read the snapshot
+        pq.write_table(table, tmp, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.rename(tmp, os.path.join(d, f"snapshot-{seq:08d}.parquet"))
+        if old:
+            os.unlink(old)
+
+    def _create_index(self, index_name, schema):
+        os.makedirs(self._dir(index_name), exist_ok=True)
+        self._schemas[index_name] = schema
+
+    # -- physical ops -------------------------------------------------------
+    def _upsert_batch(self, index_name, docs):
+        """Batch MERGE: current MINUS batch-keys UNION batch (Delta
+        `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`
+        equivalent, SURVEY.md S7)."""
+        key = self.schema.key_name
+        with self._lock:
+            current = self._read(index_name)
+            # last-writer-wins within the batch, matching upsert order
+            dedup: dict[tuple[str, str], dict] = {}
+            for d in docs:
+                dedup[(str(d[key]), d["PartitionKey"])] = d
+            batch = list(dedup.values())
+            if current.num_rows:
+                # match on the composite (key, PartitionKey) — two separate
+                # is_in masks would wrongly match cross-pairs
+                combo = pc.binary_join_element_wise(
+                    pc.cast(current[key], pa.string()),
+                    current["PartitionKey"],
+                    "\x00",
+                )
+                batch_keys = pa.array([f"{k}\x00{p}" for k, p in dedup])
+                kept = current.filter(
+                    pc.invert(pc.is_in(combo, value_set=batch_keys))
+                )
+            else:
+                kept = current
+            new_rows = pa.Table.from_pylist(
+                [_normalize_doc(d) for d in batch], schema=current.schema
+            )
+            self._write_snapshot(index_name, pa.concat_tables([kept, new_rows]))
+
+    def _get(self, index_name, id, partition_key):
+        table = self._read(index_name)
+        if table.num_rows == 0:
+            return None
+        key = self._index_schema(index_name).key_name
+        mask = pc.and_(
+            pc.equal(pc.cast(table[key], pa.string()), str(id)),
+            pc.equal(table["PartitionKey"], partition_key),
+        )
+        hit = table.filter(mask)
+        return hit.to_pylist()[0] if hit.num_rows else None
+
+    def _delete(self, index_name, id, partition_key):
+        with self._lock:
+            table = self._read(index_name)
+            if table.num_rows == 0:
+                return
+            key = self._index_schema(index_name).key_name
+            mask = pc.and_(
+                pc.equal(pc.cast(table[key], pa.string()), str(id)),
+                pc.equal(table["PartitionKey"], partition_key),
+            )
+            self._write_snapshot(index_name, table.filter(pc.invert(mask)))
+
+    def _delete_all(self, index_name, partition_key):
+        with self._lock:
+            table = self._read(index_name)
+            if partition_key is None:
+                kept = table.schema.empty_table()
+            else:
+                kept = table.filter(
+                    pc.invert(pc.equal(table["PartitionKey"], partition_key))
+                )
+            self._write_snapshot(index_name, kept)
+
+    def to_df(self, selector: str = IndexSelector.ReadOnly):
+        index_name, schema = self._resolve(selector)
+        path = self._snapshot_path(index_name)
+        if path is None:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame([], schema.to_struct_type())
+        return self.spark.read.parquet(path)
+
+    def _query(self, index_name, schema, query, partition_key):
+        if self.spark is None:
+            raise RuntimeError("ParquetProjectionRepository needs a SparkSession for queries")
+        path = self._snapshot_path(index_name)
+        if path is None:
+            return ProjectionQueryResult(records=[], total_records_found=0)
+        df = self.spark.read.parquet(path)
+        return spark_run_query(df, query, schema, partition_key)
+
+    def overwrite_from_df(self, df, selector: str = IndexSelector.ProjectionRebuild):
+        """Distributed rebuild sink: replace the index snapshot with a
+        DataFrame computed by a Spark fold (the scale path — SURVEY.md §3.3:
+        'embarrassingly parallel in Spark, unlike the reference's
+        single-cursor loop')."""
+        index_name, _ = self._resolve(selector)
+        d = self._dir(index_name)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-spark-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        import pyarrow.dataset as pa_ds
+
+        table = pa_ds.dataset(tmp, format="parquet").to_table()
+        with self._lock:
+            self._write_snapshot(index_name, table)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _utcnow() -> datetime.datetime:
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+def _normalize_doc(doc: dict) -> dict:
+    out = {}
+    for k, v in doc.items():
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        out[k] = v
+    return out

@@ -1,0 +1,122 @@
+"""Structured Streaming projection maintenance over a ParquetEventStore.
+
+Behavioral spec (reference, read-only):
+  - change-feed subscription source (S4): PostgresqlEventStoreObserver.cs:19-33,
+    CosmosDbEventStoreChangeFeedObserver.cs:67-93 (lease container ↔ the
+    streaming checkpoint directory)
+  - ordering/delivery (T1): per-event in append order live; replay path
+    global ORDER BY created_at (EventsObserver.cs:70-131). Within each
+    micro-batch we sort by (created_at, stream_version) before applying.
+  - checkpointing (T2): Structured Streaming checkpoint dir replaces the
+    hand-rolled LastProcessedEventTimestamp cursor.
+  - rebuild sharing the live code path (S5): trigger(availableNow=True)
+    drains the store once and stops — this also replaces the reference
+    tests' sleep-based eventual-consistency waits (T10) with a
+    deterministic `process_all()`.
+
+Delivery contract: the file source + checkpoint give exactly-once batch
+delivery; dropDuplicates on the event id inside the batch upgrades the
+reference's at-least-once replay (T3) — the projection MERGE sink is
+idempotent per document anyway.
+
+Scale note: the foreachBatch body below hydrates events and applies
+handlers driver-side (row-at-a-time parity mode, U1) — correct for any
+working set whose per-batch update count fits the driver, which matches the
+reference's own execution model (its handlers are also per-event C#). The
+vectorized path for full rebuilds is ParquetProjectionRepository.
+overwrite_from_df with a distributed groupBy(stream_id) fold.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.eventstore.event import EventRecord
+from cloudfabric_eventsourcing_spark.eventstore.store import ParquetEventStore
+from cloudfabric_eventsourcing_spark.projections.engine import ProjectionsEngine
+
+
+class SparkStreamingProjectionsObserver:
+    def __init__(
+        self,
+        spark,
+        event_store: ParquetEventStore,
+        engine: ProjectionsEngine,
+        checkpoint_dir: str,
+        handled_event_types: Optional[set[str]] = None,
+    ):
+        self.spark = spark
+        self.event_store = event_store
+        self.engine = engine
+        self.checkpoint_dir = checkpoint_dir
+        # builder fan-out (T6): push down the union of handled types so the
+        # stream filter prunes unhandled events before they reach Python
+        if handled_event_types is None:
+            handled_event_types = set()
+            for b in engine._builders:
+                handled_event_types |= b.handled_event_types
+        self.handled_event_types = handled_event_types
+        self._query = None
+
+    def _foreach_batch(self, batch_df, epoch_id: int) -> None:
+        # order within batch: (created_at, stream_version) — T1
+        rows = (
+            batch_df.orderBy("created_at", "stream_version")
+            .dropDuplicates(["id"])
+            .collect()
+        )
+        rows.sort(key=lambda r: (r["created_at"], r["stream_version"]))
+        for row in rows:
+            record = EventRecord(
+                id=row["id"],
+                partition_key=row["partition_key"],
+                created_at=row["created_at"],
+                stream_id=row["stream_id"],
+                stream_version=row["stream_version"],
+                event_type=row["event_type"],
+                event_data=row["event_data"],
+                user_info=row["user_info"],
+                eventstore_schema_version=row["eventstore_schema_version"],
+            )
+            self.engine.handle_event(record.to_event())
+
+    def _stream_df(self):
+        df = self.event_store.read_stream(self.spark)
+        if self.handled_event_types:
+            types = sorted(self.handled_event_types - {"AggregateUpdated"})
+            synthetic_needed = "AggregateUpdated" in self.handled_event_types
+            if types and not synthetic_needed:
+                df = df.where(F.col("event_type").isin(types))
+        return df
+
+    def start(self, processing_time: str = "1 seconds"):
+        """Continuous live maintenance (the reference's in-process push,
+        as a micro-batch stream)."""
+        self._query = (
+            self._stream_df()
+            .writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+        return self._query
+
+    def process_all(self) -> None:
+        """Drain everything currently in the store and stop — the
+        deterministic test/rebuild trigger (availableNow, T10)."""
+        query = (
+            self._stream_df()
+            .writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None

@@ -119,3 +119,108 @@ class Order(AggregateBase):
             if item.name == e.item_name:
                 del self.items[idx]
                 break
+
+
+# ---------------------------------------------------------------------------
+# OrdersList projection (port of OrdersListProjectionBuilder.cs and
+# OrderListProjectionItem.cs — FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+from cloudfabric_eventsourcing_spark.projections import ProjectionBuilder  # noqa: E402
+from cloudfabric_eventsourcing_spark.schema import (  # noqa: E402
+    ARRAY,
+    DATETIME,
+    DECIMAL,
+    GUID,
+    INT64,
+    OBJECT,
+    STRING,
+    ProjectionSchema,
+    PropertySchema,
+)
+
+
+def orders_list_schema() -> ProjectionSchema:
+    return ProjectionSchema(
+        "orders_list_projection",
+        [
+            PropertySchema("Id", GUID, is_key=True),
+            PropertySchema("PartitionKey", STRING, is_filterable=True),
+            PropertySchema("UpdatedAt", DATETIME, is_filterable=True, is_sortable=True),
+            PropertySchema("Name", STRING, is_searchable=True, is_filterable=True, is_sortable=True),
+            PropertySchema("ItemsCount", INT64, is_filterable=True, is_sortable=True),
+            PropertySchema(
+                "Items",
+                ARRAY,
+                is_filterable=True,
+                nested_properties=[
+                    PropertySchema("AddedAt", DATETIME, is_filterable=True),
+                    PropertySchema("Name", STRING, is_searchable=True),
+                    PropertySchema("Amount", DECIMAL, is_filterable=True),
+                ],
+            ),
+            PropertySchema(
+                "CreatedBy",
+                OBJECT,
+                nested_properties=[
+                    PropertySchema("UserId", GUID, is_filterable=True),
+                    PropertySchema("Email", STRING, is_searchable=True, is_sortable=True),
+                ],
+            ),
+        ],
+    )
+
+
+class OrdersListProjectionBuilder(ProjectionBuilder):
+    aggregate_types = ("Order",)
+
+    def on_OrderPlaced(self, evt: OrderPlaced):
+        doc = {
+            "Id": evt.aggregate_id,
+            "Name": evt.order_name,
+            "ItemsCount": len(evt.items),
+            "Items": [
+                {
+                    "AddedAt": _ts(i.get("added_at")),
+                    "Name": i.get("name"),
+                    "Amount": decimal.Decimal(str(i.get("amount"))),
+                }
+                for i in evt.items
+            ],
+            "CreatedBy": {"UserId": evt.created_by_id, "Email": evt.created_by_email},
+        }
+        self.upsert_document(doc, evt.partition_key, evt.timestamp)
+
+    def on_OrderItemAdded(self, evt: OrderItemAdded):
+        def mutate(doc):
+            doc["Items"] = list(doc["Items"]) + [
+                {
+                    "AddedAt": _ts(evt.item.get("added_at")),
+                    "Name": evt.item.get("name"),
+                    "Amount": decimal.Decimal(str(evt.item.get("amount"))),
+                }
+            ]
+            doc["ItemsCount"] += 1
+
+        self.update_document(evt.aggregate_id, evt.partition_key, evt.timestamp, mutate)
+
+    def on_OrderItemRemoved(self, evt: OrderItemRemoved):
+        def mutate(doc):
+            items = list(doc["Items"])
+            for idx, item in enumerate(items):
+                if item["Name"] == evt.item_name:
+                    del items[idx]
+                    doc["ItemsCount"] -= 1
+                    break
+            doc["Items"] = items
+
+        self.update_document(evt.aggregate_id, evt.partition_key, evt.timestamp, mutate)
+
+    def on_AggregateUpdated(self, evt):
+        self.set_document_updated_at(evt.aggregate_id, evt.partition_key, evt.updated_at)
+
+
+def _ts(v):
+    if isinstance(v, str):
+        return datetime.datetime.fromisoformat(v)
+    return v

@@ -1,0 +1,256 @@
+"""Projection engine tests — ports of the reference scenarios:
+live update (OrderTests.cs:133-210), single-doc rebuild (:212-261), full
+rebuild (:263-315), UpdatedAt via synthetic event (:611-662), schema
+evolution + rebuild invariant (DynamicProjectionSchemaTests.cs:420-555),
+rebuild lease (ProjectionRepository.cs:375-442)."""
+
+import datetime
+import decimal
+
+import pytest
+
+from cloudfabric_eventsourcing_spark.domain import AggregateRepository
+from cloudfabric_eventsourcing_spark.eventstore import (
+    InMemoryEventStore,
+    InMemoryMetadataRepository,
+)
+from cloudfabric_eventsourcing_spark.projections import (
+    IndexNotReadyError,
+    IndexSelector,
+    InMemoryProjectionRepository,
+    ProjectionsEngine,
+    ProjectionsRebuildProcessor,
+    ProjectionIndexStateStore,
+)
+from cloudfabric_eventsourcing_spark.queries import Filter, ProjectionQuery
+from cloudfabric_eventsourcing_spark.schema import DECIMAL, PropertySchema
+from tests.domain_fixtures import (
+    ORDERS_PARTITION_KEY,
+    Order,
+    OrderItem,
+    OrdersListProjectionBuilder,
+    orders_list_schema,
+    utcnow,
+)
+
+USER = {"userId": "u-1"}
+
+
+@pytest.fixture
+def world():
+    store = InMemoryEventStore()
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    schema = orders_list_schema()
+    repo = InMemoryProjectionRepository(schema, state)
+    repo.ensure_index()
+    # mark the initial index rebuilt so Write selector resolves (fresh
+    # system with no history — same as the reference tests' setup path)
+    state.update_rebuild_progress(
+        schema.schema_name, schema.index_name(), 0, completed=True
+    )
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(
+        OrdersListProjectionBuilder(repo, IndexSelector.Write)
+    )
+    engine.start()
+    agg_repo = AggregateRepository(store, Order)
+    return store, state, repo, engine, agg_repo
+
+
+def place(agg_repo, oid, name, items=(), email="john@gmail.com"):
+    order = Order(oid, name, list(items), created_by_email=email)
+    agg_repo.save(USER, order)
+    return order
+
+
+def test_live_projection_update(world):
+    store, state, repo, engine, agg_repo = world
+    order = place(
+        agg_repo,
+        "00000000-0000-0000-0000-000000000001",
+        "New Year's Gifts",
+        [OrderItem(utcnow(), "Caverna", decimal.Decimal("12.00"))],
+    )
+    doc = repo.single(order.id, ORDERS_PARTITION_KEY)
+    assert doc is not None
+    assert doc["Name"] == "New Year's Gifts"
+    assert doc["ItemsCount"] == 1
+
+    loaded = agg_repo.load(order.id, ORDERS_PARTITION_KEY)
+    loaded.add_item(OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")))
+    agg_repo.save(USER, loaded)
+    doc = repo.single(order.id, ORDERS_PARTITION_KEY)
+    assert doc["ItemsCount"] == 2
+    assert [i["Name"] for i in doc["Items"]] == ["Caverna", "Dixit"]
+
+    loaded = agg_repo.load(order.id, ORDERS_PARTITION_KEY)
+    loaded.remove_item("Caverna")
+    agg_repo.save(USER, loaded)
+    doc = repo.single(order.id, ORDERS_PARTITION_KEY)
+    assert doc["ItemsCount"] == 1
+    assert [i["Name"] for i in doc["Items"]] == ["Dixit"]
+
+
+def test_projection_query_search_and_count(world):
+    store, state, repo, engine, agg_repo = world
+    place(agg_repo, "00000000-0000-0000-0000-000000000001", "First queryable order",
+          [OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")),
+           OrderItem(utcnow(), "Patchwork", decimal.Decimal("4.85"))])
+    place(agg_repo, "00000000-0000-0000-0000-000000000002",
+          "Second queryable order with additional parameter")
+    # search "ORDER" limit 1 -> total 2, records 1 (OrderTests.cs:369-378)
+    res = repo.query(ProjectionQuery(search_text="ORDER", limit=1))
+    assert res.total_records_found == 2
+    assert len(res.records) == 1
+    # ItemsCount > 1 -> exactly 1 (OrderTests.cs:389-393)
+    res = repo.query(ProjectionQuery(filters=[Filter("ItemsCount", "gt", 1)]))
+    assert res.total_records_found == 1
+    assert res.records[0].document["Name"] == "First queryable order"
+
+
+def test_updated_at_via_synthetic_event(world):
+    store, state, repo, engine, agg_repo = world
+    order = place(agg_repo, "00000000-0000-0000-0000-000000000001", "X")
+    before = repo.single(order.id, ORDERS_PARTITION_KEY)["UpdatedAt"]
+
+    class OtherBuilderTarget:  # new event type the list builder doesn't handle
+        pass
+
+    # simulate an order event type not handled by the builder: use a raw
+    # Event subclass registered ad hoc
+    import dataclasses
+
+    from cloudfabric_eventsourcing_spark.eventstore import Event, register_event_type
+
+    @register_event_type
+    @dataclasses.dataclass
+    class OrderShipped(Event):
+        pass
+
+    ts = utcnow() + datetime.timedelta(seconds=5)
+    ev = OrderShipped(
+        aggregate_id=order.id,
+        partition_key=ORDERS_PARTITION_KEY,
+        timestamp=ts,
+        aggregate_type="Order",
+    )
+    store.append_to_stream(USER, order.id, 1, [ev])
+    after = repo.single(order.id, ORDERS_PARTITION_KEY)["UpdatedAt"]
+    assert after == ts and after != before
+
+
+def test_single_document_rebuild(world):
+    store, state, repo, engine, agg_repo = world
+    order = place(agg_repo, "00000000-0000-0000-0000-000000000001", "R",
+                  [OrderItem(utcnow(), "Caverna", decimal.Decimal("12.00"))])
+    repo.delete(order.id, ORDERS_PARTITION_KEY)
+    assert repo.single(order.id, ORDERS_PARTITION_KEY) is None
+    engine.rebuild_one(order.id, ORDERS_PARTITION_KEY)
+    doc = repo.single(order.id, ORDERS_PARTITION_KEY)
+    assert doc is not None and doc["ItemsCount"] == 1
+
+
+def test_full_rebuild_replay(world):
+    store, state, repo, engine, agg_repo = world
+    for i in range(7):
+        o = place(agg_repo, f"00000000-0000-0000-0000-00000000000{i}", f"Order {i}")
+        loaded = agg_repo.load(o.id, ORDERS_PARTITION_KEY)
+        loaded.add_item(OrderItem(utcnow(), "Extra", decimal.Decimal("1.00")))
+        agg_repo.save(USER, loaded)
+    repo.delete_all()
+    assert repo.query(ProjectionQuery()).total_records_found == 0
+    n = engine.replay_events(chunk_size=3)
+    assert n == 14
+    res = repo.query(ProjectionQuery())
+    assert res.total_records_found == 7
+    assert all(r.document["ItemsCount"] == 1 for r in res.records)
+
+
+def test_replay_handles_duplicate_timestamps(world):
+    store, state, repo, engine, agg_repo = world
+    shared_ts = utcnow()
+    from tests.domain_fixtures import OrderPlaced
+
+    for i in range(6):
+        ev = OrderPlaced(
+            aggregate_id=f"00000000-0000-0000-0000-00000000001{i}",
+            partition_key=ORDERS_PARTITION_KEY,
+            timestamp=shared_ts,  # all six share one timestamp
+            order_name=f"Dup {i}",
+            aggregate_type="Order",
+        )
+        store.append_to_stream(USER, ev.aggregate_id, 0, [ev])
+    repo.delete_all()
+    n = engine.replay_events(chunk_size=2)
+    assert n == 6  # strict-cursor reference behavior would lose 4 of these
+    assert repo.query(ProjectionQuery()).total_records_found == 6
+
+
+def test_rebuild_processor_with_state_machine(world):
+    store, state, repo, engine, agg_repo = world
+    for i in range(3):
+        place(
+            agg_repo,
+            f"00000000-0000-0000-0000-00000000002{i}",
+            f"P{i}",
+            [
+                OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")),
+                OrderItem(utcnow(), "Patchwork", decimal.Decimal("4.85")),
+            ],
+        )
+
+    # evolve the schema: add TotalPrice (DynamicProjectionSchemaTests.cs:420-555)
+    new_schema = orders_list_schema()
+    new_schema.properties.append(
+        PropertySchema("TotalPrice", DECIMAL, is_filterable=True)
+    )
+    new_repo = InMemoryProjectionRepository(new_schema, state)
+
+    class V2Builder(OrdersListProjectionBuilder):
+        def on_OrderPlaced(self, evt):
+            super().on_OrderPlaced(evt)
+
+            def mutate(doc):
+                doc["TotalPrice"] = sum(
+                    (i["Amount"] for i in doc["Items"]), decimal.Decimal(0)
+                )
+
+            self.update_document(evt.aggregate_id, evt.partition_key, evt.timestamp, mutate)
+
+    # write selector on the evolved schema must refuse until rebuilt
+    state_names_before = new_schema.index_name()
+    fresh_repo = InMemoryProjectionRepository(new_schema, state)
+    # Write selector must refuse an index whose rebuild never completed
+    # (ProjectionRepository.cs:306-337). A brand-new projection name (no
+    # state row) is allowed through — that's the reference's bootstrap path
+    # — so create the state first, then attempt the write.
+    lone_schema = orders_list_schema()
+    lone_schema.schema_name = "lonely_projection"
+    lone_repo = InMemoryProjectionRepository(lone_schema, state)
+    lone_repo.ensure_index()
+    with pytest.raises(IndexNotReadyError):
+        lone_repo.upsert({"Id": "x"}, "P")
+
+    def engine_factory(index_name):
+        e = ProjectionsEngine(store)
+        e.add_projection_builder(
+            V2Builder(new_repo, IndexSelector.ProjectionRebuild)
+        )
+        return e
+
+    proc = ProjectionsRebuildProcessor(state, engine_factory, store)
+    rebuilt = proc.rebuild_projections_that_require_rebuild()
+    assert new_schema.index_name() in rebuilt
+
+    # after completed rebuild, reads resolve to the NEW index and TotalPrice
+    # is the exact recomputed sum (rebuild == recompute invariant)
+    res = new_repo.query(ProjectionQuery(filters=[Filter("Name", "eq", "P0")]))
+    assert res.total_records_found == 1
+    # rebuild == full recompute invariant (the reference's 42.39 assertion)
+    assert res.records[0].document["TotalPrice"] == decimal.Decimal("11.44")
+    st = state.get(new_schema.schema_name)
+    completed = [s for s in st.indexes_statuses if s.rebuild_completed_at]
+    assert completed
+    # lease: nothing left to rebuild
+    again = proc.rebuild_projections_that_require_rebuild()
+    assert new_schema.index_name() not in again

@@ -1,0 +1,175 @@
+"""Structured Streaming projection maintenance (S4/T1/T2/T5/T10) and the
+distributed-fold rebuild path."""
+
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.domain import AggregateRepository
+from cloudfabric_eventsourcing_spark.eventstore import (
+    InMemoryMetadataRepository,
+    ParquetEventStore,
+)
+from cloudfabric_eventsourcing_spark.projections import (
+    IndexSelector,
+    ParquetProjectionRepository,
+    ProjectionsEngine,
+    ProjectionIndexStateStore,
+)
+from cloudfabric_eventsourcing_spark.queries import Filter, ProjectionQuery
+from cloudfabric_eventsourcing_spark.streaming import SparkStreamingProjectionsObserver
+from tests.domain_fixtures import (
+    ORDERS_PARTITION_KEY,
+    Order,
+    OrderItem,
+    OrdersListProjectionBuilder,
+    orders_list_schema,
+    utcnow,
+)
+
+USER = {"userId": "u-1"}
+
+
+@pytest.fixture
+def world(spark, tmp_path):
+    store = ParquetEventStore(str(tmp_path / "events"))
+    store.initialize()
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    schema = orders_list_schema()
+    repo = ParquetProjectionRepository(schema, state, str(tmp_path / "proj"), spark)
+    repo.ensure_index()
+    state.update_rebuild_progress(
+        schema.schema_name, schema.index_name(), 0, completed=True
+    )
+    agg_repo = AggregateRepository(store, Order)
+    return store, state, repo, agg_repo
+
+
+def seed_orders(agg_repo, n=5):
+    orders = []
+    for i in range(n):
+        o = Order(
+            f"00000000-0000-0000-0000-0000000000{i:02d}",
+            f"Order {i}",
+            [OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59"))],
+            created_by_email=f"user{i}@gmail.com",
+        )
+        agg_repo.save(USER, o)
+        loaded = agg_repo.load(o.id, ORDERS_PARTITION_KEY)
+        loaded.add_item(OrderItem(utcnow(), f"Extra-{i}", decimal.Decimal("1.00") * (i + 1)))
+        agg_repo.save(USER, loaded)
+        orders.append(o)
+    return orders
+
+
+def test_streaming_projection_maintenance(spark, tmp_path, world):
+    store, state, repo, agg_repo = world
+    orders = seed_orders(agg_repo, 5)
+
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(OrdersListProjectionBuilder(repo, IndexSelector.Write))
+    observer = SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt")
+    )
+    observer.process_all()  # availableNow drain — deterministic (T10)
+
+    res = repo.query(ProjectionQuery(filters=[Filter("ItemsCount", "ge", 2)]))
+    assert res.total_records_found == 5
+    doc = repo.single(orders[0].id, ORDERS_PARTITION_KEY)
+    assert doc["ItemsCount"] == 2
+    assert [i["Name"] for i in doc["Items"]] == ["Dixit", "Extra-0"]
+
+    # incremental: append MORE events, drain again from the checkpoint —
+    # only the new events are processed (T2 exactly-once)
+    loaded = agg_repo.load(orders[0].id, ORDERS_PARTITION_KEY)
+    loaded.remove_item("Dixit")
+    agg_repo.save(USER, loaded)
+    observer.process_all()
+    doc = repo.single(orders[0].id, ORDERS_PARTITION_KEY)
+    assert doc["ItemsCount"] == 1
+    assert [i["Name"] for i in doc["Items"]] == ["Extra-0"]
+    # others untouched
+    assert repo.single(orders[1].id, ORDERS_PARTITION_KEY)["ItemsCount"] == 2
+
+
+def test_distributed_fold_rebuild_matches_live(spark, tmp_path, world):
+    """The scale path: rebuild the whole projection with one distributed
+    groupBy(stream_id) fold over the event log and compare it to the
+    row-at-a-time live path (differential: vectorized vs parity engine)."""
+    store, state, repo, agg_repo = world
+    seed_orders(agg_repo, 5)
+
+    # live path docs
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(OrdersListProjectionBuilder(repo, IndexSelector.Write))
+    observer = SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt2")
+    )
+    observer.process_all()
+    live = {
+        r.document["Id"]: r.document
+        for r in repo.query(ProjectionQuery()).records
+    }
+
+    # distributed fold: events -> per-stream document (declarative, no UDF)
+    events = store.to_df(spark)
+    placed = (
+        events.where(F.col("event_type") == "OrderPlaced")
+        .select(
+            F.col("stream_id").alias("Id"),
+            F.col("partition_key").alias("PartitionKey"),
+            F.get_json_object("event_data", "$.order_name").alias("Name"),
+        )
+    )
+    items_delta = events.where(
+        F.col("event_type").isin("OrderItemAdded", "OrderItemRemoved")
+    ).select(
+        "stream_id",
+        F.when(F.col("event_type") == "OrderItemAdded", 1).otherwise(-1).alias("delta"),
+    )
+    placed_counts = events.where(F.col("event_type") == "OrderPlaced").select(
+        "stream_id",
+        F.coalesce(
+            F.json_array_length(F.get_json_object("event_data", "$.items")), F.lit(0)
+        ).alias("initial"),
+    )
+    counts = (
+        placed_counts.join(
+            items_delta.groupBy("stream_id").agg(F.sum("delta").alias("d")),
+            "stream_id",
+            "left",
+        )
+        .select(
+            "stream_id",
+            (F.col("initial") + F.coalesce(F.col("d"), F.lit(0))).alias("ItemsCount"),
+        )
+    )
+    folded = placed.join(counts, placed.Id == counts.stream_id).select(
+        "Id", "PartitionKey", "Name", F.col("ItemsCount").cast("long")
+    )
+    rows = {r["Id"]: r for r in folded.collect()}
+
+    assert set(rows) == set(live)
+    for oid, doc in live.items():
+        assert rows[oid]["ItemsCount"] == doc["ItemsCount"]
+        assert rows[oid]["Name"] == doc["Name"]
+
+
+def test_overwrite_from_df_rebuild_sink(spark, tmp_path, world):
+    store, state, repo, agg_repo = world
+    seed_orders(agg_repo, 3)
+    events = store.to_df(spark)
+    docs = (
+        events.where(F.col("event_type") == "OrderPlaced")
+        .select(
+            F.col("stream_id").alias("Id"),
+            F.col("partition_key").alias("PartitionKey"),
+            F.col("created_at").alias("UpdatedAt"),
+            F.get_json_object("event_data", "$.order_name").alias("Name"),
+            F.lit(1).cast("long").alias("ItemsCount"),
+        )
+    )
+    repo.overwrite_from_df(docs)
+    res = repo.query(ProjectionQuery())
+    assert res.total_records_found == 3
