@@ -31,6 +31,7 @@ from cloudfabric_eventsourcing_spark.queries import (  # noqa: E402
     P,
     ProjectionQuery,
     SortInfo,
+    SortingFilter,
 )
 from cloudfabric_eventsourcing_spark.schema import (  # noqa: E402
     ARRAY,
@@ -365,6 +366,31 @@ def o2_nested_sort(spark, sf_dir):
 
 
 @q(
+    "o3_array_element_filtered_sort",
+    "SELECT doc_id FROM (SELECT doc_id, "
+    "list_min(list_filter(string_split(text, ' '), x -> length(x) = 9)) AS k "
+    "FROM documents) ORDER BY k ASC NULLS LAST, doc_id ASC LIMIT 30",
+)
+def o3_array_sort(spark, sf_dir):
+    # O3: sort by the array element selected by an EQUAL filter
+    # (SortInfo.Filters — SortInfo.cs:14-35): min token among tokens whose
+    # length == 9, Postgres null ordering, doc_id tiebreak
+    df = _doc_tokens(spark, sf_dir)
+    pq_ = ProjectionQuery(
+        order_by=[
+            SortInfo(
+                "Tokens.tok",
+                "asc",
+                filters=[SortingFilter("Tokens.len", 9)],
+            ),
+            SortInfo("doc_id", "asc"),
+        ],
+        limit=30,
+    )
+    return apply_query(df, pq_, tokens_schema()).select("doc_id")
+
+
+@q(
     "o4_pagination",
     "SELECT event_id FROM events ORDER BY event_id LIMIT 50 OFFSET 100",
 )
@@ -577,6 +603,160 @@ def h3_top_customers(spark, sf_dir):
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+from cloudfabric_eventsourcing_spark.operators import dedup as _dedup  # noqa: E402
+from cloudfabric_eventsourcing_spark.operators import similarity as _sim  # noqa: E402
+from cloudfabric_eventsourcing_spark.operators import text as _text  # noqa: E402
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+_JACCARD_ORACLE = (
+    "WITH toks AS (SELECT doc_id, "
+    f"list_distinct({_TOKS_SQL}) AS t FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / greatest(len(list_distinct(a.t || b.t)), 1) AS jaccard "
+    "FROM toks a JOIN toks b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / greatest(len(list_distinct(a.t || b.t)), 1) >= 0.9"
+)
+
+
+@q(
+    "p01_exact_dedup",
+    "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size "
+    "FROM documents GROUP BY lower(text)",
+)
+def p01_exact_dedup(spark, sf_dir):
+    return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "p02_fingerprint_dedup",
+    "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size FROM documents "
+    f"GROUP BY array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')",
+)
+def p02_fingerprint_dedup(spark, sf_dir):
+    return _dedup.fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@q("p03_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def p03_ngram_jaccard(spark, sf_dir):
+    return _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9, n=1
+    )
+
+
+@q("p04_minhash_lsh_pairs", _JACCARD_ORACLE)
+def p04_minhash_lsh(spark, sf_dir):
+    # LSH candidates + exact verification; at (128 perms, 32 bands) the
+    # miss probability at s>=0.9 is ~1e-15, so the verified output equals
+    # the exact O(N^2) scan (same oracle as p03) — the correctness check
+    # IS the recall claim
+    return _dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.9,
+        num_perm=128,
+        bands=32,
+    )
+
+
+@q(
+    "p05_cosine_neardup_pairs",
+    "WITH n AS (SELECT vec_id, embedding, "
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm "
+    "FROM embeddings) "
+    "SELECT id_a, id_b, cosine FROM ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (a.nrm*b.nrm), 4) AS cosine "
+    "FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE cosine >= 0.35",
+)
+def p05_cosine_neardup(spark, sf_dir):
+    return _dedup.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@q(
+    "s01_ann_brute_force_topk",
+    "WITH qv AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0), "
+    "n AS (SELECT vec_id, embedding, "
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm "
+    "FROM embeddings) "
+    "SELECT vec_id, round(list_sum(list_transform(list_zip(n.embedding, qv.e), "
+    "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / "
+    "(n.nrm * sqrt(list_sum(list_transform(qv.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS cosine "
+    "FROM n, qv ORDER BY cosine DESC, vec_id ASC LIMIT 20",
+)
+def s01_ann_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return _sim.brute_force_topk(emb, query, k=20)
+
+
+@q("s02_ann_lsh_topk")  # approximate — rows-only check, recall tested in pytest
+def s02_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dims = len(query)
+    bucketed = _sim.lsh_bucket(emb, dims=dims, bits=12)
+    return _sim.lsh_topk(bucketed, query, dims=dims, k=20, bits=12)
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in _text.STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"CAST(len(list_intersect(t, {arr})) AS DOUBLE) / greatest(len(t), 1) AS score_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@q(
+    "t01_language_id",
+    "WITH toks AS (SELECT doc_id, lang, "
+    f"{_TOKS_SQL} AS t FROM documents), "
+    f"scores AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM toks) "
+    "SELECT doc_id, lang, CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{l} = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN '{l}'"
+        for l in ("en", "de", "es", "fr", "zh")
+    )
+    + " END AS lang_pred FROM scores",
+)
+def t01_language_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.with_language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@q(
+    "t02_quality_score",
+    "SELECT doc_id, round("
+    "  (CASE WHEN length(text) < 20 THEN 0.2 WHEN length(text) < 100 THEN 0.7 ELSE 1.0 END) * 0.3"
+    "  + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 0.3"
+    "  + (CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.1 THEN 0.5 ELSE 1.0 END) * 0.2"
+    "  + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / "
+    f"greatest(len({_TOKS_SQL.replace('lower(text)', 'text')}), 1) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.6 END) * 0.2"
+    ", 4) AS quality FROM documents",
+)
+def t02_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.with_quality_score(docs).select("doc_id", "quality")
+
+
+@q(
+    "t03_token_counts",
+    f"SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens_ws, "
+    "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe "
+    "FROM documents",
+)
+def t03_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
 
 
 # ---------------------------------------------------------------------------

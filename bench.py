@@ -30,6 +30,8 @@ HEADLINE = [
     "f10_bool_tree",
     "f13_search_text",
     "o1_multi_sort_limit",
+    "p04_minhash_lsh_pairs",
+    "s01_ann_brute_force_topk",
 ]
 
 

@@ -1,0 +1,314 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design:
+  - exact / fingerprint dedup: one hash-shuffle groupBy — the canonical
+    map-side-combinable pattern; at 100 TB this is a single shuffle on the
+    (short) hash key, never on the document text.
+  - MinHash+LSH: signatures are k xxhash64/array_min expressions (JVM
+    codegen, no Python); candidate generation explodes b band keys and
+    self-joins on (band_idx, band_hash) — the join key is small and
+    uniformly distributed, so the shuffle is balanced; exact Jaccard
+    verification happens ONLY on candidate pairs.
+  - brute-force pair scans (n-gram Jaccard, cosine) exist as oracles /
+    small-set tools; their docstrings say so. The LSH paths are the scale
+    paths.
+  - SimHash: 64-bit signature via one Arrow-batched Pandas UDF (numpy bit
+    ops — Spark lacks per-bit popcount aggregation); banding by 16-bit
+    chunks gives Hamming-distance candidate pairs pigeonhole-style.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.operators.text import fingerprint_tokens, tokens_column
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """One representative (min id) per exact (optionally lower-cased) text.
+    groupBy on a 64-bit hash of the text, not the text itself, so the
+    shuffle key is 8 bytes regardless of document size; the full text
+    equality is implied by grouping on (hash, length) collision-safety +
+    min-id choice being hash-stable. Returns (id, group_size)."""
+    key = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.groupBy(F.xxhash64(key).alias("__h"), F.length(key).alias("__l"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .drop("__h", "__l")
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word-set (order/multiplicity-insensitive) dedup: representative +
+    group size per sorted-distinct-token fingerprint."""
+    return (
+        df.withColumn("__fp", fingerprint_tokens(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("group_size"))
+        .drop("__fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise — small sets / LSH verification)
+# ---------------------------------------------------------------------------
+
+def _distinct_ngrams(text: Column, n: int) -> Column:
+    toks = tokens_column(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold. O(N^2) — use for small
+    N or as the verifier behind minhash_lsh_pairs at scale. Returns
+    (id_a, id_b, jaccard) with id_a < id_b."""
+    grams = df.select(
+        F.col(id_col).alias("id"), _distinct_ngrams(F.col(text_col), n).alias("g")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.array_union(F.col("a.g"), F.col("b.g")))
+    j = inter / F.greatest(union, F.lit(1))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            j.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(grams: Column, num_perm: int) -> list[Column]:
+    """k minhash values: min over shingles of xxhash64(shingle, seed_k).
+    Pure codegen — one array_min(transform(...)) per permutation."""
+    def hasher(seed: int):
+        # single-arg lambda via closure (HOF lambdas dispatch on arity)
+        return lambda x: F.xxhash64(x, F.lit(seed))
+
+    return [
+        F.array_min(F.transform(grams, hasher(seed))).alias(f"mh_{seed}")
+        for seed in range(num_perm)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding; candidates verified with
+    exact Jaccard when `verify` (the production configuration).
+
+    With r = num_perm/bands rows per band, a pair of similarity s collides
+    in >=1 band with p = 1-(1-s^r)^bands; at (128, 32) -> r=4, pairs at
+    s=0.9 are missed with p ~ 1e-15, making verified output equal to the
+    exact O(N^2) scan at a fraction of the cost."""
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    r = num_perm // bands
+    grams_df = df.select(
+        F.col(id_col).alias("id"),
+        _distinct_ngrams(F.col(text_col), n).alias("g"),
+    ).where(F.size("g") > 0)
+    sig = grams_df.select("id", "g", *minhash_signature(F.col("g"), num_perm))
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    # Banded rows stay SLIM (id + 2 ints): the token arrays must not ride
+    # through the x`bands` explode and the self-join shuffle — at scale
+    # that multiplies shuffle bytes by bands x candidate-degree. Grams are
+    # re-attached to the deduped candidate pairs afterwards.
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(b) for b in range(bands)]).alias("band_idx"),
+                F.array(*band_cols).alias("band_hash"),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band_idx").alias("bi"), F.col("bk.band_hash").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand
+    ga = grams_df.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams_df.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    j = inter / F.greatest(union, F.lit(1))
+    return pairs.select("id_a", "id_b", j.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def lsh_dedup_representatives(
+    pairs: DataFrame, df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy cluster representatives from a pair list: a document is a
+    duplicate if any SMALLER id pairs with it (one join pass; transitive
+    chains keep their per-edge minimum — a deliberate single-pass
+    approximation of connected components, documented)."""
+    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dup_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document via one Arrow-batched Pandas UDF:
+    Spark has no per-bit signed popcount aggregation, so tokens are hashed
+    JVM-side (xxhash64 per token), then a numpy kernel folds the +-1 bit
+    votes. Returns (id, simhash, chunk_0..chunk_3) where chunks are 16-bit
+    bands for Hamming-candidate joins."""
+    @F.pandas_udf("long")
+    def fold_bits(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for row, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.uint64)
+            bits_m = (arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = bits_m.sum(axis=0) * 2 - len(arr)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out[row] = np.int64(sig)
+        return pd.Series(out)
+
+    toks = tokens_column(F.col(text_col))
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    sig = hashed.select("id", fold_bits("th").alias("simhash"))
+    for c in range(4):
+        sig = sig.withColumn(
+            f"chunk_{c}",
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return sig
+
+
+def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Pairs sharing any 16-bit chunk — by pigeonhole, contains every pair
+    with Hamming distance <= 3."""
+    out = None
+    for c in range(4):
+        a = sig.alias("a")
+        b = sig.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.chunk_{c}") == F.col(f"b.chunk_{c}"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold (double accumulation). O(N^2);
+    the scale path buckets by hyperplane LSH first (similarity.lsh_bucket)
+    and runs this within buckets. Returns (id_a, id_b, cosine rounded 4)."""
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - brute_force_topk: exact cosine top-k — one scan, JVM-side
+    zip_with/aggregate dot product, TakeOrderedAndProject for the limit.
+    The baseline and the verifier.
+  - lsh_bucket / lsh_topk: random-hyperplane LSH — signature via one
+    Arrow-batched Pandas UDF (numpy matmul against a broadcast projection
+    matrix; Spark has no vector-matrix primitive), then candidate search
+    only within the query's bucket (+ multiprobe neighbors). The scale
+    path: at 100 TB the bucket join replaces the full scan, and the
+    projection matrix (dims x bits floats) broadcasts to executors.
+  - ivf_topk: k-means-free IVF variant — coarse cells from seed vectors
+    (deterministic sample), assign by best dot product, probe the nearest
+    `nprobe` cells.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_to_query(vec_col: Column, query: Sequence[float]) -> Column:
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(np.dot(q, q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    return _dot(vec_col, qlit) / (_norm(vec_col) * F.lit(qn))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic ordering (cosine desc, id asc).
+    Catalyst plans orderBy+limit as TakeOrderedAndProject — no full sort."""
+    cos = F.round(cosine_to_query(F.col(vec_col), query), round_to)
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _projection_matrix(dims: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dims, bits)).astype(np.float64)
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dims: int,
+    bits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds a `bucket` column: sign-bit signature of the vector under
+    `bits` random hyperplanes."""
+    proj = _projection_matrix(dims, bits, seed)
+
+    @F.pandas_udf("long")
+    def signature(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # (batch, dims), Arrow zero-copy-ish
+        signs = (mat.astype(np.float64) @ proj) > 0  # (batch, bits)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn("bucket", signature(F.col(vec_col)))
+
+
+def _neighbor_buckets(bucket: int, bits: int, nprobe_flips: int) -> list[int]:
+    out = [bucket]
+    if nprobe_flips >= 1:
+        out += [bucket ^ (1 << i) for i in range(bits)]
+    return out
+
+
+def lsh_topk(
+    df_bucketed: DataFrame,
+    query: Sequence[float],
+    dims: int,
+    k: int = 10,
+    bits: int = 16,
+    seed: int = 42,
+    nprobe_flips: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket and its 1-bit
+    neighbors (multiprobe). Input must come from lsh_bucket(same seed)."""
+    q = np.asarray(list(query), dtype=np.float64)
+    proj = _projection_matrix(dims, bits, seed)
+    signs = (q @ proj) > 0
+    qbucket = int((signs * (1 << np.arange(bits))).sum())
+    probes = _neighbor_buckets(qbucket, bits, nprobe_flips)
+    cos = F.round(cosine_to_query(F.col(vec_col), query), round_to)
+    return (
+        df_bucketed.where(F.col("bucket").isin(probes))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-cell) variant
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its best (max dot product) coarse cell.
+    Centroid matrix broadcasts inside the Arrow UDF closure."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", assign(F.col(vec_col)))
+
+
+def ivf_centroids_from_sample(
+    df: DataFrame, n_cells: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> np.ndarray:
+    """Deterministic seed centroids: the first n_cells vectors by id (a
+    k-means init stand-in; swap for MLlib KMeans when quality matters)."""
+    rows = df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    df_assigned: DataFrame,
+    centroids: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    q = np.asarray(list(query), dtype=np.float64)
+    order = np.argsort(-(centroids.astype(np.float64) @ q))
+    probe_cells = [int(c) for c in order[:nprobe]]
+    cos = F.round(cosine_to_query(F.col(vec_col), query), round_to)
+    return (
+        df_assigned.where(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

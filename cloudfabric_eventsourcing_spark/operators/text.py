@@ -1,0 +1,126 @@
+"""Text analysis operators: tokenization, language id, quality scoring,
+token counting, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions — no UDFs, fully codegen'd,
+pushdown-friendly. Each returns a DataFrame transform so operators compose:
+
+    docs.transform(with_tokens).transform(with_quality_score)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal per-language stopword lists for the n-gram/stopword language-id
+# heuristic (public common-word lists, truncated)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "dans", "que", "sur"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/punct segmentation: word runs, digit runs, or single
+# punctuation marks (a public GPT-2-style pre-tokenizer shape)
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_column(col: Column, lowercase: bool = True) -> Column:
+    c = F.lower(col) if lowercase else col
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_column(F.col(text_col)))
+
+
+def token_count_whitespace(col: Column) -> Column:
+    return F.size(tokens_column(col, lowercase=False))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (word / number / punctuation runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "n_tokens_ws", token_count_whitespace(F.col(text_col))
+    ).withColumn("n_tokens_bpe", token_count_bpe_ish(F.col(text_col)))
+
+
+def language_scores(tokens: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio over the token array."""
+    total = F.greatest(F.size(tokens), F.lit(1))
+    return {
+        lang: (
+            F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+            / total
+        ).alias(f"score_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax of stopword-overlap scores; 'und'
+    (undetermined) when no stopword hits at all."""
+    toks = tokens_column(F.col(text_col))
+    scores = language_scores(toks)
+    df = df.withColumn("__toks", toks)
+    for lang, col in language_scores(F.col("__toks")).items():
+        df = df.withColumn(f"score_{lang}", col)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best <= F.lit(0.0), F.lit("und"))
+    for l in langs:  # first max wins, deterministic order
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    return df.withColumn("lang_pred", pred).drop("__toks")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + alpha ratio +
+    punctuation penalty + mean-word-length band. Deterministic arithmetic
+    (integer counts + fixed constants) for oracle comparability."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_tokens = F.size(tokens_column(text, lowercase=False))
+    mean_wl = n_alpha / F.greatest(n_tokens, F.lit(1))
+    len_band = F.when(n_chars < 20, 0.2).when(n_chars < 100, 0.7).otherwise(1.0)
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    punct_penalty = F.when(
+        n_punct / F.greatest(n_chars, F.lit(1)) > 0.1, 0.5
+    ).otherwise(1.0)
+    wl_band = F.when((mean_wl >= 3) & (mean_wl <= 10), 1.0).otherwise(0.6)
+    return F.round(
+        len_band * 0.3 + alpha_ratio * 0.3 + punct_penalty * 0.2 + wl_band * 0.2, 4
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("quality", quality_score(F.col(text_col)))
+
+
+def fingerprint_tokens(text: Column) -> Column:
+    """Order-insensitive content fingerprint: sorted distinct lowercase
+    tokens (the word-set). Two documents with equal fingerprints are
+    unigram-jaccard-1.0 duplicates."""
+    return F.array_join(F.array_sort(F.array_distinct(tokens_column(text))), " ")
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over the document's
+    character k-grams (one representative hash; extend to a set for
+    locality). Codegen'd: substring sequence -> transform -> min."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - window + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.substr(text, i, F.lit(window))))
+    return F.array_min(grams)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "fingerprint", fingerprint_tokens(F.col(text_col))
+    ).withColumn("rolling_fp", rolling_hash_fingerprint(F.col(text_col)))

@@ -1,0 +1,154 @@
+"""Operator tests beyond the oracle harness: SimHash, LSH/IVF ANN recall,
+multimodal plumbing. (Exact dedup/jaccard/minhash/cosine/text operators are
+differential-tested against DuckDB in test_queries_oracle.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.operators import dedup, multimodal, similarity
+from cloudfabric_eventsourcing_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---- SimHash --------------------------------------------------------------
+
+def test_simhash_deterministic_and_close_for_neardups(spark, docs):
+    sig1 = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    sig2 = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sig1 == sig2  # deterministic across runs
+    assert len(sig1) == docs.count()
+    # word-set-identical docs (unigram jaccard 1.0) share simhash exactly
+    fp_pairs = dedup.ngram_jaccard_pairs(docs, threshold=1.0).collect()
+    assert fp_pairs, "fixture should contain jaccard-1.0 pairs"
+    for row in fp_pairs[:20]:
+        assert sig1[row["id_a"]] == sig1[row["id_b"]]
+
+
+def test_simhash_candidates_cover_low_hamming(spark, docs):
+    sig = dedup.simhash_signatures(docs).cache()
+    cand = dedup.simhash_candidate_pairs(sig)
+    # pigeonhole guarantee: every pair with hamming <= 3 is a candidate
+    a, b = sig.alias("a"), sig.alias("b")
+    close = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+    )
+    missing = close.join(cand, ["id_a", "id_b"], "left_anti")
+    assert missing.count() == 0
+    sig.unpersist()
+
+
+# ---- ANN recall -----------------------------------------------------------
+
+def _topk_ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_lsh_topk_recall_on_planted_neighbors(spark, emb):
+    # The fixture embeddings are near-random (max pairwise cosine ~0.5), so
+    # hyperplane LSH rightly finds nothing there — plant true neighbors:
+    # 8 deterministic small perturbations of vec 0 appended to the table.
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dims = len(query)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    planted = [
+        (100000 + i, (np.asarray(query) + rng.normal(0, 0.01, dims)).astype("float32").tolist(), -1)
+        for i in range(8)
+    ]
+    full = emb.select("vec_id", "embedding", "label").unionByName(
+        spark.createDataFrame(planted, emb.select("vec_id", "embedding", "label").schema)
+    )
+    exact = _topk_ids(similarity.brute_force_topk(full, query, k=9))
+    assert set(exact) >= {0, *[p[0] for p in planted]}  # sanity: plants dominate
+    bucketed = similarity.lsh_bucket(full, dims=dims, bits=12).cache()
+    approx = set(
+        _topk_ids(similarity.lsh_topk(bucketed, query, dims=dims, k=9, bits=12))
+    )
+    # near-identical vectors share the bucket: high recall required
+    assert len(set(exact) & approx) >= 8, f"recall too low: {set(exact) & approx}"
+    bucketed.unpersist()
+
+
+def test_ivf_topk_recall(spark, emb):
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = similarity.ivf_centroids_from_sample(emb, n_cells=8)
+    assigned = similarity.ivf_assign(emb, cents).cache()
+    # every vector lands in exactly one of the 8 cells
+    cells = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in cells) == emb.count()
+    assert all(0 <= r["cell"] < 8 for r in cells)
+    exact = set(_topk_ids(similarity.brute_force_topk(emb, query, k=10)))
+    approx = set(
+        _topk_ids(similarity.ivf_topk(assigned, cents, query, k=10, nprobe=4))
+    )
+    assert len(exact & approx) >= 4
+    assigned.unpersist()
+
+
+def test_lsh_dedup_representatives(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    kept = dedup.lsh_dedup_representatives(pairs, docs)
+    n_docs = docs.count()
+    n_dupes = pairs.select("id_b").distinct().count()
+    assert kept.count() == n_docs - n_dupes
+    # every removed id had a smaller partner
+    removed = docs.join(kept, "doc_id", "left_anti")
+    joined = removed.join(
+        pairs, removed.doc_id == pairs.id_b, "left_semi"
+    )
+    assert joined.count() == removed.count()
+
+
+# ---- multimodal plumbing --------------------------------------------------
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = multimodal.media_from_documents(docs).cache()
+    images = media.where(F.col("kind") == "image")
+    feats = multimodal.decode_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == images.count()
+    for r in rows[:5]:
+        assert len(r["features"]) == 16
+        assert all(0.0 <= x < 1.0 for x in r["features"])
+        assert r["n_bytes"] > 0
+    # determinism of the fake decoder
+    again = {r["media_id"]: r["features"] for r in feats.collect()}
+    for r in rows[:5]:
+        assert again[r["media_id"]] == r["features"]
+    media.unpersist()
+
+
+def test_multimodal_real_codec_raises(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    frames = multimodal.sample_frames(media, every_n=2, fake=True)
+    rows = frames.limit(50).collect()
+    assert rows
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+    assert all(isinstance(r["frame_bytes"], (bytes, bytearray)) for r in rows)
