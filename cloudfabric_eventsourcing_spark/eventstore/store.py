@@ -264,6 +264,14 @@ class ParquetEventStore(EventStore):
     def __init__(self, path: str):
         self.path = path
         self._subscribers = []
+        # incremental per-stream version cache: fragments are immutable, so
+        # scanning each NEW fragment once (under the commit lock) keeps
+        # appends amortized O(1) instead of O(total fragments) — the
+        # parquet-store analogue of the reference's stream_id index
+        # (PostgresqlEventStore.cs:521-526)
+        self._versions: dict[tuple[str, str], int] = {}
+        self._stream_fragments: dict[tuple[str, str], list[str]] = {}
+        self._seen_fragments: set[str] = set()
 
     def initialize(self) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -289,7 +297,19 @@ class ParquetEventStore(EventStore):
         expr = (pc.field("stream_id") == stream_id) & (
             pc.field("partition_key") == partition_key
         )
-        table = self._scan(expr).sort_by("stream_version")
+        # point read through the fragment index: only files containing this
+        # stream are opened (mirrors the reference's (stream_id,
+        # partition_key) index — PostgresqlEventStore.cs:521-526)
+        self._refresh_version_cache()
+        frags = [
+            f
+            for f in self._stream_fragments.get((stream_id, partition_key), [])
+            if os.path.exists(f)
+        ]
+        if not frags:
+            return EventStream(stream_id, 0, [])
+        ds = pa_ds.dataset(frags, schema=_ARROW_SCHEMA, format="parquet")
+        table = ds.to_table(filter=expr).sort_by("stream_version")
         version = (
             int(table["stream_version"][-1].as_py()) if table.num_rows else 0
         )
@@ -311,14 +331,33 @@ class ParquetEventStore(EventStore):
         records = _records_from_table(table.slice(0, limit))
         return [r.to_event() for r in records]
 
+    def _refresh_version_cache(self) -> None:
+        """Fold versions from fragments not yet seen (call under the commit
+        lock). Reads only the 3 key columns of each new fragment."""
+        for frag in self._fragments():
+            if frag in self._seen_fragments:
+                continue
+            table = pq.read_table(
+                frag, columns=["stream_id", "partition_key", "stream_version"]
+            )
+            touched = set()
+            for row in table.to_pylist():
+                key = (row["stream_id"], row["partition_key"])
+                if row["stream_version"] > self._versions.get(key, 0):
+                    self._versions[key] = row["stream_version"]
+                touched.add(key)
+            for key in touched:
+                self._stream_fragments.setdefault(key, []).append(frag)
+            self._seen_fragments.add(frag)
+
+    def _invalidate_version_cache(self) -> None:
+        self._versions.clear()
+        self._stream_fragments.clear()
+        self._seen_fragments.clear()
+
     def _max_version(self, stream_id: str, partition_key: str) -> int:
-        expr = (pc.field("stream_id") == stream_id) & (
-            pc.field("partition_key") == partition_key
-        )
-        table = self._scan(expr, columns=["stream_version"])
-        if table.num_rows == 0:
-            return 0
-        return int(pc.max(table["stream_version"]).as_py())
+        self._refresh_version_cache()
+        return self._versions.get((stream_id, partition_key), 0)
 
     # -- append (S3) --------------------------------------------------------
     def append_to_stream(self, user_info, stream_id, expected_version, events):
@@ -345,20 +384,27 @@ class ParquetEventStore(EventStore):
             records = self._prepare_records(
                 user_info, stream_id, expected_version, events
             )
-            self._write_fragment(records)
+            written = self._write_fragment(records)
+            # fold the fragment we just wrote into the cache directly
+            self._seen_fragments.add(written)
+            key = (stream_id, records[0].partition_key)
+            self._versions[key] = records[-1].stream_version
+            self._stream_fragments.setdefault(key, []).append(written)
         finally:
             os.close(fd)
             os.unlink(lock_path)
         self._push(events)
         return True
 
-    def _write_fragment(self, records: list[EventRecord]) -> None:
+    def _write_fragment(self, records: list[EventRecord]) -> str:
         seq = len(self._fragments())
         name = f"part-{seq:08d}-{uuid.uuid4().hex[:8]}.parquet"
         tmp = os.path.join(self.path, f".tmp-{name}")
         table = _table_from_records(records)
         pq.write_table(table, tmp)
-        os.rename(tmp, os.path.join(self.path, name))
+        out = os.path.join(self.path, name)
+        os.rename(tmp, out)
+        return out
 
     # -- maintenance --------------------------------------------------------
     def compact(self, max_fragments: int = 1) -> None:
@@ -377,6 +423,7 @@ class ParquetEventStore(EventStore):
         for f in self._fragments():
             os.unlink(f)
         os.rename(tmp, os.path.join(self.path, "part-00000000-compacted.parquet"))
+        self._invalidate_version_cache()
 
     def get_statistics(self):
         table = self._scan(columns=["created_at"])
@@ -391,6 +438,7 @@ class ParquetEventStore(EventStore):
     def delete_all(self):
         for f in self._fragments():
             os.unlink(f)
+        self._invalidate_version_cache()
 
     def hard_delete(self, stream_id, partition_key):
         expr = ~(
