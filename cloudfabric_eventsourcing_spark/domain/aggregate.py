@@ -134,3 +134,64 @@ class AggregateRepository(Generic[T]):
 
 def new_id() -> str:
     return str(uuid.uuid4())
+
+
+def fold_all(
+    events_df,
+    aggregate_cls: Type[AggregateBase],
+    to_row,
+    output_schema,
+    partition_key: Optional[str] = None,
+):
+    """Bulk aggregate reconstruction: fold EVERY stream of the event table
+    in one distributed pass (SURVEY.md §1.2 — the Spark upgrade over the
+    reference's per-id point loads).
+
+    groupBy(stream_id) + applyInPandas: each group arrives as an Arrow
+    batch, is sorted by stream_version, hydrated through the event-type
+    registry, folded through the aggregate's own on_<Event> handlers (the
+    exact same code the point path runs), and emitted as one row via
+    ``to_row(aggregate) -> dict``.
+
+    Scale notes: streams are small (the reference's own benchmark folds 104
+    events), so per-group pandas batches are tiny; the single shuffle is on
+    stream_id (uniform); handler code runs Arrow-batched per group, not
+    per event row.
+
+    Args:
+        events_df: DataFrame with the event-store schema.
+        aggregate_cls: the AggregateBase subclass to fold.
+        to_row: aggregate -> dict matching output_schema.
+        output_schema: DDL string or StructType for the result.
+        partition_key: optional partition filter (pruning).
+    """
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.eventstore.event import EventRecord
+
+    if partition_key is not None:
+        events_df = events_df.where(F.col("partition_key") == partition_key)
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("stream_version")
+        events = []
+        for rec in pdf.itertuples(index=False):
+            record = EventRecord(
+                id=rec.id,
+                partition_key=rec.partition_key,
+                created_at=rec.created_at.to_pydatetime()
+                if hasattr(rec.created_at, "to_pydatetime")
+                else rec.created_at,
+                stream_id=rec.stream_id,
+                stream_version=int(rec.stream_version),
+                event_type=rec.event_type,
+                event_data=rec.event_data,
+                user_info=rec.user_info,
+            )
+            events.append(record.to_event())
+        aggregate = aggregate_cls(events)
+        return pd.DataFrame([to_row(aggregate)])
+
+    return events_df.groupBy("stream_id").applyInPandas(fold, output_schema)

@@ -171,6 +171,39 @@ def _canonical(props: list[PropertySchema]) -> list:
     ]
 
 
+def create_table_ddl(
+    schema: ProjectionSchema,
+    table_format: str = "parquet",
+    location: Optional[str] = None,
+    partition_by: str = "PartitionKey",
+) -> str:
+    """CREATE TABLE DDL from a projection schema (S11 — the counterpart of
+    ConstructCreateTableCommandText, PostgresqlProjectionRepository.cs:927-989
+    and the ES index builder ElasticSearchProjectionIndexer.cs:46-271).
+
+    The key property maps to a NOT NULL column; capability flags live in
+    column comments (Spark has no secondary indexes — filterable/searchable
+    columns are candidates for Z-ORDER/liquid clustering on Delta)."""
+    cols = []
+    names = {p.name for p in schema.properties}
+    for p in schema.properties:
+        spark_t = p.spark_field().dataType.simpleString()
+        nullability = " NOT NULL" if p.is_key else ""
+        flags = [f for f in ("is_key", "is_searchable", "is_filterable", "is_sortable", "is_facetable") if getattr(p, f)]
+        comment = f" COMMENT '{','.join(flags)}'" if flags else ""
+        cols.append(f"  `{p.name}` {spark_t}{nullability}{comment}")
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS `{schema.index_name()}` (\n"
+        + ",\n".join(cols)
+        + f"\n) USING {table_format}"
+    )
+    if partition_by and partition_by in names:
+        ddl += f"\nPARTITIONED BY (`{partition_by}`)"
+    if location:
+        ddl += f"\nLOCATION '{location}'"
+    return ddl
+
+
 def schema_from_struct(name: str, st: T.StructType, key: str) -> ProjectionSchema:
     """Build a ProjectionSchema from an existing Spark StructType (dynamic
     schema mode — DynamicProjectionSchemaTests.cs:212-237). Capability flags

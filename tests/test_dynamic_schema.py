@@ -1,0 +1,168 @@
+"""Dynamic (runtime) projection schemas with dict documents — port of
+DynamicProjectionSchemaTests.cs:212-417 — plus S11 DDL, query-string e2e
+(QueryStringTests*), update_documents bulk mutate, and the ReadOnly
+selector precedence chain."""
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from cloudfabric_eventsourcing_spark.eventstore import InMemoryMetadataRepository
+from cloudfabric_eventsourcing_spark.projections import (
+    IndexSelector,
+    InMemoryProjectionRepository,
+    ProjectionIndexStateStore,
+)
+from cloudfabric_eventsourcing_spark.queries import Filter, ProjectionQuery
+from cloudfabric_eventsourcing_spark.queries import querystring as qs
+from cloudfabric_eventsourcing_spark.schema import (
+    ARRAY,
+    INT32,
+    STRING,
+    ProjectionSchema,
+    PropertySchema,
+    create_table_ddl,
+    schema_from_struct,
+)
+
+UTC = datetime.timezone.utc
+
+
+def dynamic_schema() -> ProjectionSchema:
+    # assembled at runtime, like DynamicProjectionSchemaTests.cs:212-237
+    return ProjectionSchema(
+        "orders_projections_dynamic",
+        [
+            PropertySchema("Id", STRING, is_key=True),
+            PropertySchema("PartitionKey", STRING, is_filterable=True),
+            PropertySchema("Name", STRING, is_filterable=True, is_searchable=True),
+            PropertySchema("ItemsCount", INT32, is_filterable=True),
+            PropertySchema("Tags", ARRAY, is_filterable=True, array_element_type=STRING),
+        ],
+    )
+
+
+@pytest.fixture
+def repo():
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    schema = dynamic_schema()
+    r = InMemoryProjectionRepository(schema, state)
+    r.ensure_index()
+    state.update_rebuild_progress(schema.schema_name, schema.index_name(), 0, completed=True)
+    return r
+
+
+def seed(repo):
+    repo.upsert({"Id": "d1", "Name": "First order", "ItemsCount": 2, "Tags": ["Dixit", "board"]}, "P")
+    repo.upsert({"Id": "d2", "Name": "Second order", "ItemsCount": 0, "Tags": ["space"]}, "P")
+    repo.upsert({"Id": "d3", "Name": "Third", "ItemsCount": 5, "Tags": []}, "P")
+
+
+def test_dynamic_dict_documents_array_contains(repo):
+    seed(repo)
+    # array-contains on a runtime schema (DynamicProjectionSchemaTests.cs:394-407)
+    res = repo.query(ProjectionQuery(filters=[Filter("Tags", "array-contains", "Dixit")]))
+    assert res.total_records_found == 1
+    assert res.records[0].document["Id"] == "d1"
+
+
+def test_query_string_e2e_same_results(repo):
+    seed(repo)
+    q = ProjectionQuery(
+        filters=[Filter("ItemsCount", "gt", 0).and_("Name", "string-contains-ignore-case", "ORDER")]
+    )
+    wire = qs.serialize_query(q)
+    direct = {r.document["Id"] for r in repo.query(q).records}
+    roundtrip = {r.document["Id"] for r in repo.query(qs.deserialize_query(wire)).records}
+    assert direct == roundtrip == {"d1"}
+
+
+def test_update_documents_bulk_mutate(repo):
+    """query-scoped bulk mutate (ProjectionBuilder.UpdateDocuments,
+    ProjectionBuilder.cs:129-153)."""
+    from cloudfabric_eventsourcing_spark.projections import ProjectionBuilder
+
+    seed(repo)
+    b = ProjectionBuilder(repo, IndexSelector.Write)
+
+    def bump(doc):
+        doc["ItemsCount"] += 100
+
+    b.update_documents(
+        ProjectionQuery(filters=[Filter("ItemsCount", "gt", 0)]),
+        "P",
+        datetime.datetime.now(UTC).replace(tzinfo=None),
+        bump,
+    )
+    counts = {
+        r.document["Id"]: r.document["ItemsCount"]
+        for r in repo.query(ProjectionQuery()).records
+    }
+    assert counts == {"d1": 102, "d2": 0, "d3": 105}
+
+
+def test_schema_from_struct_roundtrip():
+    st = T.StructType(
+        [
+            T.StructField("Id", T.StringType(), False),
+            T.StructField("n", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("nested", T.StructType([T.StructField("a", T.IntegerType())])),
+        ]
+    )
+    schema = schema_from_struct("dyn", st, key="Id")
+    assert schema.key_name == "Id"
+    back = schema.to_struct_type()
+    assert [f.name for f in back.fields] == ["Id", "n", "tags", "nested"]
+    assert isinstance(back["tags"].dataType, T.ArrayType)
+    assert isinstance(back["nested"].dataType, T.StructType)
+
+
+def test_create_table_ddl_s11(spark, tmp_path):
+    schema = dynamic_schema()
+    ddl = create_table_ddl(schema, location=str(tmp_path / "tbl"))
+    assert f"CREATE TABLE IF NOT EXISTS `{schema.index_name()}`" in ddl
+    assert "`Id` string NOT NULL" in ddl
+    assert "PARTITIONED BY (`PartitionKey`)" in ddl
+    # the DDL is executable by Spark SQL
+    spark.sql(ddl)
+    try:
+        cols = [r.col_name for r in spark.sql(
+            f"DESCRIBE TABLE `{schema.index_name()}`"
+        ).collect() if r.col_name and not r.col_name.startswith("#")]
+        for name in ("Id", "Name", "ItemsCount", "Tags", "PartitionKey"):
+            assert name in cols
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{schema.index_name()}`")
+
+
+def test_readonly_selector_precedence():
+    """ProjectionRepository.cs:306-337: ReadOnly falls back to the most
+    recently STARTED rebuild, then the most recently CREATED index."""
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    s1 = dynamic_schema()
+    r1 = InMemoryProjectionRepository(s1, state)
+    r1.ensure_index()  # v1 index exists, never rebuilt
+
+    # ReadOnly with nothing completed/started -> most recently created (v1)
+    name, _ = state.resolve_index(s1, IndexSelector.ReadOnly)
+    assert name == s1.index_name()
+
+    # evolve: v2 appears, rebuild STARTS on it (not completed)
+    s2 = dynamic_schema()
+    s2.properties.append(PropertySchema("Extra", STRING))
+    r2 = InMemoryProjectionRepository(s2, state)
+    r2.ensure_index()
+    st = state.get(s2.schema_name)
+    for idx in st.indexes_statuses:
+        if idx.index_name == s2.index_name():
+            idx.rebuild_started_at = datetime.datetime.now(UTC).replace(tzinfo=None)
+    state.save(st)
+    name, _ = state.resolve_index(s1, IndexSelector.ReadOnly)
+    assert name == s2.index_name()  # started beats merely-created
+
+    # v1 completes rebuild -> completed beats started
+    state.update_rebuild_progress(s1.schema_name, s1.index_name(), 5, completed=True)
+    name, _ = state.resolve_index(s1, IndexSelector.ReadOnly)
+    assert name == s1.index_name()
