@@ -766,6 +766,58 @@ def t03_token_counts(spark, sf_dir):
     return _text.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
 
 
+# ---- temporal operators (as-of join, sessionization) ----------------------
+
+from cloudfabric_eventsourcing_spark.operators import temporal as _temporal  # noqa: E402
+
+
+@q(
+    "x01_asof_join",
+    "SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.value AS purchase_value "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ON c.user_id = p.user_id AND c.ts >= p.ts",
+)
+def x01_asof(spark, sf_dir):
+    # for every click: the user's most recent purchase at or before it
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = _temporal.asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols=["ts", "value"], direction="backward", suffix="_p",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("value_p").alias("purchase_value"),
+    )
+
+
+@q(
+    "x02_sessionization",
+    "WITH g AS (SELECT user_id, ts, epoch_us(ts) AS t, "
+    "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+    "       > 3600000000 OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "  THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "  ROWS UNBOUNDED PRECEDING) - 1 AS session_seq FROM g) "
+    "SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS session_start, "
+    "MAX(ts) AS session_end, (MAX(t) - MIN(t)) / 1000000.0 AS span_seconds "
+    "FROM s GROUP BY user_id, session_seq",
+)
+def x02_sessions(spark, sf_dir):
+    # 60-minute-gap sessionization of the event stream per user
+    events = load_table(spark, sf_dir, "events")
+    return _temporal.session_stats(events, key="user_id", ts="ts", gap_minutes=60)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

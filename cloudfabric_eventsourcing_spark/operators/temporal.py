@@ -1,0 +1,153 @@
+"""Temporal operators Spark lacks natively: as-of join, range join,
+sessionization.
+
+Implementation choices (pyspark_guide.md "Common OLAP patterns"):
+  - as-of join: union-and-window, not a pairwise join — tag both sides,
+    union on the time axis, partition by key, last_value of the right
+    side's payload over rows-unbounded-preceding. One shuffle on
+    (key, time), no O(L*R) candidate pairs, no Python. This is the
+    scale-correct plan: an equivalent merge_asof via applyInPandas exists
+    for per-group pandas semantics but is the slow path.
+  - sessionization: lag + gap>threshold cumsum over a (key, time) window —
+    two window passes over one shuffle.
+  - range join: bucketize the range key, equi-join on bucket, post-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.on <= left.on (direction='backward'; 'forward' = next right row
+    with right.on >= left.on), matched within the `by` key.
+
+    Union-and-window: O((L+R) log) with a single hash shuffle on `by` —
+    survives any scale where one key's rows fit a partition (salt `by` if a
+    key is pathologically hot).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(by),
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (by, on)],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).select(*lcols, "__is_left", *[f"__r_{c}" for c in right_cols])
+    unioned = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # right rows sort before left rows at equal timestamps so an exact
+        # tie matches (<=)
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = [
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
+    else:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = [
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
+    out = unioned.select(*lcols, "__is_left", *filled).where(F.col("__is_left") == 1)
+    return out.drop("__is_left")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same key exceeds `gap_minutes`. Adds
+    `session_seq` (0-based per key) and `session_id` (key#seq)."""
+    from pyspark.sql import types as T
+
+    # integer µs for exact gap comparisons (double seconds lose sub-µs
+    # precision near the boundary)
+    is_ts = isinstance(df.schema[ts].dataType, T.TimestampType)
+    t = F.unix_micros(F.col(ts)) if is_ts else F.col(ts).cast("double") * 1_000_000
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_us = t - F.lag(t).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > int(gap_minutes * 60 * 1_000_000)), 1
+    ).otherwise(0)
+    df = df.withColumn("__new", new_session)
+    df = df.withColumn(
+        "session_seq",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    ).drop("__new")
+    return df.withColumn(
+        "session_id", F.concat_ws("#", F.col(key).cast("string"), F.col("session_seq"))
+    )
+
+
+def session_stats(
+    df: DataFrame, key: str, ts: str, gap_minutes: float = 30.0
+) -> DataFrame:
+    """Sessionize + per-session aggregates (count, span, bounds)."""
+    s = sessionize(df, key, ts, gap_minutes)
+    return s.groupBy(key, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (
+            (F.max(F.unix_micros(F.col(ts))) - F.min(F.unix_micros(F.col(ts))))
+            / F.lit(1_000_000.0)
+        ).alias("span_seconds"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """left.val BETWEEN right.lo AND right.hi without a cartesian product:
+    explode each right interval into the buckets it covers, equi-join on
+    the left value's bucket, then exact post-filter. Shuffle is on the
+    bucket id; pick bucket_width ~ median interval width."""
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(left_val) / F.lit(bucket_width)).cast("long")
+    )
+    rb = right.withColumn(
+        "__buckets",
+        F.sequence(
+            F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+            F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long"),
+        ),
+    ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
+    return (
+        lb.join(rb, "__bucket")
+        .where((F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi)))
+        .drop("__bucket")
+    )
