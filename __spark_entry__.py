@@ -687,6 +687,14 @@ def p05_cosine_neardup(spark, sf_dir):
     )
 
 
+@q("p06_cosine_neardup_lsh")  # approximate (bucketed) — rows-only check;
+# recall vs the exact scan is pinned by test_cosine_neardup_lsh_on_planted
+def p06_cosine_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    return _dedup.cosine_neardup_pairs_lsh(emb, threshold=0.35, dims=dims, bits=6)
+
+
 @q(
     "s01_ann_brute_force_topk",
     "WITH qv AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0), "

@@ -275,6 +275,57 @@ def _hamming(a: Column, b: Column) -> Column:
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    dims: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH bucket the
+    vectors, compute exact cosine only within buckets. Recall is bounded by
+    the bucket-collision probability (1 - acos(s)/pi)^bits for similarity
+    s — pick `bits` from the target threshold; candidates drop from O(N^2)
+    to sum of per-bucket squares."""
+    from cloudfabric_eventsourcing_spark.operators.similarity import lsh_bucket
+
+    bucketed = lsh_bucket(df, dims=dims, bits=bits, seed=seed, vec_col=vec_col)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,

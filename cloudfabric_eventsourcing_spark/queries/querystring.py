@@ -237,11 +237,17 @@ def serialize_query(query: ProjectionQuery) -> str:
 
 def deserialize_query(qs: str) -> ProjectionQuery:
     query = ProjectionQuery()
-    params = urllib.parse.parse_qs(qs.lstrip("&"), keep_blank_values=True)
+    # split WITHOUT percent-decoding: the filters blob carries its own
+    # field-level encoding, and early unquoting would resurrect structural
+    # characters ('|', '!') hidden inside %-escaped values
+    params: dict[str, str] = {}
+    for part in qs.lstrip("&").split("&"):
+        key, _, value = part.partition("=")
+        if key and key not in params:
+            params[key] = value
 
     def first(key: str) -> str:
-        vals = params.get(key, [])
-        return vals[0] if vals else ""
+        return params.get(key, "")
 
     deserialize_filters(query, first("filters"))
     deserialize_order_by(query, first("orderBy"))

@@ -152,3 +152,33 @@ def test_multimodal_frame_sampling(spark, docs):
     assert rows
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
     assert all(isinstance(r["frame_bytes"], (bytes, bytearray)) for r in rows)
+
+
+def test_cosine_neardup_lsh_on_planted(spark, emb):
+    # plant 6 near-identical copies of vec 1 (cosine ~0.9999) — the LSH
+    # bucketed scan must find every planted pair the exact scan finds
+    import numpy as np
+
+    base = emb.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    dims = len(base)
+    rng = np.random.RandomState(3)
+    planted = [
+        (200000 + i, (np.asarray(base) + rng.normal(0, 0.002, dims)).astype("float32").tolist(), -1)
+        for i in range(6)
+    ]
+    full = emb.select("vec_id", "embedding", "label").unionByName(
+        spark.createDataFrame(planted, emb.select("vec_id", "embedding", "label").schema)
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cosine_neardup_pairs(full, threshold=0.99).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cosine_neardup_pairs_lsh(
+            full, threshold=0.99, dims=dims, bits=8
+        ).collect()
+    }
+    # C(7,2)=21 true near-dup pairs (vec 1 + 6 plants)
+    assert len(exact) == 21
+    assert approx == exact  # sim ~0.9999 -> bucket collision prob ~0.996^8
