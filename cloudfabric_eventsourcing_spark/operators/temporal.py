@@ -78,6 +78,47 @@ def asof_join(
     return out.drop("__is_left")
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+    tolerance=None,
+) -> DataFrame:
+    """Per-group `pandas.merge_asof` via cogrouped applyInPandas — the
+    Arrow-batched slow path. Use when you need pandas-exact semantics
+    (tolerance windows, 'nearest' direction); the union-and-window
+    `asof_join` is the scale path for plain backward/forward."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(f"{c}{suffix}", right.schema[c].dataType) for c in right_cols
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_pdf = l_pdf.sort_values(on)
+        # suffixed copies so right_cols may include the `on` column itself
+        r_small = r_pdf[[on]].copy()
+        for c in right_cols:
+            r_small[f"{c}{suffix}"] = r_pdf[c]
+        r_small = r_small.sort_values(on)
+        merged = pd.merge_asof(
+            l_pdf, r_small, on=on, direction=direction, tolerance=tolerance
+        )
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(merge, out_schema)
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str,

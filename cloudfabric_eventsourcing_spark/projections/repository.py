@@ -247,7 +247,14 @@ class ParquetProjectionRepository(ProjectionRepository):
         return os.path.join(self.base_path, index_name)
 
     def _snapshot_path(self, index_name: str) -> Optional[str]:
-        snaps = sorted(glob.glob(os.path.join(self._dir(index_name), "snapshot-*.parquet")))
+        """Current snapshot: either a single parquet file (driver-side
+        MERGE path) or a DIRECTORY of part files (distributed rebuild path
+        — the Spark-written layout is kept as-is so a 100 TB projection
+        never funnels through the driver)."""
+        snaps = sorted(
+            glob.glob(os.path.join(self._dir(index_name), "snapshot-*.parquet"))
+            + glob.glob(os.path.join(self._dir(index_name), "snapshot-*.dir"))
+        )
         return snaps[-1] if snaps else None
 
     def _read(self, index_name: str) -> pa.Table:
@@ -255,23 +262,40 @@ class ParquetProjectionRepository(ProjectionRepository):
         schema = self._index_schema(index_name)
         if path is None:
             return arrow_schema(schema).empty_table()
+        if os.path.isdir(path):
+            import pyarrow.dataset as pa_ds
+
+            return pa_ds.dataset(path, format="parquet").to_table()
         return pq.read_table(path)
 
     def _index_schema(self, index_name: str) -> ProjectionSchema:
         return self._schemas.get(index_name, self.schema)
 
+    def _next_seq(self, index_name: str) -> int:
+        old = self._snapshot_path(index_name)
+        if old is None:
+            return 0
+        return int(os.path.basename(old).split("-")[1].split(".")[0]) + 1
+
+    def _drop_old(self, keep: str) -> None:
+        import shutil
+
+        d = os.path.dirname(keep)
+        for p in glob.glob(os.path.join(d, "snapshot-*")):
+            if p != keep:
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+
     def _write_snapshot(self, index_name: str, table: pa.Table) -> None:
         d = self._dir(index_name)
         os.makedirs(d, exist_ok=True)
-        old = self._snapshot_path(index_name)
-        seq = 0 if old is None else int(os.path.basename(old).split("-")[1].split(".")[0]) + 1
+        seq = self._next_seq(index_name)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.parquet")
         # coerce any ns timestamps (e.g. INT96 read back from a Spark
         # write) to µs so Spark can read the snapshot
         pq.write_table(table, tmp, coerce_timestamps="us", allow_truncated_timestamps=True)
-        os.rename(tmp, os.path.join(d, f"snapshot-{seq:08d}.parquet"))
-        if old:
-            os.unlink(old)
+        out = os.path.join(d, f"snapshot-{seq:08d}.parquet")
+        os.rename(tmp, out)
+        self._drop_old(out)
 
     def _create_index(self, index_name, schema):
         os.makedirs(self._dir(index_name), exist_ok=True)
@@ -363,23 +387,20 @@ class ParquetProjectionRepository(ProjectionRepository):
         return spark_run_query(df, query, schema, partition_key)
 
     def overwrite_from_df(self, df, selector: str = IndexSelector.ProjectionRebuild):
-        """Distributed rebuild sink: replace the index snapshot with a
-        DataFrame computed by a Spark fold (the scale path — SURVEY.md §3.3:
-        'embarrassingly parallel in Spark, unlike the reference's
-        single-cursor loop')."""
+        """Distributed rebuild sink: the Spark job writes the new snapshot
+        directory directly (parallel part files, executors never funnel
+        through the driver); an atomic rename publishes it (the scale path
+        — SURVEY.md §3.3: 'embarrassingly parallel in Spark, unlike the
+        reference's single-cursor loop')."""
         index_name, _ = self._resolve(selector)
         d = self._dir(index_name)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-spark-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
-        import pyarrow.dataset as pa_ds
-
-        table = pa_ds.dataset(tmp, format="parquet").to_table()
         with self._lock:
-            self._write_snapshot(index_name, table)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+            out = os.path.join(d, f"snapshot-{self._next_seq(index_name):08d}.dir")
+            os.rename(tmp, out)
+            self._drop_old(out)
 
 
 def _utcnow() -> datetime.datetime:

@@ -114,3 +114,20 @@ def test_stateful_streaming_fold_across_batches(spark, tmp_path):
         assert second[sid]["n_events"] == 3  # 1 placed + 2 added (cumulative)
         assert second[sid]["items_count"] == 2
         assert second[sid]["max_version"] == 3
+
+
+def test_asof_pandas_variant_matches_window_variant(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = events.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    fast = temporal.asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols=["ts", "value"], direction="backward", suffix="_p",
+    )
+    slow = temporal.asof_join_pandas(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols=["ts", "value"], direction="backward", suffix="_p",
+    )
+    f = {r["event_id"]: (r["ts_p"], r["value_p"]) for r in fast.collect()}
+    s = {r["event_id"]: (r["ts_p"], r["value_p"]) for r in slow.collect()}
+    assert f == s and f
