@@ -455,10 +455,18 @@ def a3_stats(spark, sf_dir):
     "FROM events WHERE value > 50 GROUP BY event_type",
 )
 def a6_facets(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.plans.translator import facet_frame
+    from cloudfabric_eventsourcing_spark.queries import FacetInfoRequest
+
     df = load_table(spark, sf_dir, "events")
-    filtered = df.where(filter_to_column(Filter("value", "gt", 50.0)))
-    return filtered.groupBy(F.col("event_type").alias("value")).agg(
-        F.count(F.lit(1)).alias("count"), _dec_sum("value").alias("sum_by_value")
+    filtered = df.where(filter_to_column(Filter("value", "gt", 50.0))).withColumn(
+        "value_cents", _cents("value")
+    )
+    frame = facet_frame(
+        filtered, FacetInfoRequest("event_type", sum_by_field="value_cents")
+    )
+    return frame.select(
+        "value", "count", (F.col("sum_by_value").cast("double") / 100).alias("sum_by_value")
     )
 
 
@@ -471,19 +479,12 @@ def a6_facets(spark, sf_dir):
     "WHERE value >= 0 AND value < 1000 GROUP BY bucket",
 )
 def a6_ranges(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.plans.translator import facet_frame
+    from cloudfabric_eventsourcing_spark.queries import FacetInfoRequest
+
     df = load_table(spark, sf_dir, "events")
-    col = F.col("value")
-    bucket = (
-        F.when((col >= 0) & (col < 50), "0-50")
-        .when((col >= 50) & (col < 150), "50-150")
-        .when((col >= 150) & (col < 1000), "150-1000")
-    )
-    return (
-        df.withColumn("bucket", bucket)
-        .where(F.col("bucket").isNotNull())
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("count"))
-    )
+    frame = facet_frame(df, FacetInfoRequest("value", ranges=[0, 50, 150, 1000]))
+    return frame.select(F.col("value").alias("bucket"), "count")
 
 
 # ---- A4/A5: projection-fold shapes (replay-mode incremental agg) ----------
@@ -772,6 +773,57 @@ def t02_quality(spark, sf_dir):
 def t03_token_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return _text.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+# ---- h4-h6: semi/anti joins and window functions --------------------------
+
+@q(
+    "h4_semi_join_high_value_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN "
+    "(SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 5000)",
+)
+def h4_semi(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.where(F.col("l_extendedprice") > 5000).select("l_orderkey")
+    return orders.join(
+        hot, orders.o_orderkey == hot.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "h5_anti_join_customers_without_p_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')",
+)
+def h5_anti(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pending = orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "h6_window_top3_orders_per_customer",
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+    "FROM orders) WHERE rn <= 3",
+)
+def h6_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
 
 
 # ---- temporal operators (as-of join, sessionization) ----------------------

@@ -277,6 +277,36 @@ def apply_query(
     return df
 
 
+def facet_frame(filtered: DataFrame, req: FacetInfoRequest) -> DataFrame:
+    """Declarative facet plan for one request (A6): value facets =
+    groupBy/count/sum ordered per `sort`; range facets = when-bucketing.
+    Returns a DataFrame so callers can compose/oracle it; facet_stats
+    collects it into the reference's result shape."""
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if req.sum_by_field:
+        aggs.append(F.sum(F.col(req.sum_by_field)).alias("sum_by_value"))
+    if req.ranges:
+        edges = sorted(req.ranges)
+        col = F.col(req.facet_name)
+        expr = None
+        for lo, hi in zip(edges, edges[1:]):
+            cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+            label = f"{lo}-{hi}"
+            expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        return (
+            filtered.withColumn("value", expr)
+            .where(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(*aggs)
+        )
+    grouped = filtered.groupBy(F.col(req.facet_name).alias("value")).agg(*aggs)
+    if req.sort == "count":
+        grouped = grouped.orderBy(F.desc("count"), F.asc("value"))
+    else:
+        grouped = grouped.orderBy(F.asc("value"))
+    return grouped.limit(req.count)
+
+
 def facet_stats(
     filtered: DataFrame, requests: list[FacetInfoRequest]
 ) -> dict[str, list[FacetStats]]:
@@ -286,35 +316,14 @@ def facet_stats(
     range bucketing."""
     out: dict[str, list[FacetStats]] = {}
     for req in requests:
-        aggs = [F.count(F.lit(1)).alias("count")]
-        if req.sum_by_field:
-            aggs.append(F.sum(F.col(req.sum_by_field)).alias("sum_by_value"))
+        rows = facet_frame(filtered, req).collect()
         if req.ranges:
-            edges = sorted(req.ranges)
-            bucket = F.lit(None).cast("string")
-            conds = []
-            for lo, hi in zip(edges, edges[1:]):
-                conds.append((lo, hi))
-            col = F.col(req.facet_name)
-            expr = None
-            for lo, hi in conds:
-                label = f"{lo}-{hi}"
-                cond = (col >= F.lit(lo)) & (col < F.lit(hi))
-                expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-            bucket = expr if expr is not None else bucket
-            grouped = (
-                filtered.withColumn("__facet_bucket", bucket)
-                .where(F.col("__facet_bucket").isNotNull())
-                .groupBy("__facet_bucket")
-                .agg(*aggs)
-            )
-            rows = grouped.collect()
             stats = []
             for row in rows:
-                lo_s, hi_s = row["__facet_bucket"].split("-")
+                lo_s, hi_s = row["value"].split("-")
                 stats.append(
                     FacetStats(
-                        value=row["__facet_bucket"],
+                        value=row["value"],
                         count=row["count"],
                         range_from=float(lo_s),
                         range_to=float(hi_s),
@@ -323,12 +332,6 @@ def facet_stats(
                 )
             stats.sort(key=lambda s: s.range_from)
         else:
-            grouped = filtered.groupBy(F.col(req.facet_name).alias("value")).agg(*aggs)
-            if req.sort == "count":
-                grouped = grouped.orderBy(F.desc("count"), F.asc("value"))
-            else:
-                grouped = grouped.orderBy(F.asc("value"))
-            rows = grouped.limit(req.count).collect()
             stats = [
                 FacetStats(
                     value=row["value"],

@@ -377,6 +377,16 @@ class ParquetProjectionRepository(ProjectionRepository):
             return self.spark.createDataFrame([], schema.to_struct_type())
         return self.spark.read.parquet(path)
 
+    def create_or_replace_view(
+        self, view_name: Optional[str] = None, selector: str = IndexSelector.ReadOnly
+    ) -> str:
+        """Expose the resolved projection index as a Spark SQL temp view so
+        users can `spark.sql` over it directly — the always-available
+        escape hatch to the raw DataFrame/SQL surface."""
+        name = view_name or self.schema.schema_name
+        self.to_df(selector).createOrReplaceTempView(name)
+        return name
+
     def _query(self, index_name, schema, query, partition_key):
         if self.spark is None:
             raise RuntimeError("ParquetProjectionRepository needs a SparkSession for queries")

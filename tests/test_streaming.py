@@ -173,3 +173,27 @@ def test_overwrite_from_df_rebuild_sink(spark, tmp_path, world):
     repo.overwrite_from_df(docs)
     res = repo.query(ProjectionQuery())
     assert res.total_records_found == 3
+
+
+def test_projection_sql_view(spark, tmp_path, world):
+    store, state, repo, agg_repo = world
+    seed_orders(agg_repo, 4)
+    from cloudfabric_eventsourcing_spark.projections import ProjectionsEngine
+    from cloudfabric_eventsourcing_spark.streaming import (
+        SparkStreamingProjectionsObserver,
+    )
+    from tests.domain_fixtures import OrdersListProjectionBuilder
+
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(OrdersListProjectionBuilder(repo, IndexSelector.Write))
+    SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt3")
+    ).process_all()
+    view = repo.create_or_replace_view()
+    rows = spark.sql(
+        f"SELECT Name, ItemsCount FROM {view} WHERE ItemsCount >= 2 ORDER BY Name"
+    ).collect()
+    assert all(r["ItemsCount"] >= 2 for r in rows) and rows
+    # nested access through plain SQL
+    emails = spark.sql(f"SELECT CreatedBy.Email AS e FROM {view} ORDER BY e").collect()
+    assert emails[0]["e"].startswith("user0@")
