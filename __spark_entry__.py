@@ -5,11 +5,11 @@ THROUGH the engine (ProjectionQuery AST -> translator -> DataFrame), not via
 raw DataFrame calls, so the correctness gate covers the engine code path.
 ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
 
-Numeric policy for oracle comparability: sums over DOUBLE columns are
-computed as exact DECIMAL sums and cast back to DOUBLE at the end —
-deterministic and identical in Spark and DuckDB regardless of partitioning
-/ aggregation order (floating-point sums are order-sensitive; decimal sums
-are not).
+Numeric policy for oracle comparability: monetary columns in the testdata
+are exactly 2-decimal quantized, so sums are computed as exact integer-cents
+sums surfaced as DOUBLE (see _dec_sum) — deterministic and identical in
+Spark and DuckDB regardless of partitioning / aggregation order
+(floating-point sums are order-sensitive; integer/decimal sums are not).
 """
 
 from __future__ import annotations

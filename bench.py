@@ -30,6 +30,11 @@ HEADLINE = [
     "f10_bool_tree",
     "f13_search_text",
     "o1_multi_sort_limit",
+    "h4_semi_join_high_value_orders",
+    "h5_anti_join_customers_without_p_orders",
+    "h6_window_top3_orders_per_customer",
+    "x01_asof_join",
+    "x02_sessionization",
     "p04_minhash_lsh_pairs",
     "s01_ann_brute_force_topk",
 ]

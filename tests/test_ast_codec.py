@@ -154,3 +154,16 @@ def test_grouping_node_serializes_star():
     back = qs.deserialize_filter(wire)
     assert back.is_grouping_node
     assert back.filters[0].filter.property_name == "a"
+
+
+def test_filter_dict_roundtrip_typed_values():
+    f = (
+        Filter("a", "eq", decimal.Decimal("42.39"))
+        .and_("b", "lt", datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc))
+        .or_("c", "eq", uuid.UUID("12345678-1234-5678-1234-567812345678"))
+    )
+    back = Filter.from_dict(f.to_dict())
+    assert back.value == f.value
+    assert back.filters[0].filter.value == f.filters[0].filter.value
+    assert back.filters[1].filter.value == f.filters[1].filter.value
+    assert isinstance(back.filters[1].filter.value, uuid.UUID)

@@ -254,3 +254,69 @@ def test_rebuild_processor_with_state_machine(world):
     # lease: nothing left to rebuild
     again = proc.rebuild_projections_that_require_rebuild()
     assert new_schema.index_name() not in again
+
+
+def test_multi_projection_fanout(world):
+    """T6: one event store, several builders — each receives only its
+    handled types; unhandled order events reach the second builder as the
+    synthetic AggregateUpdated (ProjectionsEngine.cs:111-164)."""
+    import dataclasses
+
+    from cloudfabric_eventsourcing_spark.eventstore import Event, register_event_type
+    from cloudfabric_eventsourcing_spark.projections import ProjectionBuilder
+    from cloudfabric_eventsourcing_spark.schema import (
+        GUID,
+        INT64,
+        STRING,
+        ProjectionSchema,
+        PropertySchema,
+    )
+
+    store, state, repo, engine, agg_repo = world
+
+    counts_schema = ProjectionSchema(
+        "order_counts",
+        [
+            PropertySchema("Id", GUID, is_key=True),
+            PropertySchema("PartitionKey", STRING),
+            PropertySchema("Placed", INT64),
+            PropertySchema("Touched", INT64),
+        ],
+    )
+    counts_repo = InMemoryProjectionRepository(counts_schema, state)
+    counts_repo.ensure_index()
+    state.update_rebuild_progress(
+        counts_schema.schema_name, counts_schema.index_name(), 0, completed=True
+    )
+
+    class CountsBuilder(ProjectionBuilder):
+        aggregate_types = ("Order",)
+
+        def on_OrderPlaced(self, evt):
+            self.upsert_document(
+                {"Id": evt.aggregate_id, "Placed": 1, "Touched": 0},
+                evt.partition_key,
+                evt.timestamp,
+            )
+
+        def on_AggregateUpdated(self, evt):
+            self.update_document(
+                evt.aggregate_id,
+                evt.partition_key,
+                evt.updated_at,
+                lambda d: d.update(Touched=d["Touched"] + 1),
+            )
+
+    engine.add_projection_builder(CountsBuilder(counts_repo, IndexSelector.Write))
+    order = place(agg_repo, "00000000-0000-0000-0000-0000000000aa", "Fan")
+    # OrderItemAdded is handled by the list builder but NOT by CountsBuilder
+    # -> CountsBuilder gets the synthetic update instead
+    loaded = agg_repo.load(order.id, ORDERS_PARTITION_KEY)
+    loaded.add_item(OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")))
+    agg_repo.save(USER, loaded)
+
+    list_doc = repo.single(order.id, ORDERS_PARTITION_KEY)
+    counts_doc = counts_repo.single(order.id, ORDERS_PARTITION_KEY)
+    assert list_doc["ItemsCount"] == 1
+    assert counts_doc["Placed"] == 1
+    assert counts_doc["Touched"] == 1  # synthetic event, not the concrete one
