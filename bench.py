@@ -121,6 +121,49 @@ def _bench_append_scenarios(n: int = 150) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _bench_append_scenarios_parallel(n: int = 160, threads: int = 8) -> float:
+    """T-append with concurrent writer threads on disjoint streams
+    (per-stream commit locks). NOT in the headline JSON: the scenario is
+    GIL-bound Python (event serialization), so in-process threads measure
+    contention, not the store — multi-PROCESS writers are the shape that
+    scales, which the cross-process coherence tests cover."""
+    import decimal
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from cloudfabric_eventsourcing_spark.domain import AggregateRepository
+    from cloudfabric_eventsourcing_spark.eventstore import ParquetEventStore
+    from tests.domain_fixtures import ORDERS_PARTITION_KEY, Order, OrderItem, utcnow
+
+    d = tempfile.mkdtemp(prefix="cfes-benchp-")
+    try:
+        store = ParquetEventStore(os.path.join(d, "events"))
+        store.initialize()
+        repo = AggregateRepository(store, Order)
+
+        def scenario(i: int) -> None:
+            o = Order(
+                f"{i:08d}-0000-0000-0000-000000000000",
+                f"Bench {i}",
+                [OrderItem(utcnow(), "Caverna", decimal.Decimal("12.00"))],
+            )
+            repo.save({"userId": "bench"}, o)
+            loaded = repo.load(o.id, ORDERS_PARTITION_KEY)
+            for j in range(100):
+                loaded.add_item(OrderItem(utcnow(), f"i{j}", decimal.Decimal("6.95")))
+            repo.save({"userId": "bench"}, loaded)
+            repo.load(o.id, ORDERS_PARTITION_KEY)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            list(pool.map(scenario, range(n)))
+        return round(n / (time.perf_counter() - t0), 2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _bench_replay(spark, sf_dir: str) -> float:
     """T-replay: distributed projection rebuild over the sf events table —
     the groupBy(stream_id) fold that replaces the reference's serial

@@ -252,11 +252,14 @@ _SPARK_SCHEMA_DDL = (
 class ParquetEventStore(EventStore):
     """Append-only parquet-directory store.
 
-    Layout: `{path}/part-<seq>-<uuid>.parquet`, one fragment per committed
-    append. A `.commit.lock` file (O_EXCL) is the single-writer transaction
-    boundary replacing the reference's SQL transaction; the version
-    precondition is re-checked under the lock, giving the same serializable
-    per-stream semantics (SURVEY.md §7 "genuinely hard parts" #1).
+    Layout: `{path}/part-<time_ns>-<uuid>.parquet`, one fragment per
+    committed append. The transaction boundary is PER STREAM: a
+    `.commit-<streamhash>.lock` file (O_EXCL, plus an in-process mutex)
+    serializes writers of one stream while appends to DISJOINT streams
+    proceed in parallel — optimistic-concurrency semantics identical to
+    the reference's per-stream version check (SURVEY.md §7 "genuinely hard
+    parts" #1), throughput scales with writer parallelism like the
+    cluster-side Delta mapping would.
     """
 
     LOCK_TIMEOUT_S = 30.0
@@ -264,6 +267,8 @@ class ParquetEventStore(EventStore):
     def __init__(self, path: str):
         self.path = path
         self._subscribers = []
+        self._stream_mutexes: dict[str, threading.Lock] = {}
+        self._mutexes_guard = threading.Lock()
         # incremental per-stream version cache: fragments are immutable, so
         # scanning each NEW fragment once (under the commit lock) keeps
         # appends amortized O(1) instead of O(total fragments) — the
@@ -272,9 +277,16 @@ class ParquetEventStore(EventStore):
         self._versions: dict[tuple[str, str], int] = {}
         self._stream_fragments: dict[tuple[str, str], list[str]] = {}
         self._seen_fragments: set[str] = set()
+        self._cache_guard = threading.Lock()
 
     def initialize(self) -> None:
         os.makedirs(self.path, exist_ok=True)
+
+    def _stream_mutex(self, key: str) -> threading.Lock:
+        with self._mutexes_guard:
+            if key not in self._stream_mutexes:
+                self._stream_mutexes[key] = threading.Lock()
+            return self._stream_mutexes[key]
 
     # -- dataset helpers ----------------------------------------------------
     def _fragments(self) -> list[str]:
@@ -332,8 +344,14 @@ class ParquetEventStore(EventStore):
         return [r.to_event() for r in records]
 
     def _refresh_version_cache(self) -> None:
-        """Fold versions from fragments not yet seen (call under the commit
-        lock). Reads only the 3 key columns of each new fragment."""
+        """Fold versions from fragments not yet seen. Reads only the 3 key
+        columns of each new fragment. Thread-safe via the cache guard;
+        correctness for stream X relies on X's fragments being stable,
+        which X's commit lock guarantees."""
+        with self._cache_guard:
+            self._refresh_version_cache_locked()
+
+    def _refresh_version_cache_locked(self) -> None:
         for frag in self._fragments():
             if frag in self._seen_fragments:
                 continue
@@ -351,9 +369,10 @@ class ParquetEventStore(EventStore):
             self._seen_fragments.add(frag)
 
     def _invalidate_version_cache(self) -> None:
-        self._versions.clear()
-        self._stream_fragments.clear()
-        self._seen_fragments.clear()
+        with self._cache_guard:
+            self._versions.clear()
+            self._stream_fragments.clear()
+            self._seen_fragments.clear()
 
     def _max_version(self, stream_id: str, partition_key: str) -> int:
         self._refresh_version_cache()
@@ -364,41 +383,55 @@ class ParquetEventStore(EventStore):
         events = list(events)
         if not events:
             return True
-        lock_path = os.path.join(self.path, ".commit.lock")
+        pk = events[0].partition_key
+        import hashlib
+
+        lock_key = hashlib.sha1(f"{stream_id}\x00{pk}".encode()).hexdigest()[:12]
+        lock_path = os.path.join(self.path, f".commit-{lock_key}.lock")
+        mutex = self._stream_mutex(lock_key)
         deadline = time.monotonic() + self.LOCK_TIMEOUT_S
-        while True:
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"could not acquire {lock_path}")
-                time.sleep(0.01)
+        if not mutex.acquire(timeout=self.LOCK_TIMEOUT_S):
+            raise TimeoutError(f"could not acquire in-process lock for {stream_id}")
         try:
-            current = self._max_version(stream_id, events[0].partition_key)
-            if current != expected_version:
-                raise OptimisticConcurrencyError(
-                    f"stream {stream_id}: expected version {expected_version}, "
-                    f"store has {current} — another writer appended"
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"could not acquire {lock_path}")
+                    time.sleep(0.01)
+            try:
+                current = self._max_version(stream_id, pk)
+                if current != expected_version:
+                    raise OptimisticConcurrencyError(
+                        f"stream {stream_id}: expected version {expected_version}, "
+                        f"store has {current} — another writer appended"
+                    )
+                records = self._prepare_records(
+                    user_info, stream_id, expected_version, events
                 )
-            records = self._prepare_records(
-                user_info, stream_id, expected_version, events
-            )
-            written = self._write_fragment(records)
-            # fold the fragment we just wrote into the cache directly
-            self._seen_fragments.add(written)
-            key = (stream_id, records[0].partition_key)
-            self._versions[key] = records[-1].stream_version
-            self._stream_fragments.setdefault(key, []).append(written)
+                written = self._write_fragment(records)
+                # fold the fragment we just wrote into the cache directly —
+                # unless a concurrent thread's refresh already globbed and
+                # indexed it (double-listing would duplicate the stream's
+                # events on point reads)
+                with self._cache_guard:
+                    if written not in self._seen_fragments:
+                        self._seen_fragments.add(written)
+                        key = (stream_id, pk)
+                        self._versions[key] = records[-1].stream_version
+                        self._stream_fragments.setdefault(key, []).append(written)
+            finally:
+                os.close(fd)
+                os.unlink(lock_path)
         finally:
-            os.close(fd)
-            os.unlink(lock_path)
+            mutex.release()
         self._push(events)
         return True
 
     def _write_fragment(self, records: list[EventRecord]) -> str:
-        seq = len(self._fragments())
-        name = f"part-{seq:08d}-{uuid.uuid4().hex[:8]}.parquet"
+        name = f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
         tmp = os.path.join(self.path, f".tmp-{name}")
         table = _table_from_records(records)
         pq.write_table(table, tmp)
@@ -422,7 +455,7 @@ class ParquetEventStore(EventStore):
         pq.write_table(table, tmp)
         for f in self._fragments():
             os.unlink(f)
-        os.rename(tmp, os.path.join(self.path, "part-00000000-compacted.parquet"))
+        os.rename(tmp, os.path.join(self.path, f"part-{0:020d}-compacted.parquet"))
         self._invalidate_version_cache()
 
     def get_statistics(self):
