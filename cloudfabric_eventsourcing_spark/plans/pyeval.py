@@ -212,4 +212,8 @@ def run_query_docs(
     page = filtered[query.offset :]
     if query.limit is not None:
         page = page[: query.limit]
+    if schema is not None:
+        hidden = {p.name for p in schema.properties if not p.is_retrievable}
+        if hidden:
+            page = [{k: v for k, v in d.items() if k not in hidden} for d in page]
     return page, total

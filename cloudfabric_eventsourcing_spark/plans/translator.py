@@ -375,6 +375,17 @@ def run_query(
             page = page.offset(query.offset)
         if query.limit is not None:
             page = page.limit(query.limit)
+        # P1/P3: hydrate only retrievable schema columns (IsRetrievable —
+        # ProjectionDocumentPropertySchema.cs:22; filters/sorts above may
+        # still use non-retrievable columns)
+        if schema is not None:
+            retrievable = [
+                p.name
+                for p in schema.properties
+                if p.is_retrievable and p.name in page.columns
+            ]
+            if retrievable:
+                page = page.select(*retrievable)
         records = [
             QueryResultDocument(document=row.asDict(recursive=True))
             for row in page.collect()

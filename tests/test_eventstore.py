@@ -231,3 +231,23 @@ def test_metadata_repository(tmp_path):
         assert repo.load_item("cfg", "P2") is None
         repo.upsert_item("cfg", "P1", {"name": "v2"})
         assert repo.load_item("cfg", "P1") == {"name": "v2"}
+
+
+def test_hard_delete_order_via_repository(store):
+    # port of OrderTests.TestHardDeleteOrder (:664-699): save, hard delete
+    # through the aggregate repository, load returns None
+    repo = AggregateRepository(store, Order)
+    order = Order(
+        "2c55f399-0000-0000-0000-0000000000fe",
+        "Birthday Gift",
+        [
+            OrderItem(utcnow(), "Caverna", decimal.Decimal("12.00")),
+            OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")),
+            OrderItem(utcnow(), "Patchwork", decimal.Decimal("4.85")),
+        ],
+        created_by_email="john@gmail.com",
+    )
+    repo.save(USER, order)
+    assert repo.load(order.id, ORDERS_PARTITION_KEY) is not None
+    assert repo.hard_delete(order.id, ORDERS_PARTITION_KEY) is True
+    assert repo.load(order.id, ORDERS_PARTITION_KEY) is None

@@ -293,3 +293,24 @@ def test_query_string_roundtrip_same_results(proj):
     a = [r.document["Id"] for r in run_query(proj, q, S).records]
     b = [r.document["Id"] for r in run_query(proj, q2, S).records]
     assert a == b and a
+
+
+def test_is_retrievable_hidden_on_hydrate(proj):
+    # P1/P3: a non-retrievable column may drive filters/sorts but is
+    # stripped from returned documents (both backends)
+    from cloudfabric_eventsourcing_spark.plans.pyeval import run_query_docs
+
+    schema = order_schema()
+    schema.property("ItemsCount").is_retrievable = False
+    q = ProjectionQuery(
+        filters=[Filter("ItemsCount", "gt", 1)],
+        order_by=[SortInfo("ItemsCount", "desc"), SortInfo("Id", "asc")],
+    )
+    res = run_query(proj, q, schema)
+    assert res.total_records_found == 2
+    assert all("ItemsCount" not in r.document for r in res.records)
+    assert all("Name" in r.document for r in res.records)
+    docs = [r.asDict(recursive=True) for r in proj.collect()]
+    page, _ = run_query_docs(docs, q, schema)
+    assert all("ItemsCount" not in d for d in page)
+    assert [d["Id"] for d in page] == [r.document["Id"] for r in res.records]
