@@ -878,6 +878,32 @@ def x02_sessions(spark, sf_dir):
     return _temporal.session_stats(events, key="user_id", ts="ts", gap_minutes=60)
 
 
+@q(
+    "w01_tumbling_window",
+    "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
+    "COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
+def w01_window(spark, sf_dir):
+    # T4: tumbling-window aggregation — the reference has no windows; Spark
+    # gives them natively (same F.window drives the streaming variant with
+    # a watermark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents("value")).cast("double") / 100).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
