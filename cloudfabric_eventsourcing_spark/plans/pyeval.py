@@ -18,6 +18,8 @@ from typing import Any, Optional
 
 from cloudfabric_eventsourcing_spark.queries.filters import Filter, FilterLogic, FilterOperator
 from cloudfabric_eventsourcing_spark.queries.projection_query import (
+    FacetInfoRequest,
+    FacetStats,
     ProjectionQuery,
     SortInfo,
     SortOrder,
@@ -217,3 +219,51 @@ def run_query_docs(
         if hidden:
             page = [{k: v for k, v in d.items() if k not in hidden} for d in page]
     return page, total
+
+
+def facet_stats_docs(
+    docs: list[dict], requests: list[FacetInfoRequest]
+) -> dict[str, list[FacetStats]]:
+    """Facet aggregation over dict documents — semantics-identical to
+    translator.facet_stats (A6) for the in-memory backend."""
+    out: dict[str, list[FacetStats]] = {}
+    for req in requests:
+        if req.ranges:
+            edges = sorted(req.ranges)
+            buckets: dict[tuple, FacetStats] = {}
+            for lo, hi in zip(edges, edges[1:]):
+                buckets[(lo, hi)] = FacetStats(
+                    value=f"{lo}-{hi}", count=0, range_from=float(lo),
+                    range_to=float(hi),
+                    sum_by_value=0 if req.sum_by_field else None,
+                )
+            for d in docs:
+                v = _get_path(d, req.facet_name)
+                if v is None:
+                    continue
+                for (lo, hi), st in buckets.items():
+                    if lo <= v < hi:
+                        st.count += 1
+                        if req.sum_by_field:
+                            st.sum_by_value += _get_path(d, req.sum_by_field) or 0
+                        break
+            out[req.facet_name] = [s for s in buckets.values() if s.count]
+            continue
+        groups: dict = {}
+        for d in docs:
+            v = _get_path(d, req.facet_name)
+            st = groups.get(v)
+            if st is None:
+                st = groups[v] = FacetStats(
+                    value=v, count=0, sum_by_value=0 if req.sum_by_field else None
+                )
+            st.count += 1
+            if req.sum_by_field:
+                st.sum_by_value += _get_path(d, req.sum_by_field) or 0
+        stats = list(groups.values())
+        if req.sort == "count":
+            stats.sort(key=lambda s: (-s.count, str(s.value)))
+        else:
+            stats.sort(key=lambda s: str(s.value))
+        out[req.facet_name] = stats[: req.count]
+    return out

@@ -226,9 +226,19 @@ class InMemoryProjectionRepository(ProjectionRepository):
         if partition_key is not None:
             docs = [d for d in docs if d.get("PartitionKey") == partition_key]
         page, total = pyeval.run_query_docs(docs, query, schema)
+        facets = {}
+        if query.facet_info_to_return:
+            matched = [
+                d
+                for d in docs
+                if all(pyeval.eval_filter(f, d, schema) for f in query.filters)
+                and pyeval.eval_search(query.search_text, d, schema)
+            ]
+            facets = pyeval.facet_stats_docs(matched, query.facet_info_to_return)
         return ProjectionQueryResult(
             records=[QueryResultDocument(document=dict(d)) for d in page],
             total_records_found=total,
+            facets_stats=facets,
         )
 
 

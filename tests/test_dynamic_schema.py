@@ -166,3 +166,30 @@ def test_readonly_selector_precedence():
     state.update_rebuild_progress(s1.schema_name, s1.index_name(), 5, completed=True)
     name, _ = state.resolve_index(s1, IndexSelector.ReadOnly)
     assert name == s1.index_name()
+
+
+def test_facets_on_in_memory_backend_match_spark(repo, spark):
+    """A6 on the dict backend: facet output equals the Spark facet path."""
+    from cloudfabric_eventsourcing_spark.plans.translator import facet_stats
+    from cloudfabric_eventsourcing_spark.queries import FacetInfoRequest
+
+    seed(repo)
+    q = ProjectionQuery(
+        facet_info_to_return=[
+            FacetInfoRequest("Name", sum_by_field="ItemsCount"),
+            FacetInfoRequest("ItemsCount", ranges=[0, 3, 10]),
+        ]
+    )
+    mem = repo.query(q).facets_stats
+    docs = [r.document for r in repo.query(ProjectionQuery()).records]
+    df = spark.createDataFrame(
+        [{k: d.get(k) for k in ("Id", "Name", "ItemsCount")} for d in docs],
+        "Id string, Name string, ItemsCount int",
+    )
+    spk = facet_stats(df, q.facet_info_to_return)
+    assert [(s.value, s.count, s.sum_by_value) for s in mem["Name"]] == [
+        (s.value, s.count, s.sum_by_value) for s in spk["Name"]
+    ]
+    assert [(s.value, s.count) for s in mem["ItemsCount"]] == [
+        (s.value, s.count) for s in spk["ItemsCount"]
+    ]
