@@ -879,6 +879,50 @@ def x02_sessions(spark, sf_dir):
 
 
 @q(
+    "h7_rollup_revenue",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS total "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def h7_rollup(spark, sf_dir):
+    # grouping-sets surface (beyond the reference — SURVEY §2.5 notes it
+    # has none); NULL markers for subtotal rows match ANSI ROLLUP
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100).alias("total"),
+    )
+
+
+@q(
+    "a7_exact_median",
+    "SELECT event_type, quantile_cont(value, 0.5) AS median_value, "
+    "quantile_cont(value, 0.9) AS p90_value FROM events GROUP BY event_type",
+)
+def a7_median(spark, sf_dir):
+    # exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont); the approximate sketch variant is percentile_approx
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value"),
+        F.percentile("value", F.lit(0.9)).alias("p90_value"),
+    )
+
+
+@q(
+    "u01_set_ops",
+    "SELECT user_id FROM events WHERE event_type = 'purchase' "
+    "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' "
+    "EXCEPT SELECT user_id FROM events WHERE event_type = 'signup'",
+)
+def u01_set_ops(spark, sf_dir):
+    # set operations (§2.7 — none in the reference, native in Spark)
+    events = load_table(spark, sf_dir, "events")
+    by = lambda t: events.where(F.col("event_type") == t).select("user_id")  # noqa: E731
+    return by("purchase").intersect(by("error")).exceptAll(by("signup")).distinct()
+
+
+@q(
     "w01_tumbling_window",
     "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
     "COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value "
