@@ -447,12 +447,18 @@ class ParquetEventStore(EventStore):
         frags = self._fragments()
         if len(frags) <= max_fragments:
             return
-        table = self._scan().sort_by("created_at")
+        # cluster by stream so row-group min/max statistics prune point
+        # reads after compaction (the Z-ORDER analogue); chronological
+        # order is re-established by readers' own sorts
+        table = self._scan().sort_by(
+            [("stream_id", "ascending"), ("stream_version", "ascending")]
+        )
         self._replace_all(table)
 
     def _replace_all(self, table: pa.Table) -> None:
         tmp = os.path.join(self.path, f".tmp-compact-{uuid.uuid4().hex[:8]}.parquet")
-        pq.write_table(table, tmp)
+        # small row groups -> per-stream point reads skip unrelated groups
+        pq.write_table(table, tmp, row_group_size=4096)
         for f in self._fragments():
             os.unlink(f)
         os.rename(tmp, os.path.join(self.path, f"part-{0:020d}-compacted.parquet"))
