@@ -277,6 +277,36 @@ def apply_query(
     return df
 
 
+def suggest(
+    df: DataFrame,
+    schema: ProjectionSchema,
+    prefix: str,
+    limit: int = 10,
+) -> list[str]:
+    """Prefix completions over columns flagged use_for_suggestions
+    (UseForSuggestions — ProjectionDocumentPropertySchema.cs:26; the
+    reference declares the flag, ES suggesters never shipped). Matching is
+    case-insensitive prefix; results are distinct original values ordered
+    lexicographically."""
+    cols = [
+        p.name
+        for p in schema.properties
+        if p.use_for_suggestions and p.type == "String"
+    ]
+    if not cols:
+        return []
+    needle = prefix.lower()
+    union = None
+    for c in cols:
+        part = (
+            df.where(F.lower(F.col(c)).startswith(needle))
+            .select(F.col(c).alias("suggestion"))
+        )
+        union = part if union is None else union.unionByName(part)
+    rows = union.distinct().orderBy("suggestion").limit(limit).collect()
+    return [r["suggestion"] for r in rows]
+
+
 def facet_frame(filtered: DataFrame, req: FacetInfoRequest) -> DataFrame:
     """Declarative facet plan for one request (A6): value facets =
     groupBy/count/sum ordered per `sort`; range facets = when-bucketing.

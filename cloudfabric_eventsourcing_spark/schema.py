@@ -73,6 +73,18 @@ class PropertySchema:
     is_sortable: bool = False
     is_facetable: bool = False
     facetable_ranges: list = dataclasses.field(default_factory=list)
+    # search-tuning surface retained for API parity
+    # (ProjectionDocumentPropertySchema.cs:20-32); carried in StructField
+    # metadata. The baseline engine's substring search ignores boost /
+    # analyzers / synonyms (the Postgres backend the baseline follows does
+    # too — SURVEY.md §7 deliberate divergences); suggestions flag marks
+    # columns for prefix-search composition.
+    use_for_suggestions: bool = False
+    searchable_boost: float = 1.0
+    synonym_maps: list = dataclasses.field(default_factory=list)
+    analyzer: Optional[str] = None
+    search_analyzer: Optional[str] = None
+    index_analyzer: Optional[str] = None
     array_element_type: Optional[str] = None  # for ARRAY of scalars
     # for OBJECT, or ARRAY of objects:
     nested_properties: list["PropertySchema"] = dataclasses.field(default_factory=list)
@@ -101,6 +113,12 @@ class PropertySchema:
         meta["cf_type"] = self.type
         if self.facetable_ranges:
             meta["facetable_ranges"] = list(self.facetable_ranges)
+        if self.use_for_suggestions:
+            meta["use_for_suggestions"] = True
+        if self.searchable_boost != 1.0:
+            meta["searchable_boost"] = self.searchable_boost
+        if self.analyzer:
+            meta["analyzer"] = self.analyzer
         nullable = not self.is_key
         return T.StructField(self.name, self.spark_type(), nullable, metadata=meta)
 

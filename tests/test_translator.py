@@ -314,3 +314,17 @@ def test_is_retrievable_hidden_on_hydrate(proj):
     page, _ = run_query_docs(docs, q, schema)
     assert all("ItemsCount" not in d for d in page)
     assert [d["Id"] for d in page] == [r.document["Id"] for r in res.records]
+
+
+def test_suggestions_prefix_completion(proj):
+    from cloudfabric_eventsourcing_spark.plans.translator import suggest
+
+    schema = order_schema()
+    schema.property("Name").use_for_suggestions = True
+    out = suggest(proj, schema, "fir")
+    assert out == ["First queryable order"]
+    out2 = suggest(proj, schema, "q")  # case-insensitive prefix
+    assert out2 == ["QwerTy123"]
+    assert suggest(proj, schema, "zzz") == []
+    # no flagged columns -> empty, no scan
+    assert suggest(proj, order_schema(), "fir") == []
