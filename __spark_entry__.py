@@ -948,6 +948,97 @@ def w01_window(spark, sf_dir):
     )
 
 
+@q(
+    "f15_suggestions",
+    "SELECT DISTINCT source AS suggestion FROM documents "
+    "WHERE lower(source) LIKE 'src1%' ORDER BY suggestion LIMIT 10",
+)
+def f15_suggestions(spark, sf_dir):
+    # UseForSuggestions surface (ProjectionDocumentPropertySchema.cs:26):
+    # case-insensitive prefix completions over flagged columns
+    from cloudfabric_eventsourcing_spark.plans.translator import suggest_frame
+
+    schema = ProjectionSchema(
+        "documents",
+        [
+            PropertySchema("doc_id", INT64, is_key=True),
+            PropertySchema("source", STRING, use_for_suggestions=True),
+        ],
+    )
+    df = load_table(spark, sf_dir, "documents")
+    return suggest_frame(df, schema, "src1", limit=10)
+
+
+@q(
+    "x03_range_join",
+    "WITH r AS (SELECT user_id, min(value) AS lo, max(value) AS hi "
+    "FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "l AS (SELECT event_id, value FROM events "
+    "WHERE event_type = 'error' AND value <= 10) "
+    "SELECT l.event_id, l.value, r.user_id, r.lo, r.hi "
+    "FROM l JOIN r ON l.value BETWEEN r.lo AND r.hi",
+)
+def x03_range_join(spark, sf_dir):
+    # interval containment without a cartesian product: bucketize intervals,
+    # equi-join on bucket id, exact post-filter (operators/temporal.py).
+    # Values pass through unchanged (no arithmetic), so raw doubles compare
+    # bit-identically against the oracle.
+    events = load_table(spark, sf_dir, "events")
+    right = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    left = events.where(
+        (F.col("event_type") == "error") & (F.col("value") <= 10)
+    ).select("event_id", "value")
+    out = _temporal.range_join(
+        left, right, left_val="value", right_lo="lo", right_hi="hi", bucket_width=50.0
+    )
+    return out.select("event_id", "value", "user_id", "lo", "hi")
+
+
+@q(
+    "m01_multimodal_features",
+    "SELECT doc_id AS media_id, length(text) % 640 + 1 AS width, "
+    "(length(text) * 7) % 480 + 1 AS height, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+    "FROM documents",
+)
+def m01_multimodal(spark, sf_dir):
+    # multimodal plumbing end-to-end: text bytes stand in for an image
+    # payload; metadata struct + binary column + mapInPandas decode
+    # (deterministic fake codec) — the oracle pins the Arrow byte-counting
+    # and metadata passthrough, the feature vector itself is covered by
+    # test_operators' decode tests
+    from cloudfabric_eventsourcing_spark.operators import multimodal as _mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            (F.length("text") % 640 + 1).cast("int").alias("width"),
+            ((F.length("text") * 7) % 480 + 1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = _mm.decode_image_features(media, fake=True)
+    return feats.select("media_id", "width", "height", "n_bytes")
+
+
+@q("p07_simhash_neardup")  # rows-only check: simhash uses xxhash64 bit
+# votes (not SQL-expressible); pigeonhole recall is pinned by
+# test_operators' planted-pair tests
+def p07_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _dedup.simhash_signatures(docs)
+    pairs = _dedup.simhash_candidate_pairs(sig)
+    return pairs.where(F.col("hamming") <= 3)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

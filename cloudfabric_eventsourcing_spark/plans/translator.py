@@ -277,6 +277,34 @@ def apply_query(
     return df
 
 
+def suggest_frame(
+    df: DataFrame,
+    schema: ProjectionSchema,
+    prefix: str,
+    limit: int = 10,
+) -> DataFrame | None:
+    """Declarative plan behind suggest(): union of per-column prefix scans,
+    distinct, ordered, limited. Returns None when no column is flagged
+    use_for_suggestions (no scan is issued). Exposed as a DataFrame so it
+    composes/oracles like every other operator."""
+    cols = [
+        p.name
+        for p in schema.properties
+        if p.use_for_suggestions and p.type == "String"
+    ]
+    if not cols:
+        return None
+    needle = prefix.lower()
+    union = None
+    for c in cols:
+        part = (
+            df.where(F.lower(F.col(c)).startswith(needle))
+            .select(F.col(c).alias("suggestion"))
+        )
+        union = part if union is None else union.unionByName(part)
+    return union.distinct().orderBy("suggestion").limit(limit)
+
+
 def suggest(
     df: DataFrame,
     schema: ProjectionSchema,
@@ -288,23 +316,10 @@ def suggest(
     reference declares the flag, ES suggesters never shipped). Matching is
     case-insensitive prefix; results are distinct original values ordered
     lexicographically."""
-    cols = [
-        p.name
-        for p in schema.properties
-        if p.use_for_suggestions and p.type == "String"
-    ]
-    if not cols:
+    frame = suggest_frame(df, schema, prefix, limit)
+    if frame is None:
         return []
-    needle = prefix.lower()
-    union = None
-    for c in cols:
-        part = (
-            df.where(F.lower(F.col(c)).startswith(needle))
-            .select(F.col(c).alias("suggestion"))
-        )
-        union = part if union is None else union.unionByName(part)
-    rows = union.distinct().orderBy("suggestion").limit(limit).collect()
-    return [r["suggestion"] for r in rows]
+    return [r["suggestion"] for r in frame.collect()]
 
 
 def facet_frame(filtered: DataFrame, req: FacetInfoRequest) -> DataFrame:
