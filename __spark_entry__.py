@@ -1029,6 +1029,52 @@ def m01_multimodal(spark, sf_dir):
     return feats.select("media_id", "width", "height", "n_bytes")
 
 
+@q(
+    "h8_shipping_priority",
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue, "
+    "o_orderdate, o_orderpriority FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
+)
+def h8_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: selective dim filter -> fact join -> group -> top-k.
+    # At scale: both date predicates push to the scans, the filtered
+    # customer side broadcasts, and the final ORDER BY LIMIT plans as
+    # TakeOrderedAndProject (no global sort)
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@q("s03_ann_ivf_topk")  # approximate (coarse-cell probe) — rows-only;
+# recall vs brute force is pinned by test_operators' IVF tests
+def s03_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = _sim.ivf_centroids_from_sample(emb, n_cells=16)
+    assigned = _sim.ivf_assign(emb, cents)
+    return _sim.ivf_topk(assigned, cents, query, k=20, nprobe=4)
+
+
 @q("p07_simhash_neardup")  # rows-only check: simhash uses xxhash64 bit
 # votes (not SQL-expressible); pigeonhole recall is pinned by
 # test_operators' planted-pair tests

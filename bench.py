@@ -24,6 +24,7 @@ HEADLINE = [
     "h1_pricing_summary",
     "h2_revenue_by_nation",
     "h3_top_customers",
+    "h8_shipping_priority",
     "a2_max_stream_version",
     "a4_projection_fold_counts",
     "a5_projection_fold_sum",
