@@ -1075,6 +1075,26 @@ def s03_ann_ivf(spark, sf_dir):
     return _sim.ivf_topk(assigned, cents, query, k=20, nprobe=4)
 
 
+@q(
+    "k01_salted_join",
+    "SELECT e.event_id, d.type_count FROM events e JOIN "
+    "(SELECT event_type, COUNT(*) AS type_count FROM events GROUP BY event_type) d "
+    "USING (event_type)",
+)
+def k01_salted_join(spark, sf_dir):
+    # skew-mitigation path: the salted join must equal the plain join
+    # bit-for-bit (operators/skew.py — hot keys spread over salt_buckets
+    # tasks; the oracle IS the equivalence proof)
+    from cloudfabric_eventsourcing_spark.operators import skew as _skew
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    out = _skew.salted_join(
+        events.select("event_id", "event_type"), dim, ["event_type"], salt_buckets=8
+    )
+    return out.select("event_id", "type_count")
+
+
 @q("p07_simhash_neardup")  # rows-only check: simhash uses xxhash64 bit
 # votes (not SQL-expressible); pigeonhole recall is pinned by
 # test_operators' planted-pair tests

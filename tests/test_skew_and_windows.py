@@ -1,0 +1,145 @@
+"""Skew mitigation (salted join / two-phase agg) and watermarked windowed
+aggregation over the event stream (T4 extension; late-data drop semantics
+replacing the reference's replay-cursor anomaly T3)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.eventstore import ParquetEventStore
+from cloudfabric_eventsourcing_spark.eventstore.event import Event
+from cloudfabric_eventsourcing_spark.operators import skew
+from cloudfabric_eventsourcing_spark.streaming.windows import (
+    drain_windowed_counts,
+    windowed_counts,
+)
+
+
+@pytest.fixture
+def skewed(spark):
+    # one hot key holds 90% of the big side
+    big = spark.createDataFrame(
+        [Row(k="hot" if i % 10 else f"k{i % 7}", v=i) for i in range(3000)]
+    )
+    small = spark.createDataFrame(
+        [Row(k="hot", w=1.5)] + [Row(k=f"k{i}", w=float(i)) for i in range(7)]
+    )
+    return big, small
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    big, small = skewed
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in big.join(small, ["k"], how).select("k", "v", "w").collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in skew.salted_join(big, small, ["k"], salt_buckets=8, how=how)
+            .select("k", "v", "w")
+            .collect()
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    big, small = skewed
+    # the hot key occupies salt_buckets distinct join keys after salting
+    salted = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int")
+    )
+    n_subkeys = (
+        salted.where(F.col("k") == "hot").select("__salt").distinct().count()
+    )
+    assert n_subkeys == 8
+
+
+def test_salted_agg_equals_plain_agg(spark, skewed):
+    big, _ = skewed
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in big.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    two_phase = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in skew.salted_agg_sum_count(big, ["k"], sum_cols=["v"]).collect()
+    }
+    assert two_phase == plain
+
+
+def _ev(ts: datetime.datetime) -> Event:
+    return Event(
+        aggregate_id="agg-1", partition_key="pk", timestamp=ts, aggregate_type="T"
+    )
+
+
+def test_watermark_finalizes_windows_and_drops_late_events(spark, tmp_path):
+    store = ParquetEventStore(str(tmp_path / "events"))
+    store.initialize()
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    emitted: list[tuple] = []
+
+    def sink(batch_df, _epoch):
+        emitted.extend(
+            (r["window_start"], r["window_end"], r["event_type"], r["n"])
+            for r in batch_df.collect()
+        )
+
+    # three events inside [10:00, 11:00) + one at 12:05 that advances the
+    # watermark past 11:00 (12:05 - 10min = 11:55)
+    mins = [5, 10, 20]
+    store.append_to_stream(
+        {}, "s1", 0, [_ev(base + datetime.timedelta(minutes=m)) for m in mins]
+    )
+    store.append_to_stream(
+        {}, "s1", 3, [_ev(base + datetime.timedelta(minutes=125))]
+    )
+    ckpt = str(tmp_path / "ckpt")
+    drain_windowed_counts(spark, store, ckpt, sink, watermark="10 minutes")
+
+    # a late event at 10:30 — older than the checkpointed watermark (11:55),
+    # must be DROPPED (bounded state), never resurrecting the closed window
+    store.append_to_stream(
+        {}, "s1", 4, [_ev(base + datetime.timedelta(minutes=30))]
+    )
+    drain_windowed_counts(spark, store, ckpt, sink, watermark="10 minutes")
+    # one more on-time event forces another batch so anything pending emits
+    store.append_to_stream(
+        {}, "s1", 5, [_ev(base + datetime.timedelta(minutes=130))]
+    )
+    drain_windowed_counts(spark, store, ckpt, sink, watermark="10 minutes")
+
+    first_window = [e for e in emitted if e[0] == base]
+    # emitted exactly once, with the pre-late-event count: the 10:30
+    # straggler was dropped by the watermark
+    assert first_window == [
+        (base, base + datetime.timedelta(hours=1), "Event", 3)
+    ]
+    # the 12:00 window is still open (watermark hasn't passed 13:00)
+    assert not any(e[0] == base + datetime.timedelta(hours=2) for e in emitted)
+
+
+def test_windowed_counts_batch_mode_matches_manual(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_counts(
+            events, ts_col="ts", window="1 hour", group_cols=("event_type",)
+        ).collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
