@@ -1105,6 +1105,27 @@ def p07_simhash(spark, sf_dir):
     return pairs.where(F.col("hamming") <= 3)
 
 
+@q(
+    "w02_sliding_window",
+    "SELECT ws AS window_start, event_type, COUNT(*) AS n FROM ("
+    "SELECT time_bucket(INTERVAL 30 MINUTE, ts) - i.k * INTERVAL '30 MINUTE' AS ws, "
+    "event_type FROM events, (SELECT unnest([0, 1]) AS k) i) "
+    "GROUP BY ws, event_type",
+)
+def w02_sliding(spark, sf_dir):
+    # sliding event-time windows (1h window, 30m slide — every event lands
+    # in exactly 2 windows); same F.window drives the watermarked streaming
+    # variant in streaming/windows.py
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
