@@ -1106,6 +1106,24 @@ def p07_simhash(spark, sf_dir):
 
 
 @q(
+    "p08_stratified_sample",
+    "SELECT doc_id, lang FROM ("
+    "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "WHERE rn <= 5",
+)
+def p08_stratified_sample(spark, sf_dir):
+    # deterministic hash-rank stratified sampling: same 5 docs per language
+    # on every engine/run/partitioning (operators/sampling.py) — the oracle
+    # match IS the reproducibility proof
+    from cloudfabric_eventsourcing_spark.operators import sampling as _samp
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _samp.stratified_sample_exact(docs, ["lang"], k=5, id_col="doc_id")
+    return out.select("doc_id", "lang")
+
+
+@q(
     "w02_sliding_window",
     "SELECT ws AS window_start, event_type, COUNT(*) AS n FROM ("
     "SELECT time_bucket(INTERVAL 30 MINUTE, ts) - i.k * INTERVAL '30 MINUTE' AS ws, "

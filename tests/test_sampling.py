@@ -1,0 +1,38 @@
+"""Deterministic stratified sampling (training-data curation)."""
+
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.operators import sampling
+from cloudfabric_eventsourcing_spark.sources import load_table
+
+
+def test_exact_sample_sizes_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = sampling.stratified_sample_exact(docs, ["lang"], k=7, id_col="doc_id")
+    sizes = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(7, totals[lang])
+    # bit-reproducible: a second evaluation (different partitioning) selects
+    # the identical ids
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    s2 = sampling.stratified_sample_exact(
+        docs.repartition(13), ["lang"], k=7, id_col="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == ids1
+
+
+def test_salt_draws_independent_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in sampling.stratified_sample_exact(docs, ["lang"], 10, "doc_id").collect()}
+    b = {r["doc_id"] for r in sampling.stratified_sample_exact(docs, ["lang"], 10, "doc_id", salt="v2").collect()}
+    assert a != b  # overwhelmingly likely for a uniform hash
+
+
+def test_fraction_sample_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_fraction(
+        docs, ["lang"], fractions={}, seed=42, default_fraction=0.5
+    )
+    n, total = out.count(), docs.count()
+    assert 0.3 * total < n < 0.7 * total
