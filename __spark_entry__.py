@@ -1124,6 +1124,26 @@ def p08_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "p09_weighted_mix",
+    "WITH ranked AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents), "
+    "m(lang, k) AS (VALUES ('en', 50), ('de', 30), ('es', 20)) "
+    "SELECT r.doc_id, r.lang FROM ranked r JOIN m ON r.lang = m.lang "
+    "WHERE r.rn <= m.k",
+)
+def p09_weighted_mix(spark, sf_dir):
+    # deterministic pretraining-style data mixture: 100 docs at
+    # 50% en / 30% de / 20% es, same rows on every engine/run
+    from cloudfabric_eventsourcing_spark.operators import sampling as _samp
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _samp.weighted_mix(
+        docs, "lang", {"en": 0.5, "de": 0.3, "es": 0.2}, total=100, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
+@q(
     "w02_sliding_window",
     "SELECT ws AS window_start, event_type, COUNT(*) AS n FROM ("
     "SELECT time_bucket(INTERVAL 30 MINUTE, ts) - i.k * INTERVAL '30 MINUTE' AS ws, "

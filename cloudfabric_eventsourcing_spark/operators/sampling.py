@@ -44,6 +44,39 @@ def stratified_sample_exact(
     )
 
 
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    total: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic data mixture: draw ``total`` rows with per-stratum
+    counts proportional to ``weights`` (rounded), each stratum's rows
+    chosen by the same hash-rank as stratified_sample_exact. Strata absent
+    from ``weights`` are excluded. The standard pretraining-mixture shape:
+    'sample 1B docs at 50% web / 30% code / 20% books', reproducibly.
+
+    Under-full strata yield what they have (the mixture shrinks rather
+    than re-balancing — re-run with adjusted weights if exact totals
+    matter); counts derive from weights alone, so the plan stays a single
+    window + broadcast join, no extra pass over the data."""
+    wsum = float(sum(weights.values()))
+    ks = [(s, int(round(total * w / wsum))) for s, w in weights.items()]
+    mapping = df.sparkSession.createDataFrame(ks, [strata_col, "__k"])
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.col(id_col),
+    )
+    return (
+        df.join(F.broadcast(mapping), strata_col)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= F.col("__k"))
+        .drop("__rank", "__k")
+    )
+
+
 def stratified_sample_fraction(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -29,6 +29,18 @@ def test_salt_draws_independent_sample(spark, sf_dir):
     assert a != b  # overwhelmingly likely for a uniform hash
 
 
+def test_weighted_mix_counts_and_exclusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_mix(
+        docs, "lang", {"en": 0.6, "de": 0.4}, total=20, id_col="doc_id"
+    )
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) <= {"en", "de"}  # unlisted strata excluded
+    assert sizes.get("en", 0) == min(12, totals.get("en", 0))
+    assert sizes.get("de", 0) == min(8, totals.get("de", 0))
+
+
 def test_fraction_sample_rates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.stratified_sample_fraction(
