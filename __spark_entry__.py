@@ -189,13 +189,15 @@ def f03_range(spark, sf_dir):
 
 @q(
     "f03_ts_range",
-    "SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'",
+    "SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'",
 )
 def f03_ts_range(spark, sf_dir):
     import datetime
 
+    # cutoff mid-corpus (data spans 2024-01-01..01-30) so the predicate
+    # selects a non-trivial subset rather than proving emptiness
+    cutoff = datetime.datetime(2024, 1, 15)
     df = load_table(spark, sf_dir, "events")
-    cutoff = datetime.datetime(2024, 2, 1)
     pq_ = ProjectionQuery(filters=[Filter("ts", "ge", cutoff)])
     return apply_query(df, pq_, events_schema()).select("event_id")
 
@@ -270,11 +272,13 @@ def f09_array_contains(spark, sf_dir):
 
 @q(
     "f12_array_exists",
-    "SELECT doc_id FROM documents WHERE len(list_filter(string_split(text, ' '), x -> length(x) > 8)) > 0",
+    "SELECT doc_id FROM documents WHERE len(list_filter(string_split(text, ' '), x -> length(x) > 7)) > 0",
 )
 def f12_array_exists(spark, sf_dir):
+    # threshold 7: the corpus vocabulary's longest tokens are 8 chars, so
+    # >7 selects a real subset (>8 selected the empty set — vacuous oracle)
     df = _doc_tokens(spark, sf_dir)
-    pq_ = ProjectionQuery(filters=[Filter("Tokens.len", "gt", 8)])
+    pq_ = ProjectionQuery(filters=[Filter("Tokens.len", "gt", 7)])
     return apply_query(df, pq_, tokens_schema()).select("doc_id")
 
 
@@ -866,8 +870,8 @@ def x01_asof(spark, sf_dir):
     "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
     "       > 3600000000 OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
     "  THEN 1 ELSE 0 END AS new_s FROM events), "
-    "s AS (SELECT user_id, ts, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
-    "  ROWS UNBOUNDED PRECEDING) - 1 AS session_seq FROM g) "
+    "s AS (SELECT user_id, ts, t, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "  ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq FROM g) "
     "SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS session_start, "
     "MAX(ts) AS session_end, (MAX(t) - MIN(t)) / 1000000.0 AS span_seconds "
     "FROM s GROUP BY user_id, session_seq",
@@ -911,15 +915,29 @@ def a7_median(spark, sf_dir):
 
 @q(
     "u01_set_ops",
-    "SELECT user_id FROM events WHERE event_type = 'purchase' "
-    "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' "
-    "EXCEPT SELECT user_id FROM events WHERE event_type = 'signup'",
+    "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150 "
+    "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value < 50 "
+    "EXCEPT SELECT user_id FROM events WHERE event_type = 'signup' "
+    "AND ts < TIMESTAMP '2024-01-02 00:00:00'",
 )
 def u01_set_ops(spark, sf_dir):
-    # set operations (§2.7 — none in the reference, native in Spark)
+    # set operations (§2.7 — none in the reference, native in Spark).
+    # Predicates tuned so each leg and the composition are non-empty at
+    # every sf (every user has every event type, so unfiltered
+    # INTERSECT/EXCEPT was vacuously the empty set).
+    import datetime
+
     events = load_table(spark, sf_dir, "events")
-    by = lambda t: events.where(F.col("event_type") == t).select("user_id")  # noqa: E731
-    return by("purchase").intersect(by("error")).exceptAll(by("signup")).distinct()
+
+    def by(t, cond):
+        return events.where((F.col("event_type") == t) & cond).select("user_id")
+
+    purchases = by("purchase", F.col("value") > 150.0)
+    errors = by("error", F.col("value") < 50.0)
+    early_signups = by(
+        "signup", F.col("ts") < F.lit(datetime.datetime(2024, 1, 2))
+    )
+    return purchases.intersect(errors).exceptAll(early_signups).distinct()
 
 
 @q(
