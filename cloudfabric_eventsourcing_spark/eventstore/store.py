@@ -31,6 +31,7 @@ in-memory backend returns false — we prefer the stricter contract).
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import glob
 import json
@@ -185,6 +186,8 @@ class InMemoryEventStore(EventStore):
 
     def append_to_stream(self, user_info, stream_id, expected_version, events):
         events = list(events)
+        if not events:
+            return True  # legal no-op, same contract as the parquet backend
         with self._lock:
             partition_key = events[0].partition_key
             current = self.load_stream(stream_id, partition_key)
@@ -263,6 +266,11 @@ class ParquetEventStore(EventStore):
     """
 
     LOCK_TIMEOUT_S = 30.0
+    # a .lock file older than this is presumed abandoned (writer crashed
+    # between os.open and os.unlink) and is stolen; must comfortably exceed
+    # the longest plausible append (an append writes one small fragment,
+    # ~ms) so a live-but-slow writer is never raced
+    LOCK_STALE_S = 10.0
 
     def __init__(self, path: str):
         self.path = path
@@ -393,14 +401,12 @@ class ParquetEventStore(EventStore):
         if not mutex.acquire(timeout=self.LOCK_TIMEOUT_S):
             raise TimeoutError(f"could not acquire in-process lock for {stream_id}")
         try:
-            while True:
-                try:
-                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    if time.monotonic() > deadline:
-                        raise TimeoutError(f"could not acquire {lock_path}")
-                    time.sleep(0.01)
+            # appends yield to an in-flight maintenance rewrite (best-effort
+            # barrier; durability does NOT depend on it — _replace_all only
+            # ever unlinks the fragment list it was built from, so a
+            # fragment that slips past this wait still survives the rewrite)
+            self._wait_for_maintenance(deadline)
+            fd = self._acquire_lock_file(lock_path, deadline)
             try:
                 current = self._max_version(stream_id, pk)
                 if current != expected_version:
@@ -430,6 +436,53 @@ class ParquetEventStore(EventStore):
         self._push(events)
         return True
 
+    # -- lock-file protocol -------------------------------------------------
+    def _acquire_lock_file(self, lock_path: str, deadline: float) -> int:
+        """O_EXCL lock file with crash recovery: a lock older than
+        LOCK_STALE_S is presumed abandoned and stolen via an atomic
+        rename (only one contender wins the rename, so two stealers can
+        never both unlink a freshly re-acquired lock). The version
+        precheck each writer runs AFTER acquiring the lock is the fence —
+        a steal can never commit a stale expected_version.
+
+        Reference contract: the Postgres transaction's row lock releases
+        automatically on writer death (PostgresqlEventStore.cs:386-409);
+        this gives the parquet store the same liveness.
+        """
+        while True:
+            try:
+                return os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lock_path).st_mtime
+                    if age > self.LOCK_STALE_S:
+                        grave = f"{lock_path}.stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lock_path, grave)  # atomic: one winner
+                        os.unlink(grave)
+                        continue  # retry O_EXCL immediately
+                except FileNotFoundError:
+                    continue  # holder released (or another stealer won)
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"could not acquire {lock_path}")
+                time.sleep(0.01)
+
+    _MAINT_LOCK = ".maint.lock"
+
+    def _maintenance_lock_path(self) -> str:
+        return os.path.join(self.path, self._MAINT_LOCK)
+
+    def _wait_for_maintenance(self, deadline: float) -> None:
+        path = self._maintenance_lock_path()
+        while os.path.exists(path):
+            try:
+                if time.time() - os.stat(path).st_mtime > self.LOCK_STALE_S:
+                    return  # abandoned maintenance; appends are safe anyway
+            except FileNotFoundError:
+                return
+            if time.monotonic() > deadline:
+                raise TimeoutError("maintenance rewrite held the store too long")
+            time.sleep(0.01)
+
     def _write_fragment(self, records: list[EventRecord]) -> str:
         name = f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
         tmp = os.path.join(self.path, f".tmp-{name}")
@@ -440,28 +493,60 @@ class ParquetEventStore(EventStore):
         return out
 
     # -- maintenance --------------------------------------------------------
+    # Durability invariant (the reference's delete/compaction runs inside a
+    # Postgres transaction — PostgresqlEventStore.cs:101-178): a rewrite
+    # only ever unlinks the EXACT fragment list it was built from, so an
+    # append that commits concurrently is never folded away — its fragment
+    # simply survives next to the rewritten snapshot. The .maint.lock file
+    # additionally (a) serializes maintenance ops against each other and
+    # (b) makes appenders briefly yield, shrinking the interleaving window.
+
+    @contextlib.contextmanager
+    def _maintenance(self):
+        deadline = time.monotonic() + self.LOCK_TIMEOUT_S
+        fd = self._acquire_lock_file(self._maintenance_lock_path(), deadline)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self._maintenance_lock_path())
+
     def compact(self, max_fragments: int = 1) -> None:
         """Fold many small append fragments into one (the parquet-store
         analogue of Delta OPTIMIZE; call periodically from a maintenance
         job)."""
-        frags = self._fragments()
-        if len(frags) <= max_fragments:
-            return
-        # cluster by stream so row-group min/max statistics prune point
-        # reads after compaction (the Z-ORDER analogue); chronological
-        # order is re-established by readers' own sorts
-        table = self._scan().sort_by(
-            [("stream_id", "ascending"), ("stream_version", "ascending")]
-        )
-        self._replace_all(table)
+        with self._maintenance():
+            frags = self._fragments()
+            if len(frags) <= max_fragments:
+                return
+            # cluster by stream so row-group min/max statistics prune point
+            # reads after compaction (the Z-ORDER analogue); chronological
+            # order is re-established by readers' own sorts
+            ds = pa_ds.dataset(frags, schema=_ARROW_SCHEMA, format="parquet")
+            table = ds.to_table().sort_by(
+                [("stream_id", "ascending"), ("stream_version", "ascending")]
+            )
+            self._replace_fragments(frags, table)
 
-    def _replace_all(self, table: pa.Table) -> None:
+    def _replace_fragments(self, frags: list[str], table: pa.Table) -> None:
+        """Atomically swap exactly `frags` for one compacted snapshot.
+        Caller must hold the maintenance lock and must have built `table`
+        from exactly `frags`."""
         tmp = os.path.join(self.path, f".tmp-compact-{uuid.uuid4().hex[:8]}.parquet")
         # small row groups -> per-stream point reads skip unrelated groups
         pq.write_table(table, tmp, row_group_size=4096)
-        for f in self._fragments():
+        out = os.path.join(
+            self.path, f"part-{time.time_ns():020d}-compacted.parquet"
+        )
+        # snapshot becomes visible BEFORE the originals vanish: a reader
+        # globbing mid-swap sees transient DUPLICATE rows (harmless — max
+        # stream_version is unchanged, so a racing appender's version
+        # precheck stays correct), never a partial store (which would let
+        # an appender observe version 0 and re-issue committed versions)
+        os.rename(tmp, out)
+        for f in frags:
             os.unlink(f)
-        os.rename(tmp, os.path.join(self.path, f"part-{0:020d}-compacted.parquet"))
         self._invalidate_version_cache()
 
     def get_statistics(self):
@@ -475,23 +560,27 @@ class ParquetEventStore(EventStore):
         )
 
     def delete_all(self):
-        for f in self._fragments():
-            os.unlink(f)
-        self._invalidate_version_cache()
+        with self._maintenance():
+            for f in self._fragments():
+                os.unlink(f)
+            self._invalidate_version_cache()
 
     def hard_delete(self, stream_id, partition_key):
         expr = ~(
             (pc.field("stream_id") == stream_id)
             & (pc.field("partition_key") == partition_key)
         )
-        before = self._scan()
-        if before.num_rows == 0:
-            return False
-        kept = self._scan(expr)
-        if kept.num_rows == before.num_rows:
-            return False
-        self._replace_all(kept)
-        return True
+        with self._maintenance():
+            frags = self._fragments()
+            if not frags:
+                return False
+            ds = pa_ds.dataset(frags, schema=_ARROW_SCHEMA, format="parquet")
+            before = ds.count_rows()
+            kept = ds.to_table(filter=expr)
+            if kept.num_rows == before:
+                return False
+            self._replace_fragments(frags, kept)
+            return True
 
     # -- Spark access -------------------------------------------------------
     def to_df(self, spark):

@@ -251,3 +251,138 @@ def test_hard_delete_order_via_repository(store):
     assert repo.load(order.id, ORDERS_PARTITION_KEY) is not None
     assert repo.hard_delete(order.id, ORDERS_PARTITION_KEY) is True
     assert repo.load(order.id, ORDERS_PARTITION_KEY) is None
+
+
+# -- maintenance durability + lock liveness (round-2 hardening) -------------
+
+def _parquet_store(tmp_path):
+    s = ParquetEventStore(str(tmp_path / "events"))
+    s.initialize()
+    return s
+
+
+def _append_order(store, oid):
+    repo = AggregateRepository(store, Order)
+    repo.save(USER, make_order(oid))
+
+
+def test_compact_preserves_concurrent_append(tmp_path):
+    """An append that commits between a rewrite's fragment capture and its
+    unlink loop must survive (durability invariant: _replace_fragments only
+    unlinks the list it was built from)."""
+    import pyarrow.dataset as pa_ds
+    from cloudfabric_eventsourcing_spark.eventstore.store import _ARROW_SCHEMA
+
+    store = _parquet_store(tmp_path)
+    for i in range(3):
+        _append_order(store, f"2c55f399-0000-0000-0000-00000000000{i}")
+    frags = store._fragments()
+    table = pa_ds.dataset(frags, schema=_ARROW_SCHEMA, format="parquet").to_table()
+    # a concurrent writer lands a fragment AFTER the capture
+    _append_order(store, "2c55f399-0000-0000-0000-000000000009")
+    n_before = store.get_statistics().total_events_count
+    store._replace_fragments(frags, table)
+    assert store.get_statistics().total_events_count == n_before
+    late = store.load_stream("2c55f399-0000-0000-0000-000000000009",
+                             ORDERS_PARTITION_KEY)
+    assert late.version == 1 and len(late.events) == 1
+
+
+def test_compact_and_hard_delete_still_work(tmp_path):
+    store = _parquet_store(tmp_path)
+    for i in range(4):
+        _append_order(store, f"2c55f399-0000-0000-0000-00000000000{i}")
+    assert len(store._fragments()) == 4
+    store.compact()
+    assert len(store._fragments()) == 1
+    assert store.get_statistics().total_events_count == 4
+    assert store.hard_delete("2c55f399-0000-0000-0000-000000000000",
+                             ORDERS_PARTITION_KEY) is True
+    assert store.get_statistics().total_events_count == 3
+    # maintenance lock released
+    import os
+    assert not os.path.exists(store._maintenance_lock_path())
+
+
+def test_stale_commit_lock_is_stolen(tmp_path):
+    """A lock file abandoned by a crashed writer must not stall appends for
+    LOCK_TIMEOUT_S (reference: Postgres row locks die with the writer)."""
+    import hashlib
+    import os
+    import time
+
+    store = _parquet_store(tmp_path)
+    oid = "2c55f399-0000-0000-0000-000000000001"
+    key = hashlib.sha1(f"{oid}\x00{ORDERS_PARTITION_KEY}".encode()).hexdigest()[:12]
+    lock = os.path.join(store.path, f".commit-{key}.lock")
+    with open(lock, "w"):
+        pass
+    old = time.time() - store.LOCK_STALE_S - 5
+    os.utime(lock, (old, old))
+    t0 = time.monotonic()
+    _append_order(store, oid)  # would TimeoutError after 30 s without stealing
+    assert time.monotonic() - t0 < store.LOCK_STALE_S
+    assert store.load_stream(oid, ORDERS_PARTITION_KEY).version == 1
+
+
+def test_fresh_lock_is_respected(tmp_path):
+    """A live writer's lock (recent mtime) must NOT be stolen."""
+    import hashlib
+    import os
+
+    store = _parquet_store(tmp_path)
+    store.LOCK_TIMEOUT_S = 0.3  # fail fast for the test
+    oid = "2c55f399-0000-0000-0000-000000000001"
+    key = hashlib.sha1(f"{oid}\x00{ORDERS_PARTITION_KEY}".encode()).hexdigest()[:12]
+    lock = os.path.join(store.path, f".commit-{key}.lock")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(TimeoutError):
+        _append_order(store, oid)
+    os.unlink(lock)
+
+
+def test_stale_maintenance_lock_does_not_block_appends(tmp_path):
+    import os
+    import time
+
+    store = _parquet_store(tmp_path)
+    with open(store._maintenance_lock_path(), "w"):
+        pass
+    old = time.time() - store.LOCK_STALE_S - 5
+    os.utime(store._maintenance_lock_path(), (old, old))
+    _append_order(store, "2c55f399-0000-0000-0000-000000000002")
+    assert store.get_statistics().total_events_count == 1
+
+
+def test_killed_writer_lock_recovered_by_second_writer(tmp_path):
+    """Verdict #7 scenario: a writer PROCESS dies while holding the commit
+    lock; a second writer in another process must succeed once the lock
+    goes stale instead of deadlocking until LOCK_TIMEOUT_S."""
+    import hashlib
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    store = _parquet_store(tmp_path)
+    store.LOCK_STALE_S = 0.5
+    oid = "2c55f399-0000-0000-0000-000000000001"
+    key = hashlib.sha1(f"{oid}\x00{ORDERS_PARTITION_KEY}".encode()).hexdigest()[:12]
+    lock = os.path.join(store.path, f".commit-{key}.lock")
+    # child acquires the lock exactly as append_to_stream does, then hangs
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         f"import os,time; os.open({lock!r}, os.O_CREAT|os.O_EXCL|os.O_WRONLY); "
+         "print('locked', flush=True); time.sleep(60)"],
+        stdout=subprocess.PIPE,
+    )
+    assert child.stdout.readline().strip() == b"locked"
+    child.send_signal(signal.SIGKILL)  # crash mid-append
+    child.wait()
+    time.sleep(0.6)  # let the abandoned lock cross the stale TTL
+    t0 = time.monotonic()
+    _append_order(store, oid)
+    assert time.monotonic() - t0 < 5
+    assert store.load_stream(oid, ORDERS_PARTITION_KEY).version == 1
