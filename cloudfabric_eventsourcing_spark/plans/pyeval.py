@@ -247,7 +247,12 @@ def facet_stats_docs(
                         if req.sum_by_field:
                             st.sum_by_value += _get_path(d, req.sum_by_field) or 0
                         break
-            out[req.facet_name] = [s for s in buckets.values() if s.count]
+            stats = [s for s in buckets.values() if s.count]
+            if req.sort == "count":
+                stats.sort(key=lambda s: (-s.count, s.range_from))
+            else:
+                stats.sort(key=lambda s: s.range_from)
+            out[req.facet_name] = stats[: req.count]
             continue
         groups: dict = {}
         for d in docs:

@@ -333,17 +333,38 @@ def facet_frame(filtered: DataFrame, req: FacetInfoRequest) -> DataFrame:
     if req.ranges:
         edges = sorted(req.ranges)
         col = F.col(req.facet_name)
-        expr = None
-        for lo, hi in zip(edges, edges[1:]):
+        # bucket INDEX via when-chain, then lo/hi as real columns joined by
+        # index — never re-parsed out of the display label (labels like
+        # '-10-0' for negative edges are ambiguous to split)
+        idx_expr = None
+        for i, (lo, hi) in enumerate(zip(edges, edges[1:])):
             cond = (col >= F.lit(lo)) & (col < F.lit(hi))
-            label = f"{lo}-{hi}"
-            expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-        return (
-            filtered.withColumn("value", expr)
-            .where(F.col("value").isNotNull())
-            .groupBy("value")
-            .agg(*aggs)
+            idx_expr = (
+                F.when(cond, i) if idx_expr is None else idx_expr.when(cond, i)
+            )
+        lo_arr = F.array(*[F.lit(float(lo)) for lo in edges[:-1]])
+        hi_arr = F.array(*[F.lit(float(hi)) for hi in edges[1:]])
+        lbl_arr = F.array(
+            *[F.lit(f"{lo}-{hi}") for lo, hi in zip(edges, edges[1:])]
         )
+        grouped = (
+            filtered.withColumn("bucket_idx", idx_expr)
+            .where(F.col("bucket_idx").isNotNull())
+            .groupBy("bucket_idx")
+            .agg(*aggs)
+            .select(
+                F.element_at(lbl_arr, F.col("bucket_idx") + 1).alias("value"),
+                F.element_at(lo_arr, F.col("bucket_idx") + 1).alias("range_from"),
+                F.element_at(hi_arr, F.col("bucket_idx") + 1).alias("range_to"),
+                "*",
+            )
+            .drop("bucket_idx")
+        )
+        if req.sort == "count":
+            grouped = grouped.orderBy(F.desc("count"), F.asc("range_from"))
+        else:
+            grouped = grouped.orderBy(F.asc("range_from"))
+        return grouped.limit(req.count)
     grouped = filtered.groupBy(F.col(req.facet_name).alias("value")).agg(*aggs)
     if req.sort == "count":
         grouped = grouped.orderBy(F.desc("count"), F.asc("value"))
@@ -363,19 +384,18 @@ def facet_stats(
     for req in requests:
         rows = facet_frame(filtered, req).collect()
         if req.ranges:
-            stats = []
-            for row in rows:
-                lo_s, hi_s = row["value"].split("-")
-                stats.append(
-                    FacetStats(
-                        value=row["value"],
-                        count=row["count"],
-                        range_from=float(lo_s),
-                        range_to=float(hi_s),
-                        sum_by_value=row["sum_by_value"] if req.sum_by_field else None,
-                    )
+            # lo/hi come back as real columns (facet_frame carries them);
+            # row order already honors req.sort
+            stats = [
+                FacetStats(
+                    value=row["value"],
+                    count=row["count"],
+                    range_from=row["range_from"],
+                    range_to=row["range_to"],
+                    sum_by_value=row["sum_by_value"] if req.sum_by_field else None,
                 )
-            stats.sort(key=lambda s: s.range_from)
+                for row in rows
+            ]
         else:
             stats = [
                 FacetStats(

@@ -268,6 +268,8 @@ def test_facets_value_counts(proj):
 
 
 def test_facets_ranges_and_sum(proj):
+    # default sort="count" is honored by the ranges branch too: the
+    # 2-element bucket sorts before the 1-element bucket
     q = ProjectionQuery(
         facet_info_to_return=[
             FacetInfoRequest("ItemsCount", ranges=[0, 2, 10], sum_by_field="ItemsCount")
@@ -275,8 +277,36 @@ def test_facets_ranges_and_sum(proj):
     )
     res = run_query(proj, q, S)
     stats = res.facets_stats["ItemsCount"]
-    assert [(s.value, s.count) for s in stats] == [("0-2", 1), ("2-10", 2)]
-    assert stats[1].sum_by_value == 5
+    assert [(s.value, s.count) for s in stats] == [("2-10", 2), ("0-2", 1)]
+    assert stats[0].sum_by_value == 5
+    assert (stats[0].range_from, stats[0].range_to) == (2.0, 10.0)
+
+
+def test_facets_ranges_sort_by_value(proj):
+    q = ProjectionQuery(
+        facet_info_to_return=[
+            FacetInfoRequest("ItemsCount", sort="value", ranges=[0, 2, 10])
+        ]
+    )
+    res = run_query(proj, q, S)
+    stats = res.facets_stats["ItemsCount"]
+    assert [(s.range_from, s.count) for s in stats] == [(0.0, 1), (2.0, 2)]
+
+
+def test_facets_negative_range_edges(proj):
+    # labels like '-10-0' can't be re-parsed by splitting on '-';
+    # range_from/range_to must come through as real values
+    q = ProjectionQuery(
+        facet_info_to_return=[
+            FacetInfoRequest("ItemsCount", ranges=[-10, 0, 10], sort="value")
+        ]
+    )
+    res = run_query(proj, q, S)
+    stats = res.facets_stats["ItemsCount"]
+    assert all(s.range_from is not None and s.range_to is not None for s in stats)
+    assert [(s.range_from, s.range_to) for s in stats] == [(0.0, 10.0)]
+    assert stats[0].count == 3
+    assert stats[0].value == "0-10"
 
 
 # ---- query-string -> execution round-trip (ProjectionQueryTests.cs) -------
