@@ -38,18 +38,25 @@ def exact_dedup(
     normalize: bool = True,
 ) -> DataFrame:
     """One representative (min id) per exact (optionally lower-cased) text.
-    groupBy on a 64-bit hash of the text, not the text itself, so the
-    shuffle key is 8 bytes regardless of document size; the full text
-    equality is implied by grouping on (hash, length) collision-safety +
-    min-id choice being hash-stable. Returns (id, group_size)."""
+    groupBy on two INDEPENDENT hashes of the text (64-bit xxhash64 + 128-bit
+    md5) plus its length, not the text itself, so the shuffle key is ~26
+    bytes regardless of document size. Merging distinct texts requires a
+    simultaneous collision in both hash families within a length class —
+    ~2^-192 per pair, negligible past any realistic corpus size (a single
+    64-bit hash alone reaches its birthday bound near 2^32 docs).
+    Returns (id, group_size)."""
     key = F.lower(F.col(text_col)) if normalize else F.col(text_col)
     return (
-        df.groupBy(F.xxhash64(key).alias("__h"), F.length(key).alias("__l"))
+        df.groupBy(
+            F.xxhash64(key).alias("__h"),
+            F.md5(key).alias("__h2"),
+            F.length(key).alias("__l"),
+        )
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("group_size"),
         )
-        .drop("__h", "__l")
+        .drop("__h", "__h2", "__l")
     )
 
 

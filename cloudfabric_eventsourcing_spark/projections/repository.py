@@ -122,9 +122,15 @@ class ProjectionRepository:
         raise NotImplementedError
 
     # -- public API ---------------------------------------------------------
-    def ensure_index(self, selector: str = IndexSelector.Write) -> str:
+    def ensure_index(self, selector: str = IndexSelector.ProjectionRebuild) -> str:
+        """Create/register the index for this repository's schema and return
+        the resolved physical index name. The selector is honored: the
+        default (ProjectionRebuild) always resolves the exact-schema-hash
+        index (bootstrap semantics); Write/ReadOnly resolve through the
+        rebuild state machine and may raise IndexNotReadyError
+        (ProjectionRepository.cs:252-373)."""
         name, _ = self.state_store.resolve_index(
-            self.schema, IndexSelector.ProjectionRebuild, self._create_index
+            self.schema, selector, self._create_index
         )
         return name
 

@@ -193,3 +193,28 @@ def test_facets_on_in_memory_backend_match_spark(repo, spark):
     assert [(s.value, s.count) for s in mem["ItemsCount"]] == [
         (s.value, s.count) for s in spk["ItemsCount"]
     ]
+
+
+def test_ensure_index_honors_selector():
+    """ensure_index(Write) must resolve through the state machine (and
+    raise IndexNotReadyError before any rebuild completes) instead of
+    silently resolving the rebuild index."""
+    import pytest
+
+    from cloudfabric_eventsourcing_spark.projections import (
+        InMemoryProjectionRepository,
+    )
+    from cloudfabric_eventsourcing_spark.projections.state import (
+        IndexNotReadyError,
+        IndexSelector,
+        ProjectionIndexStateStore,
+    )
+
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    s1 = dynamic_schema()
+    r1 = InMemoryProjectionRepository(s1, state)
+    r1.ensure_index()  # default: bootstrap the rebuild index
+    with pytest.raises(IndexNotReadyError):
+        r1.ensure_index(IndexSelector.Write)
+    state.update_rebuild_progress(s1.schema_name, s1.index_name(), 1, completed=True)
+    assert r1.ensure_index(IndexSelector.Write) == s1.index_name()
