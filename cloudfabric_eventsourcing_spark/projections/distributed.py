@@ -1,0 +1,116 @@
+"""Distributed projection rebuild — the T8 scale path.
+
+Behavioral spec (reference, read-only): the rebuild worker replays the
+whole event log through the builders serially with a timestamp cursor
+(Worker/ProjectionsRebuildProcessor.cs:61-114, EventsObserver.cs:53-132).
+That single cursor is the reference's scale ceiling; SURVEY.md §3.3 notes
+a rebuild is embarrassingly parallel per stream: every projection document
+is a fold of ONE stream's events, so streams can be replayed concurrently.
+
+Spark mapping: groupBy(stream_id, partition_key) + applyInPandas. Each
+group replays through a FRESH builder instance bound to a group-local
+in-memory repository — the exact same handler code the serial path runs —
+and emits the group's final documents as rows. One shuffle on stream_id
+(uniform key), no driver funnel; the result DataFrame feeds the
+repository's snapshot writer (`overwrite_from_df`) so a 100 TB projection
+is written by executors in parallel.
+
+Applicability: sound whenever each document depends only on its own
+stream's events (true of every reference builder — the builder helpers key
+documents by aggregate_id). Builders that aggregate ACROSS streams must use
+the serial parity mode (`mode="serial"`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Type
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from cloudfabric_eventsourcing_spark.projections.repository import arrow_schema
+from cloudfabric_eventsourcing_spark.schema import ProjectionSchema
+
+
+def fold_builder_documents(
+    events_df: DataFrame,
+    builder_factory: Callable,
+    schema: ProjectionSchema,
+) -> DataFrame:
+    """Replay each stream through `builder_factory(local_repo)` and return
+    the final documents as a DataFrame shaped by `schema`.
+
+    `builder_factory` must return a ProjectionBuilder bound to the
+    repository it is given (typically ``lambda repo: MyBuilder(repo,
+    IndexSelector.ProjectionRebuild)``); it is cloudpickled to executors.
+    """
+    struct = schema.to_struct_type()
+    pa_schema = arrow_schema(schema)
+
+    def fold(pdf):
+        import pandas as pd
+
+        from cloudfabric_eventsourcing_spark.eventstore import (
+            InMemoryMetadataRepository,
+        )
+        from cloudfabric_eventsourcing_spark.eventstore.event import EventRecord
+        from cloudfabric_eventsourcing_spark.projections.engine import (
+            ProjectionsEngine,
+        )
+        from cloudfabric_eventsourcing_spark.projections.repository import (
+            InMemoryProjectionRepository,
+            _normalize_doc,
+        )
+        from cloudfabric_eventsourcing_spark.projections.state import (
+            ProjectionIndexStateStore,
+        )
+
+        pdf = pdf.sort_values("stream_version")
+        events = []
+        for rec in pdf.itertuples(index=False):
+            record = EventRecord(
+                id=rec.id,
+                partition_key=rec.partition_key,
+                created_at=rec.created_at.to_pydatetime()
+                if hasattr(rec.created_at, "to_pydatetime")
+                else rec.created_at,
+                stream_id=rec.stream_id,
+                stream_version=int(rec.stream_version),
+                event_type=rec.event_type,
+                event_data=rec.event_data,
+                user_info=rec.user_info,
+            )
+            events.append(record.to_event())
+
+        local_state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+        local_repo = InMemoryProjectionRepository(schema, local_state)
+        engine = ProjectionsEngine()
+        engine.add_projection_builder(builder_factory(local_repo))
+        for event in events:
+            engine.handle_event(event)
+
+        docs = [
+            _normalize_doc(d)
+            for index in local_repo._indexes.values()
+            for d in index.values()
+        ]
+        if not docs:
+            return pd.DataFrame({f.name: [] for f in struct.fields})
+        # round-trip through arrow with the schema-derived types so
+        # decimals/timestamps/nested structs land exactly as the snapshot
+        # writer expects them
+        return pa.Table.from_pylist(docs, schema=pa_schema).to_pandas()
+
+    return events_df.groupBy("stream_id", "partition_key").applyInPandas(
+        fold, struct
+    )
+
+
+def builder_rebuild_factory(builder) -> Callable:
+    """Factory replicating `builder` on executors: same class, same schema,
+    ProjectionRebuild selector (builders may only use Write/Rebuild —
+    ProjectionBuilder.cs:12-18)."""
+    from cloudfabric_eventsourcing_spark.projections.state import IndexSelector
+
+    builder_cls: Type = type(builder)
+    return lambda repo: builder_cls(repo, IndexSelector.ProjectionRebuild)

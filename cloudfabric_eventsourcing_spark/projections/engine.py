@@ -148,7 +148,19 @@ def _event_key(e: Event):
 
 
 class ProjectionsRebuildProcessor:
-    """Worker/ProjectionsRebuildProcessor.cs:28-114 on the state store."""
+    """Worker/ProjectionsRebuildProcessor.cs:28-114 on the state store.
+
+    Two execution modes:
+      - **distributed** (default when a SparkSession is provided): each
+        builder's documents are recomputed with one per-stream
+        applyInPandas fold over the whole event table and written through
+        the repository's snapshot sink — the SURVEY §3.3 scale path.
+        Progress/health is updated per event batch (streams are split into
+        `rebuild_batches` hash buckets; each bucket is one Spark job).
+      - **serial** (`mode="serial"`, or no SparkSession): the reference's
+        chunked single-cursor replay loop, kept as the parity mode and for
+        builders whose documents aggregate across streams.
+    """
 
     def __init__(
         self,
@@ -156,17 +168,41 @@ class ProjectionsRebuildProcessor:
         engine_factory: Callable[[str], ProjectionsEngine],
         event_store: EventStore,
         chunk_size: int = 250,
+        spark=None,
+        mode: str = "auto",
+        rebuild_batches: int = 4,
     ):
+        if mode not in ("auto", "distributed", "serial"):
+            raise ValueError(f"unknown rebuild mode {mode!r}")
         self.state_store = state_store
         self.engine_factory = engine_factory
         self.event_store = event_store
         self.chunk_size = chunk_size
+        self.spark = spark
+        self.mode = mode
+        self.rebuild_batches = max(1, rebuild_batches)
 
     def rebuild_one_projection_which_requires_rebuild(self) -> Optional[str]:
         state, index_name = self.state_store.acquire_and_lock_rebuild()
         if state is None:
             return None
         engine = self.engine_factory(index_name)
+        distributed = self.mode == "distributed" or (
+            self.mode == "auto" and self.spark is not None
+        )
+        if distributed:
+            if self.spark is None:
+                raise ValueError("distributed rebuild mode needs a SparkSession")
+            processed = self._replay_distributed(engine, state, index_name)
+        else:
+            processed = self._replay_serial(engine, state, index_name)
+        self.state_store.update_rebuild_progress(
+            state.projection_name, index_name, processed, completed=True
+        )
+        return index_name
+
+    # -- serial parity mode (the reference's cursor loop) -------------------
+    def _replay_serial(self, engine, state, index_name) -> int:
         total = self.event_store.get_statistics().total_events_count
 
         def progress(processed: int, last_event: Event) -> None:
@@ -178,16 +214,73 @@ class ProjectionsRebuildProcessor:
                 total=total,
             )
 
-        processed = engine.replay_events(
+        return engine.replay_events(
             partition_key=None,
             date_from=None,
             chunk_size=self.chunk_size,
             chunk_processed_callback=progress,
         )
-        self.state_store.update_rebuild_progress(
-            state.projection_name, index_name, processed, completed=True
+
+    # -- distributed scale mode ---------------------------------------------
+    def _replay_distributed(self, engine, state, index_name) -> int:
+        from pyspark.sql import functions as F
+
+        from cloudfabric_eventsourcing_spark.projections.distributed import (
+            builder_rebuild_factory,
+            fold_builder_documents,
         )
-        return index_name
+        from cloudfabric_eventsourcing_spark.projections.state import IndexSelector
+
+        total = self.event_store.get_statistics().total_events_count
+        events_df = self.event_store.to_df(self.spark)
+        n_batches = self.rebuild_batches
+        processed = 0
+        per_builder_parts: list[list] = [[] for _ in engine._builders]
+        for b in range(n_batches):
+            part = (
+                events_df.where(
+                    F.pmod(F.abs(F.xxhash64("stream_id")), F.lit(n_batches)) == b
+                )
+                if n_batches > 1
+                else events_df
+            )
+            for i, builder in enumerate(engine._builders):
+                docs = fold_builder_documents(
+                    part,
+                    builder_rebuild_factory(builder),
+                    builder.repository.schema,
+                ).persist()
+                docs.count()  # materialize: progress reflects finished work
+                per_builder_parts[i].append(docs)
+            stats = part.agg(
+                F.count(F.lit(1)).alias("n"), F.max("created_at").alias("ts")
+            ).first()
+            processed += int(stats["n"])
+            self.state_store.update_rebuild_progress(
+                state.projection_name,
+                index_name,
+                processed,
+                last_ts=stats["ts"],
+                total=total,
+            )
+        for builder, parts in zip(engine._builders, per_builder_parts):
+            docs = parts[0]
+            for extra in parts[1:]:
+                docs = docs.unionByName(extra)
+            repo = builder.repository
+            if hasattr(repo, "overwrite_from_df"):
+                # executors write the snapshot directly — no driver funnel
+                repo.overwrite_from_df(docs)
+            else:
+                # driver-memory backend: materialization IS the backend
+                resolved, _ = repo._resolve(IndexSelector.ProjectionRebuild)
+                repo._upsert_batch(
+                    resolved,
+                    [r.asDict(recursive=True) for r in docs.collect()],
+                )
+            for p in parts:
+                p.unpersist()
+        return processed
 
     def rebuild_projections_that_require_rebuild(self) -> list[str]:
         done = []

@@ -320,3 +320,61 @@ def test_multi_projection_fanout(world):
     assert list_doc["ItemsCount"] == 1
     assert counts_doc["Placed"] == 1
     assert counts_doc["Touched"] == 1  # synthetic event, not the concrete one
+
+
+def test_rebuild_processor_distributed_path(world, spark):
+    """T8 scale mode: the rebuild processor drives the per-stream
+    applyInPandas fold + snapshot write instead of the serial cursor loop,
+    with per-batch progress updates. Result must equal the serial
+    recompute (rebuild == recompute invariant)."""
+    store, state, repo, engine, agg_repo = world
+    for i in range(4):
+        place(
+            agg_repo,
+            f"00000000-0000-0000-0000-00000000003{i}",
+            f"D{i}",
+            [
+                OrderItem(utcnow(), "Dixit", decimal.Decimal("6.59")),
+                OrderItem(utcnow(), "Patchwork", decimal.Decimal("4.85")),
+            ],
+        )
+
+    new_schema = orders_list_schema()
+    new_schema.properties.append(
+        PropertySchema("TotalPrice", DECIMAL, is_filterable=True)
+    )
+    new_repo = InMemoryProjectionRepository(new_schema, state)
+
+    class V2Builder(OrdersListProjectionBuilder):
+        def on_OrderPlaced(self, evt):
+            super().on_OrderPlaced(evt)
+
+            def mutate(doc):
+                doc["TotalPrice"] = sum(
+                    (i["Amount"] for i in doc["Items"]), decimal.Decimal(0)
+                )
+
+            self.update_document(
+                evt.aggregate_id, evt.partition_key, evt.timestamp, mutate
+            )
+
+    def engine_factory(index_name):
+        e = ProjectionsEngine(store)
+        e.add_projection_builder(V2Builder(new_repo, IndexSelector.ProjectionRebuild))
+        return e
+
+    proc = ProjectionsRebuildProcessor(
+        state, engine_factory, store, spark=spark, rebuild_batches=2
+    )
+    assert proc.mode == "auto" and proc.spark is not None  # distributed path
+    rebuilt = proc.rebuild_projections_that_require_rebuild()
+    assert new_schema.index_name() in rebuilt
+
+    res = new_repo.query(ProjectionQuery(filters=[Filter("Name", "eq", "D0")]))
+    assert res.total_records_found == 1
+    assert res.records[0].document["TotalPrice"] == decimal.Decimal("11.44")
+    assert res.records[0].document["ItemsCount"] == 2
+    st = state.get(new_schema.schema_name)
+    completed = [s for s in st.indexes_statuses if s.rebuild_completed_at]
+    assert completed and completed[0].rebuild_events_processed == 4
+    assert completed[0].total_events_to_process == 4
