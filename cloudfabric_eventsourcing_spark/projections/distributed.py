@@ -28,14 +28,21 @@ from typing import Callable, Type
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from cloudfabric_eventsourcing_spark.projections.repository import arrow_schema
+from cloudfabric_eventsourcing_spark.projections.repository import (
+    InMemoryProjectionRepository,
+    arrow_schema,
+)
 from cloudfabric_eventsourcing_spark.schema import ProjectionSchema
+
+
+TOMBSTONE_COL = "__is_tombstone"
 
 
 def fold_builder_documents(
     events_df: DataFrame,
     builder_factory: Callable,
     schema: ProjectionSchema,
+    with_tombstones: bool = False,
 ) -> DataFrame:
     """Replay each stream through `builder_factory(local_repo)` and return
     the final documents as a DataFrame shaped by `schema`.
@@ -43,9 +50,22 @@ def fold_builder_documents(
     `builder_factory` must return a ProjectionBuilder bound to the
     repository it is given (typically ``lambda repo: MyBuilder(repo,
     IndexSelector.ProjectionRebuild)``); it is cloudpickled to executors.
+
+    With ``with_tombstones=True`` (the live-maintenance MERGE path) the
+    result carries an extra boolean `__is_tombstone` column: a document the
+    builder deleted and never re-created comes back as a key-only tombstone
+    row, so the caller can propagate the delete to the real index.
     """
+    from pyspark.sql import types as T
+
     struct = schema.to_struct_type()
     pa_schema = arrow_schema(schema)
+    if with_tombstones:
+        struct = T.StructType(
+            struct.fields + [T.StructField(TOMBSTONE_COL, T.BooleanType())]
+        )
+        pa_schema = pa_schema.append(pa.field(TOMBSTONE_COL, pa.bool_()))
+    key_name = schema.key_name
 
     def fold(pdf):
         import pandas as pd
@@ -58,7 +78,6 @@ def fold_builder_documents(
             ProjectionsEngine,
         )
         from cloudfabric_eventsourcing_spark.projections.repository import (
-            InMemoryProjectionRepository,
             _normalize_doc,
         )
         from cloudfabric_eventsourcing_spark.projections.state import (
@@ -83,7 +102,7 @@ def fold_builder_documents(
             events.append(record.to_event())
 
         local_state = ProjectionIndexStateStore(InMemoryMetadataRepository())
-        local_repo = InMemoryProjectionRepository(schema, local_state)
+        local_repo = _TrackingInMemoryRepository(schema, local_state)
         engine = ProjectionsEngine()
         engine.add_projection_builder(builder_factory(local_repo))
         for event in events:
@@ -94,6 +113,17 @@ def fold_builder_documents(
             for index in local_repo._indexes.values()
             for d in index.values()
         ]
+        if with_tombstones:
+            for d in docs:
+                d[TOMBSTONE_COL] = False
+            present = {
+                (str(d.get(key_name)), d.get("PartitionKey")) for d in docs
+            }
+            for kid, kpk in local_repo.deleted_keys:
+                if (kid, kpk) not in present:
+                    docs.append(
+                        {key_name: kid, "PartitionKey": kpk, TOMBSTONE_COL: True}
+                    )
         if not docs:
             return pd.DataFrame({f.name: [] for f in struct.fields})
         # round-trip through arrow with the schema-derived types so
@@ -104,6 +134,19 @@ def fold_builder_documents(
     return events_df.groupBy("stream_id", "partition_key").applyInPandas(
         fold, struct
     )
+
+
+class _TrackingInMemoryRepository(InMemoryProjectionRepository):
+    """Group-local repository that also records hard deletes so the live
+    MERGE path can emit tombstones."""
+
+    def __init__(self, schema, state_store):
+        super().__init__(schema, state_store)
+        self.deleted_keys: set[tuple[str, str]] = set()
+
+    def _delete(self, index_name, id, partition_key):
+        super()._delete(index_name, id, partition_key)
+        self.deleted_keys.add((str(id), partition_key))
 
 
 def builder_rebuild_factory(builder) -> Callable:

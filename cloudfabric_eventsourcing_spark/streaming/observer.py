@@ -19,12 +19,18 @@ delivery; dropDuplicates on the event id inside the batch upgrades the
 reference's at-least-once replay (T3) — the projection MERGE sink is
 idempotent per document anyway.
 
-Scale note: the foreachBatch body below hydrates events and applies
-handlers driver-side (row-at-a-time parity mode, U1) — correct for any
-working set whose per-batch update count fits the driver, which matches the
-reference's own execution model (its handlers are also per-event C#). The
-vectorized path for full rebuilds is ParquetProjectionRepository.
-overwrite_from_df with a distributed groupBy(stream_id) fold.
+Execution modes (default = the scale path):
+  - **distributed** (default): each micro-batch only *selects* which
+    streams changed; the affected streams are re-folded executor-side
+    through the builders' own handlers (projections.distributed.
+    fold_builder_documents) and MERGEd into the repository as documents
+    (with tombstones for deletes). Event rows are never collected to the
+    driver — per-batch driver traffic is bounded by the number of
+    *affected documents*, not events.
+  - **parity** (`mode="parity"`): the reference's model — hydrate the
+    batch driver-side and apply handlers per event (its handlers are also
+    per-event C#). Needed only for builders whose documents aggregate
+    across streams, or to reproduce reference behavior exactly.
 """
 
 from __future__ import annotations
@@ -47,11 +53,15 @@ class SparkStreamingProjectionsObserver:
         engine: ProjectionsEngine,
         checkpoint_dir: str,
         handled_event_types: Optional[set[str]] = None,
+        mode: str = "distributed",
     ):
+        if mode not in ("distributed", "parity"):
+            raise ValueError(f"unknown observer mode {mode!r}")
         self.spark = spark
         self.event_store = event_store
         self.engine = engine
         self.checkpoint_dir = checkpoint_dir
+        self.mode = mode
         # builder fan-out (T6): push down the union of handled types so the
         # stream filter prunes unhandled events before they reach Python
         if handled_event_types is None:
@@ -62,6 +72,51 @@ class SparkStreamingProjectionsObserver:
         self._query = None
 
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
+        if self.mode == "distributed":
+            self._apply_batch_distributed(batch_df)
+        else:
+            self._apply_batch_parity(batch_df)
+
+    def _apply_batch_distributed(self, batch_df) -> None:
+        """Scale path: re-fold only the streams touched by this batch,
+        executor-side, and MERGE the resulting documents (+ tombstones)."""
+        from cloudfabric_eventsourcing_spark.projections.distributed import (
+            TOMBSTONE_COL,
+            builder_rebuild_factory,
+            fold_builder_documents,
+        )
+
+        affected = batch_df.select("stream_id", "partition_key").distinct()
+        scoped = self.event_store.to_df(self.spark).join(
+            F.broadcast(affected), ["stream_id", "partition_key"], "left_semi"
+        )
+        for builder in self.engine._builders:
+            repo = builder.repository
+            key_name = repo.schema.key_name
+            docs_df = fold_builder_documents(
+                scoped,
+                builder_rebuild_factory(builder),
+                repo.schema,
+                with_tombstones=True,
+            )
+            upserts, deletes = [], []
+            # document-level rows only: bounded by affected streams, never
+            # by batch event count
+            for row in docs_df.collect():
+                d = row.asDict(recursive=True)
+                if d.pop(TOMBSTONE_COL):
+                    deletes.append(d)
+                else:
+                    upserts.append(d)
+            if upserts:
+                index_name, _ = repo._resolve(builder.index_selector)
+                repo._upsert_batch(index_name, upserts)
+            for d in deletes:
+                repo.delete(
+                    d[key_name], d["PartitionKey"], selector=builder.index_selector
+                )
+
+    def _apply_batch_parity(self, batch_df) -> None:
         # order within batch: (created_at, stream_version) — T1
         rows = (
             batch_df.orderBy("created_at", "stream_version")

@@ -197,3 +197,73 @@ def test_projection_sql_view(spark, tmp_path, world):
     # nested access through plain SQL
     emails = spark.sql(f"SELECT CreatedBy.Email AS e FROM {view} ORDER BY e").collect()
     assert emails[0]["e"].startswith("user0@")
+
+
+def test_distributed_observer_never_applies_events_on_driver(
+    spark, tmp_path, world
+):
+    """Pins the scale contract: in the default (distributed) mode the
+    driver never hydrates/applies event rows — engine.handle_event is the
+    per-event driver loop and must stay cold."""
+    store, state, repo, agg_repo = world
+    seed_orders(agg_repo, 3)
+
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(
+        OrdersListProjectionBuilder(repo, IndexSelector.Write)
+    )
+
+    def boom(event):  # pragma: no cover - failure path
+        raise AssertionError("driver-side per-event apply in distributed mode")
+
+    engine.handle_event = boom
+    observer = SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt_nd")
+    )
+    assert observer.mode == "distributed"
+    observer.process_all()
+    res = repo.query(ProjectionQuery(filters=[Filter("ItemsCount", "ge", 2)]))
+    assert res.total_records_found == 3
+
+
+def test_distributed_observer_propagates_deletes(spark, tmp_path, world):
+    """A builder that hard-deletes a document must produce a tombstone that
+    removes the doc from the real index (MERGE delete parity)."""
+    store, state, repo, agg_repo = world
+    orders = seed_orders(agg_repo, 2)
+
+    class DeletingBuilder(OrdersListProjectionBuilder):
+        def on_OrderItemRemoved(self, evt):
+            self.repository.delete(
+                evt.aggregate_id, evt.partition_key, selector=self.index_selector
+            )
+
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(DeletingBuilder(repo, IndexSelector.Write))
+    observer = SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt_del")
+    )
+    observer.process_all()
+    assert repo.single(orders[0].id, ORDERS_PARTITION_KEY) is not None
+
+    loaded = agg_repo.load(orders[0].id, ORDERS_PARTITION_KEY)
+    loaded.remove_item("Dixit")
+    agg_repo.save(USER, loaded)
+    observer.process_all()
+    assert repo.single(orders[0].id, ORDERS_PARTITION_KEY) is None
+    assert repo.single(orders[1].id, ORDERS_PARTITION_KEY) is not None
+
+
+def test_parity_observer_mode_still_available(spark, tmp_path, world):
+    store, state, repo, agg_repo = world
+    orders = seed_orders(agg_repo, 2)
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(
+        OrdersListProjectionBuilder(repo, IndexSelector.Write)
+    )
+    observer = SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt_par"), mode="parity"
+    )
+    observer.process_all()
+    doc = repo.single(orders[0].id, ORDERS_PARTITION_KEY)
+    assert doc["ItemsCount"] == 2
