@@ -122,7 +122,10 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(grams: Column, num_perm: int) -> list[Column]:
     """k minhash values: min over shingles of xxhash64(shingle, seed_k).
-    Pure codegen — one array_min(transform(...)) per permutation."""
+    Pure codegen — one array_min(transform(...)) per permutation.
+
+    Prefer `minhash_signature_array` in pipelines: k expressions this wide
+    can fall out of whole-stage codegen; the array form is one expression."""
     def hasher(seed: int):
         # single-arg lambda via closure (HOF lambdas dispatch on arity)
         return lambda x: F.xxhash64(x, F.lit(seed))
@@ -131,6 +134,27 @@ def minhash_signature(grams: Column, num_perm: int) -> list[Column]:
         F.array_min(F.transform(grams, hasher(seed))).alias(f"mh_{seed}")
         for seed in range(num_perm)
     ]
+
+
+def minhash_signature_array(grams: Column, num_perm: int) -> Column:
+    """All `num_perm` minhash values as ONE array<bigint> column (nested
+    HOF: transform over the seed sequence, array_min(transform(grams))
+    inside).
+
+    CAUTION — evaluation hazard, measured: `grams` MUST be a materialized
+    attribute (a real column after an exchange/persist), and the result
+    must itself be materialized before any further HOF consumes it.
+    Spark's interpreted higher-order-function path re-evaluates a
+    non-attribute child expression per array element, turning this into
+    O(seeds x tokens x |child tree|) per row — a 500-row input went from
+    sub-second to unbounded in round-2 profiling. minhash_lsh_pairs uses
+    the flat per-seed form (`minhash_signature`) over an attribute, which
+    is immune: generator/projection children evaluate once per row."""
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.transform(
+        seeds,
+        lambda k: F.array_min(F.transform(grams, lambda x: F.xxhash64(x, k))),
+    )
 
 
 def minhash_lsh_pairs(
@@ -142,6 +166,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = True,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding; candidates verified with
     exact Jaccard when `verify` (the production configuration).
@@ -149,34 +174,87 @@ def minhash_lsh_pairs(
     With r = num_perm/bands rows per band, a pair of similarity s collides
     in >=1 band with p = 1-(1-s^r)^bands; at (128, 32) -> r=4, pairs at
     s=0.9 are missed with p ~ 1e-15, making verified output equal to the
-    exact O(N^2) scan at a fraction of the cost."""
+    exact O(N^2) scan at a fraction of the cost.
+
+    Scale shape: each distinct shingle is hashed to int64 ONCE; the 128
+    permutations and the verification intersections run over int arrays,
+    and the whole signature is a single nested-HOF expression (one
+    codegen projection). Banded rows stay slim (id + 2 ints) through the
+    explode and self-join; shingle arrays re-attach only to deduped
+    candidate pairs.
+
+    `max_bucket_size` is the skew valve for degenerate corpora (a giant
+    exact-dup cluster lands one band bucket on one task): buckets larger
+    than the cap switch from all-pairs to a star around the bucket's min
+    id. Members that verify >=threshold against the hub are kept; a member
+    similar to OTHER members but not the hub is missed, so this trades
+    recall within pathological buckets for bounded cost (output pairs are
+    always a subset of the exact pair list). Leave None (default) for
+    exact-pairs semantics; prefer running exact_dedup first so identical
+    texts never reach the LSH at all."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     r = num_perm // bands
-    grams_df = df.select(
-        F.col(id_col).alias("id"),
-        _distinct_ngrams(F.col(text_col), n).alias("g"),
-    ).where(F.size("g") > 0)
-    sig = grams_df.select("id", "g", *minhash_signature(F.col("g"), num_perm))
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # a single-file local input arrives as 1 partition; the tokenize stage
+    # must parallelize (no-op on a well-partitioned cluster input)
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if base.rdd.getNumPartitions() < max(2, shuffle_n // 2):
+        base = base.repartition(shuffle_n, "id")
+    grams_df = (
+        base.select(
+            "id",
+            F.transform(
+                _distinct_ngrams(F.col("__t"), n), lambda x: F.xxhash64(x)
+            ).alias("g"),
+        )
+        .where(F.size("g") > 0)
+        # The exchange below is load-bearing, not just partitioning: it
+        # pins `g` as a materialized attribute. Without it CollapseProject
+        # inlines the tokenize+hash tree INTO the nested-HOF signature,
+        # and interpreted HOF eval re-evaluates that child per array
+        # element — O(seeds x tokens x tokens) per row. The shuffle rows
+        # are slim (id + int64 shingle hashes, never raw text) and the
+        # id-partitioning is reused by the verify joins.
+        .repartition(shuffle_n, "id")
+    )
+    # Signature + banding in ONE flat projection over the materialized `g`
+    # attribute: 128 independent array_min(transform) trees, each evaluated
+    # exactly once per row (explode's child array is built once per input
+    # row). Flat-wide beats nested-compact here — see the
+    # minhash_signature_array docstring for the measured hazard.
+    sig_cols = minhash_signature(F.col("g"), num_perm)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("bi"),
+            F.xxhash64(*[sig_cols[b * r + i] for i in range(r)]).alias("bh"),
+        )
         for b in range(bands)
     ]
-    # Banded rows stay SLIM (id + 2 ints): the token arrays must not ride
+    # Banded rows stay SLIM (id + 2 ints): the shingle arrays must not ride
     # through the x`bands` explode and the self-join shuffle — at scale
-    # that multiplies shuffle bytes by bands x candidate-degree. Grams are
-    # re-attached to the deduped candidate pairs afterwards.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.array(*[F.lit(b) for b in range(bands)]).alias("band_idx"),
-                F.array(*band_cols).alias("band_hash"),
+    # that multiplies shuffle bytes by bands x candidate-degree.
+    banded = grams_df.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.bi", "bk.bh")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("bi", "bh").agg(F.count(F.lit(1)).alias("__n"))
+        sized = banded.join(sizes, ["bi", "bh"])
+        small = sized.where(F.col("__n") <= max_bucket_size).drop("__n")
+        big = sized.where(F.col("__n") > max_bucket_size).drop("__n")
+        hubs = big.groupBy("bi", "bh").agg(F.min("id").alias("hub"))
+        star = (
+            big.join(hubs, ["bi", "bh"])
+            .where(F.col("id") != F.col("hub"))
+            .select(
+                F.least("hub", "id").alias("id_a"),
+                F.greatest("hub", "id").alias("id_b"),
             )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band_idx").alias("bi"), F.col("bk.band_hash").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+        )
+    else:
+        small, star = banded, None
+    a = small.alias("a")
+    b = small.alias("b")
     cand = (
         a.join(
             b,
@@ -185,8 +263,10 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     if not verify:
         return cand
     ga = grams_df.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))

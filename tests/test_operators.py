@@ -182,3 +182,19 @@ def test_cosine_neardup_lsh_on_planted(spark, emb):
     # C(7,2)=21 true near-dup pairs (vec 1 + 6 plants)
     assert len(exact) == 21
     assert approx == exact  # sim ~0.9999 -> bucket collision prob ~0.996^8
+
+
+def test_minhash_lsh_bucket_cap_subset(spark, sf_dir):
+    """Skew valve: capped buckets emit star pairs only — output must stay
+    a SUBSET of the exact >=threshold pair list (verified pairs can never
+    be false positives)."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, 0.9).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, 0.9, max_bucket_size=8).collect()
+    }
+    assert capped and capped <= exact
