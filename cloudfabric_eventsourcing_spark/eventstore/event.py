@@ -53,7 +53,11 @@ class Event:
         return type(self).__name__
 
     def payload_json(self) -> str:
-        return json.dumps(_jsonable(dataclasses.asdict(self)), sort_keys=True)
+        # shallow field walk + _jsonable recursion; dataclasses.asdict is
+        # avoided because its deepcopy of every leaf dominated the append
+        # hot path (values are immediately JSON-encoded, copies are waste)
+        data = {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
+        return json.dumps(_jsonable(data), sort_keys=True)
 
 
 _REGISTRY: dict[str, Type[Event]] = {}
@@ -95,6 +99,10 @@ def _jsonable(v: Any):
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
+    if dataclasses.is_dataclass(v) and not isinstance(v, type):
+        return {
+            f.name: _jsonable(getattr(v, f.name)) for f in dataclasses.fields(v)
+        }
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     import decimal

@@ -314,9 +314,6 @@ class ParquetEventStore(EventStore):
 
     # -- reads --------------------------------------------------------------
     def load_stream(self, stream_id, partition_key, from_version=None):
-        expr = (pc.field("stream_id") == stream_id) & (
-            pc.field("partition_key") == partition_key
-        )
         # point read through the fragment index: only files containing this
         # stream are opened (mirrors the reference's (stream_id,
         # partition_key) index — PostgresqlEventStore.cs:521-526)
@@ -328,6 +325,9 @@ class ParquetEventStore(EventStore):
         ]
         if not frags:
             return EventStream(stream_id, 0, [])
+        expr = (pc.field("stream_id") == stream_id) & (
+            pc.field("partition_key") == partition_key
+        )
         ds = pa_ds.dataset(frags, schema=_ARROW_SCHEMA, format="parquet")
         table = ds.to_table(filter=expr).sort_by("stream_version")
         version = (

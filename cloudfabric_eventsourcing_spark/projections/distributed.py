@@ -138,11 +138,22 @@ def fold_builder_documents(
 
 class _TrackingInMemoryRepository(InMemoryProjectionRepository):
     """Group-local repository that also records hard deletes so the live
-    MERGE path can emit tombstones."""
+    MERGE path can emit tombstones.
+
+    Index resolution is memoized: the group-local state machine never
+    transitions after construction, and re-resolving (which re-hashes the
+    schema) per document op dominated the per-event fold cost."""
 
     def __init__(self, schema, state_store):
         super().__init__(schema, state_store)
         self.deleted_keys: set[tuple[str, str]] = set()
+        self._resolve_cache: dict = {}
+
+    def _resolve(self, selector):
+        hit = self._resolve_cache.get(selector)
+        if hit is None:
+            hit = self._resolve_cache[selector] = super()._resolve(selector)
+        return hit
 
     def _delete(self, index_name, id, partition_key):
         super()._delete(index_name, id, partition_key)

@@ -15,6 +15,12 @@ from cloudfabric_eventsourcing_spark.eventstore import Event, register_event_typ
 ORDERS_PARTITION_KEY = "OrderEntity"
 
 
+def _item_dict(i: "OrderItem") -> dict:
+    # shallow field dict; dataclasses.asdict deep-copies every leaf and
+    # dominated the append-benchmark profile
+    return {"added_at": i.added_at, "name": i.name, "amount": i.amount}
+
+
 def utcnow():
     return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
@@ -78,7 +84,7 @@ class Order(AggregateBase):
                         aggregate_id=id_,
                         partition_key=ORDERS_PARTITION_KEY,
                         order_name=name,
-                        items=[dataclasses.asdict(i) for i in items],
+                        items=[_item_dict(i) for i in items],
                         created_by_id=kwargs.get("created_by_id", ""),
                         created_by_email=kwargs.get("created_by_email", ""),
                     )
@@ -89,7 +95,7 @@ class Order(AggregateBase):
             OrderItemAdded(
                 aggregate_id=self.id,
                 partition_key=ORDERS_PARTITION_KEY,
-                item=dataclasses.asdict(item),
+                item=_item_dict(item),
             )
         )
 
