@@ -328,6 +328,20 @@ def f13_search(spark, sf_dir):
     return apply_query(df, pq_, documents_schema()).select("doc_id")
 
 
+@q(
+    "f16_search_tokenized",
+    "SELECT doc_id FROM documents WHERE "
+    "(lower(text) LIKE '%merge%' OR lower(source) LIKE '%merge%') AND "
+    "(lower(text) LIKE '%sort%' OR lower(source) LIKE '%sort%')",
+)
+def f16_search_tokenized(spark, sf_dir):
+    # ES AND-between-terms semantics (ElasticSearchQueryFactory.cs:11-129):
+    # every whitespace term must match at least one searchable column
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(search_text="merge sort", search_mode="tokenized")
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
 # ---- F14: partition-key filter -------------------------------------------
 
 @q(

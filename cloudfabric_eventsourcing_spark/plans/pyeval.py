@@ -130,10 +130,22 @@ def _eval_leaf(f: Filter, doc: dict, schema: Optional[ProjectionSchema]) -> bool
     return _leaf(_get_path(doc, path), op, value)
 
 
-def eval_search(search_text: str, doc: dict, schema: Optional[ProjectionSchema]) -> bool:
+def eval_search(
+    search_text: str,
+    doc: dict,
+    schema: Optional[ProjectionSchema],
+    mode: str = "substring",
+) -> bool:
     if not search_text or search_text == "*" or schema is None:
         return True
     needle = search_text.lower()
+    if mode == "tokenized":
+        # AND between whitespace terms, OR across fields per term
+        # (semantics-identical to translator.search_to_column)
+        return all(
+            eval_search(term, doc, schema, mode="substring")
+            for term in needle.split()
+        )
     for path in schema.searchable_paths():
         head, _, rest = path.partition(".")
         head_val = _get_path(doc, head)
@@ -204,7 +216,7 @@ def run_query_docs(
         d
         for d in docs
         if all(eval_filter(f, d, schema) for f in query.filters)
-        and eval_search(query.search_text, d, schema)
+        and eval_search(query.search_text, d, schema, query.search_mode)
     ]
     total = len(filtered)
     if query.order_by:

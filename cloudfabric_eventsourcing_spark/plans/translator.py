@@ -176,15 +176,9 @@ def _contains_lambda(field: str, needle: str):
     return lambda x: F.lower(x[field]).contains(needle)
 
 
-def search_to_column(
-    search_text: str, schema: Optional[ProjectionSchema]
-) -> Optional[Column]:
-    """OR of lower(col) contains lower(text) over searchable columns; nested
-    array fields via exists() (ConstructSearchQuery,
-    PostgresqlProjectionRepository.cs:909-925)."""
-    if not search_text or search_text == "*" or schema is None:
-        return None
-    needle = search_text.lower()
+def _term_column(needle: str, schema: ProjectionSchema) -> Optional[Column]:
+    """OR of lower(col) contains `needle` over searchable columns; nested
+    array fields via exists()."""
     acc: Optional[Column] = None
     for path in schema.searchable_paths():
         array_root, remainder, _ = _resolve_path(path, schema)
@@ -194,6 +188,34 @@ def search_to_column(
             pred = F.lower(F.col(path)).contains(needle)
         acc = pred if acc is None else (acc | pred)
     return acc
+
+
+def search_to_column(
+    search_text: str,
+    schema: Optional[ProjectionSchema],
+    mode: str = "substring",
+) -> Optional[Column]:
+    """Full-text search predicate (F13).
+
+    mode="substring": one contains() of the whole text per searchable
+    column, OR-combined (the Postgres ILIKE baseline, ConstructSearchQuery
+    — PostgresqlProjectionRepository.cs:909-925).
+    mode="tokenized": whitespace-split terms; every term must match at
+    least one searchable column (AND between terms, OR across fields per
+    term) — ES's default_operator=AND semantics
+    (ElasticSearchQueryFactory.cs:11-129)."""
+    if not search_text or search_text == "*" or schema is None:
+        return None
+    needle = search_text.lower()
+    if mode == "tokenized":
+        acc: Optional[Column] = None
+        for term in needle.split():
+            term_pred = _term_column(term, schema)
+            if term_pred is None:
+                return None
+            acc = term_pred if acc is None else (acc & term_pred)
+        return acc
+    return _term_column(needle, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +287,7 @@ def apply_query(
         df = df.where(F.col(partition_key_column) == partition_key)
     for f in query.filters:
         df = df.where(filter_to_column(f, schema))
-    search = search_to_column(query.search_text, schema)
+    search = search_to_column(query.search_text, schema, query.search_mode)
     if search is not None:
         df = df.where(search)
     if query.order_by:
@@ -426,7 +448,7 @@ def run_query(
         filtered = filtered.where(F.col(partition_key_column) == partition_key)
     for f in query.filters:
         filtered = filtered.where(filter_to_column(f, schema))
-    search = search_to_column(query.search_text, schema)
+    search = search_to_column(query.search_text, schema, query.search_mode)
     if search is not None:
         filtered = filtered.where(search)
 

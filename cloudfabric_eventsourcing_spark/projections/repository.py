@@ -238,7 +238,7 @@ class InMemoryProjectionRepository(ProjectionRepository):
                 d
                 for d in docs
                 if all(pyeval.eval_filter(f, d, schema) for f in query.filters)
-                and pyeval.eval_search(query.search_text, d, schema)
+                and pyeval.eval_search(query.search_text, d, schema, query.search_mode)
             ]
             facets = pyeval.facet_stats_docs(matched, query.facet_info_to_return)
         return ProjectionQueryResult(

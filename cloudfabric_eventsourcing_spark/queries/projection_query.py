@@ -93,7 +93,14 @@ class ProjectionQuery:
     # (deliberate divergence, SURVEY.md §7).
     fields_to_highlight: list[str] = dataclasses.field(default_factory=list)
     scoring_profile: Optional[str] = None
-    search_mode: Optional[str] = None
+    #: Functional since round 2 (previously ES-parity no-op):
+    #: "substring" (default; None is treated identically): the Postgres
+    #: ILIKE-%text% baseline (ConstructSearchQuery —
+    #: PostgresqlProjectionRepository.cs:909-925).
+    #: "tokenized": whitespace-split terms, EVERY term must match some
+    #: searchable column — ES's AND-between-terms semantics
+    #: (ElasticSearchQueryFactory.cs:11-129, default_operator AND).
+    search_mode: str = "substring"
 
 
 T = TypeVar("T")

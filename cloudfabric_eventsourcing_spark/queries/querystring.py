@@ -226,13 +226,18 @@ def deserialize_order_by(query: ProjectionQuery, order_by: str) -> None:
 
 def serialize_query(query: ProjectionQuery) -> str:
     """Full query-string form (ProjectionQueryQueryStringExtensions.cs:33-49)."""
-    return (
+    qs = (
         f"&filters={serialize_filters(query)}"
         f"&limit={'' if query.limit is None else query.limit}"
         f"&offset={query.offset}"
         f"&orderBy={serialize_order_by(query)}"
         f"&searchText={query.search_text}"
     )
+    # extension token, only emitted when non-default so baseline strings
+    # stay byte-identical to the reference's wire format
+    if query.search_mode and query.search_mode != "substring":
+        qs += f"&searchMode={query.search_mode}"
+    return qs
 
 
 def deserialize_query(qs: str) -> ProjectionQuery:
@@ -257,4 +262,6 @@ def deserialize_query(qs: str) -> ProjectionQuery:
         query.offset = int(first("offset"))
     if first("searchText"):
         query.search_text = first("searchText")
+    if first("searchMode"):
+        query.search_mode = first("searchMode")
     return query

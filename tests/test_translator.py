@@ -358,3 +358,43 @@ def test_suggestions_prefix_completion(proj):
     assert suggest(proj, schema, "zzz") == []
     # no flagged columns -> empty, no scan
     assert suggest(proj, order_schema(), "fir") == []
+
+
+# ---- tokenized search mode ------------------------------------------------
+
+def test_tokenized_search_and_between_terms(proj):
+    from cloudfabric_eventsourcing_spark.plans import run_query as rq
+
+    # substring mode: the literal string "Caverna e" appears nowhere
+    sub = run_query(
+        proj, ProjectionQuery(search_text="Caverna xyzzy"), S
+    )
+    assert sub.total_records_found == 0
+    # tokenized: both terms must match SOME searchable column — "caverna"
+    # matches o-1's item name, "first" its order name
+    tok = run_query(
+        proj,
+        ProjectionQuery(search_text="Caverna FIRST", search_mode="tokenized"),
+        S,
+    )
+    assert tok.total_records_found == 1
+    assert tok.records[0].document["Id"] == "o-1"
+    # a term matching nothing kills the whole query in tokenized mode
+    none = run_query(
+        proj,
+        ProjectionQuery(search_text="caverna xyzzy", search_mode="tokenized"),
+        S,
+    )
+    assert none.total_records_found == 0
+
+
+def test_tokenized_search_querystring_roundtrip(proj):
+    from cloudfabric_eventsourcing_spark.queries import querystring as qs
+
+    q1 = ProjectionQuery(search_text="caverna gifts", search_mode="tokenized")
+    wire = qs.serialize_query(q1)
+    assert "searchMode=tokenized" in wire
+    q2 = qs.deserialize_query(wire)
+    assert q2.search_mode == "tokenized" and q2.search_text == "caverna gifts"
+    # default mode stays off the wire (byte-compat with the reference)
+    assert "searchMode" not in qs.serialize_query(ProjectionQuery(search_text="x"))
