@@ -150,12 +150,53 @@ def ivf_assign(
 
 
 def ivf_centroids_from_sample(
-    df: DataFrame, n_cells: int, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: Optional[int] = None,
+    seed: int = 42,
+    lloyd_iters: int = 5,
 ) -> np.ndarray:
-    """Deterministic seed centroids: the first n_cells vectors by id (a
-    k-means init stand-in; swap for MLlib KMeans when quality matters)."""
-    rows = df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    return np.array([r[0] for r in rows], dtype=np.float64)
+    """Deterministic k-means++ centroids from a hash-ordered sample.
+
+    Scale shape: only the SAMPLE (default 64 vectors/cell, ~thousands of
+    rows) is collected to the driver; the k-means++ seeding and a few
+    Lloyd refinement iterations run in numpy on that sample. Cluster
+    ASSIGNMENT of the full table stays distributed (ivf_assign). The
+    hash-order sample (xxhash64 of the id) is deterministic and unbiased
+    by id locality, unlike the first-N-by-id seeding this replaces."""
+    if sample_size is None:
+        sample_size = max(1024, n_cells * 64)
+    rows = (
+        df.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        raise ValueError("cannot seed centroids from an empty table")
+    n_cells = min(n_cells, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding: each next centroid drawn ∝ squared distance to
+    # the nearest already-chosen centroid
+    centroids = [x[rng.integers(n)]]
+    d2 = np.sum((x - centroids[0]) ** 2, axis=1)
+    for _ in range(1, n_cells):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids.append(x[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, np.sum((x - centroids[-1]) ** 2, axis=1))
+    cents = np.vstack(centroids)
+    # Lloyd refinement on the sample
+    for _ in range(lloyd_iters):
+        assign = np.argmax(x @ cents.T - 0.5 * np.sum(cents**2, axis=1), axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
 
 
 def ivf_topk(

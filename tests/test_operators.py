@@ -99,7 +99,17 @@ def test_ivf_topk_recall(spark, emb):
     approx = set(
         _topk_ids(similarity.ivf_topk(assigned, cents, query, k=10, nprobe=4))
     )
-    assert len(exact & approx) >= 4
+    # k-means++ init (round 2) lifted recall@10 from the first-N seeding;
+    # deterministic (fixed seed + data), so these pins are stable
+    assert len(exact & approx) >= 5
+    # mean recall across several planted queries
+    total = 0
+    for qid in range(1, 6):
+        q = emb.where(F.col("vec_id") == qid).select("embedding").collect()[0][0]
+        ex = set(_topk_ids(similarity.brute_force_topk(emb, q, k=10)))
+        ap = set(_topk_ids(similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4)))
+        total += len(ex & ap)
+    assert total >= 30, f"mean recall too low: {total}/50"
     assigned.unpersist()
 
 
