@@ -329,6 +329,35 @@ def f13_search(spark, sf_dir):
 
 
 @q(
+    "f17_search_scored",
+    "SELECT doc_id, "
+    "(length(lower(coalesce(text,''))) - length(replace(lower(coalesce(text,'')),'merge','')))/5.0 + "
+    "(length(lower(coalesce(source,''))) - length(replace(lower(coalesce(source,'')),'merge','')))/5.0 + "
+    "(length(lower(coalesce(text,''))) - length(replace(lower(coalesce(text,'')),'sort','')))/4.0 + "
+    "(length(lower(coalesce(source,''))) - length(replace(lower(coalesce(source,'')),'sort','')))/4.0 "
+    "AS score FROM documents WHERE "
+    "(lower(text) LIKE '%merge%' OR lower(source) LIKE '%merge%') AND "
+    "(lower(text) LIKE '%sort%' OR lower(source) LIKE '%sort%')",
+)
+def f17_search_scored(spark, sf_dir):
+    # TF relevance (scoring_profile="tf"): occurrence counts per term over
+    # searchable columns — the deterministic stand-in for ES BM25 Score
+    # (ElasticSearchProjectionIndexer.cs:64-271; Postgres baseline scores 0)
+    from cloudfabric_eventsourcing_spark.plans.translator import (
+        score_column,
+        search_to_column,
+    )
+
+    df = load_table(spark, sf_dir, "documents")
+    schema = documents_schema()
+    pred = search_to_column("merge sort", schema, "tokenized")
+    return df.where(pred).select(
+        "doc_id",
+        score_column("merge sort", schema, "tokenized").alias("score"),
+    )
+
+
+@q(
     "f16_search_tokenized",
     "SELECT doc_id FROM documents WHERE "
     "(lower(text) LIKE '%merge%' OR lower(source) LIKE '%merge%') AND "

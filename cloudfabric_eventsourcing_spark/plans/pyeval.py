@@ -163,6 +163,57 @@ def eval_search(
     return False
 
 
+def score_doc(
+    search_text: str,
+    doc: dict,
+    schema: Optional[ProjectionSchema],
+    mode: str = "substring",
+) -> float:
+    """TF relevance — semantics-identical to translator.score_column:
+    occurrences of each term across searchable columns (array fields sum
+    over elements)."""
+    if not search_text or search_text == "*" or schema is None:
+        return 0.0
+    needle = search_text.lower()
+    terms = needle.split() if mode == "tokenized" else [needle]
+
+    def occurrences(v, term):
+        if v is None:
+            return 0.0
+        s = str(v).lower()
+        return (len(s) - len(s.replace(term, ""))) / len(term)
+
+    total = 0.0
+    for term in terms:
+        if not term:
+            continue
+        for path in schema.searchable_paths():
+            head, _, rest = path.partition(".")
+            head_val = _get_path(doc, head)
+            if rest and isinstance(head_val, list):
+                for e in head_val:
+                    total += occurrences(_get_path(e, rest), term)
+            else:
+                total += occurrences(_get_path(doc, path), term)
+    return total
+
+
+def highlight_doc(value, search_text: str, mode: str = "substring"):
+    """ES-style highlight (translator.highlight_column parity): matched
+    terms wrapped in <em>…</em>, or None when nothing matches."""
+    import re
+
+    needle = (search_text or "").lower()
+    terms = [t for t in (needle.split() if mode == "tokenized" else [needle]) if t]
+    if not terms or value is None:
+        return None
+    s = str(value)
+    if not any(t in s.lower() for t in terms):
+        return None
+    pat = re.compile("(" + "|".join(re.escape(t) for t in terms) + ")", re.IGNORECASE)
+    return pat.sub(r"<em>\1</em>", s)
+
+
 class _NullsKey:
     """Sort key wrapper: Postgres ordering — ASC nulls last, DESC nulls
     first (translator.sort_columns parity)."""
@@ -219,10 +270,25 @@ def run_query_docs(
         and eval_search(query.search_text, d, schema, query.search_mode)
     ]
     total = len(filtered)
+    scoring = (
+        query.scoring_profile == "tf"
+        and query.search_text
+        and query.search_text != "*"
+        and schema is not None
+    )
     if query.order_by:
         for info in reversed(query.order_by):  # stable multi-key sort
             desc = info.order == SortOrder.Desc
             filtered.sort(key=lambda d, i=info, dd=desc: _NullsKey(_sort_value(i, d), dd))
+    elif scoring:
+        # ES semantics: no explicit sort -> by relevance, best first
+        key_name = schema.key_name
+        filtered.sort(
+            key=lambda d: (
+                -score_doc(query.search_text, d, schema, query.search_mode),
+                str(d.get(key_name)),
+            )
+        )
     page = filtered[query.offset :]
     if query.limit is not None:
         page = page[: query.limit]

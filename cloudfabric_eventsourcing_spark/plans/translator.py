@@ -218,6 +218,77 @@ def search_to_column(
     return _term_column(needle, schema)
 
 
+def _occurrence_count(col: Column, term: str) -> Column:
+    """Occurrences of `term` in lower(col) via length-delta — pure codegen,
+    same formula an ANSI-SQL oracle can replicate."""
+    lowered = F.lower(F.coalesce(col, F.lit("")))
+    return (F.length(lowered) - F.length(F.replace(lowered, F.lit(term)))) / F.lit(
+        float(len(term))
+    )
+
+
+def score_column(
+    search_text: str,
+    schema: Optional[ProjectionSchema],
+    mode: str = "substring",
+) -> Optional[Column]:
+    """TF relevance score: total occurrences of each search term across the
+    searchable columns (array fields aggregate over their elements).
+
+    The reference's ES backend returns BM25 scores
+    (ElasticSearchProjectionIndexer.cs:64-271); its Postgres baseline
+    returns 0. This term-frequency score is the documented middle ground:
+    deterministic, SQL-expressible (oracle-checkable), monotone in match
+    count. Enabled via ProjectionQuery.scoring_profile == "tf"."""
+    if not search_text or search_text == "*" or schema is None:
+        return None
+    needle = search_text.lower()
+    terms = needle.split() if mode == "tokenized" else [needle]
+    acc: Optional[Column] = None
+    for term in terms:
+        if not term:
+            continue
+        for path in schema.searchable_paths():
+            array_root, remainder, _ = _resolve_path(path, schema)
+            if array_root is not None:
+                contrib = F.aggregate(
+                    F.coalesce(F.col(array_root), F.array()),
+                    F.lit(0.0),
+                    _sum_occurrences_lambda(remainder, term),
+                )
+            else:
+                contrib = _occurrence_count(F.col(path), term)
+            acc = contrib if acc is None else (acc + contrib)
+    return acc
+
+
+def _sum_occurrences_lambda(field: str, term: str):
+    # two-arg HOF lambda via closure (arity dispatch)
+    return lambda acc, x: acc + _occurrence_count(x[field], term)
+
+
+def highlight_column(
+    path: str, search_text: str, mode: str = "substring"
+) -> Column:
+    """ES-style highlight: the field value with every matched term wrapped
+    in <em>…</em> (case-insensitive); NULL when the field matches no term,
+    so callers can omit it from the highlights map."""
+    import re as _re
+
+    needle = (search_text or "").lower()
+    terms = [t for t in (needle.split() if mode == "tokenized" else [needle]) if t]
+    if not terms:
+        return F.lit(None).cast("string")
+    pattern = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
+    matched = None
+    for t in terms:
+        pred = F.lower(F.coalesce(F.col(path), F.lit(""))).contains(t)
+        matched = pred if matched is None else (matched | pred)
+    return F.when(
+        matched, F.regexp_replace(F.col(path), pattern, "<em>$1</em>")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorting (O1-O3)
 # ---------------------------------------------------------------------------
@@ -452,12 +523,28 @@ def run_query(
     if search is not None:
         filtered = filtered.where(search)
 
+    # relevance scoring (opt-in, scoring_profile="tf"): ES scores results,
+    # the Postgres baseline returns 0 — see score_column
+    scoring = query.scoring_profile == "tf" and search is not None
+    if scoring:
+        filtered = filtered.withColumn(
+            "__score", score_column(query.search_text, schema, query.search_mode)
+        )
+
     filtered = filtered.persist()
     try:
         total = filtered.count()
         page = filtered
         if query.order_by:
             page = page.orderBy(*sort_columns(query.order_by, schema))
+        elif scoring:
+            # ES semantics: no explicit sort -> by relevance, best first
+            tiebreak = (
+                [F.asc(schema.key_name)]
+                if schema is not None and schema.key_name in page.columns
+                else []
+            )
+            page = page.orderBy(F.desc("__score"), *tiebreak)
         if query.offset:
             page = page.offset(query.offset)
         if query.limit is not None:
@@ -465,6 +552,19 @@ def run_query(
         # P1/P3: hydrate only retrievable schema columns (IsRetrievable —
         # ProjectionDocumentPropertySchema.cs:22; filters/sorts above may
         # still use non-retrievable columns)
+        hl_fields = [
+            f
+            for f in query.fields_to_highlight
+            if search is not None
+            and schema is not None
+            and f in page.columns
+            and (schema.property(f) is not None and schema.property(f).is_searchable)
+        ]
+        for f in hl_fields:
+            page = page.withColumn(
+                f"__hl_{f}",
+                highlight_column(f, query.search_text, query.search_mode),
+            )
         if schema is not None:
             retrievable = [
                 p.name
@@ -472,11 +572,26 @@ def run_query(
                 if p.is_retrievable and p.name in page.columns
             ]
             if retrievable:
-                page = page.select(*retrievable)
-        records = [
-            QueryResultDocument(document=row.asDict(recursive=True))
-            for row in page.collect()
-        ]
+                extras = (["__score"] if scoring else []) + [
+                    f"__hl_{f}" for f in hl_fields
+                ]
+                page = page.select(*retrievable, *extras)
+        records = []
+        for row in page.collect():
+            doc = row.asDict(recursive=True)
+            score = doc.pop("__score", 0.0) if scoring else 0.0
+            highlights = {}
+            for f in hl_fields:
+                hl = doc.pop(f"__hl_{f}", None)
+                if hl is not None:
+                    highlights[f] = [hl]
+            records.append(
+                QueryResultDocument(
+                    document=doc,
+                    score=float(score or 0.0),
+                    highlights=highlights,
+                )
+            )
         facets = (
             facet_stats(filtered, query.facet_info_to_return)
             if query.facet_info_to_return

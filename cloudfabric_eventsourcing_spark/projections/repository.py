@@ -232,6 +232,36 @@ class InMemoryProjectionRepository(ProjectionRepository):
         if partition_key is not None:
             docs = [d for d in docs if d.get("PartitionKey") == partition_key]
         page, total = pyeval.run_query_docs(docs, query, schema)
+        scoring = (
+            query.scoring_profile == "tf"
+            and query.search_text
+            and query.search_text != "*"
+        )
+        hl_fields = [
+            f
+            for f in query.fields_to_highlight
+            if query.search_text
+            and query.search_text != "*"
+            and schema.property(f) is not None
+            and schema.property(f).is_searchable
+        ]
+
+        def record(d):
+            score = (
+                pyeval.score_doc(query.search_text, d, schema, query.search_mode)
+                if scoring
+                else 0.0
+            )
+            highlights = {}
+            for f in hl_fields:
+                hl = pyeval.highlight_doc(
+                    d.get(f), query.search_text, query.search_mode
+                )
+                if hl is not None:
+                    highlights[f] = [hl]
+            return QueryResultDocument(
+                document=dict(d), score=float(score), highlights=highlights
+            )
         facets = {}
         if query.facet_info_to_return:
             matched = [
@@ -242,7 +272,7 @@ class InMemoryProjectionRepository(ProjectionRepository):
             ]
             facets = pyeval.facet_stats_docs(matched, query.facet_info_to_return)
         return ProjectionQueryResult(
-            records=[QueryResultDocument(document=dict(d)) for d in page],
+            records=[record(d) for d in page],
             total_records_found=total,
             facets_stats=facets,
         )

@@ -398,3 +398,73 @@ def test_tokenized_search_querystring_roundtrip(proj):
     assert q2.search_mode == "tokenized" and q2.search_text == "caverna gifts"
     # default mode stays off the wire (byte-compat with the reference)
     assert "searchMode" not in qs.serialize_query(ProjectionQuery(search_text="x"))
+
+
+# ---- relevance score + highlights (scoring_profile="tf") ------------------
+
+def test_tf_score_and_relevance_order(proj):
+    q = ProjectionQuery(
+        search_text="queryable",
+        scoring_profile="tf",
+    )
+    res = run_query(proj, q, S)
+    assert res.total_records_found == 2
+    # o-1/"First queryable order" and o-2/"Second queryable order ..." each
+    # contain "queryable" once -> equal score, key tiebreak
+    assert [r.document["Id"] for r in res.records] == ["o-1", "o-2"]
+    assert all(r.score == 1.0 for r in res.records)
+    # without the profile, scores stay 0 (Postgres baseline)
+    base = run_query(proj, ProjectionQuery(search_text="queryable"), S)
+    assert all(r.score == 0.0 for r in base.records)
+
+
+def test_tf_score_counts_array_elements(proj):
+    # "Dixit" appears in o-1's Items.Name AND Tags isn't searchable;
+    # item name contributes 1
+    q = ProjectionQuery(search_text="dixit", scoring_profile="tf")
+    res = run_query(proj, q, S)
+    assert res.total_records_found == 1
+    assert res.records[0].score == 1.0
+
+
+def test_highlights(proj):
+    q = ProjectionQuery(
+        search_text="queryable order",
+        search_mode="tokenized",
+        fields_to_highlight=["Name"],
+    )
+    res = run_query(proj, q, S)
+    assert res.total_records_found == 2
+    by_id = {r.document["Id"]: r for r in res.records}
+    assert by_id["o-1"].highlights["Name"] == [
+        "First <em>queryable</em> <em>order</em>"
+    ]
+    # non-matching record in the page has no highlight for the field
+    none = run_query(
+        proj,
+        ProjectionQuery(search_text="qwerty", fields_to_highlight=["Name"]),
+        S,
+    )
+    assert none.records[0].highlights["Name"] == ["<em>QwerTy</em>123"]
+
+
+def test_inmemory_backend_score_parity():
+    from cloudfabric_eventsourcing_spark.eventstore import InMemoryMetadataRepository
+    from cloudfabric_eventsourcing_spark.projections import (
+        InMemoryProjectionRepository,
+        ProjectionIndexStateStore,
+    )
+
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    repo = InMemoryProjectionRepository(order_schema(), state)
+    repo.ensure_index()
+    repo.upsert({"Id": "a", "Name": "alpha beta alpha", "ItemsCount": 1},
+                "OrderEntity", selector="projection-rebuild")
+    repo.upsert({"Id": "b", "Name": "alpha", "ItemsCount": 2},
+                "OrderEntity", selector="projection-rebuild")
+    q = ProjectionQuery(search_text="alpha", scoring_profile="tf",
+                        fields_to_highlight=["Name"])
+    res = repo.query(q, selector="projection-rebuild")
+    assert [r.document["Id"] for r in res.records] == ["a", "b"]
+    assert res.records[0].score == 2.0 and res.records[1].score == 1.0
+    assert res.records[0].highlights["Name"] == ["<em>alpha</em> beta <em>alpha</em>"]
