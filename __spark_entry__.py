@@ -1091,6 +1091,126 @@ def m01_multimodal(spark, sf_dir):
 
 
 @q(
+    "h9_order_priority_check",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority",
+)
+def h9_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape (no l_commitdate/l_receiptdate in this corpus, so the
+    # EXISTS condition is "a line shipped after the order date"): date-
+    # windowed orders, left-semi to lineitem, tiny grouped count.
+    # At scale: the date window pushes to the orders scan; the semi join
+    # carries only (l_orderkey, l_shipdate); 5-row aggregate
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@q(
+    "h10_promo_revenue_share",
+    "SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN "
+    "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) "
+    "ELSE 0 END) AS DOUBLE) / "
+    "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) "
+    "AS promo_share_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01'",
+)
+def h10_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 shape: fact filter + broadcast dim join + conditional agg.
+    # Revenue in integer 1e-4 dollars so both engines sum exactly; the
+    # final ratio is one IEEE division (order-independent)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_share_pct")
+    )
+
+
+@q(
+    "h11_large_volume_customers",
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+    "CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) "
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice",
+)
+def h11_large_volume(spark, sf_dir):
+    # TPC-H Q18 shape: HAVING-filtered keys -> semi join -> re-aggregate.
+    # At scale: the qualifying-keys aggregate is map-side combined and its
+    # output (few keys) broadcasts into the semi join
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(_cents("l_quantity")).cast("double") / 100).alias("total_qty"))
+    )
+
+
+@q(
+    "h12_rich_idle_customers",
+    "SELECT c_custkey, c_acctbal FROM customer "
+    "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+    "AND c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def h12_rich_idle(spark, sf_dir):
+    # TPC-H Q22 shape (no phone column in this corpus): scalar-subquery
+    # threshold + anti join. The scalar aggregate is a 1-row broadcast;
+    # c_acctbal is 2-decimal quantized so AVG compares identically across
+    # engines (exact-cents mean)
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.where(F.col("c_acctbal") > 0)
+    avg_row = pos.agg(
+        (F.sum(_cents("c_acctbal")).cast("double") / (100 * F.count(F.lit(1))))
+        .alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@q(
     "h8_shipping_priority",
     "SELECT l_orderkey, "
     "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue, "

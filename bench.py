@@ -31,6 +31,12 @@ HEADLINE = [
     "f10_bool_tree",
     "f13_search_text",
     "o1_multi_sort_limit",
+    "h9_order_priority_check",
+    "h10_promo_revenue_share",
+    "h11_large_volume_customers",
+    "h12_rich_idle_customers",
+    "f16_search_tokenized",
+    "f17_search_scored",
     "h4_semi_join_high_value_orders",
     "h5_anti_join_customers_without_p_orders",
     "h6_window_top3_orders_per_customer",
