@@ -357,6 +357,59 @@ def f17_search_scored(spark, sf_dir):
     )
 
 
+def _t04_oracle() -> str:
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        URL_PATTERN,
+    )
+
+    dirty = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.org or http://ex.com/p/' || CAST(doc_id AS VARCHAR) || "
+        "' call +1 555 000 ' || CAST(doc_id AS VARCHAR)"
+    )
+    return (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        + dirty
+        + f", '{EMAIL_PATTERN}', '<REDACTED>', 'g')"
+        + f", '{URL_PATTERN}', '<REDACTED>', 'g')"
+        + f", '{PHONE_PATTERN}', '<REDACTED>', 'g') AS clean FROM documents"
+    )
+
+
+@q("t04_pii_redaction", _t04_oracle())
+def t04_pii_redaction(spark, sf_dir):
+    # PII scrub pass (emails/URLs/phone runs -> sentinel) over text that
+    # deterministically embeds synthetic PII, so the oracle is non-vacuous
+    # on a corpus that contains none naturally
+    from cloudfabric_eventsourcing_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@example.org or http://ex.com/p/"), sid,
+        F.lit(" call +1 555 000 "), sid,
+    )
+    return docs.select("doc_id", redact_pii(dirty).alias("clean"))
+
+
+@q(
+    "f18_search_phrase_prefix",
+    "SELECT doc_id FROM documents WHERE "
+    "regexp_matches(lower(text), '(^|[^a-z0-9])merge\\s+so') OR "
+    "regexp_matches(lower(source), '(^|[^a-z0-9])merge\\s+so')",
+)
+def f18_search_phrase_prefix(spark, sf_dir):
+    # ES match_phrase_prefix: consecutive terms, last term an open prefix
+    # ("merge so" matches "merge sort" but not "merge ... sort")
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(search_text="merge so", search_mode="phrase_prefix")
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
 @q(
     "f16_search_tokenized",
     "SELECT doc_id FROM documents WHERE "

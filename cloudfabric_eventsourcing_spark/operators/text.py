@@ -124,3 +124,43 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "fingerprint", fingerprint_tokens(F.col(text_col))
     ).withColumn("rolling_fp", rolling_hash_fingerprint(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrub)
+# ---------------------------------------------------------------------------
+
+#: Deliberately conservative patterns, portable between Spark RLIKE and
+#: DuckDB regexp_replace (RE2-compatible, no lookarounds)
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+PHONE_PATTERN = r"\+?[0-9][0-9\-() ]{7,}[0-9]"
+
+
+def redact_pii(
+    col: Column,
+    emails: bool = True,
+    urls: bool = True,
+    phones: bool = True,
+    token: str = "<REDACTED>",
+) -> Column:
+    """Replace common PII shapes (emails, URLs, phone-like digit runs)
+    with a sentinel token — the standard scrub pass before a text corpus
+    feeds a training pipeline. Pure regexp_replace: JVM-side, codegen,
+    no UDF. Order matters: emails first (an email contains no URL), then
+    URLs, then phones, so a longer match never leaves a partial shorter
+    match behind."""
+    out = col
+    if emails:
+        out = F.regexp_replace(out, EMAIL_PATTERN, token)
+    if urls:
+        out = F.regexp_replace(out, URL_PATTERN, token)
+    if phones:
+        out = F.regexp_replace(out, PHONE_PATTERN, token)
+    return out
+
+
+def with_redacted_text(
+    df: DataFrame, text_col: str = "text", out: str = "text_redacted"
+) -> DataFrame:
+    return df.withColumn(out, redact_pii(F.col(text_col)))

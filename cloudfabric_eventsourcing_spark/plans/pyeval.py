@@ -146,6 +146,30 @@ def eval_search(
             eval_search(term, doc, schema, mode="substring")
             for term in needle.split()
         )
+    if mode == "phrase_prefix":
+        import re
+
+        from cloudfabric_eventsourcing_spark.plans.translator import (
+            phrase_prefix_regex,
+        )
+
+        pattern = phrase_prefix_regex(needle)
+        if pattern is None:
+            return True
+        rx = re.compile(pattern)
+
+        def hit(v):
+            return v is not None and rx.search(str(v).lower()) is not None
+
+        for path in schema.searchable_paths():
+            head, _, rest = path.partition(".")
+            head_val = _get_path(doc, head)
+            if rest and isinstance(head_val, list):
+                if any(hit(_get_path(e, rest)) for e in head_val):
+                    return True
+            elif hit(_get_path(doc, path)):
+                return True
+        return False
     for path in schema.searchable_paths():
         head, _, rest = path.partition(".")
         head_val = _get_path(doc, head)

@@ -190,6 +190,19 @@ def _term_column(needle: str, schema: ProjectionSchema) -> Optional[Column]:
     return acc
 
 
+def phrase_prefix_regex(search_text: str) -> Optional[str]:
+    """Regex for ES match_phrase_prefix semantics: the terms must appear
+    consecutively (any whitespace between them), the first term starts at
+    a word boundary, the last term is an open prefix. Same pattern works
+    in Spark RLIKE and DuckDB regexp_matches (both RE2-ish)."""
+    import re as _re
+
+    terms = [t for t in (search_text or "").lower().split() if t]
+    if not terms:
+        return None
+    return "(^|[^a-z0-9])" + "\\s+".join(_re.escape(t) for t in terms)
+
+
 def search_to_column(
     search_text: str,
     schema: Optional[ProjectionSchema],
@@ -203,7 +216,10 @@ def search_to_column(
     mode="tokenized": whitespace-split terms; every term must match at
     least one searchable column (AND between terms, OR across fields per
     term) — ES's default_operator=AND semantics
-    (ElasticSearchQueryFactory.cs:11-129)."""
+    (ElasticSearchQueryFactory.cs:11-129).
+    mode="phrase_prefix": consecutive terms, last term an open prefix —
+    ES match_phrase_prefix (ElasticSearchQueryFactory.cs suggester
+    surface)."""
     if not search_text or search_text == "*" or schema is None:
         return None
     needle = search_text.lower()
@@ -215,7 +231,26 @@ def search_to_column(
                 return None
             acc = term_pred if acc is None else (acc & term_pred)
         return acc
+    if mode == "phrase_prefix":
+        pattern = phrase_prefix_regex(needle)
+        if pattern is None:
+            return None
+        acc = None
+        for path in schema.searchable_paths():
+            array_root, remainder, _ = _resolve_path(path, schema)
+            if array_root is not None:
+                pred = F.exists(
+                    F.col(array_root), _rlike_lambda(remainder, pattern)
+                )
+            else:
+                pred = F.lower(F.col(path)).rlike(pattern)
+            acc = pred if acc is None else (acc | pred)
+        return acc
     return _term_column(needle, schema)
+
+
+def _rlike_lambda(field: str, pattern: str):
+    return lambda x: F.lower(x[field]).rlike(pattern)
 
 
 def _occurrence_count(col: Column, term: str) -> Column:

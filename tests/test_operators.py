@@ -208,3 +208,19 @@ def test_minhash_lsh_bucket_cap_subset(spark, sf_dir):
         for r in dedup.minhash_lsh_pairs(docs, 0.9, max_bucket_size=8).collect()
     }
     assert capped and capped <= exact
+
+
+def test_redact_pii(spark):
+    from cloudfabric_eventsourcing_spark.operators.text import redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("reach me at jane.doe+x@corp.example.org or on +1 (555) 123-4567",),
+        ("docs: https://ex.com/a?b=1 plain text stays",),
+        ("no pii here",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r[0] for r in df.select(redact_pii(F.col("text"))).collect()]
+    assert out[0] == "reach me at <REDACTED> or on <REDACTED>"
+    assert out[1] == "docs: <REDACTED> plain text stays"
+    assert out[2] == "no pii here"

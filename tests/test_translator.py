@@ -468,3 +468,33 @@ def test_inmemory_backend_score_parity():
     assert [r.document["Id"] for r in res.records] == ["a", "b"]
     assert res.records[0].score == 2.0 and res.records[1].score == 1.0
     assert res.records[0].highlights["Name"] == ["<em>alpha</em> beta <em>alpha</em>"]
+
+
+def test_phrase_prefix_mode(proj):
+    # "queryable or" matches "queryable order" (consecutive, last term a
+    # prefix) in o-1/o-2; "first order" is non-consecutive -> no match
+    hit = run_query(
+        proj,
+        ProjectionQuery(search_text="queryable or", search_mode="phrase_prefix"),
+        S,
+    )
+    assert hit.total_records_found == 2
+    miss = run_query(
+        proj,
+        ProjectionQuery(search_text="first order", search_mode="phrase_prefix"),
+        S,
+    )
+    assert miss.total_records_found == 0
+    # word boundary: "ueryable or" must not match mid-word
+    mid = run_query(
+        proj,
+        ProjectionQuery(search_text="ueryable or", search_mode="phrase_prefix"),
+        S,
+    )
+    assert mid.total_records_found == 0
+    # pyeval parity
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    doc = {"Name": "First queryable order", "Items": [], "CreatedBy": {}}
+    assert eval_search("queryable or", doc, S, mode="phrase_prefix")
+    assert not eval_search("first order", doc, S, mode="phrase_prefix")
