@@ -80,3 +80,22 @@ def drain_windowed_counts(
         .start()
     )
     query.awaitTermination()
+
+
+def deduped_stream(
+    df: DataFrame,
+    id_cols: Sequence[str] = ("id",),
+    ts_col: str = "created_at",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once event delivery under at-least-once sources:
+    `dropDuplicatesWithinWatermark` keys state by `id_cols` and evicts it
+    once the watermark passes — bounded state, unlike a plain
+    dropDuplicates which remembers every id forever on a stream. The
+    streaming counterpart of the replay path's (stream_id, version) dedup
+    (T3); in batch mode it degrades to an ordinary dropDuplicates."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(id_cols)
+        )
+    return df.dropDuplicates(list(id_cols))
