@@ -750,6 +750,25 @@ def p02_fingerprint_dedup(spark, sf_dir):
     return _dedup.fingerprint_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@q(
+    "p10_decontaminate",
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-2, 0)+1), i -> array_to_string(t[i:i+2], ' '))) AS gram FROM toks), "
+    "tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+    "bad AS (SELECT DISTINCT doc_id FROM g WHERE gram IN (SELECT gram FROM tg) AND doc_id % 97 != 0) "
+    "SELECT doc_id FROM documents WHERE doc_id % 97 != 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+)
+def p10_decontaminate(spark, sf_dir):
+    # test-set decontamination: doc_id % 97 == 0 plays the held-out set;
+    # n=3 so the filter bites on the tiny-vocabulary synthetic corpus
+    # (production default n=8; same plan)
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return _dedup.ngram_decontaminate(train, test, n=3).select("doc_id")
+
+
 @q("p03_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def p03_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(

@@ -81,9 +81,14 @@ def _distinct_ngrams(text: Column, n: int) -> Column:
     toks = tokens_column(text)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
-    return F.array_distinct(
+    # guard: sequence(1, 0) is a DESCENDING [1, 0] in Spark, and slice()
+    # rejects start 0 — a document shorter than n tokens has no n-grams
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    grams = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -177,11 +182,12 @@ def minhash_lsh_pairs(
     exact O(N^2) scan at a fraction of the cost.
 
     Scale shape: each distinct shingle is hashed to int64 ONCE; the 128
-    permutations and the verification intersections run over int arrays,
-    and the whole signature is a single nested-HOF expression (one
-    codegen projection). Banded rows stay slim (id + 2 ints) through the
-    explode and self-join; shingle arrays re-attach only to deduped
-    candidate pairs.
+    permutations and the verification intersections run over int arrays.
+    Signature + banding are one flat projection of per-seed expressions
+    over the materialized gram attribute (see minhash_signature_array's
+    docstring for why the nested-HOF form is avoided). Banded rows stay
+    slim (id + 2 ints) through the explode and self-join; shingle arrays
+    re-attach only to deduped candidate pairs.
 
     `max_bucket_size` is the skew valve for degenerate corpora (a giant
     exact-dup cluster lands one band bucket on one task): buckets larger
@@ -450,3 +456,48 @@ def cosine_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Drop training documents that share ANY word n-gram with a held-out
+    evaluation set — the standard contamination filter a training corpus
+    runs against its benchmark suites before training.
+
+    Scale shape: every n-gram is reduced to an 8-byte xxhash64 before it
+    leaves its scan, so the explode and the membership join shuffle slim
+    (id, int64) rows. The test-set gram table is tiny next to the corpus
+    — broadcast by default so the 100 TB side never shuffles; set
+    broadcast_test=False for an evaluation set too large to broadcast
+    (falls back to a shuffled semi join, still on 8-byte keys).
+
+    Returns the surviving training rows (all columns)."""
+    def gram_hashes(df):
+        return F.transform(
+            _distinct_ngrams(F.col(text_col), n), lambda x: F.xxhash64(x)
+        )
+
+    test_grams = (
+        test.select(F.explode(gram_hashes(test)).alias("__g")).distinct()
+    )
+    if broadcast_test:
+        test_grams = F.broadcast(test_grams)
+    train_grams = train.select(
+        F.col(id_col).alias("__id"), F.explode(gram_hashes(train)).alias("__g")
+    )
+    contaminated = (
+        train_grams.join(test_grams, "__g", "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

@@ -224,3 +224,29 @@ def test_redact_pii(spark):
     assert out[0] == "reach me at <REDACTED> or on <REDACTED>"
     assert out[1] == "docs: <REDACTED> plain text stays"
     assert out[2] == "no pii here"
+
+
+def test_ngram_decontaminate_planted(spark):
+    """A train doc sharing an 8-gram with the eval set must be dropped;
+    clean docs survive with all columns."""
+    from cloudfabric_eventsourcing_spark.operators.dedup import ngram_decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words " + leak + " suffix words", "a"),
+            (2, "completely unrelated training document text here okay", "b"),
+            (3, "another clean document with its own words entirely", "c"),
+        ],
+        "doc_id long, text string, extra string",
+    )
+    test = spark.createDataFrame(
+        [(100, "eval question mentions " + leak + " exactly")],
+        "doc_id long, text string",
+    )
+    kept = ngram_decontaminate(train, test, n=8)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+    assert kept.columns == ["doc_id", "text", "extra"]
+    # non-broadcast fallback gives identical results
+    kept2 = ngram_decontaminate(train, test, n=8, broadcast_test=False)
+    assert sorted(r.doc_id for r in kept2.collect()) == [2, 3]
