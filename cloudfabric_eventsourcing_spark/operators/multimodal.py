@@ -137,3 +137,43 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+AUDIO_CHUNK_DDL = "media_id long, chunk_idx int, chunk_bytes binary, duration_ms int"
+
+
+def chunk_audio(
+    df: DataFrame, chunk_ms: int = 1000, fake: bool = False
+) -> DataFrame:
+    """audio binary -> fixed-duration chunks (1 row per chunk), the audio
+    sibling of sample_frames: the shape a speech/ASR feature pipeline
+    consumes. Real resample/decode needs an audio lib (not in this
+    container); the fake path treats the payload as 8 kB/s PCM-ish bytes
+    and slices deterministically — schema, batching and partitioning are
+    the real plumbing either way."""
+
+    bytes_per_ms = 8  # fake codec's fixed "sample rate"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio codec not available; pass fake=True"
+                )
+            out = {"media_id": [], "chunk_idx": [], "chunk_bytes": [],
+                   "duration_ms": []}
+            step = chunk_ms * bytes_per_ms
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                n_chunks = max((len(content) + step - 1) // step, 1)
+                for idx in range(n_chunks):
+                    piece = content[idx * step : (idx + 1) * step]
+                    out["media_id"].append(row["media_id"])
+                    out["chunk_idx"].append(idx)
+                    out["chunk_bytes"].append(piece)
+                    out["duration_ms"].append(len(piece) // bytes_per_ms)
+            yield pd.DataFrame(out)
+
+    return df.where(F.col("kind") == "audio").mapInPandas(run, AUDIO_CHUNK_DDL)

@@ -250,3 +250,26 @@ def test_ngram_decontaminate_planted(spark):
     # non-broadcast fallback gives identical results
     kept2 = ngram_decontaminate(train, test, n=8, broadcast_test=False)
     assert sorted(r.doc_id for r in kept2.collect()) == [2, 3]
+
+
+def test_multimodal_audio_chunking(spark, docs):
+    from cloudfabric_eventsourcing_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(docs)
+    audio_n = media.where(F.col("kind") == "audio").count()
+    assert audio_n > 0
+    chunks = multimodal.chunk_audio(media, chunk_ms=4, fake=True)
+    rows = chunks.collect()
+    assert {r["media_id"] for r in rows} == {
+        r["media_id"] for r in media.where(F.col("kind") == "audio").collect()
+    }
+    # chunks are contiguous, correctly indexed, duration consistent
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in list(by_media.items())[:5]:
+        idxs = sorted(r["chunk_idx"] for r in rs)
+        assert idxs == list(range(len(idxs)))
+        assert all(r["duration_ms"] <= 4 for r in rs)
+    with pytest.raises(Exception):
+        multimodal.chunk_audio(media, fake=False).collect()
