@@ -9,6 +9,22 @@ packing for simhash, matrix projection for hyperplane LSH) and then always
 as Arrow-batched Pandas UDFs.
 """
 
-from cloudfabric_eventsourcing_spark.operators import dedup, multimodal, similarity, text
+from cloudfabric_eventsourcing_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    skew,
+    text,
+    temporal,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
+    "temporal",
+    "skew",
+    "sampling",
+]
