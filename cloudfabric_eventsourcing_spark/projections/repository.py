@@ -442,15 +442,79 @@ class ParquetProjectionRepository(ProjectionRepository):
         df = self.spark.read.parquet(path)
         return spark_run_query(df, query, schema, partition_key)
 
+    def update_documents_expr(
+        self,
+        query: ProjectionQuery,
+        set_columns: dict,
+        partition_key: Optional[str] = None,
+        updated_at: Optional[datetime.datetime] = None,
+        selector: str = IndexSelector.Write,
+    ) -> None:
+        """Declarative bulk UPDATE ... WHERE — the scale path for
+        ProjectionBuilder.update_documents when the mutation is
+        expressible as Column expressions (`{"Price": F.col("Price")*1.1}`).
+
+        One Spark job: the current snapshot is read, matched rows get the
+        new column values (non-matched rows pass through unchanged), and
+        executors write the replacement snapshot directly — no document
+        ever crosses the driver, unlike the callback form which pages
+        results through `query()` (the reference's own shape,
+        ProjectionBuilder.cs:109-135, kept for arbitrary-Python
+        mutations). Equivalent to Delta `UPDATE ... WHERE` / `MERGE WHEN
+        MATCHED UPDATE`."""
+        from pyspark.sql import functions as F
+
+        from cloudfabric_eventsourcing_spark.plans.translator import (
+            filter_to_column,
+            search_to_column,
+        )
+
+        if self.spark is None:
+            raise RuntimeError("update_documents_expr needs a SparkSession")
+        index_name, schema = self._resolve(selector)
+        df = self.to_df(selector=selector)
+        pred = F.lit(True)
+        if partition_key is not None:
+            pred = pred & (F.col("PartitionKey") == partition_key)
+        for f in query.filters:
+            pred = pred & filter_to_column(f, schema)
+        search = search_to_column(query.search_text, schema, query.search_mode)
+        if search is not None:
+            pred = pred & search
+        updates = dict(set_columns)
+        if updated_at is not None and "UpdatedAt" in df.columns:
+            updates.setdefault("UpdatedAt", F.lit(updated_at))
+        updated = df.withColumns(
+            {
+                name: F.when(pred, expr).otherwise(F.col(name))
+                for name, expr in updates.items()
+            }
+        )
+        self.overwrite_from_df(updated, selector=selector)
+
     def overwrite_from_df(self, df, selector: str = IndexSelector.ProjectionRebuild):
         """Distributed rebuild sink: the Spark job writes the new snapshot
         directory directly (parallel part files, executors never funnel
         through the driver); an atomic rename publishes it (the scale path
         — SURVEY.md §3.3: 'embarrassingly parallel in Spark, unlike the
         reference's single-cursor loop')."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         index_name, _ = self._resolve(selector)
         d = self._dir(index_name)
         os.makedirs(d, exist_ok=True)
+        # store convention: timestamps are timezone-NAIVE UTC µs (what the
+        # pyarrow MERGE path writes); cast tz-aware columns to NTZ so a
+        # Spark-written snapshot reads back identically (session tz is UTC,
+        # values unchanged)
+        casts = {
+            f.name: F.col(f.name).cast("timestamp_ntz")
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.TimestampType)
+        }
+        if casts:
+            df = df.withColumns(casts)
         tmp = os.path.join(d, f".tmp-spark-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
         with self._lock:

@@ -267,3 +267,40 @@ def test_parity_observer_mode_still_available(spark, tmp_path, world):
     observer.process_all()
     doc = repo.single(orders[0].id, ORDERS_PARTITION_KEY)
     assert doc["ItemsCount"] == 2
+
+
+def test_update_documents_expr_bulk(spark, tmp_path, world):
+    """Declarative bulk UPDATE..WHERE: matched docs change in one Spark
+    job, unmatched pass through, UpdatedAt stamps only matched rows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    store, state, repo, agg_repo = world
+    orders = seed_orders(agg_repo, 4)
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(
+        OrdersListProjectionBuilder(repo, IndexSelector.Write)
+    )
+    SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt_upd")
+    ).process_all()
+
+    stamp = datetime.datetime(2030, 1, 1)
+    repo.update_documents_expr(
+        ProjectionQuery(filters=[Filter("Name", "string-contains", "Order 1")]),
+        {"Name": F.concat(F.col("Name"), F.lit(" [archived]"))},
+        partition_key=ORDERS_PARTITION_KEY,
+        updated_at=stamp,
+    )
+    hit = repo.single(orders[1].id, ORDERS_PARTITION_KEY)
+    assert hit["Name"] == "Order 1 [archived]"
+    assert hit["UpdatedAt"] == stamp
+    other = repo.single(orders[2].id, ORDERS_PARTITION_KEY)
+    assert other["Name"] == "Order 2"
+    assert other["UpdatedAt"] != stamp
+    # idempotent re-read through the query path
+    res = repo.query(
+        ProjectionQuery(filters=[Filter("Name", "string-ends-with", "[archived]")])
+    )
+    assert res.total_records_found == 1
