@@ -121,6 +121,31 @@ class ProjectionBuilder:
                 updated, partition_key, updated_at, selector=self.index_selector
             )
 
+    def update_documents_expr(
+        self,
+        query: ProjectionQuery,
+        set_columns: dict,
+        partition_key: str,
+        updated_at: Optional[datetime.datetime] = None,
+    ) -> None:
+        """Scale variant of update_documents for mutations expressible as
+        Column expressions: one distributed UPDATE..WHERE, no documents
+        through the driver. Spark-backed repositories only — the callback
+        form remains for arbitrary Python and driver-memory backends."""
+        repo = self.repository
+        if not hasattr(repo, "update_documents_expr"):
+            raise TypeError(
+                f"{type(repo).__name__} has no declarative bulk-update path; "
+                "use update_documents(query, partition_key, updated_at, callback)"
+            )
+        repo.update_documents_expr(
+            query,
+            set_columns,
+            partition_key=partition_key,
+            updated_at=updated_at,
+            selector=self.index_selector,
+        )
+
     def delete_document(self, id: str, partition_key: str) -> None:
         self.repository.delete(id, partition_key, selector=self.index_selector)
 
