@@ -1258,8 +1258,11 @@ def h11_large_volume(spark, sf_dir):
 
 @q(
     "h12_rich_idle_customers",
+    # exact-cents mean on BOTH sides: a naive double AVG is summation-order
+    # dependent and could flip a customer sitting exactly on the threshold
     "SELECT c_custkey, c_acctbal FROM customer "
-    "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+    "WHERE c_acctbal > (SELECT CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)"
+    " / (100 * COUNT(*)) FROM customer WHERE c_acctbal > 0) "
     "AND c_custkey NOT IN (SELECT o_custkey FROM orders)",
 )
 def h12_rich_idle(spark, sf_dir):
