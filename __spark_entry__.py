@@ -1231,7 +1231,7 @@ def h10_promo_revenue(spark, sf_dir):
     "FROM customer JOIN orders ON c_custkey = o_custkey "
     "JOIN lineitem ON o_orderkey = l_orderkey "
     "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
-    "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) "
+    "GROUP BY l_orderkey HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 30000) "
     "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice",
 )
 def h11_large_volume(spark, sf_dir):
@@ -1241,10 +1241,12 @@ def h11_large_volume(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # exact-cents HAVING threshold on both sides (an order summing to
+    # exactly 300.00 must qualify identically in both engines)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .where(F.col("q") > 300)
+        .agg(F.sum(_cents("l_quantity")).alias("q"))
+        .where(F.col("q") > 30000)
         .select("l_orderkey")
     )
     return (
