@@ -10,6 +10,7 @@ as Arrow-batched Pandas UDFs.
 """
 
 from cloudfabric_eventsourcing_spark.operators import (
+    curation,
     dedup,
     multimodal,
     sampling,
@@ -20,6 +21,7 @@ from cloudfabric_eventsourcing_spark.operators import (
 )
 
 __all__ = [
+    "curation",
     "dedup",
     "similarity",
     "text",

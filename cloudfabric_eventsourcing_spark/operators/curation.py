@@ -1,0 +1,123 @@
+"""End-to-end corpus curation: the standard training-data pipeline as one
+composable plan.
+
+Chains the operator families this package provides in their canonical
+order (each stage is the documented scale shape — see the individual
+modules):
+
+  1. exact dedup        — collapse byte-identical texts first (one slim
+                          hash shuffle; also the primary defense against
+                          LSH bucket skew)
+  2. near-dup removal   — MinHash+LSH verified pairs -> keep min-id
+                          representatives
+  3. quality gate       — language id + quality score thresholds (pure
+                          Column expressions)
+  4. PII scrub          — regexp_replace pass over the surviving text
+  5. decontamination    — drop docs sharing word n-grams with a held-out
+                          evaluation set
+  6. sampling / mixing  — deterministic stratified sample to the target
+                          budget (operators.sampling)
+
+Every stage stays declarative (Catalyst plans end to end); the whole
+pipeline is lazy — one action materializes it. Stages toggle off for
+ablations. Returns (curated_df, stats_dict) where stats records per-stage
+row counts (each count is an action; pass collect_stats=False to keep the
+pipeline fully lazy).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
+from cloudfabric_eventsourcing_spark.operators import sampling as _sampling
+from cloudfabric_eventsourcing_spark.operators import text as _text
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = True,
+    neardup_threshold: Optional[float] = 0.9,
+    min_quality: Optional[float] = None,
+    languages: Optional[list[str]] = None,
+    scrub_pii: bool = True,
+    decontaminate_against: Optional[DataFrame] = None,
+    decontaminate_n: int = 8,
+    sample_per_stratum: Optional[int] = None,
+    sample_strata: Optional[str] = None,
+    sample_salt: str = "",
+    collect_stats: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the curation pipeline; see module docstring for stage order."""
+    stats: dict = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats[stage] = df.count()
+        return df
+
+    out = note("input", docs)
+
+    if exact:
+        reps = _dedup.exact_dedup(out, text_col=text_col, id_col=id_col).select(
+            id_col
+        )
+        out = note("exact_dedup", out.join(reps, id_col, "left_semi"))
+
+    if neardup_threshold is not None:
+        pairs = _dedup.minhash_lsh_pairs(
+            out, threshold=neardup_threshold, text_col=text_col, id_col=id_col
+        )
+        out = note(
+            "neardup", _dedup.lsh_dedup_representatives(pairs, out, id_col=id_col)
+        )
+
+    if languages is not None or min_quality is not None:
+        gated = _text.with_language_id(
+            _text.with_quality_score(out, text_col=text_col), text_col=text_col
+        )
+        if languages is not None:
+            gated = gated.where(F.col("lang_pred").isin(languages))
+        if min_quality is not None:
+            gated = gated.where(F.col("quality") >= min_quality)
+        out = note("quality_gate", gated.select(*out.columns))
+
+    if scrub_pii:
+        out = out.withColumn(text_col, _text.redact_pii(F.col(text_col)))
+
+    if decontaminate_against is not None:
+        out = note(
+            "decontaminated",
+            _dedup.ngram_decontaminate(
+                out,
+                decontaminate_against,
+                n=decontaminate_n,
+                text_col=text_col,
+                id_col=id_col,
+            ),
+        )
+
+    if sample_per_stratum is not None:
+        staged = out.withColumn(
+            "__stratum",
+            F.col(sample_strata) if sample_strata else F.lit("all"),
+        )
+        out = note(
+            "sampled",
+            _sampling.stratified_sample_exact(
+                staged,
+                strata_cols=("__stratum",),
+                k=sample_per_stratum,
+                id_col=id_col,
+                salt=sample_salt,
+            ).drop("__stratum"),
+        )
+
+    if collect_stats:
+        stats["output"] = out.count() if "sampled" not in stats else stats["sampled"]
+    return out, stats

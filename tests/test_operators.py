@@ -273,3 +273,47 @@ def test_multimodal_audio_chunking(spark, docs):
         assert all(r["duration_ms"] <= 4 for r in rs)
     with pytest.raises(Exception):
         multimodal.chunk_audio(media, fake=False).collect()
+
+
+def test_curation_pipeline_end_to_end(spark, docs):
+    """The composed curation pipeline: every stage shrinks (or keeps) the
+    corpus, output is deduplicated, decontaminated and capped."""
+    from cloudfabric_eventsourcing_spark.operators.curation import curate
+
+    test_set = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    curated, stats = curate(
+        train,
+        neardup_threshold=0.9,
+        min_quality=0.0,
+        scrub_pii=True,
+        decontaminate_against=test_set,
+        decontaminate_n=3,
+        sample_per_stratum=50,
+        sample_strata="source",
+    )
+    assert stats["input"] == train.count()
+    assert stats["exact_dedup"] <= stats["input"]
+    assert stats["neardup"] <= stats["exact_dedup"]
+    assert stats["quality_gate"] <= stats["neardup"]
+    assert stats["decontaminated"] <= stats["quality_gate"]
+    assert stats["sampled"] <= stats["decontaminated"]
+    rows = curated.collect()
+    assert len(rows) == stats["sampled"] > 0
+    # per-stratum cap holds
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in rows)
+    assert max(per_src.values()) <= 50
+    # deterministic: same inputs -> same selection
+    again, _ = curate(
+        train,
+        neardup_threshold=0.9,
+        min_quality=0.0,
+        decontaminate_against=test_set,
+        decontaminate_n=3,
+        sample_per_stratum=50,
+        sample_strata="source",
+        collect_stats=False,
+    )
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
