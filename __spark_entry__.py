@@ -998,6 +998,36 @@ def x02_sessions(spark, sf_dir):
 
 
 @q(
+    "w03_session_window",
+    # same gap logic as the x02 oracle, aggregated to session bounds only
+    "WITH g AS (SELECT user_id, ts, "
+    "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+    "       > 3600000000 OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "  THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g) "
+    "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+    "COUNT(*) AS n_events FROM s GROUP BY user_id, sid",
+)
+def w03_session_window(spark, sf_dir):
+    # Spark-NATIVE session windows (F.session_window) — same 60-minute-gap
+    # semantics as operators.temporal.session_stats (x02), via the built-in
+    # gap-merge aggregate instead of lag+cumsum; works unchanged on a
+    # stream with a watermark. NOTE: session_window's `end` = last event +
+    # gap, so session_end is taken as MAX(ts) explicitly for oracle parity.
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "60 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@q(
     "h7_rollup_revenue",
     "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
     "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS total "

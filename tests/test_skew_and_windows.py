@@ -185,3 +185,29 @@ def test_deduped_stream_drops_replayed_events(spark, tmp_path):
     # batch mode degrades to plain dropDuplicates
     batch = spark.read.parquet(f"{src_dir}/*")
     assert deduped_stream(batch, id_cols=("id",)).count() == 10
+
+
+def test_native_session_window_equals_lag_sessionization(spark, sf_dir):
+    """Differential: F.session_window (native gap-merge) must produce the
+    same sessions as the lag+cumsum operator (x02's engine path)."""
+    from cloudfabric_eventsourcing_spark.operators.temporal import session_stats
+    from cloudfabric_eventsourcing_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    ours = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_stats(events, key="user_id", ts="ts", gap_minutes=60)
+        .collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in events.groupBy(F.session_window("ts", "60 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert ours == native and len(ours) > 0
