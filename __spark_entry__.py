@@ -1467,9 +1467,53 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The correctness driver checks the FIRST 50 registry entries only.  Front-
+# load every query without a current green CORRECTNESS row (never-checked or
+# code-changed-this-round) so each gets (re-)verified; entries past the
+# window keep their existing green rows at unchanged code.
+_VERIFY_FIRST = [
+    # never oracle-checked in r02 (registry positions 51-70 last round)
+    "x02_sessionization",
+    "w03_session_window",
+    "u01_set_ops",
+    "w01_tumbling_window",
+    "w02_sliding_window",
+    "f15_suggestions",
+    "x03_range_join",
+    "m01_multimodal_features",
+    "h7_rollup_revenue",
+    "h8_shipping_priority",
+    "h9_order_priority_check",
+    "h10_promo_revenue_share",
+    "h11_large_volume_customers",
+    "h12_rich_idle_customers",
+    "a7_exact_median",
+    "s03_ann_ivf_topk",
+    "s02_ann_lsh_topk",
+    "p06_cosine_neardup_lsh",
+    "k01_salted_join",
+    "p07_simhash_neardup",
+    "p08_stratified_sample",
+    "p09_weighted_mix",
+    # round-3 code touches these paths -> re-verify at current code
+    "f17_search_scored",
+    "f13_search_text",
+    "f16_search_tokenized",
+    "f18_search_phrase_prefix",
+    "a2_max_stream_version",
+    "a3_store_statistics",
+]
+
+
+def _ordered(d: dict) -> dict:
+    out = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _ordered(ORACLES)
