@@ -119,10 +119,15 @@ def fold_builder_documents(
             present = {
                 (str(d.get(key_name)), d.get("PartitionKey")) for d in docs
             }
+            key_prop = schema.property(key_name)
             for kid, kpk in local_repo.deleted_keys:
-                if (kid, kpk) not in present:
+                if (str(kid), kpk) not in present:
                     docs.append(
-                        {key_name: kid, "PartitionKey": kpk, TOMBSTONE_COL: True}
+                        {
+                            key_name: _coerce_key(kid, key_prop),
+                            "PartitionKey": kpk,
+                            TOMBSTONE_COL: True,
+                        }
                     )
         if not docs:
             return pd.DataFrame({f.name: [] for f in struct.fields})
@@ -134,6 +139,31 @@ def fold_builder_documents(
     return events_df.groupBy("stream_id", "partition_key").applyInPandas(
         fold, struct
     )
+
+
+def _coerce_key(kid, key_prop):
+    """Tombstone rows must carry the key in its NATIVE schema type —
+    a stringified int key would fail the arrow round-trip for INT64-keyed
+    projections. Deletes record the value as passed to `repo.delete`,
+    which callers may pass as str; cast back through the schema."""
+    from cloudfabric_eventsourcing_spark.schema import (
+        BOOLEAN,
+        DOUBLE,
+        INT32,
+        INT64,
+        SINGLE,
+    )
+
+    if kid is None or key_prop is None:
+        return kid
+    t = key_prop.type
+    if t in (INT32, INT64):
+        return int(kid)
+    if t in (SINGLE, DOUBLE):
+        return float(kid)
+    if t == BOOLEAN:
+        return kid if isinstance(kid, bool) else str(kid).lower() == "true"
+    return kid
 
 
 class _TrackingInMemoryRepository(InMemoryProjectionRepository):
@@ -157,7 +187,9 @@ class _TrackingInMemoryRepository(InMemoryProjectionRepository):
 
     def _delete(self, index_name, id, partition_key):
         super()._delete(index_name, id, partition_key)
-        self.deleted_keys.add((str(id), partition_key))
+        # keep the NATIVE key value — tombstone rows are typed by the
+        # projection schema (a str'd INT64 key breaks the arrow build)
+        self.deleted_keys.add((id, partition_key))
 
 
 def builder_rebuild_factory(builder) -> Callable:

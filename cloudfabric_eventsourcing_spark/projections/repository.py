@@ -492,6 +492,52 @@ class ParquetProjectionRepository(ProjectionRepository):
         )
         self.overwrite_from_df(updated, selector=selector)
 
+    def merge_from_df(
+        self,
+        docs_df,
+        selector: str = IndexSelector.Write,
+        tombstone_col: Optional[str] = None,
+    ) -> None:
+        """Df-native MERGE: upsert every row of `docs_df` into the snapshot
+        and (when `tombstone_col` names a boolean column) apply tombstone
+        rows as deletes — all executor-side, no document ever crosses the
+        driver. This is the live-maintenance sink for the distributed
+        observer: Delta `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT
+        MATCHED INSERT WHEN MATCHED AND tombstone DELETE` over a snapshot
+        store (PostgresqlProjectionRepository.cs:390-470 batch upsert +
+        :304-388 delete, collapsed into one plan).
+
+        Shape at scale: the changed-key set is bounded by the streams a
+        micro-batch touched, so it is broadcast to anti-join the big
+        current snapshot (no shuffle of the snapshot); on Delta the same
+        call maps to MERGE INTO which rewrites only matched files instead
+        of the full snapshot."""
+        from pyspark.sql import functions as F
+
+        if self.spark is None:
+            raise RuntimeError("merge_from_df needs a SparkSession")
+        index_name, schema = self._resolve(selector)
+        key = schema.key_name
+        current = self.to_df(selector=selector)
+        changed = (
+            docs_df.select(
+                F.col(key).cast("string").alias("__mk"),
+                F.col("PartitionKey").alias("__mp"),
+            )
+            .distinct()
+        )
+        kept = current.join(
+            F.broadcast(changed),
+            (current[key].cast("string") == changed["__mk"])
+            & (current["PartitionKey"] == changed["__mp"]),
+            "left_anti",
+        )
+        ups = docs_df
+        if tombstone_col is not None:
+            ups = ups.where(~F.col(tombstone_col)).drop(tombstone_col)
+        merged = kept.unionByName(ups.select(*current.columns))
+        self.overwrite_from_df(merged, selector=selector)
+
     def overwrite_from_df(self, df, selector: str = IndexSelector.ProjectionRebuild):
         """Distributed rebuild sink: the Spark job writes the new snapshot
         directory directly (parallel part files, executors never funnel

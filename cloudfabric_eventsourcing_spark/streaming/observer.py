@@ -99,9 +99,21 @@ class SparkStreamingProjectionsObserver:
                 repo.schema,
                 with_tombstones=True,
             )
+            if hasattr(repo, "merge_from_df") and getattr(repo, "spark", None):
+                # scale path: one df-native MERGE per builder per batch —
+                # upserts written by executors, tombstones applied as one
+                # anti-join, zero document rows on the driver
+                repo.merge_from_df(
+                    docs_df,
+                    selector=builder.index_selector,
+                    tombstone_col=TOMBSTONE_COL,
+                )
+                continue
+            # driver-local backends (InMemoryProjectionRepository): the
+            # store itself lives on the driver, so collecting the
+            # document-level rows (bounded by affected streams, never by
+            # batch event count) is the only way in
             upserts, deletes = [], []
-            # document-level rows only: bounded by affected streams, never
-            # by batch event count
             for row in docs_df.collect():
                 d = row.asDict(recursive=True)
                 if d.pop(TOMBSTONE_COL):

@@ -254,6 +254,43 @@ def test_distributed_observer_propagates_deletes(spark, tmp_path, world):
     assert repo.single(orders[1].id, ORDERS_PARTITION_KEY) is not None
 
 
+def test_distributed_observer_never_collects_documents(spark, tmp_path, world):
+    """Pins the df-native MERGE sink: in distributed mode with a Spark-
+    backed repository, no document row crosses the driver — the driver
+    upsert/delete entry points must stay cold (upserts land via
+    merge_from_df executor writes, tombstones via one anti-join)."""
+    store, state, repo, agg_repo = world
+    orders = seed_orders(agg_repo, 3)
+
+    class DeletingBuilder(OrdersListProjectionBuilder):
+        def on_OrderItemRemoved(self, evt):
+            self.repository.delete(
+                evt.aggregate_id, evt.partition_key, selector=self.index_selector
+            )
+
+    engine = ProjectionsEngine(store)
+    engine.add_projection_builder(DeletingBuilder(repo, IndexSelector.Write))
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side document funnel in distributed mode")
+
+    repo._upsert_batch = boom
+    repo._delete = boom
+    observer = SparkStreamingProjectionsObserver(
+        spark, store, engine, str(tmp_path / "ckpt_nocollect")
+    )
+    observer.process_all()
+    assert repo.single(orders[0].id, ORDERS_PARTITION_KEY)["ItemsCount"] == 2
+
+    # deletes also stay executor-side: tombstone applied by the MERGE
+    loaded = agg_repo.load(orders[0].id, ORDERS_PARTITION_KEY)
+    loaded.remove_item("Dixit")
+    agg_repo.save(USER, loaded)
+    observer.process_all()
+    assert repo.single(orders[0].id, ORDERS_PARTITION_KEY) is None
+    assert repo.single(orders[1].id, ORDERS_PARTITION_KEY) is not None
+
+
 def test_parity_observer_mode_still_available(spark, tmp_path, world):
     store, state, repo, agg_repo = world
     orders = seed_orders(agg_repo, 2)
