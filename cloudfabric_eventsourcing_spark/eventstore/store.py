@@ -333,7 +333,7 @@ class ParquetEventStore(EventStore):
         version = (
             int(table["stream_version"][-1].as_py()) if table.num_rows else 0
         )
-        records = _records_from_table(table)
+        records = _dedupe_versions(_records_from_table(table))
         if from_version is not None:
             records = [r for r in records if r.stream_version >= from_version]
         return EventStream(stream_id, version, [r.to_event() for r in records])
@@ -348,7 +348,18 @@ class ParquetEventStore(EventStore):
             )
             expr = date_expr if expr is None else (expr & date_expr)
         table = self._scan(expr).sort_by("created_at")
-        records = _records_from_table(table.slice(0, limit))
+        # a reader globbing mid-compaction-swap can see a row in BOTH the
+        # new snapshot and a not-yet-unlinked source fragment; drop the
+        # duplicates (same physical event id) before applying the limit
+        seen: set[str] = set()
+        records = []
+        for r in _records_from_table(table):
+            if r.id in seen:
+                continue
+            seen.add(r.id)
+            records.append(r)
+            if len(records) >= limit:
+                break
         return [r.to_event() for r in records]
 
     def _refresh_version_cache(self) -> None:
@@ -406,7 +417,7 @@ class ParquetEventStore(EventStore):
             # ever unlinks the fragment list it was built from, so a
             # fragment that slips past this wait still survives the rewrite)
             self._wait_for_maintenance(deadline)
-            fd = self._acquire_lock_file(lock_path, deadline)
+            fd, token = self._acquire_lock_file(lock_path, deadline)
             try:
                 current = self._max_version(stream_id, pk)
                 if current != expected_version:
@@ -417,6 +428,10 @@ class ParquetEventStore(EventStore):
                 records = self._prepare_records(
                     user_info, stream_id, expected_version, events
                 )
+                # the version-cache refresh above may have globbed many
+                # fragments; re-stamp the lock before the parquet write so
+                # a slow commit is never judged stale mid-flight
+                self._touch_lock(lock_path)
                 written = self._write_fragment(records)
                 # fold the fragment we just wrote into the cache directly —
                 # unless a concurrent thread's refresh already globbed and
@@ -429,15 +444,14 @@ class ParquetEventStore(EventStore):
                         self._versions[key] = records[-1].stream_version
                         self._stream_fragments.setdefault(key, []).append(written)
             finally:
-                os.close(fd)
-                os.unlink(lock_path)
+                self._release_lock_file(lock_path, fd, token)
         finally:
             mutex.release()
         self._push(events)
         return True
 
     # -- lock-file protocol -------------------------------------------------
-    def _acquire_lock_file(self, lock_path: str, deadline: float) -> int:
+    def _acquire_lock_file(self, lock_path: str, deadline: float) -> tuple[int, str]:
         """O_EXCL lock file with crash recovery: a lock older than
         LOCK_STALE_S is presumed abandoned and stolen via an atomic
         rename (only one contender wins the rename, so two stealers can
@@ -445,26 +459,77 @@ class ParquetEventStore(EventStore):
         precheck each writer runs AFTER acquiring the lock is the fence —
         a steal can never commit a stale expected_version.
 
+        Liveness/exclusion hardening:
+          - every lock file carries a unique OWNER TOKEN; release unlinks
+            only if the file still holds our token, so a stalled holder
+            that was legitimately stolen can never remove the new
+            holder's lock (`_release_lock_file`);
+          - holders REFRESH the lock mtime during long held sections
+            (`_touch_lock` in the append path, a heartbeat thread for
+            maintenance), so a live-but-slow holder is not seen stale;
+          - after winning the steal rename, the stealer re-checks the
+            grave's mtime: if the holder refreshed it between our stat
+            and rename, the lock was NOT stale — link it back (no-op if
+            a new lock already appeared) and back off.
+
         Reference contract: the Postgres transaction's row lock releases
         automatically on writer death (PostgresqlEventStore.cs:386-409);
         this gives the parquet store the same liveness.
         """
+        token = uuid.uuid4().hex
         while True:
             try:
-                return os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
+                return fd, token
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(lock_path).st_mtime
                     if age > self.LOCK_STALE_S:
                         grave = f"{lock_path}.stale-{uuid.uuid4().hex[:8]}"
                         os.rename(lock_path, grave)  # atomic: one winner
-                        os.unlink(grave)
-                        continue  # retry O_EXCL immediately
+                        try:
+                            fresh = (
+                                time.time() - os.stat(grave).st_mtime
+                                <= self.LOCK_STALE_S
+                            )
+                        except FileNotFoundError:
+                            fresh = False
+                        if fresh:
+                            # holder heartbeat raced our stat — restore and
+                            # treat as held (link keeps the holder's inode,
+                            # so its token-verified release still works)
+                            with contextlib.suppress(FileExistsError):
+                                os.link(grave, lock_path)
+                            os.unlink(grave)
+                        else:
+                            os.unlink(grave)
+                            continue  # genuinely stale: retry O_EXCL now
                 except FileNotFoundError:
                     continue  # holder released (or another stealer won)
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"could not acquire {lock_path}")
                 time.sleep(0.01)
+
+    @staticmethod
+    def _release_lock_file(lock_path: str, fd: int, token: str) -> None:
+        """Close + unlink ONLY a lock we still own (token match): if we
+        stalled past LOCK_STALE_S and were stolen, the path now holds the
+        new owner's token and must survive our release."""
+        os.close(fd)
+        try:
+            with open(lock_path, "r") as f:
+                if f.read() == token:
+                    os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
+
+    @staticmethod
+    def _touch_lock(lock_path: str) -> None:
+        """Heartbeat: refresh the lock mtime so concurrent contenders never
+        judge a live holder stale mid-commit."""
+        with contextlib.suppress(FileNotFoundError):
+            os.utime(lock_path)
 
     _MAINT_LOCK = ".maint.lock"
 
@@ -503,14 +568,30 @@ class ParquetEventStore(EventStore):
 
     @contextlib.contextmanager
     def _maintenance(self):
+        """Exclusive maintenance section with a HEARTBEAT: compact() on a
+        large store easily outlives LOCK_STALE_S, so a daemon thread
+        refreshes the lock mtime while held — a second maintenance op can
+        then never judge a live one stale and run concurrently (e.g.
+        hard_delete during compact resurrecting deleted rows). Release is
+        token-verified, so even a genuinely-stalled op whose lock WAS
+        stolen cannot remove the stealer's lock in its finally."""
+        path = self._maintenance_lock_path()
         deadline = time.monotonic() + self.LOCK_TIMEOUT_S
-        fd = self._acquire_lock_file(self._maintenance_lock_path(), deadline)
+        fd, token = self._acquire_lock_file(path, deadline)
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(self.LOCK_STALE_S / 3):
+                self._touch_lock(path)
+
+        beater = threading.Thread(target=beat, daemon=True)
+        beater.start()
         try:
             yield
         finally:
-            os.close(fd)
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(self._maintenance_lock_path())
+            stop.set()
+            beater.join()
+            self._release_lock_file(path, fd, token)
 
     def compact(self, max_fragments: int = 1) -> None:
         """Fold many small append fragments into one (the parquet-store
@@ -540,10 +621,11 @@ class ParquetEventStore(EventStore):
             self.path, f"part-{time.time_ns():020d}-compacted.parquet"
         )
         # snapshot becomes visible BEFORE the originals vanish: a reader
-        # globbing mid-swap sees transient DUPLICATE rows (harmless — max
-        # stream_version is unchanged, so a racing appender's version
-        # precheck stays correct), never a partial store (which would let
-        # an appender observe version 0 and re-issue committed versions)
+        # globbing mid-swap sees transient DUPLICATE rows — harmless for
+        # appenders (max stream_version unchanged, version precheck stays
+        # correct) AND for readers (load_stream/load_events dedupe by
+        # stream_version / event id) — never a partial store (which would
+        # let an appender observe version 0 and re-issue committed versions)
         os.rename(tmp, out)
         for f in frags:
             os.unlink(f)
@@ -608,3 +690,17 @@ def _table_from_records(records: list[EventRecord]) -> pa.Table:
 
 def _records_from_table(table: pa.Table) -> list[EventRecord]:
     return [EventRecord(**row) for row in table.to_pylist()]
+
+
+def _dedupe_versions(records: list[EventRecord]) -> list[EventRecord]:
+    """Drop duplicate stream_versions from a version-sorted single-stream
+    read: during the compaction swap window (_replace_fragments publishes
+    the snapshot BEFORE unlinking sources) a reader can see every event
+    twice; without this, aggregate rehydration would apply each event
+    twice."""
+    out: list[EventRecord] = []
+    for r in records:
+        if out and out[-1].stream_version == r.stream_version:
+            continue
+        out.append(r)
+    return out

@@ -4,7 +4,9 @@ version of the reference's backend-parameterized differential suites
 
 import datetime
 import decimal
+import os
 import threading
+import time
 
 import pytest
 
@@ -386,3 +388,109 @@ def test_killed_writer_lock_recovered_by_second_writer(tmp_path):
     _append_order(store, oid)
     assert time.monotonic() - t0 < 5
     assert store.load_stream(oid, ORDERS_PARTITION_KEY).version == 1
+
+
+# -- lock-protocol hardening (round-3: owner tokens, heartbeat, dedupe) ------
+
+def test_release_only_unlinks_own_lock(tmp_path):
+    """A stalled holder whose lock was legitimately stolen must NOT remove
+    the new holder's lock in its finally (owner-token release)."""
+    import os
+
+    store = _parquet_store(tmp_path)
+    lock = os.path.join(store.path, ".commit-deadbeef.lock")
+    fd, token = store._acquire_lock_file(lock, time.monotonic() + 5)
+    # simulate a steal + new acquisition: different owner token on disk
+    os.unlink(lock)
+    with open(lock, "w") as f:
+        f.write("someone-else")
+    store._release_lock_file(lock, fd, token)
+    assert os.path.exists(lock)  # new holder's lock survived
+    with open(lock) as f:
+        assert f.read() == "someone-else"
+    os.unlink(lock)
+
+
+def test_heartbeat_refreshed_lock_not_stolen_after_rename_race(tmp_path):
+    """The steal path re-checks the grave's mtime after winning the rename:
+    a lock whose holder heartbeat-refreshed it is restored, not destroyed."""
+    import os
+
+    store = _parquet_store(tmp_path)
+    store.LOCK_TIMEOUT_S = 0.5
+    lock = os.path.join(store.path, ".commit-cafebabe.lock")
+    with open(lock, "w") as f:
+        f.write("live-holder")
+    old = time.time() - store.LOCK_STALE_S - 5
+    os.utime(lock, (old, old))
+
+    real_rename = os.rename
+
+    def rename_then_heartbeat(src, dst):
+        real_rename(src, dst)
+        if src == lock:
+            # holder's heartbeat lands between the stealer's stat and its
+            # grave inspection: the renamed inode gets a fresh mtime
+            os.utime(dst)
+
+    import unittest.mock as mock
+
+    with mock.patch("os.rename", side_effect=rename_then_heartbeat):
+        with pytest.raises(TimeoutError):
+            store._acquire_lock_file(lock, time.monotonic() + 0.4)
+    # the live holder's lock was restored with its content intact
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "live-holder"
+
+
+def test_maintenance_heartbeat_keeps_long_op_owned(tmp_path):
+    """A maintenance op running longer than LOCK_STALE_S must keep its lock
+    fresh (heartbeat thread) so a second op cannot steal it mid-rewrite."""
+    import os
+
+    store = _parquet_store(tmp_path)
+    store.LOCK_STALE_S = 0.3
+    with store._maintenance():
+        time.sleep(1.0)  # > 3x the stale TTL
+        age = time.time() - os.stat(store._maintenance_lock_path()).st_mtime
+        assert age < store.LOCK_STALE_S, "heartbeat failed to refresh the lock"
+        # a contender arriving now must see the lock as HELD, not stale
+        store2 = ParquetEventStore(store.path)
+        store2.LOCK_STALE_S = 0.3
+        store2.LOCK_TIMEOUT_S = 0.4
+        with pytest.raises(TimeoutError):
+            store2._acquire_lock_file(
+                store2._maintenance_lock_path(), time.monotonic() + 0.4
+            )
+    assert not os.path.exists(store._maintenance_lock_path())
+
+
+def test_reader_dedupes_compaction_swap_window(tmp_path):
+    """Mid-swap (snapshot published, sources not yet unlinked) every event
+    is on disk twice; rehydration and the chronological feed must not apply
+    duplicates."""
+    import pyarrow.dataset as pa_ds
+    from cloudfabric_eventsourcing_spark.eventstore.store import _ARROW_SCHEMA
+
+    store = _parquet_store(tmp_path)
+    oid = "2c55f399-0000-0000-0000-000000000001"
+    _append_order(store, oid)
+    _append_order(store, "2c55f399-0000-0000-0000-000000000002")
+    frags = store._fragments()
+    table = pa_ds.dataset(frags, schema=_ARROW_SCHEMA, format="parquet").to_table()
+    # freeze the swap at its dangerous instant: snapshot written, sources kept
+    import pyarrow.parquet as pq
+
+    dup = os.path.join(store.path, f"part-{10**19}-compacted.parquet")
+    pq.write_table(table, dup)
+    store._invalidate_version_cache()
+
+    stream = store.load_stream(oid, ORDERS_PARTITION_KEY)
+    assert stream.version == 1
+    assert len(stream.events) == 1  # not 2: duplicate version dropped
+    feed = store.load_events()
+    assert len(feed) == 2  # one per order, duplicates collapsed by event id
+    repo = AggregateRepository(store, Order)
+    loaded = repo.load(oid, ORDERS_PARTITION_KEY)
+    assert len(loaded.items) == 1  # double-apply would duplicate the item
