@@ -357,6 +357,49 @@ def f17_search_scored(spark, sf_dir):
     )
 
 
+@q(
+    "f19_search_scored_boosted",
+    "SELECT doc_id, "
+    "((length(lower(coalesce(text,''))) - length(replace(lower(coalesce(text,'')),'merge','')))/5.0)*3.0 + "
+    "((length(lower(coalesce(source,''))) - length(replace(lower(coalesce(source,'')),'merge','')))/5.0)*0.5 + "
+    "((length(lower(coalesce(text,''))) - length(replace(lower(coalesce(text,'')),'sort','')))/4.0)*3.0 + "
+    "((length(lower(coalesce(source,''))) - length(replace(lower(coalesce(source,'')),'sort','')))/4.0)*0.5 "
+    "AS score FROM documents WHERE "
+    "(lower(text) LIKE '%merge%' OR lower(source) LIKE '%merge%') AND "
+    "(lower(text) LIKE '%sort%' OR lower(source) LIKE '%sort%')",
+)
+def f19_search_scored_boosted(spark, sf_dir):
+    # per-field searchable_boost weighting in the TF score — the ES
+    # backend's field boosts (ElasticSearchQueryFactory.cs:11-129; boost
+    # declared at ProjectionDocumentPropertySchema.cs:20-32): text counts
+    # 3x, source 0.5x
+    from cloudfabric_eventsourcing_spark.plans.translator import (
+        score_column,
+        search_to_column,
+    )
+
+    df = load_table(spark, sf_dir, "documents")
+    schema = ProjectionSchema(
+        "documents_boosted",
+        [
+            PropertySchema("doc_id", INT64, is_key=True),
+            PropertySchema(
+                "text", STRING, is_searchable=True, searchable_boost=3.0
+            ),
+            PropertySchema("lang", STRING),
+            PropertySchema(
+                "source", STRING, is_searchable=True, searchable_boost=0.5
+            ),
+            PropertySchema("n_chars", INT64),
+        ],
+    )
+    pred = search_to_column("merge sort", schema, "tokenized")
+    return df.where(pred).select(
+        "doc_id",
+        score_column("merge sort", schema, "tokenized").alias("score"),
+    )
+
+
 def _t04_oracle() -> str:
     from cloudfabric_eventsourcing_spark.operators.text import (
         EMAIL_PATTERN,
@@ -1496,6 +1539,7 @@ _VERIFY_FIRST = [
     "p08_stratified_sample",
     "p09_weighted_mix",
     # round-3 code touches these paths -> re-verify at current code
+    "f19_search_scored_boosted",
     "f17_search_scored",
     "f13_search_text",
     "f16_search_tokenized",

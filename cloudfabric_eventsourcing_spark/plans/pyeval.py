@@ -135,16 +135,21 @@ def eval_search(
     doc: dict,
     schema: Optional[ProjectionSchema],
     mode: str = "substring",
+    analyzer: str = "whitespace",
 ) -> bool:
     if not search_text or search_text == "*" or schema is None:
         return True
     needle = search_text.lower()
     if mode == "tokenized":
-        # AND between whitespace terms, OR across fields per term
+        from cloudfabric_eventsourcing_spark.plans.translator import (
+            tokenize_terms,
+        )
+
+        # AND between analyzer terms, OR across fields per term
         # (semantics-identical to translator.search_to_column)
         return all(
             eval_search(term, doc, schema, mode="substring")
-            for term in needle.split()
+            for term in tokenize_terms(needle, analyzer)
         )
     if mode == "phrase_prefix":
         import re
@@ -192,14 +197,22 @@ def score_doc(
     doc: dict,
     schema: Optional[ProjectionSchema],
     mode: str = "substring",
+    analyzer: str = "whitespace",
 ) -> float:
     """TF relevance — semantics-identical to translator.score_column:
     occurrences of each term across searchable columns (array fields sum
-    over elements)."""
+    over elements), each field weighted by its `searchable_boost`."""
     if not search_text or search_text == "*" or schema is None:
         return 0.0
     needle = search_text.lower()
-    terms = needle.split() if mode == "tokenized" else [needle]
+    if mode == "tokenized":
+        from cloudfabric_eventsourcing_spark.plans.translator import (
+            tokenize_terms,
+        )
+
+        terms = tokenize_terms(needle, analyzer)
+    else:
+        terms = [needle]
 
     def occurrences(v, term):
         if v is None:
@@ -211,14 +224,16 @@ def score_doc(
     for term in terms:
         if not term:
             continue
-        for path in schema.searchable_paths():
+        for path, boost in schema.searchable_path_boosts():
             head, _, rest = path.partition(".")
             head_val = _get_path(doc, head)
             if rest and isinstance(head_val, list):
-                for e in head_val:
-                    total += occurrences(_get_path(e, rest), term)
+                contrib = sum(
+                    occurrences(_get_path(e, rest), term) for e in head_val
+                )
             else:
-                total += occurrences(_get_path(doc, path), term)
+                contrib = occurrences(_get_path(doc, path), term)
+            total += contrib * boost if boost != 1.0 else contrib
     return total
 
 
@@ -291,7 +306,9 @@ def run_query_docs(
         d
         for d in docs
         if all(eval_filter(f, d, schema) for f in query.filters)
-        and eval_search(query.search_text, d, schema, query.search_mode)
+        and eval_search(
+                    query.search_text, d, schema, query.search_mode, query.analyzer
+                )
     ]
     total = len(filtered)
     scoring = (
@@ -309,7 +326,9 @@ def run_query_docs(
         key_name = schema.key_name
         filtered.sort(
             key=lambda d: (
-                -score_doc(query.search_text, d, schema, query.search_mode),
+                -score_doc(
+                    query.search_text, d, schema, query.search_mode, query.analyzer
+                ),
                 str(d.get(key_name)),
             )
         )

@@ -190,6 +190,43 @@ def _term_column(needle: str, schema: ProjectionSchema) -> Optional[Column]:
     return acc
 
 
+_EMAIL_TOKEN_RX = None
+_URL_TOKEN_RX = None
+
+
+def tokenize_terms(needle: str, analyzer: str = "whitespace") -> list[str]:
+    """Split a lowercased search text into terms per the analyzer:
+
+    - "whitespace" (default): whitespace split — the engine's baseline.
+    - "uax_url_email": whitespace split, then non-alphanumeric split of
+      each token EXCEPT tokens that are emails or URLs, which stay whole —
+      ES's uax_url_email tokenizer, the reference's `url-email-analyzer`
+      (ElasticSearchProjectionIndexer.cs:72-81, SearchAnalyzers.cs:5).
+    - "standard": whitespace + non-alphanumeric split of every token —
+      ES's standard tokenizer (emails/URLs shatter into fragments).
+    """
+    import re as _re
+
+    global _EMAIL_TOKEN_RX, _URL_TOKEN_RX
+    if _EMAIL_TOKEN_RX is None:
+        _EMAIL_TOKEN_RX = _re.compile(r"^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$")
+        _URL_TOKEN_RX = _re.compile(r"^[a-z][a-z0-9+.-]*://\S+$")
+    raw = [t for t in (needle or "").split() if t]
+    if analyzer in (None, "whitespace"):
+        return raw
+    if analyzer == "uax_url_email":
+        out: list[str] = []
+        for t in raw:
+            if _EMAIL_TOKEN_RX.match(t) or _URL_TOKEN_RX.match(t):
+                out.append(t)
+            else:
+                out.extend(p for p in _re.split(r"[^a-z0-9]+", t) if p)
+        return out
+    if analyzer == "standard":
+        return [p for t in raw for p in _re.split(r"[^a-z0-9]+", t) if p]
+    raise ValueError(f"unknown analyzer {analyzer!r}")
+
+
 def phrase_prefix_regex(search_text: str) -> Optional[str]:
     """Regex for ES match_phrase_prefix semantics: the terms must appear
     consecutively (any whitespace between them), the first term starts at
@@ -207,6 +244,7 @@ def search_to_column(
     search_text: str,
     schema: Optional[ProjectionSchema],
     mode: str = "substring",
+    analyzer: str = "whitespace",
 ) -> Optional[Column]:
     """Full-text search predicate (F13).
 
@@ -225,7 +263,7 @@ def search_to_column(
     needle = search_text.lower()
     if mode == "tokenized":
         acc: Optional[Column] = None
-        for term in needle.split():
+        for term in tokenize_terms(needle, analyzer):
             term_pred = _term_column(term, schema)
             if term_pred is None:
                 return None
@@ -266,9 +304,13 @@ def score_column(
     search_text: str,
     schema: Optional[ProjectionSchema],
     mode: str = "substring",
+    analyzer: str = "whitespace",
 ) -> Optional[Column]:
     """TF relevance score: total occurrences of each search term across the
-    searchable columns (array fields aggregate over their elements).
+    searchable columns (array fields aggregate over their elements), each
+    field's contribution weighted by its schema `searchable_boost` — the
+    per-field boost the reference's ES backend applies
+    (ElasticSearchQueryFactory.cs:11-129).
 
     The reference's ES backend returns BM25 scores
     (ElasticSearchProjectionIndexer.cs:64-271); its Postgres baseline
@@ -278,12 +320,12 @@ def score_column(
     if not search_text or search_text == "*" or schema is None:
         return None
     needle = search_text.lower()
-    terms = needle.split() if mode == "tokenized" else [needle]
+    terms = tokenize_terms(needle, analyzer) if mode == "tokenized" else [needle]
     acc: Optional[Column] = None
     for term in terms:
         if not term:
             continue
-        for path in schema.searchable_paths():
+        for path, boost in schema.searchable_path_boosts():
             array_root, remainder, _ = _resolve_path(path, schema)
             if array_root is not None:
                 contrib = F.aggregate(
@@ -293,6 +335,8 @@ def score_column(
                 )
             else:
                 contrib = _occurrence_count(F.col(path), term)
+            if boost != 1.0:
+                contrib = contrib * F.lit(float(boost))
             acc = contrib if acc is None else (acc + contrib)
     return acc
 
@@ -393,7 +437,9 @@ def apply_query(
         df = df.where(F.col(partition_key_column) == partition_key)
     for f in query.filters:
         df = df.where(filter_to_column(f, schema))
-    search = search_to_column(query.search_text, schema, query.search_mode)
+    search = search_to_column(
+        query.search_text, schema, query.search_mode, query.analyzer
+    )
     if search is not None:
         df = df.where(search)
     if query.order_by:
@@ -554,7 +600,9 @@ def run_query(
         filtered = filtered.where(F.col(partition_key_column) == partition_key)
     for f in query.filters:
         filtered = filtered.where(filter_to_column(f, schema))
-    search = search_to_column(query.search_text, schema, query.search_mode)
+    search = search_to_column(
+        query.search_text, schema, query.search_mode, query.analyzer
+    )
     if search is not None:
         filtered = filtered.where(search)
 
@@ -563,7 +611,9 @@ def run_query(
     scoring = query.scoring_profile == "tf" and search is not None
     if scoring:
         filtered = filtered.withColumn(
-            "__score", score_column(query.search_text, schema, query.search_mode)
+            "__score", score_column(
+                query.search_text, schema, query.search_mode, query.analyzer
+            )
         )
 
     filtered = filtered.persist()

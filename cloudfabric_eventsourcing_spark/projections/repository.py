@@ -248,7 +248,9 @@ class InMemoryProjectionRepository(ProjectionRepository):
 
         def record(d):
             score = (
-                pyeval.score_doc(query.search_text, d, schema, query.search_mode)
+                pyeval.score_doc(
+                    query.search_text, d, schema, query.search_mode, query.analyzer
+                )
                 if scoring
                 else 0.0
             )
@@ -268,7 +270,9 @@ class InMemoryProjectionRepository(ProjectionRepository):
                 d
                 for d in docs
                 if all(pyeval.eval_filter(f, d, schema) for f in query.filters)
-                and pyeval.eval_search(query.search_text, d, schema, query.search_mode)
+                and pyeval.eval_search(
+                    query.search_text, d, schema, query.search_mode, query.analyzer
+                )
             ]
             facets = pyeval.facet_stats_docs(matched, query.facet_info_to_return)
         return ProjectionQueryResult(

@@ -101,6 +101,12 @@ class ProjectionQuery:
     #: searchable column — ES's AND-between-terms semantics
     #: (ElasticSearchQueryFactory.cs:11-129, default_operator AND).
     search_mode: str = "substring"
+    #: Term tokenizer for tokenized search: "whitespace" (default),
+    #: "uax_url_email" (punctuation-split EXCEPT emails/URLs stay whole —
+    #: the reference's url-email-analyzer,
+    #: ElasticSearchProjectionIndexer.cs:72-81, SearchAnalyzers.cs:5), or
+    #: "standard" (punctuation-split everything, ES standard tokenizer).
+    analyzer: str = "whitespace"
 
 
 T = TypeVar("T")

@@ -176,6 +176,21 @@ class ProjectionSchema:
                 out.append(p.name)
         return out
 
+    def searchable_path_boosts(self) -> list[tuple[str, float]]:
+        """searchable_paths() with each path's `searchable_boost` — the
+        per-field relevance weight the reference's ES backend applies in
+        its query (ElasticSearchQueryFactory.cs:11-129; boost declared at
+        ProjectionDocumentPropertySchema.cs:20-32)."""
+        out: list[tuple[str, float]] = []
+        for p in self.properties:
+            if p.type in (OBJECT, ARRAY):
+                for n in p.nested_properties:
+                    if n.is_searchable and n.type == STRING:
+                        out.append((f"{p.name}.{n.name}", n.searchable_boost))
+            elif p.is_searchable and p.type == STRING:
+                out.append((p.name, p.searchable_boost))
+        return out
+
 
 def _canonical(props: list[PropertySchema]) -> list:
     return [
