@@ -850,12 +850,26 @@ def p05_cosine_neardup(spark, sf_dir):
     )
 
 
-@q("p06_cosine_neardup_lsh")  # approximate (bucketed) — rows-only check;
-# recall vs the exact scan is pinned by test_cosine_neardup_lsh_on_planted
+@q(
+    "p06_cosine_neardup_lsh",
+    # planted-truth containment oracle: 25 exact duplicate vectors are
+    # planted (vec_id + 10^7); identical vectors ALWAYS share a hyperplane
+    # bucket, so the LSH pass must find every planted pair at cosine 1.0 —
+    # and (embeddings are near-random, natural max cosine ~0.51) nothing
+    # else clears the 0.999 threshold. Free-threshold recall stays pinned
+    # by test_cosine_neardup_lsh_on_planted.
+    "SELECT vec_id AS id_a, vec_id + 10000000 AS id_b, "
+    "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings WHERE vec_id < 25",
+)
 def p06_cosine_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dims = len(emb.select("embedding").first()[0])
-    return _dedup.cosine_neardup_pairs_lsh(emb, threshold=0.35, dims=dims, bits=6)
+    planted = emb.where(F.col("vec_id") < 25).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    return _dedup.cosine_neardup_pairs_lsh(
+        emb.unionByName(planted), threshold=0.999, dims=dims, bits=6
+    )
 
 
 @q(
@@ -875,13 +889,41 @@ def s01_ann_brute(spark, sf_dir):
     return _sim.brute_force_topk(emb, query, k=20)
 
 
-@q("s02_ann_lsh_topk")  # approximate — rows-only check, recall tested in pytest
+_PLANTED_QUERY_IDS = (0, 7, 23, 41, 99)
+
+
+@q(
+    "s02_ann_lsh_topk",
+    # planted-truth containment oracle: each query IS a table vector, so
+    # its own bucket always contains it and exact top-1 = itself at cosine
+    # 1.0 (near-random embeddings: no other vector rounds to 1.0). Any
+    # bucketing/probe/ranking break loses the row. Free-query recall is
+    # pinned by test_operators' LSH recall tests.
+    "SELECT vec_id AS query_id, vec_id AS neighbor_id, "
+    "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings "
+    "WHERE vec_id IN (0, 7, 23, 41, 99)",
+)
 def s02_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    dims = len(query)
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(
+            F.col("vec_id").isin(list(_PLANTED_QUERY_IDS))
+        ).collect()
+    }
+    dims = len(next(iter(qrows.values())))
     bucketed = _sim.lsh_bucket(emb, dims=dims, bits=12)
-    return _sim.lsh_topk(bucketed, query, dims=dims, k=20, bits=12)
+    out = None
+    for qid in _PLANTED_QUERY_IDS:
+        top1 = _sim.lsh_topk(
+            bucketed, qrows[qid], dims=dims, k=1, bits=12
+        ).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+        out = top1 if out is None else out.unionByName(top1)
+    return out
 
 
 def _lang_scores_sql() -> str:
@@ -1396,14 +1438,38 @@ def h8_shipping_priority(spark, sf_dir):
     )
 
 
-@q("s03_ann_ivf_topk")  # approximate (coarse-cell probe) — rows-only;
-# recall vs brute force is pinned by test_operators' IVF tests
+@q(
+    "s03_ann_ivf_topk",
+    # planted-truth containment oracle (same shape as s02): each query is a
+    # table vector; its argmax cell is always the query's top probe cell,
+    # so exact top-1 = itself at cosine 1.0. Certifies seeding, assignment,
+    # probe ordering and ranking end-to-end. Free-query recall pinned by
+    # test_operators' IVF tests.
+    "SELECT vec_id AS query_id, vec_id AS neighbor_id, "
+    "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings "
+    "WHERE vec_id IN (0, 7, 23, 41, 99)",
+)
 def s03_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(
+            F.col("vec_id").isin(list(_PLANTED_QUERY_IDS))
+        ).collect()
+    }
     cents = _sim.ivf_centroids_from_sample(emb, n_cells=16)
     assigned = _sim.ivf_assign(emb, cents)
-    return _sim.ivf_topk(assigned, cents, query, k=20, nprobe=4)
+    out = None
+    for qid in _PLANTED_QUERY_IDS:
+        top1 = _sim.ivf_topk(
+            assigned, cents, qrows[qid], k=1, nprobe=4
+        ).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+        out = top1 if out is None else out.unionByName(top1)
+    return out
 
 
 @q(
@@ -1426,14 +1492,29 @@ def k01_salted_join(spark, sf_dir):
     return out.select("event_id", "type_count")
 
 
-@q("p07_simhash_neardup")  # rows-only check: simhash uses xxhash64 bit
-# votes (not SQL-expressible); pigeonhole recall is pinned by
-# test_operators' planted-pair tests
+@q(
+    "p07_simhash_neardup",
+    # planted-truth containment oracle: 40 exact duplicate documents are
+    # planted (doc_id + 10^7); identical text -> identical simhash -> all
+    # four 16-bit bands collide -> the pair MUST surface at hamming 0.
+    # Output restricted to the planted pairs because the synthetic corpus
+    # is pathologically self-similar (natural hamming<=3 pairs exist and
+    # are xxhash64-dependent, not SQL-expressible); the unrestricted
+    # surface stays pinned by test_operators' pigeonhole tests.
+    "SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, 0 AS hamming "
+    "FROM documents WHERE doc_id < 40",
+)
 def p07_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sig = _dedup.simhash_signatures(docs)
+    planted = docs.where(F.col("doc_id") < 40).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    sig = _dedup.simhash_signatures(docs.unionByName(planted))
     pairs = _dedup.simhash_candidate_pairs(sig)
-    return pairs.where(F.col("hamming") <= 3)
+    return pairs.where(
+        (F.col("hamming") <= 3)
+        & (F.col("id_b") - F.col("id_a") == 10_000_000)
+    )
 
 
 @q(

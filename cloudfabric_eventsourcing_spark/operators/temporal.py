@@ -9,7 +9,8 @@ Implementation choices (pyspark_guide.md "Common OLAP patterns"):
     scale-correct plan: an equivalent merge_asof via applyInPandas exists
     for per-group pandas semantics but is the slow path.
   - sessionization: lag + gap>threshold cumsum over a (key, time) window —
-    two window passes over one shuffle.
+    two window passes over one shuffle; the strict-> tie (an event exactly
+    `gap` after its predecessor stays in-session) matches F.session_window.
   - range join: bucketize the range key, equi-join on bucket, post-filter.
 """
 
@@ -126,8 +127,12 @@ def sessionize(
     gap_minutes: float = 30.0,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the
-    previous event of the same key exceeds `gap_minutes`. Adds
-    `session_seq` (0-based per key) and `session_id` (key#seq)."""
+    previous event of the same key EXCEEDS `gap_minutes` (strict >; an
+    event exactly `gap_minutes` after its predecessor stays in the same
+    session). The tie case matches Spark's native F.session_window, whose
+    windows [ts, ts+gap] merge on touch — verified empirically by
+    test_session_gap_boundary_tie_matches_native. Adds `session_seq`
+    (0-based per key) and `session_id` (key#seq)."""
     from pyspark.sql import types as T
 
     # integer µs for exact gap comparisons (double seconds lose sub-µs

@@ -211,3 +211,79 @@ def test_native_session_window_equals_lag_sessionization(spark, sf_dir):
         .collect()
     }
     assert ours == native and len(ours) > 0
+
+
+def test_session_gap_boundary_tie_matches_native(spark):
+    """An event EXACTLY gap after its predecessor stays IN-SESSION in
+    F.session_window (windows [ts, ts+gap] merge on touch — verified here
+    empirically); the lag+cumsum operator must keep the same strict->
+    split semantics."""
+    from cloudfabric_eventsourcing_spark.operators.temporal import session_stats
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(user_id=1, ts=t0),
+        Row(user_id=1, ts=t0 + datetime.timedelta(minutes=60)),  # exact tie
+        Row(user_id=1, ts=t0 + datetime.timedelta(minutes=119, seconds=59)),
+    ]
+    df = spark.createDataFrame(rows)
+    ours = sorted(
+        (r["session_start"], r["n_events"])
+        for r in session_stats(df, key="user_id", ts="ts", gap_minutes=60).collect()
+    )
+    native = sorted(
+        (r["session_start"], r["n_events"])
+        for r in df.groupBy(F.session_window("ts", "60 minutes"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert ours == native
+    # the tie MERGES: one session holding all three events
+    assert [n for _, n in ours] == [3]
+
+
+def test_session_window_streaming_with_watermark(spark, tmp_path):
+    """T4 stream path: the SAME F.session_window aggregation runs as a
+    watermarked Structured Streaming query (availableNow drain) and matches
+    the batch result."""
+    src = str(tmp_path / "sessions_src")
+    t0 = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        Row(user_id=u, ts=t0 + datetime.timedelta(minutes=m))
+        for u in (1, 2)
+        for m in (0, 10, 90, 95, 300)
+    ]
+    batch_df = spark.createDataFrame(rows)
+    batch_df.write.mode("overwrite").parquet(src)
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "60 minutes"), "user_id").agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        ).select("user_id", "session_start", "session_end", "n_events")
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n_events FROM sess_out"
+        ).collect()
+    }
+    want = {tuple(r) for r in sessions(spark.read.parquet(src)).collect()}
+    assert got == want and len(want) == 6  # 3 sessions per user
