@@ -58,6 +58,7 @@ def main() -> None:
     # and a live local[32] Spark JVM (GC + scheduler threads) costs it
     # ~35% throughput — measure the store, not the neighbor
     append_rate = _bench_append_scenarios()
+    append_rate_2proc = _bench_append_scenarios_2proc()
     spark = build_session(app_name="cfes-bench")
 
     qs = entry_mod.queries()
@@ -87,6 +88,7 @@ def main() -> None:
                 "sf": sf,
                 # BASELINE.md derived targets
                 "append_scenarios_per_sec": append_rate,
+                "append_scenarios_per_sec_2proc": append_rate_2proc,
                 **_bench_replay(spark, sf_dir),
             }
         )
@@ -171,6 +173,70 @@ def _bench_append_scenarios_parallel(n: int = 160, threads: int = 8) -> float:
         with ThreadPoolExecutor(max_workers=threads) as pool:
             list(pool.map(scenario, range(n)))
         return round(n / (time.perf_counter() - t0), 2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _bench_append_scenarios_2proc(n: int = 150, procs: int = 2) -> float:
+    """T-append across PROCESSES on disjoint streams sharing ONE store
+    directory. The scenario is GIL-bound Python (event serialization), so
+    in-process threads only measure contention (see the thread variant) —
+    separate interpreters are the scaling shape, coordinated purely by the
+    store's per-stream O_EXCL commit locks. Expectation: >= 1.5x the
+    single-process rate; the wall includes interpreter startup."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    # workers report their own append window (post-import wall-clock
+    # epoch); the parent rates n over max(t1)-min(t0), so interpreter +
+    # pyspark-import startup (~1.5 s, a fixed cost any long-lived writer
+    # amortizes) stays out of the measurement while every cross-process
+    # coordination cost stays in
+    worker = r"""
+import decimal, json, os, sys, time
+root, store_path, base, cnt = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+sys.path.insert(0, root)
+from cloudfabric_eventsourcing_spark.domain import AggregateRepository
+from cloudfabric_eventsourcing_spark.eventstore import ParquetEventStore
+from tests.domain_fixtures import ORDERS_PARTITION_KEY, Order, OrderItem, utcnow
+store = ParquetEventStore(store_path)
+store.initialize()
+repo = AggregateRepository(store, Order)
+t0 = time.time()
+for i in range(base, base + cnt):
+    o = Order(f"{i:08d}-0000-0000-0000-000000000000", f"Bench {i}",
+              [OrderItem(utcnow(), "Caverna", decimal.Decimal("12.00"))])
+    repo.save({"userId": "bench"}, o)
+    loaded = repo.load(o.id, ORDERS_PARTITION_KEY)
+    for j in range(100):
+        loaded.add_item(OrderItem(utcnow(), f"i{j}", decimal.Decimal("6.95")))
+    repo.save({"userId": "bench"}, loaded)
+    repo.load(o.id, ORDERS_PARTITION_KEY)
+print(json.dumps({"t0": t0, "t1": time.time()}))
+"""
+    d = tempfile.mkdtemp(prefix="cfes-bench2p-")
+    try:
+        store_path = os.path.join(d, "events")
+        per = n // procs
+        ps = [
+            subprocess.Popen(
+                [sys.executable, "-c", worker, root, store_path,
+                 str(k * per), str(per)],
+                cwd=root,
+                stdout=subprocess.PIPE,
+            )
+            for k in range(procs)
+        ]
+        spans = []
+        for p in ps:
+            out, _ = p.communicate()
+            if p.returncode != 0:
+                raise RuntimeError("2proc append worker failed")
+            spans.append(json.loads(out.decode().strip().splitlines()[-1]))
+        wall = max(s["t1"] for s in spans) - min(s["t0"] for s in spans)
+        return round((per * procs) / wall, 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -262,27 +328,35 @@ def _bench_replay(spark, sf_dir: str) -> dict:
 def _bench_sql_fold(spark, sf_dir: str) -> float:
     """The vectorized ceiling (r01's replay metric, kept for continuity):
     the same per-user counters as pure JVM aggregation — what the rebuild
-    becomes when a builder's fold is expressible in SQL (A4/A5 shape)."""
+    becomes when a builder's fold is expressible in SQL (A4/A5 shape).
+
+    Best-of-2 like every other suite timing: this section runs LAST, after
+    the heavy replay benches have left the JVM with dirty heaps and cold
+    scheduler pools — r02 measured it single-shot and logged a spurious
+    −22% vs r01 (272.9k vs 350.8k ev/s) that a second run erases."""
     from pyspark.sql import functions as F
 
     from cloudfabric_eventsourcing_spark.sources import load_table
 
     events = load_table(spark, sf_dir, "events")
     n = events.count()
-    t0 = time.perf_counter()
-    (
-        events.groupBy("user_id")
-        .agg(
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.max("ts").alias("last_ts"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("ts").alias("last_ts"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
         )
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-    return round(n / (time.perf_counter() - t0), 1)
+        best = min(best, time.perf_counter() - t0)
+    return round(n / best, 1)
 
 
 if __name__ == "__main__":
