@@ -1144,6 +1144,45 @@ def a7_median(spark, sf_dir):
 
 
 @q(
+    "h13_cube_revenue",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS total "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def h13_cube(spark, sf_dir):
+    # full grouping-sets lattice (CUBE) — completes the §2.5 grouping-set
+    # surface next to h7's ROLLUP; NULL subtotal markers match ANSI
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100).alias("total"),
+    )
+
+
+@q(
+    "h14_distinct_customers_per_nation",
+    "SELECT n_name, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+)
+def h14_distinct_customers(spark, sf_dir):
+    # DISTINCT aggregation (§2.5): two-phase partial dedup + final count in
+    # Spark (Expand + two HashAggregates); nation broadcast
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
     "u01_set_ops",
     "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150 "
     "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value < 50 "
@@ -1611,6 +1650,8 @@ _VERIFY_FIRST = [
     "h10_promo_revenue_share",
     "h11_large_volume_customers",
     "h12_rich_idle_customers",
+    "h13_cube_revenue",
+    "h14_distinct_customers_per_nation",
     "a7_exact_median",
     "s03_ann_ivf_topk",
     "s02_ann_lsh_topk",

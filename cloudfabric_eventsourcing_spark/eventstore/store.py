@@ -350,16 +350,22 @@ class ParquetEventStore(EventStore):
         table = self._scan(expr).sort_by("created_at")
         # a reader globbing mid-compaction-swap can see a row in BOTH the
         # new snapshot and a not-yet-unlinked source fragment; drop the
-        # duplicates (same physical event id) before applying the limit
+        # duplicates (same physical event id) before applying the limit.
+        # Convert slice-by-slice: outside the swap window (the common case)
+        # exactly `limit` rows are materialized, same as pre-dedupe cost —
+        # a full-table conversion here made chunked serial replay O(n^2).
         seen: set[str] = set()
-        records = []
-        for r in _records_from_table(table):
-            if r.id in seen:
-                continue
-            seen.add(r.id)
-            records.append(r)
-            if len(records) >= limit:
-                break
+        records: list[EventRecord] = []
+        offset = 0
+        while len(records) < limit and offset < table.num_rows:
+            for r in _records_from_table(table.slice(offset, limit)):
+                if r.id in seen:
+                    continue
+                seen.add(r.id)
+                records.append(r)
+                if len(records) >= limit:
+                    break
+            offset += limit
         return [r.to_event() for r in records]
 
     def _refresh_version_cache(self) -> None:

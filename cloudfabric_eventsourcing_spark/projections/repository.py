@@ -289,7 +289,9 @@ class ParquetProjectionRepository(ProjectionRepository):
         super().__init__(schema, state_store)
         self.base_path = base_path
         self.spark = spark
-        self._lock = threading.Lock()
+        # RLock: merge_from_df holds it across its read-compute-swap and
+        # re-enters via overwrite_from_df's swap section
+        self._lock = threading.RLock()
         self._schemas: dict[str, ProjectionSchema] = {}
 
     # -- snapshot helpers ---------------------------------------------------
@@ -476,25 +478,27 @@ class ParquetProjectionRepository(ProjectionRepository):
         if self.spark is None:
             raise RuntimeError("update_documents_expr needs a SparkSession")
         index_name, schema = self._resolve(selector)
-        df = self.to_df(selector=selector)
-        pred = F.lit(True)
-        if partition_key is not None:
-            pred = pred & (F.col("PartitionKey") == partition_key)
-        for f in query.filters:
-            pred = pred & filter_to_column(f, schema)
-        search = search_to_column(query.search_text, schema, query.search_mode)
-        if search is not None:
-            pred = pred & search
-        updates = dict(set_columns)
-        if updated_at is not None and "UpdatedAt" in df.columns:
-            updates.setdefault("UpdatedAt", F.lit(updated_at))
-        updated = df.withColumns(
-            {
-                name: F.when(pred, expr).otherwise(F.col(name))
-                for name, expr in updates.items()
-            }
-        )
-        self.overwrite_from_df(updated, selector=selector)
+        # same read-compute-swap atomicity as merge_from_df
+        with self._lock:
+            df = self.to_df(selector=selector)
+            pred = F.lit(True)
+            if partition_key is not None:
+                pred = pred & (F.col("PartitionKey") == partition_key)
+            for f in query.filters:
+                pred = pred & filter_to_column(f, schema)
+            search = search_to_column(query.search_text, schema, query.search_mode)
+            if search is not None:
+                pred = pred & search
+            updates = dict(set_columns)
+            if updated_at is not None and "UpdatedAt" in df.columns:
+                updates.setdefault("UpdatedAt", F.lit(updated_at))
+            updated = df.withColumns(
+                {
+                    name: F.when(pred, expr).otherwise(F.col(name))
+                    for name, expr in updates.items()
+                }
+            )
+            self.overwrite_from_df(updated, selector=selector)
 
     def merge_from_df(
         self,
@@ -522,25 +526,30 @@ class ParquetProjectionRepository(ProjectionRepository):
             raise RuntimeError("merge_from_df needs a SparkSession")
         index_name, schema = self._resolve(selector)
         key = schema.key_name
-        current = self.to_df(selector=selector)
-        changed = (
-            docs_df.select(
-                F.col(key).cast("string").alias("__mk"),
-                F.col("PartitionKey").alias("__mp"),
+        # hold the repo lock across read-compute-swap so a concurrent
+        # driver-side _upsert_batch/_delete can't land between our snapshot
+        # read and the replacement swap and be silently dropped (the lock
+        # is re-entered by overwrite_from_df's swap section)
+        with self._lock:
+            current = self.to_df(selector=selector)
+            changed = (
+                docs_df.select(
+                    F.col(key).cast("string").alias("__mk"),
+                    F.col("PartitionKey").alias("__mp"),
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        kept = current.join(
-            F.broadcast(changed),
-            (current[key].cast("string") == changed["__mk"])
-            & (current["PartitionKey"] == changed["__mp"]),
-            "left_anti",
-        )
-        ups = docs_df
-        if tombstone_col is not None:
-            ups = ups.where(~F.col(tombstone_col)).drop(tombstone_col)
-        merged = kept.unionByName(ups.select(*current.columns))
-        self.overwrite_from_df(merged, selector=selector)
+            kept = current.join(
+                F.broadcast(changed),
+                (current[key].cast("string") == changed["__mk"])
+                & (current["PartitionKey"] == changed["__mp"]),
+                "left_anti",
+            )
+            ups = docs_df
+            if tombstone_col is not None:
+                ups = ups.where(~F.col(tombstone_col)).drop(tombstone_col)
+            merged = kept.unionByName(ups.select(*current.columns))
+            self.overwrite_from_df(merged, selector=selector)
 
     def overwrite_from_df(self, df, selector: str = IndexSelector.ProjectionRebuild):
         """Distributed rebuild sink: the Spark job writes the new snapshot
