@@ -400,6 +400,28 @@ def f19_search_scored_boosted(spark, sf_dir):
     )
 
 
+@q(
+    "f20_search_highlights",
+    # ES-style <em> highlight wrapping is plain regexp arithmetic — both
+    # engines are RE2-ish, so the oracle replicates it exactly (E3 was
+    # previously pytest-only)
+    "SELECT doc_id, CASE WHEN lower(text) LIKE '%merge%' THEN "
+    "regexp_replace(text, '(?i)(merge)', '<em>\\1</em>', 'g') END AS hl "
+    "FROM documents WHERE lower(text) LIKE '%merge%' OR lower(source) LIKE '%merge%'",
+)
+def f20_search_highlights(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.plans.translator import (
+        highlight_column,
+        search_to_column,
+    )
+
+    df = load_table(spark, sf_dir, "documents")
+    schema = documents_schema()
+    return df.where(search_to_column("merge", schema)).select(
+        "doc_id", highlight_column("text", "merge").alias("hl")
+    )
+
+
 def _t04_oracle() -> str:
     from cloudfabric_eventsourcing_spark.operators.text import (
         EMAIL_PATTERN,
@@ -1662,6 +1684,7 @@ _VERIFY_FIRST = [
     "p09_weighted_mix",
     # round-3 code touches these paths -> re-verify at current code
     "f19_search_scored_boosted",
+    "f20_search_highlights",
     "f17_search_scored",
     "f13_search_text",
     "f16_search_tokenized",
