@@ -1672,8 +1672,6 @@ _VERIFY_FIRST = [
     "h10_promo_revenue_share",
     "h11_large_volume_customers",
     "h12_rich_idle_customers",
-    "h13_cube_revenue",
-    "h14_distinct_customers_per_nation",
     "a7_exact_median",
     "s03_ann_ivf_topk",
     "s02_ann_lsh_topk",
@@ -1682,15 +1680,41 @@ _VERIFY_FIRST = [
     "p07_simhash_neardup",
     "p08_stratified_sample",
     "p09_weighted_mix",
-    # round-3 code touches these paths -> re-verify at current code
+    # new round-3 entries
     "f19_search_scored_boosted",
     "f20_search_highlights",
+    "h13_cube_revenue",
+    "h14_distinct_customers_per_nation",
+    # round-3 changed the search/scoring translator paths
     "f17_search_scored",
     "f13_search_text",
     "f16_search_tokenized",
     "f18_search_phrase_prefix",
-    "a2_max_stream_version",
-    "a3_store_statistics",
+    # round-3 threaded `analyzer` through the shared run_query executor —
+    # re-verify every translator-driven query at current code (f07/f08
+    # share their leaf code with the verified f04/f06 and sit just past
+    # the window; a2/a3/t04/h1-h6/p*/s01/t01-t03/x01/a4/a5 are untouched
+    # functions with green r02 rows)
+    "a1_total_count",
+    "a6_facet_counts",
+    "a6_facet_ranges",
+    "j3_in_list",
+    "o1_multi_sort_limit",
+    "o2_nested_sort",
+    "o3_array_element_filtered_sort",
+    "o4_pagination",
+    "f01_eq",
+    "f02_ne_null",
+    "f03_range",
+    "f03_ts_range",
+    "f04_starts_with",
+    "f05_ends_with",
+    "f06_contains_case_sensitive",
+    "f09_array_contains",
+    "f10_bool_tree",
+    "f11_nested_path",
+    "f12_array_exists",
+    "f14_partition_key",
 ]
 
 
