@@ -139,6 +139,62 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_DDL = (
+    "media_id long, content binary, "
+    "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """image binary -> resized image binary with updated metadata, the
+    standard pre-training normalization step. Real resampling needs an
+    image lib (not in this container); the fake path deterministically
+    re-chains the payload to width*height//8 bytes so downstream size
+    accounting is exercised for real. Output keeps the MEDIA_SCHEMA
+    column shapes (content + meta) so resize composes with
+    decode_image_features / the media table unchanged."""
+
+    target_bytes = max(width * height // 8, 1)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available; pass fake=True"
+                )
+
+            def shrink(c):
+                content = bytes(c) if c is not None else b""
+                if len(content) >= target_bytes:
+                    return content[:target_bytes]
+                h, out = content, bytearray(content)
+                while len(out) < target_bytes:
+                    h = hashlib.sha256(h).digest()
+                    out.extend(h)
+                return bytes(out[:target_bytes])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].map(shrink),
+                    "meta": pdf["meta"].map(
+                        lambda m: {
+                            "mime": m["mime"] if m else None,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": m["duration_ms"] if m else None,
+                        }
+                    ),
+                }
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(run, RESIZE_DDL)
+
+
 AUDIO_CHUNK_DDL = "media_id long, chunk_idx int, chunk_bytes binary, duration_ms int"
 
 

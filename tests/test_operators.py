@@ -317,3 +317,31 @@ def test_curation_pipeline_end_to_end(spark, docs):
         collect_stats=False,
     )
     assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
+
+
+def test_multimodal_resize_images(spark, docs):
+    from cloudfabric_eventsourcing_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(docs)
+    resized = multimodal.resize_images(media, width=32, height=16, fake=True)
+    rows = resized.collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    target = 32 * 16 // 8
+    for r in rows:
+        assert len(r["content"]) == target  # exact size normalization
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+        assert r["meta"]["mime"] == "application/octet-stream"  # carried over
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    assert {r["media_id"]: bytes(r["content"]) for r in rows} == again
+    # composes with the feature decoder (MEDIA_SCHEMA column shapes kept)
+    feats = multimodal.decode_image_features(
+        resized.withColumn("kind", F.lit("image")), fake=True
+    )
+    assert feats.count() == n_images
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.resize_images(media, 32, 16, fake=False).collect()
