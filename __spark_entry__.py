@@ -422,6 +422,22 @@ def f20_search_highlights(spark, sf_dir):
     )
 
 
+@q(
+    "f21_search_fuzzy",
+    # ES AUTO fuzziness: 'merg' (4 chars -> 1 edit) matches the token
+    # 'merge'; both engines implement unit-cost levenshtein identically
+    "SELECT doc_id FROM documents WHERE "
+    "len(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), "
+    "t -> levenshtein(t, 'merg') <= 1)) > 0 OR "
+    "len(list_filter(string_split_regex(lower(coalesce(source,'')), '\\s+'), "
+    "t -> levenshtein(t, 'merg') <= 1)) > 0",
+)
+def f21_search_fuzzy(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(search_text="merg", search_mode="fuzzy")
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
 def _t04_oracle() -> str:
     from cloudfabric_eventsourcing_spark.operators.text import (
         EMAIL_PATTERN,
@@ -1683,6 +1699,7 @@ _VERIFY_FIRST = [
     # new round-3 entries
     "f19_search_scored_boosted",
     "f20_search_highlights",
+    "f21_search_fuzzy",
     "h13_cube_revenue",
     "h14_distinct_customers_per_nation",
     # round-3 changed the search/scoring translator paths
@@ -1708,7 +1725,6 @@ _VERIFY_FIRST = [
     "f03_range",
     "f03_ts_range",
     "f04_starts_with",
-    "f05_ends_with",
     "f06_contains_case_sensitive",
     "f09_array_contains",
     "f10_bool_tree",

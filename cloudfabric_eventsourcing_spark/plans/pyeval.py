@@ -151,6 +151,36 @@ def eval_search(
             eval_search(term, doc, schema, mode="substring")
             for term in tokenize_terms(needle, analyzer)
         )
+    if mode == "fuzzy":
+        from cloudfabric_eventsourcing_spark.plans.translator import (
+            auto_fuzziness,
+            tokenize_terms,
+        )
+
+        def field_hit(v, term, dist):
+            if v is None:
+                return False
+            toks = [t for t in str(v).lower().split() if t]
+            if dist == 0:
+                return term in toks
+            return any(_levenshtein(t, term) <= dist for t in toks)
+
+        def term_hit(term):
+            dist = auto_fuzziness(term)
+            for path in schema.searchable_paths():
+                head, _, rest = path.partition(".")
+                head_val = _get_path(doc, head)
+                if rest and isinstance(head_val, list):
+                    if any(
+                        field_hit(_get_path(e, rest), term, dist)
+                        for e in head_val
+                    ):
+                        return True
+                elif field_hit(_get_path(doc, path), term, dist):
+                    return True
+            return False
+
+        return all(term_hit(t) for t in tokenize_terms(needle, analyzer))
     if mode == "phrase_prefix":
         import re
 
@@ -190,6 +220,26 @@ def eval_search(
             if v is not None and needle in str(v).lower():
                 return True
     return False
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance — mirrors Spark's F.levenshtein / DuckDB's
+    levenshtein() (unit costs, no transposition)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
 
 
 def score_doc(

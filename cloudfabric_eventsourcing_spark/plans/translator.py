@@ -269,6 +269,17 @@ def search_to_column(
                 return None
             acc = term_pred if acc is None else (acc & term_pred)
         return acc
+    if mode == "fuzzy":
+        # ES query_string fuzziness=AUTO: AND between terms; a term matches
+        # a field when some whitespace token is within the AUTO edit
+        # distance (ElasticSearchQueryFactory.cs query_string surface)
+        acc = None
+        for term in tokenize_terms(needle, analyzer):
+            term_pred = _fuzzy_term_column(term, schema)
+            if term_pred is None:
+                return None
+            acc = term_pred if acc is None else (acc & term_pred)
+        return acc
     if mode == "phrase_prefix":
         pattern = phrase_prefix_regex(needle)
         if pattern is None:
@@ -289,6 +300,49 @@ def search_to_column(
 
 def _rlike_lambda(field: str, pattern: str):
     return lambda x: F.lower(x[field]).rlike(pattern)
+
+
+def auto_fuzziness(term: str) -> int:
+    """ES AUTO fuzziness ladder: 0 edits below 3 chars, 1 edit for 3-5,
+    2 edits above (Elasticsearch query_string `fuzziness=AUTO`)."""
+    if len(term) < 3:
+        return 0
+    if len(term) <= 5:
+        return 1
+    return 2
+
+
+def _fuzzy_token_pred(col: Column, term: str) -> Column:
+    """Some whitespace token of lower(col) within AUTO edit distance of
+    `term` — F.levenshtein is JVM-side and matches DuckDB's levenshtein()
+    exactly, so the oracle replicates the predicate verbatim."""
+    dist = auto_fuzziness(term)
+    toks = F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+")
+    if dist == 0:
+        return F.exists(toks, lambda t: t == F.lit(term))
+    return F.exists(toks, _lev_lambda(term, dist))
+
+
+def _lev_lambda(term: str, dist: int):
+    return lambda t: F.levenshtein(t, F.lit(term)) <= dist
+
+
+def _fuzzy_term_column(term: str, schema: ProjectionSchema) -> Optional[Column]:
+    acc: Optional[Column] = None
+    for path in schema.searchable_paths():
+        array_root, remainder, _ = _resolve_path(path, schema)
+        if array_root is not None:
+            pred = F.exists(
+                F.col(array_root), _fuzzy_field_lambda(remainder, term)
+            )
+        else:
+            pred = _fuzzy_token_pred(F.col(path), term)
+        acc = pred if acc is None else (acc | pred)
+    return acc
+
+
+def _fuzzy_field_lambda(field: str, term: str):
+    return lambda x: _fuzzy_token_pred(x[field], term)
 
 
 def _occurrence_count(col: Column, term: str) -> Column:

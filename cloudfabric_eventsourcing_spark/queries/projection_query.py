@@ -100,6 +100,10 @@ class ProjectionQuery:
     #: "tokenized": whitespace-split terms, EVERY term must match some
     #: searchable column — ES's AND-between-terms semantics
     #: (ElasticSearchQueryFactory.cs:11-129, default_operator AND).
+    #: "fuzzy": like tokenized, but a term matches a field when some
+    #: whitespace token is within the ES AUTO edit-distance ladder
+    #: (0 edits <3 chars, 1 for 3-5, 2 above) — query_string fuzziness.
+    #: "phrase_prefix": consecutive terms, last term an open prefix.
     search_mode: str = "substring"
     #: Term tokenizer for tokenized search: "whitespace" (default),
     #: "uax_url_email" (punctuation-split EXCEPT emails/URLs stay whole —

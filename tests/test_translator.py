@@ -594,3 +594,33 @@ def test_boosted_tf_score(proj):
 
     doc = {"Name": "First queryable order", "Items": [], "CreatedBy": None}
     assert pyeval.score_doc("first", doc, schema) == 4.0
+
+
+def test_fuzzy_search_mode(proj):
+    """ES query_string fuzziness=AUTO: per-term token edit-distance match
+    (0 edits <3 chars, 1 for 3-5, 2 above), AND between terms."""
+    # "Cavera" -> "caverna" is 1 edit (6 chars -> 2 allowed): matches o-1
+    res = run_query(
+        proj, ProjectionQuery(search_text="Cavera", search_mode="fuzzy"), S
+    )
+    assert {r.document["Id"] for r in res.records} == {"o-1"}
+    # short terms are exact: "Frst" (4 chars -> 1 edit) matches "first"
+    res2 = run_query(
+        proj, ProjectionQuery(search_text="Frst", search_mode="fuzzy"), S
+    )
+    assert {r.document["Id"] for r in res2.records} == {"o-1"}
+    # AND between terms: one matching + one hopeless term -> empty
+    none = run_query(
+        proj,
+        ProjectionQuery(search_text="Cavera zzzzzzzzz", search_mode="fuzzy"),
+        S,
+    )
+    assert none.total_records_found == 0
+    # in-memory backend parity (differential, same docs)
+    from cloudfabric_eventsourcing_spark.plans import pyeval
+
+    doc = {"Name": "First queryable order", "Items": [], "CreatedBy": None,
+           "Tags": []}
+    assert pyeval.eval_search("Frst", doc, S, mode="fuzzy")
+    assert not pyeval.eval_search("zzzzzzzzz", doc, S, mode="fuzzy")
+    assert pyeval._levenshtein("caverna", "cavera") == 1
