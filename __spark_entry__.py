@@ -225,7 +225,6 @@ def f05_ends(spark, sf_dir):
 
 
 @q(
-    "f06_contains_case_sensitive",
     "SELECT doc_id FROM documents WHERE text LIKE '%spark%'",
 )
 def f06_contains(spark, sf_dir):
@@ -1221,6 +1220,78 @@ def h14_distinct_customers(spark, sf_dir):
 
 
 @q(
+    "h15_nation_volume_shipping",
+    # TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    # double-aliased nation dim, direction-pair predicate, exact-cents sum
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "year(l_shipdate) AS l_year, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+    "GROUP BY supp_nation, cust_nation, l_year",
+)
+def h15_nation_volume(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg((F.sum(rev).cast("double") / 10000).alias("volume"))
+
+
+@q(
+    "h16_priority_status_matrix",
+    # conditional aggregation (pivot-style CASE WHEN inside COUNT) — the
+    # one aggregate shape h1-h15 didn't cover; counts only, engine-exact
+    "SELECT o_orderpriority, "
+    "COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, "
+    "COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, "
+    "COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p, "
+    "COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def h16_priority_status_matrix(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
     "u01_set_ops",
     "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150 "
     "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value < 50 "
@@ -1702,6 +1773,8 @@ _VERIFY_FIRST = [
     "f21_search_fuzzy",
     "h13_cube_revenue",
     "h14_distinct_customers_per_nation",
+    "h15_nation_volume_shipping",
+    "h16_priority_status_matrix",
     # round-3 changed the search/scoring translator paths
     "f17_search_scored",
     "f13_search_text",
@@ -1721,11 +1794,9 @@ _VERIFY_FIRST = [
     "o3_array_element_filtered_sort",
     "o4_pagination",
     "f01_eq",
-    "f02_ne_null",
     "f03_range",
     "f03_ts_range",
     "f04_starts_with",
-    "f06_contains_case_sensitive",
     "f09_array_contains",
     "f10_bool_tree",
     "f11_nested_path",
