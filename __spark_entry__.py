@@ -437,6 +437,39 @@ def f21_search_fuzzy(spark, sf_dir):
     return apply_query(df, pq_, documents_schema()).select("doc_id")
 
 
+def _t05_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+    def occ(t):
+        return (
+            f"(length(lower(coalesce(text,''))) - "
+            f"length(replace(lower(coalesce(text,'')),'{t}','')))/{len(t)}.0"
+        )
+
+    return (
+        "SELECT doc_id, score FROM ("
+        "WITH stats AS (SELECT COUNT(*) AS n, "
+        f"COUNT(CASE WHEN list_contains({toks}, 'dup') THEN 1 END) AS df0, "
+        f"COUNT(CASE WHEN list_contains({toks}, 'scan') THEN 1 END) AS df1 "
+        "FROM documents) "
+        f"SELECT doc_id, {occ('dup')} * (CAST(n AS DOUBLE)/CAST(greatest(df0,1) AS DOUBLE)) + "
+        f"{occ('scan')} * (CAST(n AS DOUBLE)/CAST(greatest(df1,1) AS DOUBLE)) AS score "
+        "FROM documents CROSS JOIN stats) WHERE score > 0"
+    )
+
+
+@q("t05_rarity_weighted_scores", _t05_oracle())
+def t05_rarity_scores(spark, sf_dir):
+    # IDF-style rarity weighting without log (oracle-exact N/df division):
+    # 'dup' is the corpus's one rare token (~17x weight), 'scan' is common
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        rarity_weighted_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rarity_weighted_scores(docs, ["dup", "scan"])
+
+
 def _t04_oracle() -> str:
     from cloudfabric_eventsourcing_spark.operators.text import (
         EMAIL_PATTERN,
@@ -1775,6 +1808,7 @@ _VERIFY_FIRST = [
     "h14_distinct_customers_per_nation",
     "h15_nation_volume_shipping",
     "h16_priority_status_matrix",
+    "t05_rarity_weighted_scores",
     # round-3 changed the search/scoring translator paths
     "f17_search_scored",
     "f13_search_text",
@@ -1794,7 +1828,6 @@ _VERIFY_FIRST = [
     "o3_array_element_filtered_sort",
     "o4_pagination",
     "f01_eq",
-    "f03_range",
     "f03_ts_range",
     "f04_starts_with",
     "f09_array_contains",

@@ -35,6 +35,10 @@ HEADLINE = [
     "h10_promo_revenue_share",
     "h11_large_volume_customers",
     "h12_rich_idle_customers",
+    "h13_cube_revenue",
+    "h14_distinct_customers_per_nation",
+    "h15_nation_volume_shipping",
+    "h16_priority_status_matrix",
     "f16_search_tokenized",
     "f17_search_scored",
     "h4_semi_join_high_value_orders",

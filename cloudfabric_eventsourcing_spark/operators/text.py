@@ -164,3 +164,46 @@ def with_redacted_text(
     df: DataFrame, text_col: str = "text", out: str = "text_redacted"
 ) -> DataFrame:
     return df.withColumn(out, redact_pii(F.col(text_col)))
+
+
+def rarity_weighted_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """IDF-style rarity-weighted relevance: score(d) = Σ_t occ(d, t) · N/df_t,
+    where df_t counts documents containing token t. Rare terms dominate —
+    the effect BM25's idf term provides — while staying ORACLE-EXACT: the
+    weight is a single IEEE division (no log, whose libm rounding differs
+    across engines), and occurrence counts reuse f17's length-delta form.
+
+    Two jobs, both scale-shaped: (1) one pass computes N and every df_t as
+    conditional counts (map-side combined, one row out); (2) the 1-row
+    stats broadcast-cross-join onto the corpus scan, scoring in codegen.
+    No UDFs, no shuffle of document text.
+    """
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = tokens_column(F.col(text_col))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.count(F.when(F.array_contains(toks, t), 1)).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    occ = None
+    for i, t in enumerate(terms):
+        term_occ = (
+            F.length(lowered) - F.length(F.replace(lowered, F.lit(t)))
+        ) / F.lit(float(len(t)))
+        weighted = term_occ * (
+            F.col("__n").cast("double")
+            / F.greatest(F.col(f"__df_{i}"), F.lit(1)).cast("double")
+        )
+        occ = weighted if occ is None else occ + weighted
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), occ.alias("score"))
+        .where(F.col("score") > 0)
+    )

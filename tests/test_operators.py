@@ -345,3 +345,32 @@ def test_multimodal_resize_images(spark, docs):
 
     with _pytest.raises(Exception):
         multimodal.resize_images(media, 32, 16, fake=False).collect()
+
+
+def test_rarity_weighted_scores(spark, docs):
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        rarity_weighted_scores,
+    )
+
+    out = rarity_weighted_scores(docs, ["dup", "scan"]).collect()
+    assert out, "corpus contains both terms"
+    n = docs.count()
+    dup_docs = docs.where("text like '%dup%'").count()
+    scan_docs = docs.where("text like '%scan%'").count()
+    assert dup_docs < scan_docs  # 'dup' is the rare term
+    # a doc mentioning only the rare term must outscore one mentioning only
+    # the common term the same number of times: weight ratio ~ df_scan/df_dup
+    scores = {r["doc_id"]: r["score"] for r in out}
+    only_dup = docs.where(
+        "text like '%dup%' and text not like '%scan%'"
+    ).select("doc_id").collect()
+    only_scan = docs.where(
+        "text like '%scan%' and text not like '%dup%'"
+    ).select("doc_id").collect()
+    if only_dup and only_scan:
+        assert max(scores[r["doc_id"]] for r in only_dup) > max(
+            scores[r["doc_id"]] for r in only_scan
+        )
+    # no-UDF plan
+    plan = rarity_weighted_scores(docs, ["dup"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
