@@ -61,8 +61,14 @@ def main() -> None:
     # T-append runs BEFORE the JVM exists: it is a pure-driver benchmark
     # and a live local[32] Spark JVM (GC + scheduler threads) costs it
     # ~35% throughput — measure the store, not the neighbor
-    append_rate = _bench_append_scenarios()
-    append_rate_2proc = _bench_append_scenarios_2proc()
+    # best-of-2 like the query timings: the append benches run single-shot
+    # first in the suite, exactly where lingering system load (or a prior
+    # test run's tail) hits hardest — one contaminated sample measured
+    # 9/s on a machine that does 55/s ten minutes later
+    append_rate = max(_bench_append_scenarios(n=100) for _ in range(2))
+    append_rate_2proc = max(
+        _bench_append_scenarios_2proc(n=100) for _ in range(2)
+    )
     spark = build_session(app_name="cfes-bench")
 
     qs = entry_mod.queries()
