@@ -225,24 +225,46 @@ def minhash_lsh_pairs(
         .repartition(shuffle_n, "id")
     )
     # Signature + banding in ONE flat projection over the materialized `g`
-    # attribute: 128 independent array_min(transform) trees, each evaluated
-    # exactly once per row (explode's child array is built once per input
-    # row). Flat-wide beats nested-compact here — see the
+    # attribute: num_perm independent array_min(transform) trees, each
+    # evaluated exactly once per row (explode's child array is built once
+    # per input row). Flat-wide beats nested-compact here — see the
     # minhash_signature_array docstring for the measured hazard.
-    sig_cols = minhash_signature(F.col("g"), num_perm)
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("int").alias("bi"),
-            F.xxhash64(*[sig_cols[b * r + i] for i in range(r)]).alias("bh"),
-        )
-        for b in range(bands)
+    #
+    # The projection is emitted as selectExpr STRINGS, not Column objects:
+    # building 128 Column trees costs one py4j round-trip per operator
+    # node (~3 s of pure driver time, measured), while the string form is
+    # a single JVM-side parse (~0.1 s) of the exact same expressions —
+    # identical band hashes, identical plan. Driver-side build cost is
+    # per-query fixed overhead that does NOT shrink on a bigger cluster,
+    # so it is worth engineering away even though executors never see it.
+    sig_sql = [
+        f"array_min(transform(g, x -> xxhash64(x, {k}))) AS s{k}"
+        for k in range(num_perm)
     ]
+    band_sql = "explode(array(%s)) AS bk" % ",".join(
+        "named_struct('bi', %d, 'bh', xxhash64(%s))"
+        % (b, ",".join(f"s{b * r + i}" for i in range(r)))
+        for b in range(bands)
+    )
     # Banded rows stay SLIM (id + 2 ints): the shingle arrays must not ride
     # through the x`bands` explode and the self-join shuffle — at scale
     # that multiplies shuffle bytes by bands x candidate-degree.
-    banded = grams_df.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "bk.bi", "bk.bh")
+    banded = (
+        grams_df.selectExpr("id", *sig_sql)
+        .selectExpr("id", band_sql)
+        .selectExpr("id", "bk.bi AS bi", "bk.bh AS bh")
+    )
+    # Candidate pairs via the banded SELF-JOIN, deliberately: the join and
+    # the de-dup aggregate both run inside whole-stage codegen, which is
+    # what survives this corpus's giant near-dup buckets (a ~2.6k-member
+    # bucket appears in all 32 bands -> >100M raw pairs stream through the
+    # join into the partial aggregate). The tempting alternative —
+    # groupBy(bucket).collect_list(id) + generator-expanded pairs, which
+    # computes the signature once instead of twice — was built and
+    # measured: Generate over HOF slices runs on the INTERPRETED row path,
+    # and the same >100M pairs took minutes instead of seconds. Paying the
+    # signature twice (cheap, codegen) for a codegen'd join is the right
+    # trade on Spark.
     if max_bucket_size is not None:
         sizes = banded.groupBy("bi", "bh").agg(F.count(F.lit(1)).alias("__n"))
         sized = banded.join(sizes, ["bi", "bh"])
