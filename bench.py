@@ -61,13 +61,24 @@ def main() -> None:
     # T-append runs BEFORE the JVM exists: it is a pure-driver benchmark
     # and a live local[32] Spark JVM (GC + scheduler threads) costs it
     # ~35% throughput — measure the store, not the neighbor
-    # best-of-2 like the query timings: the append benches run single-shot
-    # first in the suite, exactly where lingering system load (or a prior
-    # test run's tail) hits hardest — one contaminated sample measured
-    # 9/s on a machine that does 55/s ten minutes later
-    append_rate = max(_bench_append_scenarios(n=100) for _ in range(2))
-    append_rate_2proc = max(
-        _bench_append_scenarios_2proc(n=100) for _ in range(2)
+    # best-of-3 with a settle pause, like the query timings take best-of-2:
+    # the append benches run single-shot first in the suite, exactly where
+    # lingering system load (a prior test run's tail, a neighbor's JVM
+    # teardown) hits hardest — one contaminated sample measured 9/s on a
+    # machine that does 55/s ten minutes later, and back-to-back samples
+    # under the same transient both read low. The pause lets a decaying
+    # load spike clear between attempts; the max is the store's rate.
+    def _best_of(fn, attempts=3, settle_s=2.0):
+        best = 0.0
+        for i in range(attempts):
+            if i:
+                time.sleep(settle_s)
+            best = max(best, fn())
+        return best
+
+    append_rate = _best_of(lambda: _bench_append_scenarios(n=100))
+    append_rate_2proc = _best_of(
+        lambda: _bench_append_scenarios_2proc(n=100)
     )
     spark = build_session(app_name="cfes-bench")
 
