@@ -78,3 +78,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["user_id", "purchases", "errors", "n_events"]
+
+
+def test_registry_invariants():
+    """Drift guard for the driver contract (a round-3 edit once deleted a
+    registration's NAME line, silently re-keying the entry by its own
+    oracle SQL and dropping its oracle): every key looks like a key, every
+    oracle belongs to a registered query, the explicit verification window
+    is exactly the driver's 50-entry check and is honored by queries() /
+    oracle_sql() ordering."""
+    import re
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    keypat = re.compile(r"^[a-z]\d+[a-z0-9_]*$")
+    bad = [k for k in q if not keypat.match(k)]
+    assert not bad, f"malformed registry keys (lost a name line?): {bad}"
+    dangling = [k for k in o if k not in q]
+    assert not dangling, f"oracles without a registered query: {dangling}"
+    window = entry_mod._VERIFY_FIRST
+    assert len(window) == 50 and len(set(window)) == 50
+    missing = [k for k in window if k not in q]
+    assert not missing, f"window names not in the registry: {missing}"
+    assert list(q)[:50] == window
+    windowed_oracles = [k for k in window if k in o]
+    assert list(o)[: len(windowed_oracles)] == windowed_oracles
