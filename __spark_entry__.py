@@ -1326,6 +1326,96 @@ def h16_priority_status_matrix(spark, sf_dir):
 
 
 @q(
+    "h17_top_supplier_revenue",
+    # revenue kept as exact integer ten-thousandths on both engines so the
+    # scalar-max EQUALITY cannot be perturbed by summation order (a
+    # double-sum tie at the max would be engine-dependent)
+    "WITH rev AS (SELECT l_suppkey, "
+    "SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount*100) AS BIGINT))) AS r "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, CAST(r AS DOUBLE)/10000 AS total_revenue "
+    "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+    "WHERE r = (SELECT MAX(r) FROM rev)",
+)
+def h17_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape (revenue view + scalar max): date window pushes to
+    # the lineitem scan; per-supplier aggregate is map-side combined; the
+    # MAX is a 1-row broadcast equality (NOT an unpartitioned window,
+    # which would funnel every supplier row through one task at scale);
+    # the supplier dim broadcasts onto the tiny qualifying set.
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+        ).alias("r")
+    )
+    rmax = rev.agg(F.max("r").alias("rmax"))
+    return (
+        rev.crossJoin(F.broadcast(rmax))
+        .where(F.col("r") == F.col("rmax"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "h18_small_quantity_revenue",
+    # the correlated 0.2*AVG(l_quantity) threshold is compared in exact
+    # integers: qty < 0.2*(sum/cnt)  <=>  qty_cents*5*cnt < sum_cents
+    # (cnt > 0), so no engine's AVG rounding can flip a boundary row
+    "WITH pa AS (SELECT l_partkey AS pk, "
+    "SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sq, COUNT(*) AS cnt "
+    "FROM lineitem GROUP BY l_partkey) "
+    "SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)"
+    "/700 AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN pa ON pk = l_partkey "
+    "WHERE p_brand = 'Brand#4' "
+    "AND CAST(round(l_quantity*100) AS BIGINT) * 5 * cnt < sq",
+)
+def h18_small_quantity(spark, sf_dir):
+    # TPC-H Q17 shape (correlated per-part average): the brand filter
+    # semi-joins lineitem FIRST (broadcast of the filtered part keys), so
+    # the per-part stats aggregate only runs over the brand's lineitems —
+    # identical groups to the oracle's unfiltered CTE for every part that
+    # survives the join. At scale the stats side stays proportional to
+    # one brand (~1/25th of parts) and broadcasts; AQE degrades it to a
+    # shuffled join if a brand ever outgrows the threshold.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_keys = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand_keys),
+        li.l_partkey == brand_keys.p_partkey,
+        "left_semi",
+    )
+    pa = li_b.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li_b.join(F.broadcast(pa), "l_partkey")
+        .where(_cents("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sq"))
+        .agg(
+            (F.sum(_cents("l_extendedprice")).cast("double") / 700).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@q(
     "u01_set_ops",
     "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150 "
     "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value < 50 "

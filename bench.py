@@ -39,6 +39,8 @@ HEADLINE = [
     "h14_distinct_customers_per_nation",
     "h15_nation_volume_shipping",
     "h16_priority_status_matrix",
+    "h17_top_supplier_revenue",
+    "h18_small_quantity_revenue",
     "f16_search_tokenized",
     "f17_search_scored",
     "h4_semi_join_high_value_orders",
