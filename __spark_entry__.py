@@ -1416,6 +1416,92 @@ def h18_small_quantity(spark, sf_dir):
 
 
 @q(
+    "h19_forecast_discount_revenue",
+    # TPC-H Q6 shape: the entire query is ONE pushdown-filtered scan plus
+    # a 1-row aggregate; discount compared in exact cents on both engines
+    "SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+    "CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/1000000 AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 "
+    "AND l_quantity < 24",
+)
+def h19_forecast_discount(spark, sf_dir):
+    # At scale this is the canonical pushdown demonstration: shipdate and
+    # quantity predicates reach the parquet scan as PushedFilters (the
+    # discount-cents rounding stays a post-scan filter in the same
+    # codegen stage), four columns read, map-side partial aggregate, one
+    # row shuffled. No joins, no wide rows.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & _cents("l_discount").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice") * _cents("l_discount")).cast(
+                    "double"
+                )
+                / 1000000
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "h20_brand_size_quantity_revenue",
+    # TPC-H Q19 shape: OR of per-brand conjunctions spanning BOTH join
+    # sides — exercises Catalyst's common-condition extraction (the
+    # p_brand/p_size legs push to the part scan; the quantity legs stay
+    # on lineitem)
+    "SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+    "AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+    "AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity BETWEEN 20 AND 30)",
+)
+def h20_brand_size_quantity(spark, sf_dir):
+    # The disjunction is written ACROSS the join exactly as the reference
+    # user would: Catalyst derives the part-only implication
+    # (brand IN (...) AND size <= 15) and pushes it to the part scan, so
+    # the broadcast side is pre-filtered even though no single disjunct
+    # is part-only. At 100x the part side stays a broadcast of three
+    # brands' keys.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+    )
+
+
+@q(
     "u01_set_ops",
     "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150 "
     "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value < 50 "

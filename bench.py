@@ -41,6 +41,8 @@ HEADLINE = [
     "h16_priority_status_matrix",
     "h17_top_supplier_revenue",
     "h18_small_quantity_revenue",
+    "h19_forecast_discount_revenue",
+    "h20_brand_size_quantity_revenue",
     "f16_search_tokenized",
     "f17_search_scored",
     "h4_semi_join_high_value_orders",
