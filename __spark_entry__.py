@@ -1502,6 +1502,42 @@ def h20_brand_size_quantity(spark, sf_dir):
 
 
 @q(
+    "h21_major_revenue_nations",
+    # TPC-H Q11 shape (value-share HAVING): groups kept when their share
+    # of the TOTAL exceeds 5% — compared as r*20 > total in exact integer
+    # ten-thousandths, so no share-ratio rounding on either engine
+    "WITH nr AS (SELECT n_name, "
+    "SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount*100) AS BIGINT))) AS r "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name) "
+    "SELECT n_name, CAST(r AS DOUBLE)/10000 AS revenue FROM nr "
+    "WHERE r * 20 > (SELECT SUM(r) FROM nr)",
+)
+def h21_major_revenue_nations(spark, sf_dir):
+    # Per-nation aggregate (map-side combined through the broadcast dim
+    # joins), then the grand total re-aggregates the TINY per-nation
+    # result — not the fact table — and broadcasts as one row into the
+    # share filter. At 100x only the first aggregate touches lineitem.
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    nr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("r"))
+    )
+    total = nr.agg(F.sum("r").alias("total"))
+    return (
+        nr.crossJoin(F.broadcast(total))
+        .where(F.col("r") * 20 > F.col("total"))
+        .select("n_name", (F.col("r").cast("double") / 10000).alias("revenue"))
+    )
+
+
+@q(
     "u01_set_ops",
     "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150 "
     "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value < 50 "

@@ -43,6 +43,7 @@ HEADLINE = [
     "h18_small_quantity_revenue",
     "h19_forecast_discount_revenue",
     "h20_brand_size_quantity_revenue",
+    "h21_major_revenue_nations",
     "f16_search_tokenized",
     "f17_search_scored",
     "h4_semi_join_high_value_orders",
