@@ -103,3 +103,35 @@ def test_registry_invariants():
     assert list(q)[:50] == window
     windowed_oracles = [k for k in window if k in o]
     assert list(o)[: len(windowed_oracles)] == windowed_oracles
+
+
+def _executed_plan(df):
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_h20_disjunction_pushes_part_implication(spark, sf_dir):
+    """Q19-shape plan pin: no single disjunct is part-only, but Catalyst
+    must extract the common part-side implication (brand/size) and push
+    it into the part scan — the property that keeps the broadcast side
+    pre-filtered at scale."""
+    plan = _executed_plan(
+        entry_mod.queries()["h20_brand_size_quantity_revenue"](spark, sf_dir)
+    )
+    part_scans = [l for l in plan.splitlines() if "part.parquet" in l]
+    assert part_scans, "no part scan in plan"
+    assert any("p_brand" in l or "p_size" in l for l in part_scans), (
+        "part scan lost the pushed brand/size implication"
+    )
+
+
+def test_h17_scalar_max_avoids_global_window(spark, sf_dir):
+    """Q15-shape plan pin: the winner is selected by a broadcast scalar
+    equality, never an unpartitioned ranking window (which would funnel
+    every supplier row through a single task at scale)."""
+    plan = _executed_plan(
+        entry_mod.queries()["h17_top_supplier_revenue"](spark, sf_dir)
+    )
+    assert "Window" not in plan
+    # at most the 1-row scalar MAX may cross-join as a nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
