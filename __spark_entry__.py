@@ -471,6 +471,50 @@ def t05_rarity_scores(spark, sf_dir):
     return rarity_weighted_scores(docs, ["dup", "scan"])
 
 
+def _t06_oracle() -> str:
+    # Same trigram pipeline in DuckDB terms: whitespace-tokenize the
+    # lowercased text, slide a 1-based index window, count total vs
+    # distinct.  range(1, greatest(len-1, 1)) is empty for <3 tokens,
+    # mirroring the Spark guard.  The planted tail repeats a trigram on
+    # every 10th doc so the signal is non-vacuous on a corpus whose
+    # natural prose barely repeats (max natural ratio ~0.07 at sf0.01).
+    dirty = (
+        "CASE WHEN doc_id % 10 = 0 THEN text || repeat(' buy cheap tokens now', 8) "
+        "ELSE text END"
+    )
+    return (
+        "SELECT doc_id, n_grams, n_distinct, "
+        "CASE WHEN n_grams > 0 THEN 1 - CAST(n_distinct AS DOUBLE)/n_grams "
+        "ELSE 0.0 END AS repetition_ratio FROM ("
+        "SELECT doc_id, len(grams) AS n_grams, "
+        "len(list_distinct(grams)) AS n_distinct FROM ("
+        "SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 1)), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams "
+        "FROM (SELECT doc_id, "
+        f"list_filter(string_split_regex(lower({dirty}), '\\s+'), x -> x != '') "
+        "AS toks FROM documents)))"
+    )
+
+
+@q("t06_repetition_stats", _t06_oracle())
+def t06_repetition_stats(spark, sf_dir):
+    # Repeated-trigram ratio — the standard degenerate-text signal for
+    # corpus filtering (templated spam / decoding loops repeat n-grams).
+    # Every 10th doc gets a deterministically planted repeated trigram
+    # tail, exactly as t04 plants PII, so the oracle check is
+    # non-vacuous.  Integer numerator/denominator are exposed alongside
+    # the ratio so the value-hash compares exact ints plus one division
+    # both engines perform identically in IEEE doubles.
+    from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"), F.repeat(F.lit(" buy cheap tokens now"), 8)),
+    ).otherwise(F.col("text"))
+    return repetition_stats(docs.withColumn("dirty", dirty), text_col="dirty")
+
+
 def _t04_oracle() -> str:
     from cloudfabric_eventsourcing_spark.operators.text import (
         EMAIL_PATTERN,
@@ -2022,6 +2066,16 @@ _VERIFY_FIRST = [
     "h15_nation_volume_shipping",
     "h16_priority_status_matrix",
     "t05_rarity_weighted_scores",
+    # late round-3 entries — h17-h21 are bench headliners, and r02's worst
+    # finding was exactly "benchmarked but never oracle-verified", so they
+    # take precedence over re-verifying translator entries whose leaves are
+    # redundantly covered below
+    "h17_top_supplier_revenue",
+    "h18_small_quantity_revenue",
+    "h19_forecast_discount_revenue",
+    "h20_brand_size_quantity_revenue",
+    "h21_major_revenue_nations",
+    "t06_repetition_stats",
     # round-3 changed the search/scoring translator paths
     "f17_search_scored",
     "f13_search_text",
@@ -2036,18 +2090,21 @@ _VERIFY_FIRST = [
     # so the driver has never seen it — because the eq leaf is the most
     # redundantly pinned path in the suite: differential-fuzzed in
     # test_differential_eval and exercised inside f10/j3/a4/a5)
+    # (six former re-verify slots yielded to h17-h21/t06 above; the evicted
+    # entries all hold green r02 rows and their distinctive leaves stay
+    # covered in-window: a6_facet_ranges shares the facet translator with
+    # a6_facet_counts and its range-sort fix has a pytest pin; o2/o4 compose
+    # the same sort/limit/count code as o1/o3/a1; f04's prefix leaf and
+    # f09's array guard are differential-fuzzed and share the leaf
+    # dispatcher with f06/f12; f03_ts_range's comparison leaf is identical
+    # to in-window range users and its ts-cast leg is unchanged since its
+    # green r02 row)
     "a1_total_count",
     "a6_facet_counts",
-    "a6_facet_ranges",
     "j3_in_list",
     "o1_multi_sort_limit",
-    "o2_nested_sort",
     "o3_array_element_filtered_sort",
-    "o4_pagination",
     "f06_contains_case_sensitive",
-    "f03_ts_range",
-    "f04_starts_with",
-    "f09_array_contains",
     "f10_bool_tree",
     "f11_nested_path",
     "f12_array_exists",

@@ -104,6 +104,45 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", quality_score(F.col(text_col)))
 
 
+def repetition_stats(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated n-gram statistics — the standard degenerate-text signal
+    for corpus filtering (boilerplate, templated spam, decoding loops
+    repeat n-grams; natural prose rarely does). Returns per document:
+    `n_grams` (total n-grams), `n_distinct`, and `repetition_ratio` =
+    1 - n_distinct/n_grams (0.0 for texts shorter than n tokens).
+
+    Pure Column expressions over one pruned scan — tokenize, slide an
+    index sequence, count — no UDFs, no shuffle, embarrassingly
+    parallel at any scale. The sequence is guarded behind
+    size(tokens) >= n because F.sequence(1, 0) is DESCENDING, not
+    empty. The integer counts are the oracle-facing columns: a ratio of
+    small ints divides exactly the same everywhere, but exposing the
+    counts lets the correctness gate compare exact integers."""
+    toks = tokens_column(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0, 1 - distinct / total)
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )
+
+
 def fingerprint_tokens(text: Column) -> Column:
     """Order-insensitive content fingerprint: sorted distinct lowercase
     tokens (the word-set). Two documents with equal fingerprints are

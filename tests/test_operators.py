@@ -374,3 +374,28 @@ def test_rarity_weighted_scores(spark, docs):
     # no-UDF plan
     plan = rarity_weighted_scores(docs, ["dup"])._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats(spark):
+    from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),          # one distinct trigram, 3 total
+            (2, "the quick brown fox jumps"),          # all trigrams distinct
+            (3, "a b"),                                # shorter than n -> guarded zero
+            (4, ""),                                   # empty -> guarded zero
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_distinct"] == 1
+    assert out[1]["repetition_ratio"] == 1 - 1 / 3
+    assert out[2]["n_grams"] == 3 and out[2]["n_distinct"] == 3
+    assert out[2]["repetition_ratio"] == 0.0
+    for short in (3, 4):
+        assert out[short]["n_grams"] == 0
+        assert out[short]["repetition_ratio"] == 0.0
+    # scale shape: pure Column expressions, no Python eval in the plan
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
