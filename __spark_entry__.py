@@ -927,6 +927,52 @@ def p10_decontaminate(spark, sf_dir):
     return _dedup.ngram_decontaminate(train, test, n=3).select("doc_id")
 
 
+def _p11_oracle() -> str:
+    # Plant boilerplate: every 3rd doc gets a newsletter header line,
+    # every 4th a rights footer; each doc's own text is its unique line.
+    # Lines in >= 25 distinct docs (only the planted two at sf>=0.01)
+    # are removed corpus-wide; survivors keep order.
+    dirty = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) "
+        "ELSE '' END || text || CASE WHEN doc_id % 4 = 0 THEN chr(10) || "
+        "'all rights reserved' ELSE '' END"
+    )
+    return (
+        f"WITH dirty AS (SELECT doc_id, {dirty} AS dtext FROM documents), "
+        "lines AS (SELECT doc_id, unnest(string_split(dtext, chr(10))) AS line, "
+        "generate_subscripts(string_split(dtext, chr(10)), 1) AS pos FROM dirty), "
+        "freq AS (SELECT line FROM lines GROUP BY line "
+        "HAVING COUNT(DISTINCT doc_id) >= 25), "
+        "kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq)) "
+        "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') "
+        "AS clean FROM dirty d LEFT JOIN kept k ON d.doc_id = k.doc_id "
+        "GROUP BY d.doc_id"
+    )
+
+
+@q("p11_boilerplate_lines", _p11_oracle())
+def p11_boilerplate_lines(spark, sf_dir):
+    # Corpus-level line dedup (CCNet/RefinedWeb boilerplate removal).
+    # Boilerplate is planted deterministically (headers on doc_id%3,
+    # footers on doc_id%4) since the synthetic corpus has no newlines;
+    # the unique body line of every doc must survive untouched.
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("subscribe to our newsletter\n"))
+        .otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\nall rights reserved"))
+        .otherwise(F.lit("")),
+    )
+    return remove_boilerplate_lines(
+        docs.withColumn("dtext", dirty), min_docs=25, text_col="dtext"
+    ).select("doc_id", "clean")
+
+
 @q("p03_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def p03_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(

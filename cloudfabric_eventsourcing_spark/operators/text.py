@@ -143,6 +143,50 @@ def repetition_stats(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "clean",
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate
+    pass): any line occurring in >= min_docs DISTINCT documents is
+    boilerplate — nav menus, cookie banners, license footers — and is
+    removed from every document; remaining lines keep their order.
+
+    Plan shape for 100 TB: posexplode lines (linear, no shuffle) ->
+    one hash-partitioned count-distinct per line (partial aggregation
+    map-side) -> the frequent set is tiny by construction (a line must
+    repeat across >= min_docs docs to qualify), so it broadcasts into a
+    left_anti join -> one regroup shuffle by document reassembles text
+    via sort_array over (pos, line) structs. Two shuffles total, no
+    Python, no driver collect; a document reduced to nothing survives
+    as an empty string via the final left join + coalesce."""
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out)
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(""))
+    )
+
+
 def fingerprint_tokens(text: Column) -> Column:
     """Order-insensitive content fingerprint: sorted distinct lowercase
     tokens (the word-set). Two documents with equal fingerprints are

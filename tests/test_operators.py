@@ -399,3 +399,35 @@ def test_repetition_stats(spark):
     # scale shape: pure Column expressions, no Python eval in the plan
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_boilerplate_lines(spark):
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "subscribe now"
+    footer = "all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique one\n{footer}"),
+            (2, f"{banner}\nunique two"),
+            (3, f"unique three\n{footer}"),
+            (4, f"{banner}\n{footer}"),           # nothing but boilerplate
+            (5, "unique five\nunique five bis"),  # untouched, order kept
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["clean"] for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert out[1] == "unique one"
+    assert out[2] == "unique two"
+    assert out[3] == "unique three"
+    assert out[4] == ""                        # fully-boilerplate doc survives as empty
+    assert out[5] == "unique five\nunique five bis"
+    # a min_docs above every line's frequency is the identity
+    ident = {r["doc_id"]: r["clean"] for r in remove_boilerplate_lines(df, min_docs=10).collect()}
+    assert ident == {r["doc_id"]: r["text"] for r in df.collect()}
+    # scale shape: frequent set broadcasts into the anti join; no Python eval
+    plan = remove_boilerplate_lines(df, min_docs=3)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
