@@ -973,6 +973,38 @@ def p11_boilerplate_lines(spark, sf_dir):
     ).select("doc_id", "clean")
 
 
+@q(
+    "p12_pack_offsets",
+    # the oracle computes the same packing with DuckDB's (single-node)
+    # global running sum; Spark's side must reproduce it through the
+    # two-phase bucket prefix (bucket_size=64 forces ~8 buckets at
+    # sf0.01 so the cross-bucket stitching is what gets verified)
+    "WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x != '')) AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+    "SELECT doc_id, n_tokens, cum - n_tokens AS start_offset, "
+    "(cum - n_tokens) // 256 AS first_chunk, "
+    "CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256 "
+    "ELSE (cum - 1) // 256 END AS last_chunk FROM c",
+)
+def p12_pack_offsets(spark, sf_dir):
+    # GPT-style concatenate-then-cut packing: global token offset and
+    # ctx-chunk span per document, via the scale-correct two-phase
+    # prefix sum (an unpartitioned running-sum window would funnel the
+    # whole corpus through one task)
+    from cloudfabric_eventsourcing_spark.operators.packing import pack_offsets
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        token_count_whitespace,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", token_count_whitespace(F.col("text")).alias("n_tokens")
+    )
+    return pack_offsets(counted, ctx_len=256, bucket_size=64)
+
+
 @q("p03_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def p03_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(

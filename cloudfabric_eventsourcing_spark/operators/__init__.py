@@ -13,6 +13,7 @@ from cloudfabric_eventsourcing_spark.operators import (
     curation,
     dedup,
     multimodal,
+    packing,
     sampling,
     similarity,
     skew,
@@ -26,6 +27,7 @@ __all__ = [
     "similarity",
     "text",
     "multimodal",
+    "packing",
     "temporal",
     "skew",
     "sampling",

@@ -431,3 +431,60 @@ def test_remove_boilerplate_lines(spark):
     plan = remove_boilerplate_lines(df, min_docs=3)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Broadcast" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_offsets_two_phase_prefix(spark):
+    from cloudfabric_eventsourcing_spark.operators.packing import (
+        global_prefix_sum,
+        pack_offsets,
+    )
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    rows = [(i, (i * 37) % 90) for i in range(200)]
+    rows[7] = (7, 0)    # empty doc mid-stream
+    rows[0] = (0, 0)    # empty doc at the very start
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+
+    # bucket_size=16 -> 13 buckets: cross-bucket stitching must equal the
+    # naive single-window cumsum
+    two_phase = global_prefix_sum(
+        df, "n_tokens", "doc_id", out="cum", bucket_size=16
+    )
+    naive = df.withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+    packed = {
+        r["doc_id"]: r
+        for r in pack_offsets(df, ctx_len=64, bucket_size=16).collect()
+    }
+    # contiguity: each doc starts where the previous ended
+    ends = {d: packed[d]["start_offset"] + packed[d]["n_tokens"] for d in packed}
+    for d in range(1, 200):
+        assert packed[d]["start_offset"] == ends[d - 1]
+    # chunk span matches offsets; empty docs pin last_chunk == first_chunk
+    for d, r in packed.items():
+        assert r["first_chunk"] == r["start_offset"] // 64
+        if r["n_tokens"] == 0:
+            assert r["last_chunk"] == r["first_chunk"]
+        else:
+            assert r["last_chunk"] == (r["start_offset"] + r["n_tokens"] - 1) // 64
+            assert r["last_chunk"] >= r["first_chunk"]
+
+    # scale shape: two Window nodes; the within-bucket cumsum is
+    # partitioned by _bucket (the only unpartitioned ordered window runs
+    # over the tiny per-bucket totals frame), offsets broadcast back
+    plan = (
+        global_prefix_sum(df, "n_tokens", "doc_id", bucket_size=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 2
+    assert "windowspecdefinition(_bucket" in plan
+    assert "Broadcast" in plan
