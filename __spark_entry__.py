@@ -2154,6 +2154,8 @@ _VERIFY_FIRST = [
     "h20_brand_size_quantity_revenue",
     "h21_major_revenue_nations",
     "t06_repetition_stats",
+    "p11_boilerplate_lines",
+    "p12_pack_offsets",
     # round-3 changed the search/scoring translator paths
     "f17_search_scored",
     "f13_search_text",
@@ -2177,13 +2179,15 @@ _VERIFY_FIRST = [
     # dispatcher with f06/f12; f03_ts_range's comparison leaf is identical
     # to in-window range users and its ts-cast leg is unchanged since its
     # green r02 row)
+    # (j3 and f10 also yielded: j3's isin desugars to an eq-OR chain the
+    # builder pins in test_builder_isin_or_chain, and f10's bool fold is
+    # differential-fuzzed over 40 random and/or trees; both hold green
+    # r02 rows, and the new p11/p12 code has never met the driver)
     "a1_total_count",
     "a6_facet_counts",
-    "j3_in_list",
     "o1_multi_sort_limit",
     "o3_array_element_filtered_sort",
     "f06_contains_case_sensitive",
-    "f10_bool_tree",
     "f11_nested_path",
     "f12_array_exists",
     "f14_partition_key",
