@@ -53,6 +53,9 @@ HEADLINE = [
     "x02_sessionization",
     "p04_minhash_lsh_pairs",
     "s01_ann_brute_force_topk",
+    "t06_repetition_stats",
+    "p11_boilerplate_lines",
+    "p12_pack_offsets",
 ]
 
 
