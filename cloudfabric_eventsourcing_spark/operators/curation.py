@@ -5,17 +5,21 @@ Chains the operator families this package provides in their canonical
 order (each stage is the documented scale shape — see the individual
 modules):
 
-  1. exact dedup        — collapse byte-identical texts first (one slim
+  1. boilerplate strip  — corpus-frequent lines removed before anything
+                          hashes text (boilerplate otherwise glues
+                          near-dup clusters together and skews LSH
+                          buckets)
+  2. exact dedup        — collapse byte-identical texts first (one slim
                           hash shuffle; also the primary defense against
                           LSH bucket skew)
-  2. near-dup removal   — MinHash+LSH verified pairs -> keep min-id
+  3. near-dup removal   — MinHash+LSH verified pairs -> keep min-id
                           representatives
-  3. quality gate       — language id + quality score thresholds (pure
-                          Column expressions)
-  4. PII scrub          — regexp_replace pass over the surviving text
-  5. decontamination    — drop docs sharing word n-grams with a held-out
+  4. quality gate       — language id + quality score + repeated-trigram
+                          ratio thresholds (pure Column expressions)
+  5. PII scrub          — regexp_replace pass over the surviving text
+  6. decontamination    — drop docs sharing word n-grams with a held-out
                           evaluation set
-  6. sampling / mixing  — deterministic stratified sample to the target
+  7. sampling / mixing  — deterministic stratified sample to the target
                           budget (operators.sampling)
 
 Every stage stays declarative (Catalyst plans end to end); the whole
@@ -42,8 +46,11 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact: bool = True,
+    boilerplate_min_docs: Optional[int] = None,
     neardup_threshold: Optional[float] = 0.9,
     min_quality: Optional[float] = None,
+    max_repetition: Optional[float] = None,
+    repetition_n: int = 3,
     languages: Optional[list[str]] = None,
     scrub_pii: bool = True,
     decontaminate_against: Optional[DataFrame] = None,
@@ -63,6 +70,19 @@ def curate(
 
     out = note("input", docs)
 
+    if boilerplate_min_docs is not None:
+        stripped = _text.remove_boilerplate_lines(
+            out,
+            min_docs=boilerplate_min_docs,
+            text_col=text_col,
+            id_col=id_col,
+            out="__clean",
+        )
+        out = note(
+            "boilerplate_stripped",
+            stripped.withColumn(text_col, F.col("__clean")).drop("__clean"),
+        )
+
     if exact:
         reps = _dedup.exact_dedup(out, text_col=text_col, id_col=id_col).select(
             id_col
@@ -77,7 +97,7 @@ def curate(
             "neardup", _dedup.lsh_dedup_representatives(pairs, out, id_col=id_col)
         )
 
-    if languages is not None or min_quality is not None:
+    if languages is not None or min_quality is not None or max_repetition is not None:
         gated = _text.with_language_id(
             _text.with_quality_score(out, text_col=text_col), text_col=text_col
         )
@@ -85,6 +105,11 @@ def curate(
             gated = gated.where(F.col("lang_pred").isin(languages))
         if min_quality is not None:
             gated = gated.where(F.col("quality") >= min_quality)
+        if max_repetition is not None:
+            reps = _text.repetition_stats(
+                out, n=repetition_n, text_col=text_col, id_col=id_col
+            ).where(F.col("repetition_ratio") <= max_repetition).select(id_col)
+            gated = gated.join(reps, id_col, "left_semi")
         out = note("quality_gate", gated.select(*out.columns))
 
     if scrub_pii:

@@ -319,6 +319,43 @@ def test_curation_pipeline_end_to_end(spark, docs):
     assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
 
 
+def test_curation_boilerplate_and_repetition_gates(spark, docs):
+    """New round-3 stages compose: corpus-frequent planted lines are
+    stripped before hashing, and high-repetition docs fall to the gate."""
+    from cloudfabric_eventsourcing_spark.operators.curation import curate
+
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            F.col("text"),
+            # every 5th doc degenerates into a repeated-trigram tail
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                # 160 tail tokens vs bodies of 10-99: ratio lands 0.57-0.85
+                F.repeat(F.lit(" buy cheap tokens now"), 40),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    curated, stats = curate(
+        dirty,
+        boilerplate_min_docs=10,
+        neardup_threshold=None,
+        max_repetition=0.5,
+        scrub_pii=False,
+    )
+    assert stats["boilerplate_stripped"] == stats["input"]  # strip, not drop
+    rows = curated.collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    # the planted banner is gone from every surviving doc
+    assert all("newsletter" not in t for t in texts.values())
+    # every degenerate doc was dropped by the repetition gate, the rest kept
+    assert all(d % 5 != 0 for d in texts)
+    assert stats["quality_gate"] == stats["input"] - dirty.where(
+        F.col("doc_id") % 5 == 0
+    ).count()
+
+
 def test_multimodal_resize_images(spark, docs):
     from cloudfabric_eventsourcing_spark.operators import multimodal
 
