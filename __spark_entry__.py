@@ -2111,6 +2111,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # load every query without a current green CORRECTNESS row (never-checked or
 # code-changed-this-round) so each gets (re-)verified; entries past the
 # window keep their existing green rows at unchanged code.
+#
+# Round-4 rotation plan: assuming the r03 window goes green, the 36
+# entries past it hold only r02 rows (aging) — and 14 of them
+# (f01-f10 leaves, j3, o2, o4, a6_ranges) sit on the translator path
+# that round 3 touched.  Next round, swap those 36 forward and let the
+# r03-green entries age one round, keeping any NEW queries inside the
+# window from day one.
 _VERIFY_FIRST = [
     # never oracle-checked in r02 (registry positions 51-70 last round)
     "x02_sessionization",
