@@ -1,0 +1,102 @@
+"""Graph operators for corpus curation: connected components over
+candidate-duplicate pairs.
+
+The dedup family (operators/dedup.py) emits PAIRS (id_a, id_b, score); a
+real pipeline needs CLUSTERS — "these 2,600 documents are all the same
+boilerplate page" — so it can keep one canonical representative per
+component and drop the rest. That is connected components over the pair
+graph.
+
+Scale design (pyspark_guide.md "iterative algorithms"): min-label
+propagation expressed as DataFrame joins.  Each round is one
+shuffle-join (labels ⋈ edges) + one partial-aggregated groupBy min —
+both keyed on the node id, so AQE coalesces and the partitioning is
+reused between rounds.  Rounds needed = graph diameter; near-duplicate
+clusters are hub-shaped (a popular page and its copies), so diameter is
+small (2-4) regardless of corpus size.  Each round materializes only
+(node, label) pairs — never the text — and `localCheckpoint` truncates
+the lineage so round N's plan does not replay rounds 1..N-1.  The
+convergence probe is a driver-side `count()` of CHANGED labels (one
+long), not a collect of data rows.
+
+Reference behavior note: the reference engine has no graph surface at
+all (its dedup story ends at unique keys); this operator exists for the
+100 TB training-data pipeline, same status as dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the undirected graph given by `edges`.
+
+    Returns (node, component) where `component` is the MINIMUM node id
+    reachable from `node` — a deterministic canonical representative
+    (the oracle-checkable convention: DuckDB's recursive transitive
+    closure produces the same labels).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the smallest label among itself and its
+    neighbors; converged when no label changes.  Rounds = eccentricity
+    of the min node within its component, small for the hub-shaped
+    near-duplicate graphs this is built for.  For adversarial
+    long-chain graphs switch to the large-star/small-star algorithm
+    (doubles reach per round, O(log n) rounds) — not needed for dedup
+    clusters and more than twice the shuffles per round.
+    """
+    # undirected: keep each edge once in both directions, slim columns
+    fwd = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+    rev = edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    adj = fwd.unionByName(rev).distinct()
+    adj = adj.localCheckpoint(eager=True)
+
+    labels = (
+        adj.select("n")
+        .distinct()
+        .withColumn("component", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # label each node with the min over: its own label and every
+        # neighbor's label.  One shuffle join + one combinable min.
+        neighbor_labels = (
+            adj.join(labels, on="n")
+            .select(F.col("m").alias("n"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("n")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), on="n")
+            .where(F.col("new.component") != F.col("old.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), "component")
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster ids for near-duplicate PAIRS (e.g. minhash_lsh_pairs
+    output): (doc_id, cluster_id), cluster_id = min doc id of the
+    component.  Docs not in any pair are unique and intentionally
+    absent — callers keep them as-is."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))

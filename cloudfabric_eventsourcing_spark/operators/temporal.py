@@ -136,9 +136,18 @@ def sessionize(
     from pyspark.sql import types as T
 
     # integer µs for exact gap comparisons (double seconds lose sub-µs
-    # precision near the boundary)
-    is_ts = isinstance(df.schema[ts].dataType, T.TimestampType)
-    t = F.unix_micros(F.col(ts)) if is_ts else F.col(ts).cast("double") * 1_000_000
+    # precision near the boundary). Parquet written without
+    # isAdjustedToUTC loads as TIMESTAMP_NTZ, which unix_micros rejects;
+    # the cast to TIMESTAMP is value-preserving under the engine's fixed
+    # UTC session zone (session.py) and costs nothing at runtime.
+    is_ts = isinstance(
+        df.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+    t = (
+        F.unix_micros(F.col(ts).cast("timestamp"))
+        if is_ts
+        else F.col(ts).cast("double") * 1_000_000
+    )
     w = Window.partitionBy(key).orderBy(ts)
     gap_us = t - F.lag(t).over(w)
     new_session = F.when(
@@ -164,7 +173,10 @@ def session_stats(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
         (
-            (F.max(F.unix_micros(F.col(ts))) - F.min(F.unix_micros(F.col(ts))))
+            (
+                F.max(F.unix_micros(F.col(ts).cast("timestamp")))
+                - F.min(F.unix_micros(F.col(ts).cast("timestamp")))
+            )
             / F.lit(1_000_000.0)
         ).alias("span_seconds"),
     )
