@@ -12,6 +12,7 @@ as Arrow-batched Pandas UDFs.
 from cloudfabric_eventsourcing_spark.operators import (
     curation,
     dedup,
+    graph,
     multimodal,
     packing,
     sampling,
@@ -24,6 +25,7 @@ from cloudfabric_eventsourcing_spark.operators import (
 __all__ = [
     "curation",
     "dedup",
+    "graph",
     "similarity",
     "text",
     "multimodal",

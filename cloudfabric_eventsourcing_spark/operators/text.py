@@ -297,3 +297,31 @@ def rarity_weighted_scores(
         .select(F.col(id_col), occ.alias("score"))
         .where(F.col("score") > 0)
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens as
+    (token, n), ties broken by token ascending — fully deterministic
+    across engines and partitionings.
+
+    Scale shape: explode is narrow (no shuffle); the token count is one
+    groupBy with map-side partial aggregation (token cardinality, not
+    corpus size, crosses the wire); the global top-k plans as
+    TakeOrderedAndProject — per-partition heaps of k rows merged on the
+    driver, NEVER a global sort of the vocabulary. This is the
+    tokenizer-training / vocab-audit primitive of the pipeline family
+    (same tokenization as token_count_whitespace, so counts reconcile).
+    """
+    toks = tokens_column(F.col(text_col), lowercase=lowercase)
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

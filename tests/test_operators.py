@@ -525,3 +525,75 @@ def test_pack_offsets_two_phase_prefix(spark):
     assert plan.count("Window") == 2
     assert "windowspecdefinition(_bucket" in plan
     assert "Broadcast" in plan
+
+
+# ---- connected components / duplicate clusters ----------------------------
+
+def test_connected_components_known_graph(spark):
+    from cloudfabric_eventsourcing_spark.operators import graph
+
+    # two components {1,2,3,4} (chain) and {10,11}, plus self-contained 20-20
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from cloudfabric_eventsourcing_spark.operators import graph
+
+    # a 12-node path — worst case for min-label propagation (diameter 11);
+    # must still converge within the default iteration budget
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_duplicate_clusters_match_exact_pairs(spark, docs):
+    from cloudfabric_eventsourcing_spark.operators import graph
+
+    # clusters over LSH pairs == clusters over the exact O(N^2) pair scan
+    # (verified LSH output equals the exact pair set on this corpus)
+    lsh_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, num_perm=128, bands=32)
+    exact_pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9, n=1)
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in graph.duplicate_clusters(lsh_pairs).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in graph.duplicate_clusters(exact_pairs).collect()
+    }
+    assert got == want
+    # every cluster id is a member of its own cluster (canonical rep)
+    by_cluster = {}
+    for doc, cl in got:
+        by_cluster.setdefault(cl, set()).add(doc)
+    for cl, members in by_cluster.items():
+        assert cl in members and cl == min(members)
+
+
+# ---- vocab top-k ----------------------------------------------------------
+
+def test_vocab_topk_plan_uses_take_ordered(spark, docs):
+    from cloudfabric_eventsourcing_spark.operators.text import vocab_topk
+
+    df = vocab_topk(docs, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # global top-k must be per-partition heaps + driver merge, never a
+    # global sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    # descending counts with token-asc tiebreak
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
