@@ -2096,6 +2096,85 @@ def x03_range_join(spark, sf_dir):
 
 
 @q(
+    "x04_funnel_conversion",
+    # two-step funnel (signup -> purchase within 7 days of FIRST signup):
+    # exact integer user counts; the rate is one IEEE division of them
+    "WITH anch AS (SELECT user_id, "
+    "min(CASE WHEN event_type = 'signup' THEN ts END) AS a "
+    "FROM events GROUP BY user_id), "
+    "per_u AS (SELECT e.user_id, "
+    "max(CASE WHEN a.a IS NOT NULL THEN 1 ELSE 0 END) AS entered, "
+    "max(CASE WHEN e.event_type = 'purchase' AND a.a IS NOT NULL "
+    "AND e.ts >= a.a AND e.ts <= a.a + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS conv "
+    "FROM events e JOIN anch a USING (user_id) GROUP BY e.user_id) "
+    "SELECT CAST(sum(entered) AS BIGINT) AS n_entered, "
+    "CAST(sum(conv) AS BIGINT) AS n_converted, "
+    "CAST(CAST(sum(conv) AS BIGINT) AS DOUBLE) / "
+    "CAST(greatest(CAST(sum(entered) AS BIGINT), 1) AS DOUBLE) AS conversion_rate "
+    "FROM per_u",
+)
+def x04_funnel_conversion(spark, sf_dir):
+    # behavioral funnel (operators/behavior.py): the anchor is a window
+    # MIN over the user partition — one shuffle, one event-log scan (the
+    # oracle's aggregate-join form is how engines WITHOUT window
+    # functions express it; Spark's plan avoids the second scan)
+    from cloudfabric_eventsourcing_spark.operators import behavior as _behavior
+
+    events = load_table(spark, sf_dir, "events")
+    return _behavior.funnel(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        first_step="signup",
+        second_step="purchase",
+        within_days=7,
+    )
+
+
+@q(
+    "x05_retention_cohorts",
+    # weekly retention triangle (the sf corpus spans ~5 ISO weeks; month
+    # granularity would collapse to one vacuous cell). Monday-start weeks
+    # on both engines.
+    "WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id) "
+    "SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_period, "
+    "CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_period, "
+    "count(DISTINCT e.user_id) AS n_users "
+    "FROM events e JOIN f USING (user_id) "
+    "GROUP BY cohort_period, activity_period",
+)
+def x05_retention_cohorts(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import behavior as _behavior
+
+    events = load_table(spark, sf_dir, "events")
+    return _behavior.retention_cohorts(
+        events, user_col="user_id", ts_col="ts", granularity="week"
+    )
+
+
+@q(
+    "p14_train_shuffle",
+    # deterministic global training order: md5-rank positions must equal
+    # the oracle's single global window row_number exactly — which is
+    # precisely what the two-phase bucket form must reproduce
+    "SELECT doc_id, row_number() OVER "
+    "(ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS position "
+    "FROM documents",
+)
+def p14_train_shuffle(spark, sf_dir):
+    # operators/sampling.deterministic_shuffle: bucket by hash prefix,
+    # prefix-sum the tiny bucket-count frame, row_number within buckets —
+    # the scale-correct replacement for an unpartitioned global ranking
+    # window (cross-bucket stitching is what the oracle verifies)
+    from cloudfabric_eventsourcing_spark.operators import sampling as _samp
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _samp.deterministic_shuffle(docs, id_col="doc_id")
+    return out.select("doc_id", "position")
+
+
+@q(
     "m01_multimodal_features",
     "SELECT doc_id AS media_id, length(text) % 640 + 1 AS width, "
     "(length(text) * 7) % 480 + 1 AS height, "
@@ -2506,10 +2585,18 @@ _VERIFY_FIRST = [
     "h27_waiting_suppliers",
     "p13_duplicate_clusters",
     "t07_vocab_topk",
-    # round-3 changed the search/scoring translator paths
-    "f17_search_scored",
+    "x04_funnel_conversion",
+    "x05_retention_cohorts",
+    # round-3 changed the search/scoring translator paths. f16/f17
+    # yielded their re-verify slots to x04/x05: f19 (in-window) runs the
+    # SAME search_to_column tokenized branch and the SAME score_column
+    # code with non-trivial boosts — f16/f17 are its boost=1 special
+    # case — while f13's plain-contains branch and f18's phrase-prefix
+    # branch have no in-window superset, so they keep theirs.
+    # p14_train_shuffle sits first past the window: locally the oracle
+    # harness (test_queries_oracle) runs the identical compare on ALL
+    # entries, and it leads the r04 rotation.
     "f13_search_text",
-    "f16_search_tokenized",
     "f18_search_phrase_prefix",
     # round-3 threaded `analyzer` through the shared run_query executor —
     # re-verify every translator-driven query at current code (f07/f08
@@ -2542,6 +2629,8 @@ _VERIFY_FIRST = [
     # exactly those changed lines. The filter/sort/facet leaves the
     # eight share are unchanged since their green rows and stay pinned
     # by test_translator + the differential fuzz suite.)
+    # -- driver window ends here (position 50) --
+    "p14_train_shuffle",
 ]
 
 

@@ -56,6 +56,14 @@ HEADLINE = [
     "t06_repetition_stats",
     "p11_boilerplate_lines",
     "p12_pack_offsets",
+    "h22_min_price_supplier",
+    "h23_market_share",
+    "h24_product_profit",
+    "h25_customer_distribution",
+    "h26_brand_supplier_counts",
+    "h27_waiting_suppliers",
+    "p13_duplicate_clusters",
+    "t07_vocab_topk",
 ]
 
 

@@ -10,6 +10,7 @@ as Arrow-batched Pandas UDFs.
 """
 
 from cloudfabric_eventsourcing_spark.operators import (
+    behavior,
     curation,
     dedup,
     graph,
@@ -23,6 +24,7 @@ from cloudfabric_eventsourcing_spark.operators import (
 )
 
 __all__ = [
+    "behavior",
     "curation",
     "dedup",
     "graph",

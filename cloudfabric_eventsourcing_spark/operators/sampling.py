@@ -94,3 +94,43 @@ def stratified_sample_fraction(
         present = [r[0] for r in df.select(col).distinct().collect()]
         fractions = {v: fractions.get(v, default_fraction) for v in present}
     return df.sampleBy(col, fractions=fractions, seed=seed)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    out: str = "position",
+    prefix_chars: int = 3,
+) -> DataFrame:
+    """Global training-order shuffle: assign every row a 0-based
+    ``position`` in md5-hash order — uniformly random but bit-identical
+    across runs, engines and partitionings (``salt`` draws an
+    independent permutation). The last step of a curation pipeline:
+    examples must reach training in an order uncorrelated with source
+    layout, and re-runs must reproduce it.
+
+    A global ``row_number() OVER (ORDER BY hash)`` would funnel the
+    corpus through one task. Two-phase instead (same scheme as
+    packing.global_prefix_sum): bucket by the hash's first
+    ``prefix_chars`` hex chars (fixed-length lowercase hex, so
+    lexicographic prefix order == numeric hash order), count per bucket,
+    exclusive-prefix the 16^prefix_chars bucket counts on the tiny
+    totals frame, broadcast offsets back, row_number within buckets
+    (parallel across buckets, ties broken by id for totality).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    with_h = df.withColumn("__h", h).withColumn(
+        "__b", F.conv(F.substring("__h", 1, prefix_chars), 16, 10).cast("long")
+    )
+    counts = with_h.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    prior = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off")
+    )
+    within = Window.partitionBy("__b").orderBy("__h", id_col)
+    return (
+        with_h.join(F.broadcast(offsets), "__b")
+        .withColumn(out, F.col("__off") + F.row_number().over(within) - 1)
+        .drop("__h", "__b", "__off")
+    )

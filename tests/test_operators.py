@@ -597,3 +597,56 @@ def test_vocab_topk_plan_uses_take_ordered(spark, docs):
     # descending counts with token-asc tiebreak
     counts = [r["n"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+# ---- behavior analytics / train shuffle -----------------------------------
+
+def test_funnel_single_scan_no_self_join(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import behavior
+
+    events = load_table(spark, sf_dir, "events")
+    df = behavior.funnel(
+        events, "user_id", "ts", "event_type", "signup", "purchase", 7
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the anchor is a window over the user partition, not an
+    # aggregate-join — exactly one scan of the event log
+    assert plan.count("events.parquet") == 1
+    row = df.collect()[0]
+    assert 0 <= row["n_converted"] <= row["n_entered"]
+    assert 0.0 <= row["conversion_rate"] <= 1.0
+
+
+def test_retention_cohort_never_precedes_activity(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import behavior
+
+    events = load_table(spark, sf_dir, "events")
+    rows = behavior.retention_cohorts(
+        events, "user_id", "ts", granularity="week"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["cohort_period"] <= r["activity_period"]
+
+
+def test_deterministic_shuffle_is_permutation_and_two_phase(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.deterministic_shuffle(docs, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    # exactly two Window nodes: the tiny bucket-offset prefix and the
+    # within-bucket ranking — never an unpartitioned global row_number
+    # over the corpus
+    assert final.count("Window") == 2
+    n = docs.count()
+    positions = sorted(r["position"] for r in out.collect())
+    assert positions == list(range(n))
+    # salt draws a different permutation
+    salted = {
+        r["doc_id"]: r["position"]
+        for r in sampling.deterministic_shuffle(docs, "doc_id", salt="s1").collect()
+    }
+    base = {r["doc_id"]: r["position"] for r in out.collect()}
+    assert salted != base

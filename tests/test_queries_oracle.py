@@ -96,12 +96,16 @@ def test_registry_invariants():
     assert not bad, f"malformed registry keys (lost a name line?): {bad}"
     dangling = [k for k in o if k not in q]
     assert not dangling, f"oracles without a registered query: {dangling}"
-    window = entry_mod._VERIFY_FIRST
-    assert len(window) == 50 and len(set(window)) == 50
-    missing = [k for k in window if k not in q]
+    # _VERIFY_FIRST may order entries past position 50 too (explicit
+    # next-in-line for the r04 rotation); the driver only reads the
+    # first 50, which must all be distinct, registered, and honored by
+    # the queries() / oracle_sql() ordering.
+    ordering = entry_mod._VERIFY_FIRST
+    assert len(ordering) >= 50 and len(set(ordering)) == len(ordering)
+    missing = [k for k in ordering if k not in q]
     assert not missing, f"window names not in the registry: {missing}"
-    assert list(q)[:50] == window
-    windowed_oracles = [k for k in window if k in o]
+    assert list(q)[: len(ordering)] == ordering
+    windowed_oracles = [k for k in ordering if k in o]
     assert list(o)[: len(windowed_oracles)] == windowed_oracles
 
 
