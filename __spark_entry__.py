@@ -582,6 +582,27 @@ def f16_search_tokenized(spark, sf_dir):
     return apply_query(df, pq_, documents_schema()).select("doc_id")
 
 
+@q(
+    "f22_search_synonyms",
+    # tokenized search with a query-time synonym group: 'fast' also
+    # matches documents saying 'small' (the functional form of the
+    # reference's SynonymMaps — ProjectionDocumentPropertySchema.cs:20-32);
+    # terms stay AND-combined, the group ORs
+    "SELECT doc_id FROM documents WHERE "
+    "((lower(text) LIKE '%fast%' OR lower(source) LIKE '%fast%') OR "
+    "(lower(text) LIKE '%small%' OR lower(source) LIKE '%small%')) AND "
+    "(lower(text) LIKE '%sort%' OR lower(source) LIKE '%sort%')",
+)
+def f22_search_synonyms(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(
+        search_text="fast sort",
+        search_mode="tokenized",
+        synonyms={"fast": ["small"]},
+    )
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
 # ---- F14: partition-key filter -------------------------------------------
 
 @q(
@@ -2596,7 +2617,12 @@ _VERIFY_FIRST = [
     # p14_train_shuffle sits first past the window: locally the oracle
     # harness (test_queries_oracle) runs the identical compare on ALL
     # entries, and it leads the r04 rotation.
-    "f13_search_text",
+    # f22 (synonym expansion — this round's last translator change) takes
+    # f13's slot: its tokenized OR-of-variants calls the same
+    # _term_column leaf f13's substring mode uses, once per variant, so
+    # the leaf is exercised in-window; f13 itself moves just past the
+    # window behind p14.
+    "f22_search_synonyms",
     "f18_search_phrase_prefix",
     # round-3 threaded `analyzer` through the shared run_query executor —
     # re-verify every translator-driven query at current code (f07/f08
@@ -2631,6 +2657,7 @@ _VERIFY_FIRST = [
     # by test_translator + the differential fuzz suite.)
     # -- driver window ends here (position 50) --
     "p14_train_shuffle",
+    "f13_search_text",
 ]
 
 

@@ -104,12 +104,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # min of 2 runs: measure the engine (scan+exec), not first-plan
-        # compilation; both runs rebuild the full DataFrame from scratch
+        # min of 2 full rebuilds, timed from DataFrame CONSTRUCTION
+        # through noop-sink execution. Construction is inside the timer
+        # because (a) driver-side plan building is real per-query
+        # overhead no cluster amortizes (PLANS.md p04 finding), and
+        # (b) eager operators (p13's connected-components loop runs its
+        # label-propagation jobs during construction) would otherwise
+        # report only their final cached write — milliseconds for
+        # seconds of work. min-of-2 still drops JVM/codegen warmup.
         best = float("inf")
         for _ in range(2):
-            df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)

@@ -136,6 +136,7 @@ def eval_search(
     schema: Optional[ProjectionSchema],
     mode: str = "substring",
     analyzer: str = "whitespace",
+    synonyms: Optional[dict] = None,
 ) -> bool:
     if not search_text or search_text == "*" or schema is None:
         return True
@@ -145,10 +146,18 @@ def eval_search(
             tokenize_terms,
         )
 
-        # AND between analyzer terms, OR across fields per term
+        from cloudfabric_eventsourcing_spark.plans.translator import (
+            expand_synonyms,
+        )
+
+        # AND between analyzer terms, OR across fields per term, OR over
+        # each term's synonym group
         # (semantics-identical to translator.search_to_column)
         return all(
-            eval_search(term, doc, schema, mode="substring")
+            any(
+                eval_search(v, doc, schema, mode="substring")
+                for v in expand_synonyms(term, synonyms)
+            )
             for term in tokenize_terms(needle, analyzer)
         )
     if mode == "fuzzy":
@@ -357,7 +366,8 @@ def run_query_docs(
         for d in docs
         if all(eval_filter(f, d, schema) for f in query.filters)
         and eval_search(
-                    query.search_text, d, schema, query.search_mode, query.analyzer
+                    query.search_text, d, schema, query.search_mode,
+                    query.analyzer, query.synonyms,
                 )
     ]
     total = len(filtered)

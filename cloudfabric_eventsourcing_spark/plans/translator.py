@@ -240,11 +240,26 @@ def phrase_prefix_regex(search_text: str) -> Optional[str]:
     return "(^|[^a-z0-9])" + "\\s+".join(_re.escape(t) for t in terms)
 
 
+def expand_synonyms(term: str, synonyms: Optional[dict]) -> list[str]:
+    """The term plus its synonym group, lowercased, stably ordered
+    (term first, alternates sorted) — the expansion ES performs at
+    analysis time with a deployed synonym map."""
+    if not synonyms:
+        return [term]
+    alts = synonyms.get(term) or []
+    seen = [term]
+    for a in sorted(str(x).lower() for x in alts):
+        if a and a not in seen:
+            seen.append(a)
+    return seen
+
+
 def search_to_column(
     search_text: str,
     schema: Optional[ProjectionSchema],
     mode: str = "substring",
     analyzer: str = "whitespace",
+    synonyms: Optional[dict] = None,
 ) -> Optional[Column]:
     """Full-text search predicate (F13).
 
@@ -262,9 +277,16 @@ def search_to_column(
         return None
     needle = search_text.lower()
     if mode == "tokenized":
+        # AND between terms; each term ORs over its synonym group
+        # (SynonymMaps — ProjectionDocumentPropertySchema.cs:20-32)
         acc: Optional[Column] = None
         for term in tokenize_terms(needle, analyzer):
-            term_pred = _term_column(term, schema)
+            term_pred: Optional[Column] = None
+            for variant in expand_synonyms(term, synonyms):
+                vp = _term_column(variant, schema)
+                if vp is None:
+                    return None
+                term_pred = vp if term_pred is None else (term_pred | vp)
             if term_pred is None:
                 return None
             acc = term_pred if acc is None else (acc & term_pred)
@@ -492,7 +514,8 @@ def apply_query(
     for f in query.filters:
         df = df.where(filter_to_column(f, schema))
     search = search_to_column(
-        query.search_text, schema, query.search_mode, query.analyzer
+        query.search_text, schema, query.search_mode, query.analyzer,
+        query.synonyms,
     )
     if search is not None:
         df = df.where(search)
@@ -655,7 +678,8 @@ def run_query(
     for f in query.filters:
         filtered = filtered.where(filter_to_column(f, schema))
     search = search_to_column(
-        query.search_text, schema, query.search_mode, query.analyzer
+        query.search_text, schema, query.search_mode, query.analyzer,
+        query.synonyms,
     )
     if search is not None:
         filtered = filtered.where(search)

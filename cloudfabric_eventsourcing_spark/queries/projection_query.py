@@ -111,6 +111,16 @@ class ProjectionQuery:
     #: ElasticSearchProjectionIndexer.cs:72-81, SearchAnalyzers.cs:5), or
     #: "standard" (punctuation-split everything, ES standard tokenizer).
     analyzer: str = "whitespace"
+    #: Query-time synonym groups for tokenized search: term -> alternates.
+    #: A term matches a document when the term OR any alternate matches
+    #: (terms stay AND-combined) — the functional form of the reference's
+    #: per-property SynonymMaps declarations
+    #: (ProjectionDocumentPropertySchema.cs:20-32; applied by ES at
+    #: analysis time via the maps deployed server-side — here the map
+    #: contents travel with the query, a documented divergence since the
+    #: engine has no server-side analyzer registry). Scoring does NOT
+    #: count synonym hits (the TF scorer stays term-exact).
+    synonyms: dict = dataclasses.field(default_factory=dict)
 
 
 T = TypeVar("T")

@@ -239,6 +239,17 @@ def serialize_query(query: ProjectionQuery) -> str:
         qs += f"&searchMode={query.search_mode}"
     if query.analyzer and query.analyzer != "whitespace":
         qs += f"&analyzer={query.analyzer}"
+    if query.synonyms:
+        # term:alt1|alt2;term2:alt — terms are analyzer tokens (no
+        # whitespace); ':' '|' ';' are free in this param (the codec
+        # splits params on '&' only)
+        groups = ";".join(
+            f"{k}:{'|'.join(str(a) for a in v)}"
+            for k, v in sorted(query.synonyms.items())
+            if v
+        )
+        if groups:
+            qs += f"&synonyms={groups}"
     return qs
 
 
@@ -268,4 +279,11 @@ def deserialize_query(qs: str) -> ProjectionQuery:
         query.search_mode = first("searchMode")
     if first("analyzer"):
         query.analyzer = first("analyzer")
+    if first("synonyms"):
+        syn: dict = {}
+        for group in first("synonyms").split(";"):
+            term, _, alts = group.partition(":")
+            if term and alts:
+                syn[term] = alts.split("|")
+        query.synonyms = syn
     return query

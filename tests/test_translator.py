@@ -624,3 +624,59 @@ def test_fuzzy_search_mode(proj):
     assert pyeval.eval_search("Frst", doc, S, mode="fuzzy")
     assert not pyeval.eval_search("zzzzzzzzz", doc, S, mode="fuzzy")
     assert pyeval._levenshtein("caverna", "cavera") == 1
+
+
+# ---- query-time synonym groups (round-3 SynonymMaps parity) ---------------
+
+def test_synonym_expansion_unit():
+    from cloudfabric_eventsourcing_spark.plans.translator import expand_synonyms
+
+    assert expand_synonyms("fast", None) == ["fast"]
+    assert expand_synonyms("fast", {}) == ["fast"]
+    # term first, alternates sorted, deduped, lowercased
+    assert expand_synonyms("fast", {"fast": ["Quick", "rapid", "quick"]}) == [
+        "fast", "quick", "rapid",
+    ]
+    assert expand_synonyms("sort", {"fast": ["quick"]}) == ["sort"]
+
+
+def test_synonym_search_spark_and_pyeval_agree(proj):
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    schema = order_schema()
+    syn = {"first": ["second"]}
+    q = ProjectionQuery(
+        search_text="first order", search_mode="tokenized", synonyms=syn
+    )
+    res = run_query(proj, q, schema)
+    got = {r.document["Id"] for r in res.records}
+    # 'first order' alone matches only o-1; the synonym group pulls in the
+    # 'second' order too
+    base = run_query(
+        proj,
+        ProjectionQuery(search_text="first order", search_mode="tokenized"),
+        schema,
+    )
+    assert {r.document["Id"] for r in base.records} < got
+    # python backend agrees document-by-document
+    docs = [r.document for r in run_query(proj, ProjectionQuery(), schema).records]
+    for d in docs:
+        assert eval_search(
+            "first order", d, schema, "tokenized", "whitespace", syn
+        ) == (d["Id"] in got)
+
+
+def test_synonym_querystring_roundtrip():
+    import cloudfabric_eventsourcing_spark.queries.querystring as qs
+
+    q = ProjectionQuery(
+        search_text="fast sort",
+        search_mode="tokenized",
+        synonyms={"fast": ["quick", "rapid"], "sort": ["order"]},
+    )
+    wire = qs.serialize_query(q)
+    assert "synonyms=fast:quick|rapid;sort:order" in wire
+    q2 = qs.deserialize_query(wire)
+    assert q2.synonyms == {"fast": ["quick", "rapid"], "sort": ["order"]}
+    # empty map stays off the wire
+    assert "synonyms" not in qs.serialize_query(ProjectionQuery(search_text="x"))
