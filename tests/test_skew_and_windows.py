@@ -287,3 +287,58 @@ def test_session_window_streaming_with_watermark(spark, tmp_path):
     }
     want = {tuple(r) for r in sessions(spark.read.parquet(src)).collect()}
     assert got == want and len(want) == 6  # 3 sessions per user
+
+
+def test_interval_join_stream_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: clicks joined to purchases within
+    30 minutes per user, drained with availableNow, equals the batch
+    join of the same data."""
+    from cloudfabric_eventsourcing_spark.streaming.joins import interval_join
+
+    t0 = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    clicks = [
+        Row(user_id=u, click_ts=t0 + datetime.timedelta(minutes=m))
+        for u in (1, 2)
+        for m in (0, 40, 200)
+    ]
+    buys = [
+        Row(user_id=u, buy_ts=t0 + datetime.timedelta(minutes=m), amount=float(m))
+        for u in (1, 2)
+        for m in (10, 55, 500)
+    ]
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    cdf = spark.createDataFrame(clicks)
+    bdf = spark.createDataFrame(buys)
+    cdf.write.mode("overwrite").parquet(cdir)
+    bdf.write.mode("overwrite").parquet(bdir)
+
+    def join(l, r):
+        return interval_join(
+            l, r, ["user_id"], "click_ts", "buy_ts",
+            lower="0 seconds", upper="30 minutes", watermark="1 hour",
+        ).select("user_id", "click_ts", "buy_ts", "amount")
+
+    want = {tuple(r) for r in join(cdf, bdf).collect()}
+    # click@0 pairs with buy@10; click@40 with buy@55; click@200 and
+    # buy@500 pair with nothing
+    assert len(want) == 4
+
+    cs = spark.readStream.schema(cdf.schema).parquet(cdir)
+    bs = spark.readStream.schema(bdf.schema).parquet(bdir)
+    q = (
+        join(cs, bs)
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, click_ts, buy_ts, amount FROM ij_out"
+        ).collect()
+    }
+    assert got == want
