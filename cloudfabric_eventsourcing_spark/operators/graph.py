@@ -51,11 +51,12 @@ def connected_components(
     (doubles reach per round, O(log n) rounds) — not needed for dedup
     clusters and more than twice the shuffles per round.
     """
-    # undirected: keep each edge once in both directions, slim columns
+    # undirected: each edge in both directions, slim columns. No
+    # distinct(): duplicate adjacency rows cannot change a MIN aggregate,
+    # so the dedup shuffle would be pure cost.
     fwd = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
     rev = edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
-    adj = fwd.unionByName(rev).distinct()
-    adj = adj.localCheckpoint(eager=True)
+    adj = fwd.unionByName(rev).localCheckpoint(eager=True)
 
     labels = (
         adj.select("n")
@@ -64,6 +65,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # labels only ever decrease (min of a set containing the old label),
+    # so sum(labels) strictly decreases iff any label changed — the
+    # convergence probe is ONE aggregate on the new frame (a single long
+    # to the driver), no join against the previous round.
+    prev_sum = None
     for _ in range(max_iter):
         # label each node with the min over: its own label and every
         # neighbor's label.  One shuffle join + one combinable min.
@@ -71,21 +77,16 @@ def connected_components(
             adj.join(labels, on="n")
             .select(F.col("m").alias("n"), "component")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("n")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), on="n")
-            .where(F.col("new.component") != F.col("old.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("n").alias("node"), "component")
 
 

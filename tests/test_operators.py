@@ -650,3 +650,26 @@ def test_deterministic_shuffle_is_permutation_and_two_phase(spark, sf_dir):
     }
     base = {r["doc_id"]: r["position"] for r in out.collect()}
     assert salted != base
+
+
+def test_ivf_index_roundtrip_prunes_partitions(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivf_idx")
+    dims = len(emb.select("embedding").first()[0])
+    cents = similarity.ivf_centroids_from_sample(emb, n_cells=8)
+    similarity.save_ivf_index(emb, cents, idx)
+    vectors, cents2 = similarity.load_ivf_index(spark, idx)
+    assert cents2.shape == cents.shape and bool((cents2 == cents).all())
+
+    q = [float(x) for x in emb.select("embedding").first()[0]]
+    got = similarity.ivf_topk(vectors, cents2, q, k=5, nprobe=4).collect()
+    # same results as the in-memory assignment path
+    want = similarity.ivf_topk(
+        similarity.ivf_assign(emb, cents), cents, q, k=5, nprobe=4
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the probe must reach the file listing as a partition filter, not a
+    # post-scan predicate
+    df = similarity.ivf_topk(vectors, cents2, q, k=5, nprobe=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [ce", "PartitionFilters: [ce")
+    assert "cell#" in plan.split("PartitionFilters")[1][:200]

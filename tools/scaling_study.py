@@ -126,6 +126,25 @@ def main() -> None:
         emb = load_table(spark, sf, "embeddings")
         similarity.brute_force_topk(emb, qvec, k=5).collect()
 
+    def run_p13(sf):
+        from cloudfabric_eventsourcing_spark.operators import graph
+
+        docs = load_table(spark, sf, "documents")
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+        graph.duplicate_clusters(pairs).count()
+
+    def run_p14(sf):
+        from cloudfabric_eventsourcing_spark.operators import sampling
+
+        docs = load_table(spark, sf, "documents")
+        sampling.deterministic_shuffle(docs, id_col="doc_id").agg(
+            F.max("position")
+        ).collect()
+
+    def run_t07(sf):
+        docs = load_table(spark, sf, "documents")
+        text.vocab_topk(docs, k=100).count()
+
     ops = {
         "t06_repetition_stats": run_t06,
         "p11_boilerplate_lines": run_p11,
@@ -133,6 +152,9 @@ def main() -> None:
         "p01_exact_dedup": run_p01,
         "p04_minhash_lsh": run_p04,
         "s01_ann_brute_force": run_s01,
+        "p13_duplicate_clusters": run_p13,
+        "p14_train_shuffle": run_p14,
+        "t07_vocab_topk": run_t07,
     }
 
     factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
