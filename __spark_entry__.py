@@ -2117,6 +2117,32 @@ def x03_range_join(spark, sf_dir):
 
 
 @q(
+    "t08_fluency_scores",
+    # perplexity-proxy quality filtering: mean corpus bigram frequency
+    # per doc; exact integer counts, one final IEEE division (no log —
+    # libm rounding is engine-dependent). The oracle joins gram STRINGS
+    # where Spark joins xxhash64(gram) — equality of the scores is the
+    # collision-freeness check (the dedup family's documented trade).
+    "WITH toks AS (SELECT doc_id, "
+    f"{_TOKS_SQL} AS t FROM documents), "
+    "gs AS (SELECT doc_id, g[1] || ' ' || g[2] AS gram FROM "
+    "(SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS g "
+    "FROM toks WHERE len(t) >= 2)), "
+    "cnt AS (SELECT gram, count(*) AS c FROM gs GROUP BY gram) "
+    "SELECT doc_id, count(*) AS n_grams, "
+    "CAST(sum(c) AS DOUBLE)/count(*) AS fluency "
+    "FROM gs JOIN cnt USING (gram) GROUP BY doc_id",
+)
+def t08_fluency_scores(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators.text import fluency_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fluency_scores(docs).select(
+        F.col("id").alias("doc_id"), "n_grams", "fluency"
+    )
+
+
+@q(
     "x04_funnel_conversion",
     # two-step funnel (signup -> purchase within 7 days of FIRST signup):
     # exact integer user counts; the rate is one IEEE division of them
@@ -2657,6 +2683,7 @@ _VERIFY_FIRST = [
     # by test_translator + the differential fuzz suite.)
     # -- driver window ends here (position 50) --
     "p14_train_shuffle",
+    "t08_fluency_scores",
     "f13_search_text",
 ]
 

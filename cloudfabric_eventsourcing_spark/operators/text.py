@@ -325,3 +325,46 @@ def vocab_topk(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def fluency_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy fluency score: a document's mean CORPUS frequency
+    of its word bigrams. Degenerate/garbled text uses bigrams nobody else
+    uses (score → 1); templated/natural text reuses common transitions.
+    The n-gram-LM shape of quality filtering without a log() (libm
+    rounding is engine-dependent; the mean of exact integer counts with
+    one final IEEE division is oracle-exact).
+
+    Returns (id, n_grams, fluency) for documents with >= 1 bigram.
+
+    Scale shape: bigrams are built LINEARLY (arrays_zip of two shifted
+    slices — the transform-over-sequence form re-evaluates tokenization
+    per index, the measured O(tokens^2) hazard from t06); the corpus
+    count and the re-join both hash on the bigram, map-side combined,
+    shuffling 16-byte (hash, count) rows, never text. xxhash64 stands in
+    for the bigram string on the wire — the dedup family's documented
+    2^-64 collision trade.
+    """
+    toks = tokens_column(F.col(text_col))
+    m = F.size(toks)
+    z = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(m - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(m - 1, F.lit(0))),
+    )
+    grams = F.transform(z, lambda s: F.xxhash64(s["0"], s["1"]))
+    doc_grams = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    )
+    counts = doc_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        doc_grams.join(counts, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("fluency"),
+        )
+    )
