@@ -46,3 +46,49 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    target_partition_mb: int = 128,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+) -> dict:
+    """Recommended conf overrides for a REAL cluster at the ~100 TB
+    design point — pass as ``build_session(extra_conf=cluster_conf())``
+    (they are deliberately NOT defaults: on local[32] they only add
+    overhead; on a cluster they are the difference between a plan that
+    survives and one that spills or floods the driver).
+
+    Rationale per knob:
+    - shuffle partitions ~= 3x total cores: enough tasks to keep every
+      core busy through stragglers, few enough that task overhead stays
+      amortized; AQE coalesces small ones anyway.
+    - initial/max AQE partition bounds bracket that figure so runtime
+      re-planning can move both ways (splitting skew, merging splinters).
+    - maxPartitionBytes 128 MiB: scan-side parallelism unit — at 100 TB
+      that is ~800k input splits, each comfortably in-memory for a
+      4 GiB-heap core even with decode amplification.
+    - autoBroadcastJoinThreshold 64 MiB: dims up to region/nation/
+      supplier scale broadcast; fact-fact joins never should (AQE can
+      still demote a misestimated broadcast).
+    - shuffle spill compression + zstd: shuffle volume dominates cost at
+      this scale; zstd trades a little CPU for ~30% less network/disk.
+    - skewJoin thresholds: split any post-shuffle partition over 256 MiB
+      that is 5x the median — the salting operator (operators/skew.py)
+      remains for aggregates, where AQE does not apply.
+    """
+    total_cores = executors * cores_per_executor
+    shuffle_parts = 3 * total_cores
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            4 * shuffle_parts
+        ),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+        "spark.io.compression.codec": "zstd",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+    }

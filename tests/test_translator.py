@@ -680,3 +680,19 @@ def test_synonym_querystring_roundtrip():
     assert q2.synonyms == {"fast": ["quick", "rapid"], "sort": ["order"]}
     # empty map stays off the wire
     assert "synonyms" not in qs.serialize_query(ProjectionQuery(search_text="x"))
+
+
+def test_cluster_conf_profile_applies(spark):
+    # the 100 TB profile must be pure conf (appliable to a running
+    # session's RuntimeConfig where dynamic, parseable everywhere)
+    from cloudfabric_eventsourcing_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=10, cores_per_executor=2)
+    assert conf["spark.sql.shuffle.partitions"] == "60"
+    # dynamic SQL confs apply to a live session
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold",
+        conf["spark.sql.autoBroadcastJoinThreshold"],
+    )
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64m"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
