@@ -2117,6 +2117,83 @@ def x03_range_join(spark, sf_dir):
 
 
 @q(
+    "h28_late_priority_lines",
+    # TPC-H Q12 shape (fact-fact join + pivot-style conditional counts):
+    # lines shipped >30 days after their order, split by priority class
+    # per return flag. Counts only — engine-exact.
+    "SELECT l_returnflag, "
+    "count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) "
+    "AS high_line_count, "
+    "count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) "
+    "AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY "
+    "GROUP BY l_returnflag",
+)
+def h28_late_priority_lines(spark, sf_dir):
+    # Q12: the one fact-fact shuffle join, then a 3-row conditional
+    # aggregate (map-side combined). The lateness predicate spans both
+    # sides so it evaluates post-join; each side's scan is pruned to the
+    # join key + its predicate columns.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "h29_dominant_suppliers",
+    # TPC-H Q20 shape (nested correlated-threshold semi-join chain):
+    # suppliers shipping more than 1/8 of some 'hot' part's total
+    # quantity. Exact-integer share comparison (qty*8 > total).
+    "WITH ps AS (SELECT l_partkey, l_suppkey, "
+    "SUM(CAST(round(l_quantity*100) AS BIGINT)) AS qty_c "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_name LIKE 'hot%' GROUP BY l_partkey, l_suppkey), "
+    "tot AS (SELECT l_partkey, SUM(qty_c) AS total_c FROM ps GROUP BY l_partkey) "
+    "SELECT DISTINCT s_suppkey, s_name "
+    "FROM ps JOIN tot USING (l_partkey) "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "WHERE qty_c * 8 > total_c",
+)
+def h29_dominant_suppliers(spark, sf_dir):
+    # Q20 without the correlated-subquery rescans: per-(part,supplier)
+    # quantities once, the per-part total as a WINDOW sum over the same
+    # rows (one scan — the tot-join form would duplicate the subtree,
+    # the measured h22/h27 pathology), exact-int share filter, supplier
+    # names broadcast onto the tiny winner set.
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("hot"))
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("total_c", F.sum("qty_c").over(w))
+        .where(F.col("qty_c") * 8 > F.col("total_c"))
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@q(
     "t08_fluency_scores",
     # perplexity-proxy quality filtering: mean corpus bigram frequency
     # per doc; exact integer counts, one final IEEE division (no log —
@@ -2684,6 +2761,8 @@ _VERIFY_FIRST = [
     # -- driver window ends here (position 50) --
     "p14_train_shuffle",
     "t08_fluency_scores",
+    "h28_late_priority_lines",
+    "h29_dominant_suppliers",
     "f13_search_text",
 ]
 
