@@ -19,8 +19,13 @@ modules):
   5. PII scrub          — regexp_replace pass over the surviving text
   6. decontamination    — drop docs sharing word n-grams with a held-out
                           evaluation set
-  7. sampling / mixing  — deterministic stratified sample to the target
+  7. fluency gate       — perplexity-proxy floor on mean corpus bigram
+                          frequency (text.fluency_scores)
+  8. sampling / mixing  — deterministic stratified sample to the target
                           budget (operators.sampling)
+  9. training order     — deterministic global shuffle positions
+                          (sampling.deterministic_shuffle), the handoff
+                          point to packing.pack_offsets
 
 Every stage stays declarative (Catalyst plans end to end); the whole
 pipeline is lazy — one action materializes it. Stages toggle off for
@@ -55,9 +60,11 @@ def curate(
     scrub_pii: bool = True,
     decontaminate_against: Optional[DataFrame] = None,
     decontaminate_n: int = 8,
+    min_fluency: Optional[float] = None,
     sample_per_stratum: Optional[int] = None,
     sample_strata: Optional[str] = None,
     sample_salt: str = "",
+    shuffle_positions: bool = False,
     collect_stats: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the curation pipeline; see module docstring for stage order."""
@@ -127,6 +134,14 @@ def curate(
             ),
         )
 
+    if min_fluency is not None:
+        fluent = (
+            _text.fluency_scores(out, text_col=text_col, id_col=id_col)
+            .where(F.col("fluency") >= min_fluency)
+            .select(F.col("id").alias(id_col))
+        )
+        out = note("fluency_gate", out.join(fluent, id_col, "left_semi"))
+
     if sample_per_stratum is not None:
         staged = out.withColumn(
             "__stratum",
@@ -141,6 +156,11 @@ def curate(
                 id_col=id_col,
                 salt=sample_salt,
             ).drop("__stratum"),
+        )
+
+    if shuffle_positions:
+        out = _sampling.deterministic_shuffle(
+            out, id_col=id_col, salt=sample_salt
         )
 
     if collect_stats:

@@ -673,3 +673,26 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, emb, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [ce", "PartitionFilters: [ce")
     assert "cell#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_curation_fluency_gate_and_shuffle_positions(spark, docs):
+    """Batch-2 stages compose: the fluency floor drops the least-fluent
+    docs, and shuffle_positions emits a contiguous 0-based permutation."""
+    from cloudfabric_eventsourcing_spark.operators.curation import curate
+    from cloudfabric_eventsourcing_spark.operators.text import fluency_scores
+
+    # pick a floor at roughly the corpus median so the gate provably cuts
+    med = fluency_scores(docs).approxQuantile("fluency", [0.5], 0.0)[0]
+    curated, stats = curate(
+        docs,
+        neardup_threshold=None,
+        exact=False,
+        scrub_pii=False,
+        min_fluency=med,
+        shuffle_positions=True,
+    )
+    assert 0 < stats["fluency_gate"] < stats["input"]
+    rows = curated.collect()
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(len(rows)))
+    assert len(rows) == stats["fluency_gate"]
