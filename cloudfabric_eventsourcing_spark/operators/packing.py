@@ -90,3 +90,34 @@ def pack_offsets(
         first.alias("first_chunk"),
         last.alias("last_chunk"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    position_col: str = "position",
+    docs_per_shard: int = 1024,
+) -> int:
+    """Materialize a curated, shuffled corpus as ordered training shards:
+    shard k holds positions [k*docs_per_shard, (k+1)*docs_per_shard),
+    written as parquet partition directories (shard=k/...), rows sorted
+    by position within each shard. A trainer streams shard directories
+    in numeric order and gets the exact global order back without any
+    reader-side sort.
+
+    Scale shape: one repartition on the shard id (consecutive positions
+    co-locate by construction, so shards are dense and equal-sized —
+    no skew), a within-partition sort bounded by docs_per_shard, and a
+    partitioned write. Returns the shard count.
+    """
+    shard = F.floor(F.col(position_col) / F.lit(docs_per_shard)).cast("long")
+    (
+        df.withColumn("shard", shard)
+        .repartition("shard")
+        .sortWithinPartitions(position_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    n = df.agg(F.max(position_col)).collect()[0][0]
+    return 0 if n is None else int(n) // docs_per_shard + 1

@@ -696,3 +696,25 @@ def test_curation_fluency_gate_and_shuffle_positions(spark, docs):
     positions = sorted(r["position"] for r in rows)
     assert positions == list(range(len(rows)))
     assert len(rows) == stats["fluency_gate"]
+
+
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
+    from cloudfabric_eventsourcing_spark.operators import sampling
+    from cloudfabric_eventsourcing_spark.operators.packing import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    shuffled = sampling.deterministic_shuffle(docs, id_col="doc_id")
+    n_docs = docs.count()
+    n_shards = write_training_shards(shuffled, out, docs_per_shard=128)
+    assert n_shards == (n_docs - 1) // 128 + 1
+    back = spark.read.parquet(out)
+    # dense, equal shards (last one ragged)
+    sizes = {r["shard"]: r["n"] for r in back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(n_shards))
+    assert all(v == 128 for k, v in sizes.items() if k < n_shards - 1)
+    # global order reconstructs from shard-order + file order per shard
+    rows = back.orderBy("shard", "position").select("position").collect()
+    assert [r["position"] for r in rows] == list(range(n_docs))
