@@ -1002,8 +1002,11 @@ def p11_boilerplate_lines(spark, sf_dir):
     # sf0.01 so the cross-bucket stitching is what gets verified)
     "WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
     "x -> x != '')) AS n_tokens FROM documents), "
-    "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+    # CAST: DuckDB's SUM() OVER returns HUGEINT (INT128); without the cast
+    # start_offset/first_chunk/last_chunk hash differently than Spark's
+    # BIGINT even when every value matches (same fix as x02's session_seq)
+    "c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t) "
     "SELECT doc_id, n_tokens, cum - n_tokens AS start_offset, "
     "(cum - n_tokens) // 256 AS first_chunk, "
     "CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256 "
@@ -2644,126 +2647,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver checks the FIRST 50 registry entries only.  Front-
-# load every query without a current green CORRECTNESS row (never-checked or
-# code-changed-this-round) so each gets (re-)verified; entries past the
-# window keep their existing green rows at unchanged code.
+# load every query without a current green CORRECTNESS row (never-checked,
+# red, or code-changed-this-round) so each gets (re-)verified; entries past
+# the window keep their existing green rows at unchanged code.
 #
-# Round-4 rotation plan: assuming the r03 window goes green, the 36
-# entries past it hold only r02 rows (aging) — and 14 of them
-# (f01-f10 leaves, j3, o2, o4, a6_ranges) sit on the translator path
-# that round 3 touched.  Next round, swap those 36 forward and let the
-# r03-green entries age one round, keeping any NEW queries inside the
-# window from day one.
+# Round-4 rotation (executes the plan the r03 comment laid out): the 49
+# entries that went green in CORRECTNESS_r03 age one round; the window is
+# given to (a) the five entries without a current green row — p12 (r03 red,
+# oracle HUGEINT cast fixed this round), p14/t08/h28/h29 (registered past
+# the window last round, never driver-checked) — plus f13, whose only row
+# is r02 while round 3 edited the search path it exercises; and (b) 44 of
+# the 46 entries holding aging r01/r02 rows.  The two aging entries left
+# just past the window, with why that is safe:
+#   - f01_eq: the eq leaf is the most redundantly pinned path in the suite
+#     (differential-fuzzed in test_differential_eval, exercised inside the
+#     in-window f10 bool tree, j3's eq-OR chain, and the a4/a5 folds).
+#   - f05_ends_with: endswith shares the string-leaf dispatcher with the
+#     in-window f04 (startswith) and f06 (contains) and is pinned in
+#     test_translator; its green r02 row is at unchanged code.
+# Any query ADDED in round 4 must take a window slot on day one (pinned by
+# test_registry_invariants), displacing the next safest aging entry.
 _VERIFY_FIRST = [
-    # never oracle-checked in r02 (registry positions 51-70 last round)
-    "x02_sessionization",
-    "w03_session_window",
-    "u01_set_ops",
-    "w01_tumbling_window",
-    "w02_sliding_window",
-    "f15_suggestions",
-    "x03_range_join",
-    "m01_multimodal_features",
-    "h7_rollup_revenue",
-    "h8_shipping_priority",
-    "h9_order_priority_check",
-    "h10_promo_revenue_share",
-    "h11_large_volume_customers",
-    "h12_rich_idle_customers",
-    "a7_exact_median",
-    "s03_ann_ivf_topk",
-    "s02_ann_lsh_topk",
-    "p06_cosine_neardup_lsh",
-    "k01_salted_join",
-    "p07_simhash_neardup",
-    "p08_stratified_sample",
-    "p09_weighted_mix",
-    # new round-3 entries
-    "f19_search_scored_boosted",
-    "f20_search_highlights",
-    "f21_search_fuzzy",
-    "h13_cube_revenue",
-    "h14_distinct_customers_per_nation",
-    "h15_nation_volume_shipping",
-    "h16_priority_status_matrix",
-    "t05_rarity_weighted_scores",
-    # late round-3 entries — h17-h21 are bench headliners, and r02's worst
-    # finding was exactly "benchmarked but never oracle-verified", so they
-    # take precedence over re-verifying translator entries whose leaves are
-    # redundantly covered below
-    "h17_top_supplier_revenue",
-    "h18_small_quantity_revenue",
-    "h19_forecast_discount_revenue",
-    "h20_brand_size_quantity_revenue",
-    "h21_major_revenue_nations",
-    "t06_repetition_stats",
-    "p11_boilerplate_lines",
+    # --- no current green row: red/never-checked/stale ---
     "p12_pack_offsets",
-    # continuation round-3 entries (never seen by the driver): the six
-    # remaining classic TPC-H shapes, duplicate clustering, vocab top-k
-    "h22_min_price_supplier",
-    "h23_market_share",
-    "h24_product_profit",
-    "h25_customer_distribution",
-    "h26_brand_supplier_counts",
-    "h27_waiting_suppliers",
-    "p13_duplicate_clusters",
-    "t07_vocab_topk",
-    "x04_funnel_conversion",
-    "x05_retention_cohorts",
-    # round-3 changed the search/scoring translator paths. f16/f17
-    # yielded their re-verify slots to x04/x05: f19 (in-window) runs the
-    # SAME search_to_column tokenized branch and the SAME score_column
-    # code with non-trivial boosts — f16/f17 are its boost=1 special
-    # case — while f13's plain-contains branch and f18's phrase-prefix
-    # branch have no in-window superset, so they keep theirs.
-    # p14_train_shuffle sits first past the window: locally the oracle
-    # harness (test_queries_oracle) runs the identical compare on ALL
-    # entries, and it leads the r04 rotation.
-    # f22 (synonym expansion — this round's last translator change) takes
-    # f13's slot: its tokenized OR-of-variants calls the same
-    # _term_column leaf f13's substring mode uses, once per variant, so
-    # the leaf is exercised in-window; f13 itself moves just past the
-    # window behind p14.
-    "f22_search_synonyms",
-    "f18_search_phrase_prefix",
-    # round-3 threaded `analyzer` through the shared run_query executor —
-    # re-verify every translator-driven query at current code (f07/f08
-    # share their leaf code with the verified f04/f06 and sit just past
-    # the window; a2/a3/t04/h1-h6/p*/s01/t01-t03/x01/a4/a5 are untouched
-    # functions with green r02 rows; f01_eq yields its slot to f06 —
-    # whose key was restored this round after an edit dropped the name,
-    # so the driver has never seen it — because the eq leaf is the most
-    # redundantly pinned path in the suite: differential-fuzzed in
-    # test_differential_eval and exercised inside f10/j3/a4/a5)
-    # (six former re-verify slots yielded to h17-h21/t06 above; the evicted
-    # entries all hold green r02 rows and their distinctive leaves stay
-    # covered in-window: a6_facet_ranges shares the facet translator with
-    # a6_facet_counts and its range-sort fix has a pytest pin; o2/o4 compose
-    # the same sort/limit/count code as o1/o3/a1; f04's prefix leaf and
-    # f09's array guard are differential-fuzzed and share the leaf
-    # dispatcher with f06/f12; f03_ts_range's comparison leaf is identical
-    # to in-window range users and its ts-cast leg is unchanged since its
-    # green r02 row)
-    # (j3 and f10 also yielded: j3's isin desugars to an eq-OR chain the
-    # builder pins in test_builder_isin_or_chain, and f10's bool fold is
-    # differential-fuzzed over 40 random and/or trees; both hold green
-    # r02 rows, and the new p11/p12 code has never met the driver)
-    # (the final eight re-verify slots — a1/a6/o1/o3/f06/f11/f12/f14 —
-    # yielded to h22-h27/p13/t07, which have never met the driver at all.
-    # All eight hold green r02 rows; the round-3 translator edits they
-    # would have re-certified are confined to search/scoring functions
-    # plus analyzer-parameter threading in apply_query/run_query, and
-    # every search-path query (f13/f16-f21) IS in-window, exercising
-    # exactly those changed lines. The filter/sort/facet leaves the
-    # eight share are unchanged since their green rows and stay pinned
-    # by test_translator + the differential fuzz suite.)
-    # -- driver window ends here (position 50) --
     "p14_train_shuffle",
     "t08_fluency_scores",
     "h28_late_priority_lines",
     "h29_dominant_suppliers",
     "f13_search_text",
+    # --- aging r02 rows: filter-translator leaves (round 3 touched the
+    # shared run_query/apply_query executor these flow through) ---
+    "f02_ne_null",
+    "f03_range",
+    "f03_ts_range",
+    "f04_starts_with",
+    "f06_contains_case_sensitive",
+    "f07_starts_ignore_case",
+    "f08_contains_ignore_case",
+    "f09_array_contains",
+    "f10_bool_tree",
+    "f11_nested_path",
+    "f12_array_exists",
+    "f14_partition_key",
+    # --- aging: search modes whose in-window superset (f19) aged out ---
+    "f16_search_tokenized",
+    "f17_search_scored",
+    # --- aging: text operators ---
+    "t01_language_id",
+    "t02_quality_score",
+    "t03_token_counts",
+    "t04_pii_redaction",
+    # --- aging: sort/pagination ---
+    "o1_multi_sort_limit",
+    "o2_nested_sort",
+    "o3_array_element_filtered_sort",
+    "o4_pagination",
+    # --- aging: aggregates/facets/folds ---
+    "a1_total_count",
+    "a2_max_stream_version",
+    "a3_store_statistics",
+    "a4_projection_fold_counts",
+    "a5_projection_fold_sum",
+    "a6_facet_counts",
+    "a6_facet_ranges",
+    "j3_in_list",
+    # --- aging: TPC-H h1-h6 (bench headliners) ---
+    "h1_pricing_summary",
+    "h2_revenue_by_nation",
+    "h3_top_customers",
+    "h4_semi_join_high_value_orders",
+    "h5_anti_join_customers_without_p_orders",
+    "h6_window_top3_orders_per_customer",
+    # --- aging: temporal / dedup / ANN ---
+    "x01_asof_join",
+    "p01_exact_dedup",
+    "p02_fingerprint_dedup",
+    "p03_ngram_jaccard_pairs",
+    "p04_minhash_lsh_pairs",
+    "p05_cosine_neardup_pairs",
+    "p10_decontaminate",
+    "s01_ann_brute_force_topk",
+    # -- driver window ends here (position 50) --
+    "f01_eq",
+    "f05_ends_with",
 ]
 
 

@@ -107,6 +107,35 @@ def test_registry_invariants():
     assert list(q)[: len(ordering)] == ordering
     windowed_oracles = [k for k in ordering if k in o]
     assert list(o)[: len(windowed_oracles)] == windowed_oracles
+    # Every entry must hold a prior green driver row OR sit inside the
+    # 50-entry window this round — otherwise it can never be verified
+    # (the r02 h17-h21 / r03 h28-t08 pattern).  An entry whose row went
+    # red must also be back in the window.
+    import json
+    import pathlib
+
+    green = set()
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rows = json.loads(f.read_text())
+        for k, v in rows.items():
+            ok = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and (v.get("hash_match") is not False)
+                and not v.get("err")
+            )
+            if ok:
+                green.add(k)
+            else:
+                green.discard(k)  # a later red invalidates older greens
+    window = set(ordering[:50])
+    unverifiable = [k for k in q if k not in green and k not in window]
+    assert not unverifiable, (
+        "registry entries with no green CORRECTNESS row and no slot in "
+        f"the driver's 50-entry window: {unverifiable} — front-load them "
+        "in _VERIFY_FIRST"
+    )
 
 
 def _executed_plan(df):
