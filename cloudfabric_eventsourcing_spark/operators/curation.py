@@ -135,12 +135,22 @@ def curate(
         )
 
     if min_fluency is not None:
-        fluent = (
-            _text.fluency_scores(out, text_col=text_col, id_col=id_col)
-            .where(F.col("fluency") >= min_fluency)
-            .select(F.col("id").alias(id_col))
+        # fluency_scores only emits docs with >= 1 bigram; docs with
+        # fewer than 2 tokens are scored 0 here so the THRESHOLD decides
+        # their fate (min_fluency=0 keeps them) instead of the join
+        # silently dropping them.  scores is unique per id, so the left
+        # join cannot duplicate rows.
+        scores = _text.fluency_scores(
+            out, text_col=text_col, id_col=id_col
+        ).select(F.col("id").alias(id_col), "fluency")
+        gated = (
+            out.join(scores, id_col, "left")
+            .where(
+                F.coalesce(F.col("fluency"), F.lit(0.0)) >= F.lit(min_fluency)
+            )
+            .drop("fluency")
         )
-        out = note("fluency_gate", out.join(fluent, id_col, "left_semi"))
+        out = note("fluency_gate", gated.select(*out.columns))
 
     if sample_per_stratum is not None:
         staged = out.withColumn(

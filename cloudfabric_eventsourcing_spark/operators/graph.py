@@ -16,8 +16,10 @@ clusters are hub-shaped (a popular page and its copies), so diameter is
 small (2-4) regardless of corpus size.  Each round materializes only
 (node, label) pairs — never the text — and `localCheckpoint` truncates
 the lineage so round N's plan does not replay rounds 1..N-1.  The
-convergence probe is a driver-side `count()` of CHANGED labels (one
-long), not a collect of data rows.
+convergence probe is a driver-side limit(1)-count of CHANGED labels
+(the previous label rides through the min-aggregate, so the compare is
+exact for any orderable id type — including string doc ids), not a
+collect of data rows.
 
 Reference behavior note: the reference engine has no graph surface at
 all (its dedup story ends at unique keys); this operator exists for the
@@ -65,28 +67,43 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    # labels only ever decrease (min of a set containing the old label),
-    # so sum(labels) strictly decreases iff any label changed — the
-    # convergence probe is ONE aggregate on the new frame (a single long
-    # to the driver), no join against the previous round.
-    prev_sum = None
+    # Convergence probe: each node's PREVIOUS label rides through the
+    # same min-aggregate (tagged union + min-over-own-rows), so change
+    # detection is an exact per-node compare on the new frame — works
+    # for string/any orderable ids and costs no extra join or shuffle.
+    # (A sum-of-labels probe would be cheaper still, but F.sum is NULL
+    # on non-numeric ids — silently "converging" after one round — and
+    # int64 wraparound is a remote false-converge risk.)
     for _ in range(max_iter):
         # label each node with the min over: its own label and every
         # neighbor's label.  One shuffle join + one combinable min.
         neighbor_labels = (
             adj.join(labels, on="n")
             .select(F.col("m").alias("n"), "component")
+            .withColumn("__own", F.lit(False))
         )
-        labels = (
-            labels.unionByName(neighbor_labels)
+        merged = (
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(neighbor_labels)
             .groupBy("n")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("__own"), F.col("component"))
+                ).alias("__prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
+        labels = merged.drop("__prev")
+        # limit(1) short-circuits: the driver learns "any change?" from
+        # at most one row, not a full count
+        changed = (
+            merged.where(F.col("component") != F.col("__prev"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("n").alias("node"), "component")
 
 

@@ -119,5 +119,10 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    n = df.agg(F.max(position_col)).collect()[0][0]
-    return 0 if n is None else int(n) // docs_per_shard + 1
+    # Count shards from the just-written parquet, not from `df`: an agg
+    # on `df` would re-execute the whole upstream plan (including the
+    # deterministic-shuffle exchange) a second time, while the written
+    # files answer max(shard) from partition-directory names alone.
+    spark = df.sparkSession
+    n = spark.read.parquet(path).agg(F.max("shard")).collect()[0][0]
+    return 0 if n is None else int(n) + 1

@@ -240,17 +240,40 @@ def serialize_query(query: ProjectionQuery) -> str:
     if query.analyzer and query.analyzer != "whitespace":
         qs += f"&analyzer={query.analyzer}"
     if query.synonyms:
-        # term:alt1|alt2;term2:alt — terms are analyzer tokens (no
-        # whitespace); ':' '|' ';' are free in this param (the codec
-        # splits params on '&' only)
+        # term:alt1|alt2;term2:alt — ':' '|' ';' '&' '=' are structural
+        # in this param, so tokens containing them cannot round-trip and
+        # are rejected (raise, not corrupt).  Keys/alternates lowercase
+        # on the wire: matching (expand_synonyms) lowercases, so a
+        # mixed-case 'Fast' key would otherwise never match anything.
+        merged: dict[str, list[str]] = {}
+        for k, v in sorted(query.synonyms.items()):
+            if v:
+                merged.setdefault(_synonym_token(k), []).extend(
+                    _synonym_token(a) for a in v
+                )
         groups = ";".join(
-            f"{k}:{'|'.join(str(a) for a in v)}"
-            for k, v in sorted(query.synonyms.items())
-            if v
+            f"{k}:{'|'.join(v)}" for k, v in sorted(merged.items())
         )
         if groups:
             qs += f"&synonyms={groups}"
     return qs
+
+
+_SYNONYM_RESERVED = frozenset(":|;&=")
+
+
+def _synonym_token(t: object) -> str:
+    """Lowercased synonym term/alternate, validated against the wire
+    delimiters — a token carrying ':' '|' ';' '&' or '=' would corrupt
+    the param or silently break the round-trip."""
+    s = str(t).lower()
+    bad = _SYNONYM_RESERVED.intersection(s)
+    if bad or not s:
+        raise ValueError(
+            f"synonym token {t!r} is empty or contains reserved wire "
+            f"characters {sorted(bad)}; percent-encode upstream or drop it"
+        )
+    return s
 
 
 def deserialize_query(qs: str) -> ProjectionQuery:
@@ -284,6 +307,10 @@ def deserialize_query(qs: str) -> ProjectionQuery:
         for group in first("synonyms").split(";"):
             term, _, alts = group.partition(":")
             if term and alts:
-                syn[term] = alts.split("|")
+                # lowercase on read too, so hand-built strings with
+                # mixed-case keys still match at analysis time
+                syn[term.lower()] = [
+                    a.lower() for a in alts.split("|") if a
+                ]
         query.synonyms = syn
     return query

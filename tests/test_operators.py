@@ -558,6 +558,26 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_connected_components_string_ids(spark):
+    from cloudfabric_eventsourcing_spark.operators import graph
+
+    # string doc ids: the sum-of-labels convergence probe this replaces
+    # returned NULL on non-numeric ids and silently stopped after ONE
+    # propagation round — a 4-chain needs three, so labels would have
+    # been 1-hop minima, not components
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(edges).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x",
+    }
+
+
 def test_duplicate_clusters_match_exact_pairs(spark, docs):
     from cloudfabric_eventsourcing_spark.operators import graph
 
@@ -696,6 +716,23 @@ def test_curation_fluency_gate_and_shuffle_positions(spark, docs):
     positions = sorted(r["position"] for r in rows)
     assert positions == list(range(len(rows)))
     assert len(rows) == stats["fluency_gate"]
+
+
+def test_curation_fluency_gate_scores_short_docs_zero(spark):
+    """Docs with < 2 tokens have no bigrams; the gate scores them 0 so
+    the threshold decides: min_fluency=0 keeps them (the old left-semi
+    join dropped them unconditionally), any positive floor drops them."""
+    from cloudfabric_eventsourcing_spark.operators.curation import curate
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "the quick fox"), (4, "the quick dog")],
+        ["doc_id", "text"],
+    )
+    kw = dict(neardup_threshold=None, exact=False, scrub_pii=False)
+    kept0, _ = curate(df, min_fluency=0.0, **kw)
+    assert sorted(r["doc_id"] for r in kept0.collect()) == [1, 2, 3, 4]
+    kept1, _ = curate(df, min_fluency=0.5, **kw)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [3, 4]
 
 
 def test_write_training_shards_roundtrip(spark, docs, tmp_path):

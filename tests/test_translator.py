@@ -682,6 +682,37 @@ def test_synonym_querystring_roundtrip():
     assert "synonyms" not in qs.serialize_query(ProjectionQuery(search_text="x"))
 
 
+def test_synonym_wire_validation_and_case():
+    import pytest as _pytest
+
+    import cloudfabric_eventsourcing_spark.queries.querystring as qs
+
+    # mixed-case keys/alternates lowercase on the wire — matching
+    # (expand_synonyms) lowercases, so 'Fast' would never match
+    q = ProjectionQuery(
+        search_text="fast",
+        search_mode="tokenized",
+        synonyms={"Fast": ["Quick", "RAPID"]},
+    )
+    wire = qs.serialize_query(q)
+    assert "synonyms=fast:quick|rapid" in wire
+    assert qs.deserialize_query(wire).synonyms == {"fast": ["quick", "rapid"]}
+    # hand-built wire with mixed case also lowercases on read
+    q3 = qs.deserialize_query("searchText=x&synonyms=Fast:Quick")
+    assert q3.synonyms == {"fast": ["quick"]}
+    # a token carrying a structural delimiter raises instead of
+    # corrupting the param
+    for bad in ("a:b", "a|b", "a;b", "a&b", "a=b", ""):
+        with _pytest.raises(ValueError):
+            qs.serialize_query(
+                ProjectionQuery(search_text="x", synonyms={"t": [bad]})
+            )
+        with _pytest.raises(ValueError):
+            qs.serialize_query(
+                ProjectionQuery(search_text="x", synonyms={bad: ["t"]})
+            )
+
+
 def test_cluster_conf_profile_applies(spark):
     # the 100 TB profile must be pure conf (appliable to a running
     # session's RuntimeConfig where dynamic, parseable everywhere)
