@@ -603,6 +603,64 @@ def f22_search_synonyms(spark, sf_dir):
     return apply_query(df, pq_, documents_schema()).select("doc_id")
 
 
+@q(
+    "f23_search_match_analyzer",
+    # the oracle replicates the per-field analysis pipelines verbatim:
+    # uax_url_email on `contact` (whitespace split, then each token
+    # shatters on non-alphanumerics UNLESS it is an email/URL, which
+    # stays one whole token), plain whitespace on `text`; the match-mode
+    # hit is whole-token equality on either field
+    "WITH c AS (SELECT doc_id, "
+    "lower('reach us at user' || CAST(doc_id % 50 AS VARCHAR) || '@ex' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com today') AS contact, "
+    "lower(text) AS lt FROM documents), "
+    "tok AS (SELECT doc_id, "
+    "flatten(list_transform("
+    "list_filter(string_split_regex(contact, '\\s+'), t -> t != ''), "
+    "t -> CASE WHEN regexp_matches(t, '^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$') "
+    "OR regexp_matches(t, '^[a-z][a-z0-9+.-]*://.+$') THEN [t] "
+    "ELSE list_filter(string_split_regex(t, '[^a-z0-9]+'), x -> x != '') END)) "
+    "AS ctoks, "
+    "list_filter(string_split_regex(lt, '\\s+'), t -> t != '') AS ttoks FROM c) "
+    "SELECT doc_id FROM tok WHERE list_contains(ctoks, 'user3@ex3.com') "
+    "OR list_contains(ttoks, 'user3@ex3.com')",
+)
+def f23_search_match_analyzer(spark, sf_dir):
+    # E7 completed: the reference declares Analyzer/SearchAnalyzer/
+    # IndexAnalyzer PER PROPERTY (ProjectionDocumentPropertySchema.cs:
+    # 20-32; ES applies them at ElasticSearchProjectionIndexer.cs:
+    # 181-203).  `contact` is indexed with uax_url_email, so its emails
+    # stay atomic tokens and an exact-email match-mode query hits; with
+    # a standard index analyzer the email would shatter and this query
+    # would return zero rows (divergence pinned in test_translator).
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.withColumn(
+        "contact",
+        F.concat(
+            F.lit("reach us at user"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com today"),
+        ),
+    )
+    schema = ProjectionSchema(
+        "documents_contact",
+        [
+            PropertySchema("doc_id", INT64, is_key=True),
+            PropertySchema(
+                "contact",
+                STRING,
+                is_searchable=True,
+                index_analyzer="uax_url_email",
+            ),
+            PropertySchema("text", STRING, is_searchable=True),
+        ],
+    )
+    pq_ = ProjectionQuery(search_text="user3@ex3.com", search_mode="match")
+    return apply_query(df, pq_, schema).select("doc_id")
+
+
 # ---- F14: partition-key filter -------------------------------------------
 
 @q(
@@ -2697,6 +2755,10 @@ _VERIFY_FIRST = [
     "h28_late_priority_lines",
     "h29_dominant_suppliers",
     "f13_search_text",
+    # new in round 4 (in-window on day one, displacing f07 — whose
+    # ignore-case lower() leaf is shared with the in-window f08 and
+    # pinned in test_translator)
+    "f23_search_match_analyzer",
     # --- aging r02 rows: filter-translator leaves (round 3 touched the
     # shared run_query/apply_query executor these flow through) ---
     "f02_ne_null",
@@ -2704,7 +2766,6 @@ _VERIFY_FIRST = [
     "f03_ts_range",
     "f04_starts_with",
     "f06_contains_case_sensitive",
-    "f07_starts_ignore_case",
     "f08_contains_ignore_case",
     "f09_array_contains",
     "f10_bool_tree",
@@ -2752,6 +2813,7 @@ _VERIFY_FIRST = [
     # -- driver window ends here (position 50) --
     "f01_eq",
     "f05_ends_with",
+    "f07_starts_ignore_case",
 ]
 
 

@@ -160,6 +160,44 @@ def eval_search(
             )
             for term in tokenize_terms(needle, analyzer)
         )
+    if mode == "match":
+        from cloudfabric_eventsourcing_spark.plans.translator import (
+            expand_synonyms,
+            tokenize_terms,
+        )
+
+        # field-centric AND with the per-property analyzer split
+        # (semantics-identical to translator.search_to_column "match":
+        # stored tokens per the field's index analyzer, query terms per
+        # its search analyzer, doc matches when some field holds ALL
+        # terms as whole tokens)
+        def field_tokens(v, index_an) -> set:
+            if v is None:
+                return set()
+            return set(tokenize_terms(str(v).lower(), index_an or "whitespace"))
+
+        def field_match(value, s_an, i_an) -> bool:
+            terms = tokenize_terms(needle, s_an or analyzer)
+            if not terms:
+                return False
+            toks = field_tokens(value, i_an)
+            return all(
+                any(v in toks for v in expand_synonyms(term, synonyms))
+                for term in terms
+            )
+
+        for path, s_an, i_an in schema.searchable_path_analyzers():
+            head, _, rest = path.partition(".")
+            head_val = _get_path(doc, head)
+            if rest and isinstance(head_val, list):
+                if any(
+                    field_match(_get_path(e, rest), s_an, i_an)
+                    for e in head_val
+                ):
+                    return True
+            elif field_match(_get_path(doc, path), s_an, i_an):
+                return True
+        return False
     if mode == "fuzzy":
         from cloudfabric_eventsourcing_spark.plans.translator import (
             auto_fuzziness,

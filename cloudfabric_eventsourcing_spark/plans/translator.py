@@ -209,8 +209,10 @@ def tokenize_terms(needle: str, analyzer: str = "whitespace") -> list[str]:
 
     global _EMAIL_TOKEN_RX, _URL_TOKEN_RX
     if _EMAIL_TOKEN_RX is None:
-        _EMAIL_TOKEN_RX = _re.compile(r"^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$")
-        _URL_TOKEN_RX = _re.compile(r"^[a-z][a-z0-9+.-]*://\S+$")
+        # compiled from the same sources the Column tokenizer rlikes, so
+        # query-side and index-side analysis can never drift
+        _EMAIL_TOKEN_RX = _re.compile(_EMAIL_RX_SRC)
+        _URL_TOKEN_RX = _re.compile(_URL_RX_SRC)
     raw = [t for t in (needle or "").split() if t]
     if analyzer in (None, "whitespace"):
         return raw
@@ -225,6 +227,40 @@ def tokenize_terms(needle: str, analyzer: str = "whitespace") -> list[str]:
     if analyzer == "standard":
         return [p for t in raw for p in _re.split(r"[^a-z0-9]+", t) if p]
     raise ValueError(f"unknown analyzer {analyzer!r}")
+
+
+# token-shape regexes shared by the Python tokenizer above and the
+# Column tokenizer below; within a whitespace token `.+` ≡ `\S+`, and the
+# patterns are plain enough to behave identically in Python re, Java
+# regex (Spark rlike), and RE2 (DuckDB regexp_matches) — which is what
+# lets an oracle replicate index-time analysis verbatim
+_EMAIL_RX_SRC = r"^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$"
+_URL_RX_SRC = r"^[a-z][a-z0-9+.-]*://.+$"
+
+
+def analyzed_tokens(col: Column, analyzer: Optional[str]) -> Column:
+    """Index-time analysis as a Column: the token array the reference's
+    ES backend would have stored for this field under `analyzer`
+    (ElasticSearchProjectionIndexer.cs:181-203).  All JVM-side HOFs —
+    split/transform/flatten/filter — no Python in the hot path."""
+    base = F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    if analyzer in (None, "whitespace"):
+        return base
+    if analyzer == "standard":
+        shattered = F.transform(base, lambda t: F.split(t, "[^a-z0-9]+"))
+    elif analyzer == "uax_url_email":
+        shattered = F.transform(
+            base,
+            lambda t: F.when(
+                t.rlike(_EMAIL_RX_SRC) | t.rlike(_URL_RX_SRC), F.array(t)
+            ).otherwise(F.split(t, "[^a-z0-9]+")),
+        )
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    return F.filter(F.flatten(shattered), lambda t: t != F.lit(""))
 
 
 def phrase_prefix_regex(search_text: str) -> Optional[str]:
@@ -291,6 +327,38 @@ def search_to_column(
                 return None
             acc = term_pred if acc is None else (acc & term_pred)
         return acc
+    if mode == "match":
+        # ES `match` with operator AND, honoring the PER-PROPERTY
+        # analyzer split (E7 index/search surface): each field's stored
+        # tokens are what ITS index analyzer would have produced, the
+        # query is tokenized per ITS search analyzer (falling back to
+        # the query-level option), and a doc matches when some field
+        # carries ALL query terms as whole tokens (field-centric AND —
+        # substring modes cannot observe index-time analysis; token
+        # equality can, e.g. uax_url_email keeps emails atomic so a
+        # "example com" domain query misses them while standard hits).
+        acc = None
+        for path, s_an, i_an in schema.searchable_path_analyzers():
+            terms = tokenize_terms(needle, s_an or analyzer)
+            if not terms:
+                continue
+            array_root, remainder, _ = _resolve_path(path, schema)
+            field_pred: Optional[Column] = None
+            for term in terms:
+                variants = expand_synonyms(term, synonyms)
+                if array_root is not None:
+                    tp = F.exists(
+                        F.col(array_root),
+                        _match_elem_lambda(remainder, variants, i_an),
+                    )
+                else:
+                    tp = _token_membership(
+                        analyzed_tokens(F.col(path), i_an), variants
+                    )
+                field_pred = tp if field_pred is None else (field_pred & tp)
+            if field_pred is not None:
+                acc = field_pred if acc is None else (acc | field_pred)
+        return acc
     if mode == "fuzzy":
         # ES query_string fuzziness=AUTO: AND between terms; a term matches
         # a field when some whitespace token is within the AUTO edit
@@ -322,6 +390,18 @@ def search_to_column(
 
 def _rlike_lambda(field: str, pattern: str):
     return lambda x: F.lower(x[field]).rlike(pattern)
+
+
+def _token_membership(tokens: Column, variants: list[str]) -> Column:
+    if len(variants) == 1:
+        return F.array_contains(tokens, variants[0])
+    return F.exists(tokens, lambda t: t.isin(variants))
+
+
+def _match_elem_lambda(field: str, variants: list[str], index_analyzer):
+    return lambda x: _token_membership(
+        analyzed_tokens(x[field], index_analyzer), variants
+    )
 
 
 def auto_fuzziness(term: str) -> int:

@@ -119,6 +119,10 @@ class PropertySchema:
             meta["searchable_boost"] = self.searchable_boost
         if self.analyzer:
             meta["analyzer"] = self.analyzer
+        if self.search_analyzer:
+            meta["search_analyzer"] = self.search_analyzer
+        if self.index_analyzer:
+            meta["index_analyzer"] = self.index_analyzer
         nullable = not self.is_key
         return T.StructField(self.name, self.spark_type(), nullable, metadata=meta)
 
@@ -174,6 +178,33 @@ class ProjectionSchema:
                         out.append(f"{p.name}.{n.name}")
             elif p.is_searchable and p.type == STRING:
                 out.append(p.name)
+        return out
+
+    def searchable_path_analyzers(
+        self,
+    ) -> list[tuple[str, Optional[str], Optional[str]]]:
+        """searchable_paths() with each path's resolved
+        (search_analyzer, index_analyzer) pair.  ES resolution order
+        (ProjectionDocumentPropertySchema.cs:20-32, applied at
+        ElasticSearchProjectionIndexer.cs:181-203): the query side uses
+        SearchAnalyzer ?? Analyzer, the stored side IndexAnalyzer ??
+        Analyzer.  None = no per-property override — callers fall back
+        to the query-level analyzer option, then "whitespace"."""
+
+        def resolved(p: PropertySchema) -> tuple[Optional[str], Optional[str]]:
+            return (
+                p.search_analyzer or p.analyzer,
+                p.index_analyzer or p.analyzer,
+            )
+
+        out: list[tuple[str, Optional[str], Optional[str]]] = []
+        for p in self.properties:
+            if p.type in (OBJECT, ARRAY):
+                for n in p.nested_properties:
+                    if n.is_searchable and n.type == STRING:
+                        out.append((f"{p.name}.{n.name}", *resolved(n)))
+            elif p.is_searchable and p.type == STRING:
+                out.append((p.name, *resolved(p)))
         return out
 
     def searchable_path_boosts(self) -> list[tuple[str, float]]:

@@ -558,6 +558,103 @@ def test_uax_url_email_search_mode(proj):
     assert run_query(proj, q_whole, schema).total_records_found == 0
 
 
+def test_match_mode_index_search_analyzer_split(proj, spark):
+    """E7 completed: IndexAnalyzer/SearchAnalyzer resolve PER PROPERTY
+    (SearchAnalyzer ?? Analyzer query-side, IndexAnalyzer ?? Analyzer
+    stored-side — ProjectionDocumentPropertySchema.cs:20-32); match mode
+    is whole-token equality over the field's index-time tokens, which is
+    what makes index analysis observable at query time."""
+
+    def schema_with(**email_attrs):
+        schema = order_schema()
+        for p in schema.properties:
+            if p.name == "CreatedBy":
+                for n in p.nested_properties:
+                    if n.name == "Email":
+                        n.is_searchable = True
+                        for k, v in email_attrs.items():
+                            setattr(n, k, v)
+        return schema
+
+    cases = []  # (schema, query) pairs for the pyeval parity sweep below
+    # uax index analyzer keeps the email atomic: exact-email query hits o-1
+    s_uax = schema_with(index_analyzer="uax_url_email")
+    q_mail = ProjectionQuery(search_text="john@gmail.com", search_mode="match")
+    res = run_query(proj, q_mail, s_uax)
+    assert [r.document["Id"] for r in res.records] == ["o-1"]
+    # a domain query misses the atomic email...
+    q_dom = ProjectionQuery(search_text="gmail com", search_mode="match")
+    assert run_query(proj, q_dom, s_uax).total_records_found == 0
+    # ...but hits every row under a standard index analyzer (shattered
+    # to [john, gmail, com] etc.)
+    s_std = schema_with(index_analyzer="standard")
+    assert run_query(proj, q_dom, s_std).total_records_found == 3
+    # standard indexing + whitespace query side: the stored email is
+    # shattered, the query term is whole -> no token equality
+    assert run_query(proj, q_mail, s_std).total_records_found == 0
+    # Analyzer (no overrides) applies to BOTH sides: query shatters too,
+    # all fragments present in o-1 only
+    s_both = schema_with(analyzer="standard")
+    assert run_query(proj, q_mail, s_both).total_records_found == 1
+    # SearchAnalyzer overrides Analyzer on the query side only
+    s_ovr = schema_with(analyzer="standard", search_analyzer="whitespace")
+    assert run_query(proj, q_mail, s_ovr).total_records_found == 0
+    cases = [
+        (s_uax, q_mail), (s_uax, q_dom), (s_std, q_dom), (s_std, q_mail),
+        (s_both, q_mail), (s_ovr, q_mail),
+    ]
+    # python backend agrees document-by-document on every pair
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    all_docs = [
+        r.document
+        for r in run_query(proj, ProjectionQuery(), schema_with()).records
+    ]
+    for schema, q in cases:
+        got = {
+            r.document["Id"] for r in run_query(proj, q, schema).records
+        }
+        for d in all_docs:
+            assert eval_search(
+                q.search_text, d, schema, "match", q.analyzer, q.synonyms
+            ) == (d["Id"] in got)
+
+
+def test_analyzed_tokens_matches_python_tokenizer(spark):
+    """The Column-side index tokenizer and the Python query tokenizer are
+    compiled from the same regex sources; differential-pin them on texts
+    covering emails, URLs, punctuation, case, and empties."""
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.plans.translator import (
+        analyzed_tokens,
+        tokenize_terms,
+    )
+
+    texts = [
+        "Mail John.Doe@example.com or https://ex.com/a?b=1 re-try now",
+        "",
+        "   ",
+        "a-b c_d 1.5x",
+        "x@y.io HTTP://Q.com/z plain",
+        "not-an-email@ @nope a@b.c",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    for an in ("whitespace", "uax_url_email", "standard"):
+        got = [
+            r["toks"]
+            for r in df.select(
+                analyzed_tokens(F.col("t"), an).alias("toks")
+            ).collect()
+        ]
+        want = [tokenize_terms(t.lower(), an) for t in texts]
+        assert got == want, f"analyzer {an}: {got} vs {want}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        analyzed_tokens(F.col("t"), "nosuch")
+
+
 def test_analyzer_querystring_roundtrip():
     from cloudfabric_eventsourcing_spark.queries import querystring as qs
 
