@@ -334,6 +334,86 @@ def score_doc(
     return total
 
 
+def bm25ish_stats(
+    search_text: str,
+    docs: list,
+    schema: Optional[ProjectionSchema],
+    mode: str = "substring",
+    analyzer: str = "whitespace",
+) -> dict:
+    """Corpus statistics for the bm25ish profile computed the Python way:
+    N, avg searchable-token doc length, per-term document frequency
+    (df_t = docs where the term substring-matches any searchable field —
+    the same _term_column predicate the Spark side counts)."""
+    from cloudfabric_eventsourcing_spark.plans.translator import (
+        tokenize_terms,
+    )
+
+    needle = (search_text or "").lower()
+    terms = [
+        t
+        for t in (
+            tokenize_terms(needle, analyzer) if mode == "tokenized" else [needle]
+        )
+        if t
+    ]
+    lengths = [_doc_length(d, schema) for d in docs]
+    n = len(docs)
+    avgdl = (sum(lengths) / n) if n else 1.0
+    dfs = {
+        t: sum(
+            1 for d in docs if eval_search(t, d, schema, mode="substring")
+        )
+        for t in terms
+    }
+    return {"n": n, "avgdl": avgdl or 1.0, "df": dfs, "terms": terms}
+
+
+def _doc_length(doc: dict, schema: ProjectionSchema) -> int:
+    total = 0
+    for path in schema.searchable_paths():
+        head, _, rest = path.partition(".")
+        head_val = _get_path(doc, head)
+        if rest and isinstance(head_val, list):
+            vals = [_get_path(e, rest) for e in head_val]
+        else:
+            vals = [_get_path(doc, path)]
+        for v in vals:
+            if v is not None:
+                total += len(str(v).lower().split())
+    return total
+
+
+def bm25ish_score_doc(
+    search_text: str,
+    doc: dict,
+    schema: Optional[ProjectionSchema],
+    stats: dict,
+    mode: str = "substring",
+    analyzer: str = "whitespace",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> float:
+    """Arithmetic mirror of translator.bm25ish_score on precomputed
+    `stats` (bm25ish_stats) — the differential pin for the float
+    profile, which is excluded from hash oracles."""
+    import math
+
+    if not search_text or search_text == "*" or schema is None:
+        return 0.0
+    n = stats["n"]
+    avgdl = stats["avgdl"]
+    dl = _doc_length(doc, schema)
+    total = 0.0
+    for term in stats["terms"]:
+        df_t = stats["df"].get(term, 0)
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = score_doc(term, doc, schema, mode="substring")
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+        total += idf * tf * (k1 + 1.0) / denom
+    return total
+
+
 def highlight_doc(value, search_text: str, mode: str = "substring"):
     """ES-style highlight (translator.highlight_column parity): matched
     terms wrapped in <em>…</em>, or None when nothing matches."""

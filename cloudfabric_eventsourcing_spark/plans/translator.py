@@ -481,19 +481,119 @@ def score_column(
     for term in terms:
         if not term:
             continue
-        for path, boost in schema.searchable_path_boosts():
-            array_root, remainder, _ = _resolve_path(path, schema)
-            if array_root is not None:
-                contrib = F.aggregate(
-                    F.coalesce(F.col(array_root), F.array()),
-                    F.lit(0.0),
-                    _sum_occurrences_lambda(remainder, term),
-                )
-            else:
-                contrib = _occurrence_count(F.col(path), term)
-            if boost != 1.0:
-                contrib = contrib * F.lit(float(boost))
-            acc = contrib if acc is None else (acc + contrib)
+        tf = _term_tf_column(term, schema)
+        acc = tf if acc is None else (acc + tf)
+    return acc
+
+
+def _term_tf_column(term: str, schema: ProjectionSchema) -> Column:
+    """Boost-weighted occurrence count of one term across all searchable
+    columns — the per-term building block of both scoring profiles."""
+    acc: Optional[Column] = None
+    for path, boost in schema.searchable_path_boosts():
+        array_root, remainder, _ = _resolve_path(path, schema)
+        if array_root is not None:
+            contrib = F.aggregate(
+                F.coalesce(F.col(array_root), F.array()),
+                F.lit(0.0),
+                _sum_occurrences_lambda(remainder, term),
+            )
+        else:
+            contrib = _occurrence_count(F.col(path), term)
+        if boost != 1.0:
+            contrib = contrib * F.lit(float(boost))
+        acc = contrib if acc is None else (acc + contrib)
+    return acc
+
+
+def _doc_length_column(schema: ProjectionSchema) -> Column:
+    """Whitespace token count over all searchable columns (array fields
+    sum over elements) — the `dl` of the bm25ish saturation term."""
+    acc: Optional[Column] = None
+    for path in schema.searchable_paths():
+        array_root, remainder, _ = _resolve_path(path, schema)
+        if array_root is not None:
+            c = F.aggregate(
+                F.coalesce(F.col(array_root), F.array()),
+                F.lit(0),
+                _sum_token_count_lambda(remainder),
+            )
+        else:
+            c = F.size(analyzed_tokens(F.col(path), None))
+        acc = c if acc is None else (acc + c)
+    return acc if acc is not None else F.lit(0)
+
+
+def _sum_token_count_lambda(field: str):
+    return lambda acc, x: acc + F.size(analyzed_tokens(x[field], None))
+
+
+def bm25ish_score(
+    df: DataFrame,
+    search_text: str,
+    schema: Optional[ProjectionSchema],
+    mode: str = "substring",
+    analyzer: str = "whitespace",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Optional[Column]:
+    """BM25-grade scoring profile (ProjectionQuery.scoring_profile ==
+    "bm25ish"): sum over terms of
+
+        idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) — the shape the
+    reference's ES backend scores with (BM25,
+    ElasticSearchProjectionIndexer.cs:64-271), using this engine's
+    boost-weighted cross-field TF in place of ES's per-field TFs (hence
+    "-ish" — a documented divergence like the "tf" profile itself).
+
+    Corpus statistics (N, per-term document frequency, avg doc length
+    over searchable text) come from ONE aggregate pass over `df` — the
+    projection index, as ES computes idf over the index, not the
+    filtered result — collected as a single driver row; idf becomes a
+    Python float constant, so the per-row plan is pure arithmetic.
+
+    log() + float math => deliberately EXCLUDED from the hash-compared
+    oracle entries; pinned instead by the pytest differential against
+    pyeval.bm25ish_score_doc on identical stats."""
+    if not search_text or search_text == "*" or schema is None:
+        return None
+    needle = search_text.lower()
+    terms = [
+        t
+        for t in (
+            tokenize_terms(needle, analyzer) if mode == "tokenized" else [needle]
+        )
+        if t
+    ]
+    if not terms:
+        return None
+    dl = _doc_length_column(schema)
+    stats_row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(dl).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(_term_column(t, schema), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n = stats_row["n"] or 0
+    avgdl = float(stats_row["avgdl"] or 1.0) or 1.0
+    import math
+
+    acc: Optional[Column] = None
+    for i, term in enumerate(terms):
+        df_t = int(stats_row[f"df_{i}"] or 0)
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = _term_tf_column(term, schema)
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / F.lit(avgdl)
+        )
+        contrib = F.lit(idf) * tf * F.lit(k1 + 1.0) / denom
+        acc = contrib if acc is None else (acc + contrib)
     return acc
 
 
@@ -764,15 +864,24 @@ def run_query(
     if search is not None:
         filtered = filtered.where(search)
 
-    # relevance scoring (opt-in, scoring_profile="tf"): ES scores results,
-    # the Postgres baseline returns 0 — see score_column
-    scoring = query.scoring_profile == "tf" and search is not None
+    # relevance scoring (opt-in): "tf" is the deterministic oracle-exact
+    # profile (score_column); "bm25ish" is the ES-parity float profile
+    # (bm25ish_score — corpus stats over the INDEX frame `df`, the frame
+    # before filters, as ES computes idf over the index)
+    scoring = (
+        query.scoring_profile in ("tf", "bm25ish") and search is not None
+    )
     if scoring:
-        filtered = filtered.withColumn(
-            "__score", score_column(
+        if query.scoring_profile == "bm25ish":
+            score = bm25ish_score(
+                df, query.search_text, schema, query.search_mode,
+                query.analyzer,
+            )
+        else:
+            score = score_column(
                 query.search_text, schema, query.search_mode, query.analyzer
             )
-        )
+        filtered = filtered.withColumn("__score", score)
 
     filtered = filtered.persist()
     try:

@@ -655,6 +655,53 @@ def test_analyzed_tokens_matches_python_tokenizer(spark):
         analyzed_tokens(F.col("t"), "nosuch")
 
 
+def test_bm25ish_profile_differential_and_order(proj):
+    """scoring_profile="bm25ish" (ES BM25-parity float mode, E2/E9
+    capstone): corpus stats from one pass over the index frame, idf as
+    driver-side constants.  Float + log => excluded from hash oracles by
+    design; this differential against pyeval.bm25ish_score_doc is its
+    correctness pin."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import (
+        bm25ish_score_doc,
+        bm25ish_stats,
+    )
+
+    q = ProjectionQuery(
+        search_text="queryable order",
+        search_mode="tokenized",
+        scoring_profile="bm25ish",
+    )
+    res = run_query(proj, q, S)
+    # both terms occur in o-1/o-2 only; relevance order puts them first
+    ids = [r.document["Id"] for r in res.records]
+    assert set(ids) == {"o-1", "o-2"}
+    assert all(r.score is not None and r.score > 0 for r in res.records)
+    # a rarer term must out-weigh a common one: "additional" (df=1)
+    # scores o-2 above what "order" (df=2) contributes alone
+    docs = [
+        r.document
+        for r in run_query(proj, ProjectionQuery(), S).records
+    ]
+    stats = bm25ish_stats(q.search_text, docs, S, q.search_mode, "whitespace")
+    want = {
+        d["Id"]: bm25ish_score_doc(
+            q.search_text, d, S, stats, q.search_mode, "whitespace"
+        )
+        for d in docs
+    }
+    for r in res.records:
+        assert abs(r.score - want[r.document["Id"]]) < 1e-9, (
+            r.document["Id"], r.score, want[r.document["Id"]],
+        )
+    # idf monotonicity: the df=1 term contributes more than the df=2 term
+    # for the same tf=1 occurrence (sanity on the log-idf shape)
+    import math
+    n = stats["n"]
+    idf1 = math.log(1 + (n - 1 + 0.5) / 1.5)
+    idf2 = math.log(1 + (n - 2 + 0.5) / 2.5)
+    assert idf1 > idf2 > 0
+
+
 def test_analyzer_querystring_roundtrip():
     from cloudfabric_eventsourcing_spark.queries import querystring as qs
 
