@@ -131,6 +131,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     build_total = round(sum(build_costs.values()), 4)
+    oracle_timings = _bench_oracles(sf_dir)
+    comparable = {
+        k: v for k, v in oracle_timings.items() if v is not None
+    }
     print(
         json.dumps(
             {
@@ -140,6 +144,19 @@ def main() -> None:
                 "timing": "construction+execution (r1-r2 timed execution only)",
                 "plan_build_sec": build_total,
                 "queries": timings,
+                # per-query driver-side construction cost; execution-only
+                # wall = queries[k] - queries_build_sec[k]
+                "queries_build_sec": build_costs,
+                # the T-query <=2x budget, machine-checkable: DuckDB wall
+                # per headline query on the same parquet (single run, 30 s
+                # watchdog; null = DNF, e.g. p04's exact O(N^2) jaccard
+                # scan vs Spark's 5 s LSH)
+                "oracle_sec": oracle_timings,
+                "oracle_timeout_sec": 30.0,
+                "oracle_total_sec": round(sum(comparable.values()), 4),
+                "spark_total_sec_on_oracle_comparable": round(
+                    sum(timings[k] for k in comparable), 4
+                ),
                 "sf": sf,
                 # BASELINE.md derived targets
                 "append_scenarios_per_sec": append_rate,
@@ -148,6 +165,51 @@ def main() -> None:
             }
         )
     )
+
+
+def _bench_oracles(sf_dir: str, timeout_s: float = 30.0) -> dict:
+    """DuckDB wall per headline query's oracle SQL on the same parquet —
+    emitted so the BASELINE.md "within 2x of the single-node engine"
+    budget is a recorded field instead of a judgment call.  Single run
+    per query (DuckDB has no codegen warmup to amortize); a watchdog
+    interrupts anything past `timeout_s` and records null (DNF)."""
+    import threading
+
+    import duckdb
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    oracles = entry_mod.oracle_sql()
+    out: dict = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        done = threading.Event()
+
+        def _watchdog() -> None:
+            if not done.wait(timeout_s):
+                con.interrupt()
+
+        w = threading.Thread(target=_watchdog, daemon=True)
+        w.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            out[name] = round(time.perf_counter() - t0, 4)
+        except duckdb.Error:
+            out[name] = None  # interrupted (DNF) or oracle-side error
+        finally:
+            done.set()
+            w.join()
+    return out
 
 
 def _bench_append_scenarios(n: int = 150) -> float:
