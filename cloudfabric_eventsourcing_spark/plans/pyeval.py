@@ -143,16 +143,18 @@ def eval_search(
     needle = search_text.lower()
     if mode == "tokenized":
         from cloudfabric_eventsourcing_spark.plans.translator import (
+            _effective_synonyms,
+            expand_synonyms,
             tokenize_terms,
         )
 
-        from cloudfabric_eventsourcing_spark.plans.translator import (
-            expand_synonyms,
-        )
-
         # AND between analyzer terms, OR across fields per term, OR over
-        # each term's synonym group
+        # each term's synonym group — registered (schema-attached) maps
+        # merged with query-time contents, like the Spark side
         # (semantics-identical to translator.search_to_column)
+        synonyms = _effective_synonyms(
+            schema.searchable_synonym_map_names(), synonyms
+        )
         return all(
             any(
                 eval_search(v, doc, schema, mode="substring")
@@ -162,9 +164,12 @@ def eval_search(
         )
     if mode == "match":
         from cloudfabric_eventsourcing_spark.plans.translator import (
+            _effective_synonyms,
             expand_synonyms,
             tokenize_terms,
         )
+
+        path_maps = dict(schema.searchable_path_synonym_maps())
 
         # field-centric AND with the per-property analyzer split
         # (semantics-identical to translator.search_to_column "match":
@@ -176,26 +181,28 @@ def eval_search(
                 return set()
             return set(tokenize_terms(str(v).lower(), index_an or "whitespace"))
 
-        def field_match(value, s_an, i_an) -> bool:
+        def field_match(value, s_an, i_an, syn) -> bool:
             terms = tokenize_terms(needle, s_an or analyzer)
             if not terms:
                 return False
             toks = field_tokens(value, i_an)
             return all(
-                any(v in toks for v in expand_synonyms(term, synonyms))
+                any(v in toks for v in expand_synonyms(term, syn))
                 for term in terms
             )
 
         for path, s_an, i_an in schema.searchable_path_analyzers():
+            # per-field registered maps, like the Spark side
+            syn = _effective_synonyms(path_maps.get(path), synonyms)
             head, _, rest = path.partition(".")
             head_val = _get_path(doc, head)
             if rest and isinstance(head_val, list):
                 if any(
-                    field_match(_get_path(e, rest), s_an, i_an)
+                    field_match(_get_path(e, rest), s_an, i_an, syn)
                     for e in head_val
                 ):
                     return True
-            elif field_match(_get_path(doc, path), s_an, i_an):
+            elif field_match(_get_path(doc, path), s_an, i_an, syn):
                 return True
         return False
     if mode == "fuzzy":

@@ -276,6 +276,22 @@ def phrase_prefix_regex(search_text: str) -> Optional[str]:
     return "(^|[^a-z0-9])" + "\\s+".join(_re.escape(t) for t in terms)
 
 
+def _effective_synonyms(
+    map_names: Optional[list], query_synonyms: Optional[dict]
+) -> Optional[dict]:
+    """Registered maps (by declared name) merged with query-time
+    contents; None when there is nothing to expand (keeps the no-synonym
+    plans byte-identical to before the registry existed)."""
+    if not map_names and not query_synonyms:
+        return None
+    from cloudfabric_eventsourcing_spark.queries.synonyms import (
+        resolve_synonym_maps,
+    )
+
+    merged = resolve_synonym_maps(map_names or [], query_synonyms)
+    return merged or None
+
+
 def expand_synonyms(term: str, synonyms: Optional[dict]) -> list[str]:
     """The term plus its synonym group, lowercased, stably ordered
     (term first, alternates sorted) — the expansion ES performs at
@@ -313,8 +329,15 @@ def search_to_column(
         return None
     needle = search_text.lower()
     if mode == "tokenized":
-        # AND between terms; each term ORs over its synonym group
-        # (SynonymMaps — ProjectionDocumentPropertySchema.cs:20-32)
+        # AND between terms; each term ORs over its synonym group.
+        # Groups come from the schema-attached REGISTERED maps
+        # (SynonymMaps — ProjectionDocumentPropertySchema.cs:23,
+        # deployed via queries/synonyms.register_synonym_map) merged
+        # with any query-time map contents (the sv1 wire param), which
+        # extend/override per term.
+        synonyms = _effective_synonyms(
+            schema.searchable_synonym_map_names(), synonyms
+        )
         acc: Optional[Column] = None
         for term in tokenize_terms(needle, analyzer):
             term_pred: Optional[Column] = None
@@ -338,14 +361,19 @@ def search_to_column(
         # equality can, e.g. uax_url_email keeps emails atomic so a
         # "example com" domain query misses them while standard hits).
         acc = None
+        path_maps = dict(schema.searchable_path_synonym_maps())
         for path, s_an, i_an in schema.searchable_path_analyzers():
             terms = tokenize_terms(needle, s_an or analyzer)
             if not terms:
                 continue
+            # field-centric mode resolves each field's OWN declared
+            # maps — the per-property granularity the reference's
+            # SynonymMaps declaration implies
+            field_syn = _effective_synonyms(path_maps.get(path), synonyms)
             array_root, remainder, _ = _resolve_path(path, schema)
             field_pred: Optional[Column] = None
             for term in terms:
-                variants = expand_synonyms(term, synonyms)
+                variants = expand_synonyms(term, field_syn)
                 if array_root is not None:
                     tp = F.exists(
                         F.col(array_root),

@@ -21,6 +21,11 @@ from cloudfabric_eventsourcing_spark.queries.projection_query import (
     SortingFilter,
 )
 from cloudfabric_eventsourcing_spark.queries.builder import P
+from cloudfabric_eventsourcing_spark.queries.synonyms import (
+    get_synonym_map,
+    register_synonym_map,
+    unregister_synonym_map,
+)
 
 __all__ = [
     "Filter",
@@ -28,6 +33,9 @@ __all__ = [
     "FilterLogic",
     "FilterOperator",
     "FacetInfoRequest",
+    "get_synonym_map",
+    "register_synonym_map",
+    "unregister_synonym_map",
     "FacetStats",
     "ProjectionQuery",
     "ProjectionQueryResult",

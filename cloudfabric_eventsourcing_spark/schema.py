@@ -207,6 +207,30 @@ class ProjectionSchema:
                 out.append((p.name, *resolved(p)))
         return out
 
+    def searchable_path_synonym_maps(self) -> list[tuple[str, list]]:
+        """searchable_paths() with each path's declared synonym-map
+        NAMES (`SynonymMaps` — ProjectionDocumentPropertySchema.cs:23);
+        contents live in the engine-side registry
+        (queries/synonyms.py), never on the query wire."""
+        out: list[tuple[str, list]] = []
+        for p in self.properties:
+            if p.type in (OBJECT, ARRAY):
+                for n in p.nested_properties:
+                    if n.is_searchable and n.type == STRING:
+                        out.append((f"{p.name}.{n.name}", list(n.synonym_maps)))
+            elif p.is_searchable and p.type == STRING:
+                out.append((p.name, list(p.synonym_maps)))
+        return out
+
+    def searchable_synonym_map_names(self) -> list[str]:
+        """Union of all searchable properties' declared map names, in
+        first-declaration order (the schema-wide view term-centric
+        search modes use)."""
+        names: list[str] = []
+        for _, ns in self.searchable_path_synonym_maps():
+            names.extend(n for n in ns if n not in names)
+        return names
+
     def searchable_path_boosts(self) -> list[tuple[str, float]]:
         """searchable_paths() with each path's `searchable_boost` — the
         per-field relevance weight the reference's ES backend applies in

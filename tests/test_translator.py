@@ -826,6 +826,100 @@ def test_synonym_querystring_roundtrip():
     assert "synonyms" not in qs.serialize_query(ProjectionQuery(search_text="x"))
 
 
+def test_registered_synonym_maps_resolve_from_schema(proj):
+    """Server-side synonym registry (SynonymMaps declared per property —
+    ProjectionDocumentPropertySchema.cs:23): maps deploy by name into
+    the engine registry, schemas reference names, searches resolve them
+    with no query-time synonyms on the wire."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+    from cloudfabric_eventsourcing_spark.queries import (
+        register_synonym_map,
+        unregister_synonym_map,
+    )
+
+    def named_schema(maps):
+        schema = order_schema()
+        for p in schema.properties:
+            if p.name == "Name":
+                p.synonym_maps = list(maps)
+        return schema
+
+    register_synonym_map("test-products", {"initial": ["first", "second"]})
+    try:
+        schema = named_schema(["test-products"])
+        # no synonyms on the QUERY: the registered map alone expands
+        # "initial" to also match o-1 ("First...") and o-2 ("Second...")
+        q = ProjectionQuery(search_text="initial", search_mode="tokenized")
+        got = {
+            r.document["Id"] for r in run_query(proj, q, schema).records
+        }
+        assert got == {"o-1", "o-2"}
+        # same query without the declaration matches nothing
+        assert run_query(proj, q, named_schema([])).total_records_found == 0
+        # query-time synonyms MERGE over the registered map
+        q_merge = ProjectionQuery(
+            search_text="initial",
+            search_mode="tokenized",
+            synonyms={"initial": ["qwerty"]},
+        )
+        got2 = {
+            r.document["Id"]
+            for r in run_query(proj, q_merge, schema).records
+        }
+        assert got2 == {"o-1", "o-2", "o-3"}
+        # python backend parity on both
+        docs = [
+            r.document
+            for r in run_query(proj, ProjectionQuery(), schema).records
+        ]
+        for query, want in ((q, got), (q_merge, got2)):
+            for d in docs:
+                assert eval_search(
+                    query.search_text, d, schema, "tokenized",
+                    query.analyzer, query.synonyms,
+                ) == (d["Id"] in want)
+        # match mode resolves PER FIELD: the map is declared on Name
+        # only, so Email (searchable in this variant) does not expand
+        schema_m = named_schema(["test-products"])
+        q_match = ProjectionQuery(search_text="initial", search_mode="match")
+        got_m = {
+            r.document["Id"]
+            for r in run_query(proj, q_match, schema_m).records
+        }
+        assert got_m == {"o-1", "o-2"}
+        # an undeployed name fails loudly at query build, not silently
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            run_query(proj, q, named_schema(["never-deployed"]))
+    finally:
+        unregister_synonym_map("test-products")
+
+
+def test_synonym_registry_validation():
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.queries import (
+        get_synonym_map,
+        register_synonym_map,
+        unregister_synonym_map,
+    )
+
+    # registration lowercases and dedups like the wire codec
+    register_synonym_map("t-case", {"Fast": ["Quick", "quick", "RAPID"]})
+    try:
+        assert get_synonym_map("t-case") == {"fast": ["quick", "rapid"]}
+    finally:
+        unregister_synonym_map("t-case")
+    # delimiter tokens rejected at deploy time
+    with _pytest.raises(ValueError):
+        register_synonym_map("t-bad", {"a:b": ["x"]})
+    with _pytest.raises(ValueError):
+        register_synonym_map("t-bad", {"x": ["a|b"]})
+    with _pytest.raises(KeyError):
+        get_synonym_map("t-bad")
+
+
 def test_synonym_wire_validation_and_case():
     import pytest as _pytest
 
