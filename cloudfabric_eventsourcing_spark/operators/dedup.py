@@ -200,6 +200,75 @@ def minhash_lsh_pairs(
     texts never reach the LSH at all."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
+    grams_df, banded = _grams_and_bands(
+        df, num_perm, bands, n, text_col, id_col
+    )
+    # Candidate pairs via the banded SELF-JOIN, deliberately: the join and
+    # the de-dup aggregate both run inside whole-stage codegen, which is
+    # what survives this corpus's giant near-dup buckets (a ~2.6k-member
+    # bucket appears in all 32 bands -> >100M raw pairs stream through the
+    # join into the partial aggregate). The tempting alternative —
+    # groupBy(bucket).collect_list(id) + generator-expanded pairs, which
+    # computes the signature once instead of twice — was built and
+    # measured: Generate over HOF slices runs on the INTERPRETED row path,
+    # and the same >100M pairs took minutes instead of seconds. Paying the
+    # signature twice (cheap, codegen) for a codegen'd join is the right
+    # trade on Spark.
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("bi", "bh").agg(F.count(F.lit(1)).alias("__n"))
+        sized = banded.join(sizes, ["bi", "bh"])
+        small = sized.where(F.col("__n") <= max_bucket_size).drop("__n")
+        big = sized.where(F.col("__n") > max_bucket_size).drop("__n")
+        hubs = big.groupBy("bi", "bh").agg(F.min("id").alias("hub"))
+        star = (
+            big.join(hubs, ["bi", "bh"])
+            .where(F.col("id") != F.col("hub"))
+            .select(
+                F.least("hub", "id").alias("id_a"),
+                F.greatest("hub", "id").alias("id_b"),
+            )
+        )
+    else:
+        small, star = banded, None
+    a = small.alias("a")
+    b = small.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    if not verify:
+        return cand
+    ga = grams_df.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams_df.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    j = inter / F.greatest(union, F.lit(1))
+    return pairs.select("id_a", "id_b", j.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _grams_and_bands(
+    df: DataFrame,
+    num_perm: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tokenize→signature→band pipeline: returns
+    (grams_df: (id, g int64-shingle array), banded: (id, bi, bh)).
+    Used by the one-shot pair scan AND the persisted index, so an
+    index built today bands identically to a query tomorrow."""
     r = num_perm // bands
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     # a single-file local input arrives as 1 partition; the tokenize stage
@@ -254,56 +323,111 @@ def minhash_lsh_pairs(
         .selectExpr("id", band_sql)
         .selectExpr("id", "bk.bi AS bi", "bk.bh AS bh")
     )
-    # Candidate pairs via the banded SELF-JOIN, deliberately: the join and
-    # the de-dup aggregate both run inside whole-stage codegen, which is
-    # what survives this corpus's giant near-dup buckets (a ~2.6k-member
-    # bucket appears in all 32 bands -> >100M raw pairs stream through the
-    # join into the partial aggregate). The tempting alternative —
-    # groupBy(bucket).collect_list(id) + generator-expanded pairs, which
-    # computes the signature once instead of twice — was built and
-    # measured: Generate over HOF slices runs on the INTERPRETED row path,
-    # and the same >100M pairs took minutes instead of seconds. Paying the
-    # signature twice (cheap, codegen) for a codegen'd join is the right
-    # trade on Spark.
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("bi", "bh").agg(F.count(F.lit(1)).alias("__n"))
-        sized = banded.join(sizes, ["bi", "bh"])
-        small = sized.where(F.col("__n") <= max_bucket_size).drop("__n")
-        big = sized.where(F.col("__n") > max_bucket_size).drop("__n")
-        hubs = big.groupBy("bi", "bh").agg(F.min("id").alias("hub"))
-        star = (
-            big.join(hubs, ["bi", "bh"])
-            .where(F.col("id") != F.col("hub"))
-            .select(
-                F.least("hub", "id").alias("id_a"),
-                F.greatest("hub", "id").alias("id_b"),
+    return grams_df, banded
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index (incremental dedup)
+# ---------------------------------------------------------------------------
+
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus side of MinHash dedup: banded bucket rows
+    partitioned by band id plus the int64 shingle arrays for exact
+    verification, with the banding parameters pinned alongside.
+
+    Build once, dedup many: the production shape is not "all pairs in
+    one corpus" but "does today's batch duplicate the existing 100 TB
+    corpus" — re-banding the corpus per batch re-pays the full scan
+    every day.  The index stores only (id, bi, bh) bucket rows (~16
+    bytes x bands per doc) and the hashed shingles; raw text never
+    lands in the index.  `mode="append"` grows it incrementally
+    (yesterday's accepted batch becomes part of today's corpus).
+
+    The dedup-pipeline sibling of similarity.save_ivf_index (same
+    train-once/query-many rationale)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    spark = df.sparkSession
+    if mode == "append":
+        meta = _read_minhash_meta(spark, path)
+        if meta != (num_perm, bands, n):
+            raise ValueError(
+                f"index at {path} was built with (num_perm, bands, n)="
+                f"{meta}; appending with {(num_perm, bands, n)} would "
+                "band inconsistently"
             )
-        )
     else:
-        small, star = banded, None
-    a = small.alias("a")
-    b = small.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        spark.createDataFrame(
+            [(num_perm, bands, n)], "num_perm int, bands int, n int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    grams_df, banded = _grams_and_bands(
+        df, num_perm, bands, n, text_col, id_col
     )
-    if star is not None:
-        cand = cand.unionByName(star)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    if not verify:
-        return cand
-    ga = grams_df.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
-    gb = grams_df.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
-    pairs = cand.join(ga, "id_a").join(gb, "id_b")
+    banded.write.mode(mode).partitionBy("bi").parquet(f"{path}/bands")
+    grams_df.write.mode(mode).parquet(f"{path}/grams")
+
+
+def _read_minhash_meta(spark, path: str) -> tuple[int, int, int]:
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return (int(row["num_perm"]), int(row["bands"]), int(row["n"]))
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW batch and a persisted corpus
+    index: (new_id, index_id, jaccard >= threshold).
+
+    Scale shape: the new batch's banded rows are explicitly
+    broadcast — the daily increment is small next to the corpus, so the
+    bucket probe is a broadcast hash join against the index's bands
+    scan (no corpus shuffle, no corpus re-banding).  Candidates dedup
+    to (new, index) id pairs, then exact Jaccard verification joins the
+    new batch's freshly hashed shingles with the index's stored ones —
+    only candidate ids, never the whole corpus, reach the verify join.
+    Banding parameters come from the index meta, so a query can never
+    band differently than the index was built."""
+    spark = new_df.sparkSession
+    num_perm, bands, n = _read_minhash_meta(spark, path)
+    new_grams, new_banded = _grams_and_bands(
+        new_df, num_perm, bands, n, text_col, id_col
+    )
+    idx_banded = spark.read.parquet(f"{path}/bands")
+    cand = (
+        idx_banded.alias("i")
+        .join(
+            F.broadcast(new_banded.alias("q")),
+            (F.col("i.bi") == F.col("q.bi"))
+            & (F.col("i.bh") == F.col("q.bh"))
+            & (F.col("i.id") != F.col("q.id")),
+        )
+        .select(
+            F.col("q.id").alias("new_id"), F.col("i.id").alias("index_id")
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    ga = new_grams.select(F.col("id").alias("new_id"), F.col("g").alias("ga"))
+    gb = spark.read.parquet(f"{path}/grams").select(
+        F.col("id").alias("index_id"), F.col("g").alias("gb")
+    )
+    pairs = cand.join(F.broadcast(ga), "new_id").join(gb, "index_id")
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size(F.array_union(F.col("ga"), F.col("gb")))
     j = inter / F.greatest(union, F.lit(1))
-    return pairs.select("id_a", "id_b", j.alias("jaccard")).where(
+    return pairs.select("new_id", "index_id", j.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
 

@@ -194,6 +194,64 @@ def test_cosine_neardup_lsh_on_planted(spark, emb):
     assert approx == exact  # sim ~0.9999 -> bucket collision prob ~0.996^8
 
 
+def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
+    """Persisted MinHash index (train-once/dedup-many): a new batch's
+    pairs against the index must equal the cross-(new, corpus) slice of
+    the one-shot pair scan on the union — same banding, same verify."""
+    path = str(tmp_path / "mh_index")
+    corpus = docs.limit(200).select("doc_id", "text")
+    dedup.save_minhash_index(corpus, path)
+    # new batch: 5 exact copies of corpus docs (re-keyed) + 5 novel rows
+    copies = (
+        corpus.limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    novel = spark.createDataFrame(
+        [(200000 + i, f"utterly novel text number {i} zqxjkw") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    batch = copies.unionByName(novel)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in dedup.dedup_against_index(batch, path).collect()
+    }
+    # oracle: one-shot scan over corpus+batch, restricted to cross pairs
+    union = corpus.unionByName(batch)
+    all_pairs = dedup.minhash_lsh_pairs(union, threshold=0.9).collect()
+    want = set()
+    for r in all_pairs:
+        a, b = r["id_a"], r["id_b"]
+        if a < 100000 <= b:
+            want.add((b, a))
+        elif b < 100000 <= a:
+            want.add((a, b))
+    assert got == want and len(got) >= 5
+    # the bucket probe broadcasts the NEW side (no corpus shuffle)
+    plan = (
+        dedup.dedup_against_index(batch, path)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_index_append_and_meta_guard(spark, docs, tmp_path):
+    path = str(tmp_path / "mh_index2")
+    dedup.save_minhash_index(docs.limit(50), path)
+    # append more corpus; a copy of an appended doc must now be caught
+    extra = docs.limit(60).subtract(docs.limit(50))
+    dedup.save_minhash_index(extra, path, mode="append")
+    probe = extra.limit(1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    hits = dedup.dedup_against_index(probe, path).collect()
+    assert len(hits) >= 1 and all(r["jaccard"] >= 0.9 for r in hits)
+    # appending with different banding parameters is refused
+    with pytest.raises(ValueError):
+        dedup.save_minhash_index(
+            docs.limit(5), path, num_perm=64, bands=16, mode="append"
+        )
+
+
 def test_minhash_lsh_bucket_cap_subset(spark, sf_dir):
     """Skew valve: capped buckets emit star pairs only — output must stay
     a SUBSET of the exact >=threshold pair list (verified pairs can never
