@@ -1,0 +1,114 @@
+"""Streaming corpus curation: incremental dedup of a document stream
+against a growing persisted corpus.
+
+The batch pipeline (operators/curation.py) answers "curate THIS corpus";
+a production ingest is a STREAM of new documents where each batch must
+be deduped against everything accepted before it.  This module composes
+the persisted MinHash index (operators/dedup.py::save_minhash_index /
+dedup_against_index) with Structured Streaming's foreachBatch:
+
+    new docs stream ──► [intra-batch dedup] ──► [probe corpus index]
+                                                   │ novel docs
+                                   corpus parquet ◄┴► index (append)
+
+Each micro-batch is (1) deduped within itself (one-shot pair scan over
+the batch only — batches are small), (2) probed against the index with
+a broadcast of the batch's banded rows (the corpus is never shuffled or
+re-banded), and (3) the surviving novel documents are appended to both
+the output corpus and the index, so the NEXT batch dedups against them.
+
+Delivery note (T3 family): foreachBatch is at-least-once on retry — a
+replayed batch re-appends its banded rows to the index.  Duplicate
+index rows cannot change RESULTS (candidates are de-duplicated and
+verification is exact), they only cost index bytes; the output corpus
+write is the same append-only at-least-once as the reference's replay
+path, improvable to exactly-once with an id-keyed MERGE sink.
+
+Reference behavior note: the reference has no streaming curation surface
+(its change feed drives projections only); this operator exists for the
+100 TB training-data pipeline, same status as dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
+
+
+def curate_batch_against_index(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One micro-batch's survivors: intra-batch near-dups collapse to
+    their min-id representative, then anything near-duplicating the
+    persisted corpus index is dropped.  Pure transformation — callers
+    decide what to do with the survivors."""
+    pairs = _dedup.minhash_lsh_pairs(
+        batch, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    kept = _dedup.lsh_dedup_representatives(pairs, batch, id_col=id_col)
+    cross = _dedup.dedup_against_index(
+        kept, index_path, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
+    return kept.join(dup_ids, id_col, "left_anti")
+
+
+def curate_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    available_now: bool = True,
+):
+    """Run the streaming curation pipeline; returns the started query.
+
+    `index_path` must already hold a MinHash index (save_minhash_index
+    over the existing corpus — an empty corpus DataFrame works for a
+    cold start).  `batch_transform`, when given, runs FIRST on each
+    batch (quality gates, PII scrub — any batch-local stage of
+    operators/curation.py), so only documents that pass gating spend
+    dedup work."""
+    # appends must band exactly like the existing index: read its pinned
+    # parameters once, up front (also fails fast on a missing index)
+    num_perm, bands, n = _dedup._read_minhash_meta(
+        stream.sparkSession, index_path
+    )
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        if batch_transform is not None:
+            batch = batch_transform(batch)
+        accepted = curate_batch_against_index(
+            batch, index_path, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        # materialize once: the corpus write, the index append, and the
+        # emptiness probe would otherwise each re-run the dedup joins
+        accepted = accepted.localCheckpoint(eager=True)
+        if accepted.isEmpty():
+            return
+        accepted.write.mode("append").parquet(corpus_path)
+        _dedup.save_minhash_index(
+            accepted.select(id_col, text_col), index_path,
+            num_perm=num_perm, bands=bands, n=n,
+            text_col=text_col, id_col=id_col, mode="append",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

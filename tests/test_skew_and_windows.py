@@ -145,6 +145,72 @@ def test_windowed_counts_batch_mode_matches_manual(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_curation_dedups_across_batches(spark, tmp_path):
+    """Streaming incremental curation: each batch dedups against the
+    corpus index AND the index grows with accepted docs, so a later
+    batch cannot re-accept an earlier batch's document."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated corpus document about spark plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_minhash_index(corpus, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch a: one dup of corpus doc 1, one novel doc
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "a genuinely novel document about training shards"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "a"))
+    # batch b: a copy of batch a's ACCEPTED doc (11) — must be rejected
+    # because the index grew — plus one more novel doc, plus an
+    # intra-batch duplicate pair (20/21) that must collapse to min id
+    spark.createDataFrame(
+        [
+            (12, "a genuinely novel document about training shards"),
+            (13, "another fresh document mentioning catalyst optimizer"),
+            (20, "twin texts born in the same micro batch right here"),
+            (21, "twin texts born in the same micro batch right here"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # one dir per micro-batch
+        .parquet(f"{src}/*")
+    )
+    q = curate_stream(
+        stream, index_path, corpus_out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    }
+    # 10 dups corpus; 12 dups batch-a's accepted 11; 21 collapses to 20
+    assert accepted == {11, 13, 20}
+    # the grown index now rejects a re-send of every accepted doc
+    resend = spark.createDataFrame(
+        [(30, "another fresh document mentioning catalyst optimizer")],
+        ["doc_id", "text"],
+    )
+    hits = dedup.dedup_against_index(resend, index_path).collect()
+    assert {r["index_id"] for r in hits} == {13}
+
+
 def test_deduped_stream_drops_replayed_events(spark, tmp_path):
     """At-least-once source + dropDuplicatesWithinWatermark = exactly-once
     delivery with bounded state (T3's streaming counterpart)."""
