@@ -14,6 +14,12 @@ modules):
                           LSH bucket skew)
   3. near-dup removal   — MinHash+LSH verified pairs -> keep min-id
                           representatives
+  3b. corpus dedup      — optional incremental mode (dedup_index_path=):
+                          survivors probe a persisted MinHash corpus
+                          index (dedup.save_minhash_index) so a batch
+                          dedups against everything accepted before it;
+                          streaming/curation.py wraps this per
+                          micro-batch
   4. quality gate       — language id + quality score + repeated-trigram
                           ratio thresholds (pure Column expressions)
   5. PII scrub          — regexp_replace pass over the surviving text
@@ -53,6 +59,7 @@ def curate(
     exact: bool = True,
     boilerplate_min_docs: Optional[int] = None,
     neardup_threshold: Optional[float] = 0.9,
+    dedup_index_path: Optional[str] = None,
     min_quality: Optional[float] = None,
     max_repetition: Optional[float] = None,
     repetition_n: int = 3,
@@ -103,6 +110,20 @@ def curate(
         out = note(
             "neardup", _dedup.lsh_dedup_representatives(pairs, out, id_col=id_col)
         )
+
+    if dedup_index_path is not None:
+        # incremental mode: this batch vs the persisted corpus index
+        # (dedup.save_minhash_index) — runs AFTER internal dedup so only
+        # within-batch representatives pay the broadcast probe
+        cross = _dedup.dedup_against_index(
+            out,
+            dedup_index_path,
+            threshold=neardup_threshold if neardup_threshold is not None else 0.9,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
+        out = note("corpus_dedup", out.join(dup_ids, id_col, "left_anti"))
 
     if languages is not None or min_quality is not None or max_repetition is not None:
         gated = _text.with_language_id(

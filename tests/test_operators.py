@@ -776,6 +776,33 @@ def test_curation_fluency_gate_and_shuffle_positions(spark, docs):
     assert len(rows) == stats["fluency_gate"]
 
 
+def test_curate_with_persisted_index_drops_corpus_dups(spark, docs, tmp_path):
+    """curate(dedup_index_path=...) = incremental batch mode: documents
+    near-duplicating the persisted corpus index are dropped after the
+    batch's own dedup stages."""
+    from cloudfabric_eventsourcing_spark.operators.curation import curate
+
+    path = str(tmp_path / "corpus_idx")
+    corpus = docs.limit(50).select("doc_id", "text")
+    dedup.save_minhash_index(corpus, path)
+    batch = (
+        corpus.limit(3)
+        .select((F.col("doc_id") + 70000).alias("doc_id"), "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(80000, "wholly new text about gradient checkpointing")],
+                ["doc_id", "text"],
+            )
+        )
+    )
+    out, stats = curate(
+        batch, neardup_threshold=0.9, exact=False, scrub_pii=False,
+        dedup_index_path=path,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {80000}
+    assert stats["corpus_dedup"] == 1 and stats["neardup"] >= 4
+
+
 def test_curation_fluency_gate_scores_short_docs_zero(spark):
     """Docs with < 2 tokens have no bigrams; the gate scores them 0 so
     the threshold decides: min_fluency=0 keeps them (the old left-semi
