@@ -565,6 +565,110 @@ def cosine_neardup_pairs_lsh(
     )
 
 
+def save_cosine_index(
+    df: DataFrame,
+    path: str,
+    dims: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus side of embedding near-dup: vectors bucketed
+    under the hyperplane LSH and written PARTITIONED BY bucket, with
+    (dims, bits, seed) pinned alongside so a query can never bucket
+    differently than the index was built.
+
+    The embedding sibling of save_minhash_index (text) and
+    save_ivf_index (ANN): the probe filters on the NEW batch's bucket
+    set before scanning, so at 100 TB a batch touching B of the 2^bits
+    buckets reads B/2^bits of the corpus — enforced at the file
+    listing, not post-scan."""
+    from cloudfabric_eventsourcing_spark.operators.similarity import lsh_bucket
+
+    spark = df.sparkSession
+    if mode == "append":
+        meta = _read_cosine_meta(spark, path)
+        if meta != (dims, bits, seed):
+            raise ValueError(
+                f"index at {path} was built with (dims, bits, seed)="
+                f"{meta}; appending with {(dims, bits, seed)} would "
+                "bucket inconsistently"
+            )
+    else:
+        spark.createDataFrame(
+            [(dims, bits, seed)], "dims int, bits int, seed int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    bucketed = lsh_bucket(
+        df, dims=dims, bits=bits, seed=seed, vec_col=vec_col
+    ).select(id_col, vec_col, "bucket")
+    bucketed.write.mode(mode).partitionBy("bucket").parquet(
+        f"{path}/vectors"
+    )
+
+
+def _read_cosine_meta(spark, path: str) -> tuple[int, int, int]:
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return (int(row["dims"]), int(row["bits"]), int(row["seed"]))
+
+
+def cosine_dedup_against_index(
+    new_df: DataFrame,
+    path: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicates between a NEW batch and a persisted
+    cosine index: (new_id, index_id, cosine >= threshold).
+
+    Scale shape: the batch's bucket SET (bounded by batch size) is
+    collected driver-side and pushed as a partition filter — the corpus
+    scan reads only touched bucket directories — then the batch's
+    bucketed rows broadcast into the join and exact cosine verifies
+    within buckets.  Recall is the hyperplane-LSH collision bound of
+    cosine_neardup_pairs_lsh (same bucketing, same verify)."""
+    from cloudfabric_eventsourcing_spark.operators.similarity import lsh_bucket
+
+    spark = new_df.sparkSession
+    dims, bits, seed = _read_cosine_meta(spark, path)
+    qb = lsh_bucket(
+        new_df, dims=dims, bits=bits, seed=seed, vec_col=vec_col
+    ).select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("qv"), "bucket")
+    buckets = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
+    idx = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("bucket").isin(buckets))
+        .select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("iv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cos = dot / (norm("qv") * norm("iv"))
+    return (
+        idx.join(
+            F.broadcast(qb),
+            (idx.bucket == qb.bucket) & (F.col("index_id") != F.col("new_id")),
+        )
+        .select(
+            "new_id", "index_id", F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,

@@ -252,6 +252,46 @@ def test_minhash_index_append_and_meta_guard(spark, docs, tmp_path):
         )
 
 
+def test_cosine_index_incremental_dedup(spark, emb, tmp_path):
+    """Persisted cosine-LSH index: re-keyed copies of corpus vectors are
+    found at cosine 1.0, novel random vectors are not; the probe prunes
+    to the batch's bucket partitions and broadcasts the batch."""
+    import numpy as np
+
+    path = str(tmp_path / "cos_idx")
+    corpus = emb.limit(100).select("vec_id", "embedding")
+    dims = len(corpus.select("embedding").first()[0])
+    dedup.save_cosine_index(corpus, path, dims=dims, bits=8)
+    rng = np.random.default_rng(7)
+    copies = (
+        corpus.limit(3)
+        .select((F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+    )
+    novel = spark.createDataFrame(
+        [
+            (910000 + i, rng.normal(0, 1, dims).astype("float32").tolist())
+            for i in range(3)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    batch = copies.unionByName(novel)
+    out = dedup.cosine_dedup_against_index(batch, path, threshold=0.999)
+    rows = out.collect()
+    hit_new = {r["new_id"] for r in rows}
+    assert {r["vec_id"] for r in copies.collect()} == hit_new
+    assert all(r["cosine"] >= 0.999 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace(
+        "PartitionFilters: [b", "PartitionFilters: [b"
+    )
+    assert "BroadcastHashJoin" in plan
+    # mismatched parameters refused on append
+    with pytest.raises(ValueError):
+        dedup.save_cosine_index(
+            corpus.limit(1), path, dims=dims, bits=4, mode="append"
+        )
+
+
 def test_minhash_lsh_bucket_cap_subset(spark, sf_dir):
     """Skew valve: capped buckets emit star pairs only — output must stay
     a SUBSET of the exact >=threshold pair list (verified pairs can never
