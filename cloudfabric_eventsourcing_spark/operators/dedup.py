@@ -751,3 +751,59 @@ def ngram_decontaminate(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def ngram_overlap_stats(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Decontamination REPORT: per training doc, how much of it overlaps
+    the held-out set — (id, n_grams, n_contaminated, overlap_ratio).
+    The binary filter (ngram_decontaminate) drops on ANY shared gram; a
+    pipeline operator usually wants the distribution first to pick a
+    threshold (a quote of one benchmark question is different from a
+    verbatim inclusion).  Docs with fewer than n tokens report 0 grams
+    and ratio 0.0.
+
+    Same scale shape as the filter: grams leave their scan as 8-byte
+    hashes, the tiny test-gram set broadcasts, and the per-doc
+    aggregate is map-side combinable."""
+
+    def gram_hashes(df):
+        return F.transform(
+            _distinct_ngrams(F.col(text_col), n), lambda x: F.xxhash64(x)
+        )
+
+    test_grams = (
+        test.select(F.explode(gram_hashes(test)).alias("__g")).distinct()
+    )
+    if broadcast_test:
+        test_grams = F.broadcast(test_grams)
+    train_grams = train.select(
+        F.col(id_col).alias("id"), F.explode_outer(gram_hashes(train)).alias("__g")
+    )
+    marked = train_grams.join(
+        test_grams.select(F.col("__g"), F.lit(True).alias("__hit")),
+        "__g",
+        "left",
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("__g").alias("n_grams"),
+            F.count(F.when(F.col("__hit"), 1)).alias("n_contaminated"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated")
+                / F.greatest(F.col("n_grams"), F.lit(1))
+            ).alias("overlap_ratio"),
+        )
+    )

@@ -252,6 +252,39 @@ def test_minhash_index_append_and_meta_guard(spark, docs, tmp_path):
         )
 
 
+def test_ngram_overlap_stats_planted(spark):
+    """Overlap report: a doc quoting half a benchmark question scores a
+    partial ratio; a verbatim inclusion scores ~1; clean docs 0; a doc
+    shorter than n tokens reports 0 grams."""
+    bench_text = "what is the capital of france and when was it founded exactly"
+    train = spark.createDataFrame(
+        [
+            (1, bench_text),  # verbatim
+            (2, "intro words then what is the capital of france and more own text here"),
+            (3, "totally unrelated training document about gradient descent steps"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {
+        r["id"]: r
+        for r in dedup.ngram_overlap_stats(train, test, n=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["overlap_ratio"] == 1.0
+    assert 0 < got[2]["overlap_ratio"] < 1.0
+    assert got[3]["overlap_ratio"] == 0.0 and got[3]["n_contaminated"] == 0
+    assert got[4]["n_grams"] == 0 and got[4]["overlap_ratio"] == 0.0
+    # consistency with the binary filter: any doc the filter drops has
+    # ratio > 0, and survivors have ratio == 0
+    kept = {
+        r["doc_id"] for r in dedup.ngram_decontaminate(train, test, n=5).collect()
+    }
+    for d, r in got.items():
+        assert (r["overlap_ratio"] == 0.0) == (d in kept)
+
+
 def test_cosine_index_incremental_dedup(spark, emb, tmp_path):
     """Persisted cosine-LSH index: re-keyed copies of corpus vectors are
     found at cosine 1.0, novel random vectors are not; the probe prunes
