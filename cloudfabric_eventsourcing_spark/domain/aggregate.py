@@ -78,12 +78,38 @@ class AggregateBase:
         self.version += len(self.uncommitted_events)
         self.uncommitted_events.clear()
 
+    # -- snapshots (declared in the reference, dead code there —
+    # PostgresqlEventStore.cs:562-576; implemented here) -------------------
+    def snapshot_state(self) -> dict:
+        """JSON-able view of the aggregate's domain fields.  The default
+        walks __dict__ minus the fold plumbing, serializing values the
+        same way event payloads serialize (datetime→iso, Decimal→str).
+        Override together with restore_snapshot for aggregates whose
+        handlers COMPUTE on typed fields (the default restore does not
+        revive Decimal/datetime scalars)."""
+        from cloudfabric_eventsourcing_spark.eventstore.event import _jsonable
+
+        skip = {"version", "uncommitted_events"}
+        return {
+            k: _jsonable(v) for k, v in self.__dict__.items() if k not in skip
+        }
+
+    def restore_snapshot(self, state: dict) -> None:
+        for k, v in state.items():
+            setattr(self, k, v)
+
 
 T = TypeVar("T", bound=AggregateBase)
 
 
 class AggregateRepository(Generic[T]):
-    def __init__(self, event_store: EventStore, aggregate_cls: Type[T]):
+    def __init__(
+        self,
+        event_store: EventStore,
+        aggregate_cls: Type[T],
+        snapshot_store=None,
+        snapshot_every: int = 100,
+    ):
         self._store = event_store
         self._cls = aggregate_cls
         # registry for derived-type reconstruction (replaces the reference's
@@ -91,6 +117,11 @@ class AggregateRepository(Generic[T]):
         self._derived: dict[str, Type[AggregateBase]] = {
             aggregate_cls.__name__: aggregate_cls
         }
+        # optional JsonFileSnapshotStore: loads become snapshot + tail
+        # fold, saves that cross a `snapshot_every` version boundary
+        # refresh the snapshot (eventstore/snapshots.py)
+        self._snapshots = snapshot_store
+        self._snapshot_every = max(1, int(snapshot_every))
 
     def register_derived(self, cls: Type[AggregateBase]) -> None:
         self._derived[cls.__name__] = cls
@@ -98,10 +129,29 @@ class AggregateRepository(Generic[T]):
     def load(self, id: str, partition_key: str) -> Optional[T]:
         if not id:
             raise ValueError("id")
+        if self._snapshots is not None:
+            snap = self._snapshots.load(partition_key, id)
+            if snap is not None:
+                return self._load_from_snapshot(snap, id, partition_key)
         stream = self._store.load_stream(id, partition_key)
         if not stream.events:
             return None
         return self._construct(stream.events)
+
+    def _load_from_snapshot(self, snap: dict, id: str, partition_key: str) -> T:
+        """Snapshot + tail fold: O(events since snapshot), not O(stream)."""
+        cls = self._derived.get(snap["aggregate_type"], self._cls)
+        obj = cls.__new__(cls)
+        AggregateBase.__init__(obj)
+        obj.restore_snapshot(snap["state"])
+        obj.version = int(snap["version"])
+        tail = self._store.load_stream(
+            id, partition_key, from_version=obj.version + 1
+        )
+        for ev in tail.events:
+            obj._raise_event(ev)
+            obj.version += 1
+        return obj  # type: ignore[return-value]
 
     def load_or_throw(self, id: str, partition_key: str) -> T:
         stream = self._store.load_stream_or_throw(id, partition_key)
@@ -123,12 +173,29 @@ class AggregateRepository(Generic[T]):
             aggregate.version,
             aggregate.uncommitted_events,
         )
+        n_new = len(aggregate.uncommitted_events)
         aggregate.on_changes_saved()
+        if (
+            ok
+            and self._snapshots is not None
+            # the append crossed a snapshot_every version boundary
+            and aggregate.version % self._snapshot_every < n_new
+        ):
+            self._snapshots.save(
+                aggregate.partition_key,
+                aggregate.id,
+                aggregate.version,
+                type(aggregate).__name__,
+                aggregate.snapshot_state(),
+            )
         return ok
 
     def hard_delete(self, id: str, partition_key: str) -> bool:
         if not id:
             raise ValueError("id")
+        if self._snapshots is not None:
+            # a lingering snapshot would resurrect the deleted aggregate
+            self._snapshots.delete(partition_key, id)
         return self._store.hard_delete(id, partition_key)
 
 

@@ -16,6 +16,9 @@ from cloudfabric_eventsourcing_spark.eventstore.metadata import (
     InMemoryMetadataRepository,
     JsonFileMetadataRepository,
 )
+from cloudfabric_eventsourcing_spark.eventstore.snapshots import (
+    JsonFileSnapshotStore,
+)
 
 __all__ = [
     "Event",
@@ -30,4 +33,5 @@ __all__ = [
     "ParquetEventStore",
     "InMemoryMetadataRepository",
     "JsonFileMetadataRepository",
+    "JsonFileSnapshotStore",
 ]

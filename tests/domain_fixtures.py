@@ -119,6 +119,12 @@ class Order(AggregateBase):
     def on_OrderItemAdded(self, e: OrderItemAdded):
         self.items.append(OrderItem.from_dict(e.item))
 
+    def restore_snapshot(self, state: dict) -> None:
+        # the documented override: items carry Decimal/datetime the
+        # handlers compare on, so revive them from the JSON-able state
+        super().restore_snapshot(state)
+        self.items = [OrderItem.from_dict(_item_dict(i) if not isinstance(i, dict) else i) for i in self.items]
+
     def on_OrderItemRemoved(self, e: OrderItemRemoved):
         # remove only the FIRST name match (OrdersListProjectionBuilder.cs:58-66)
         for idx, item in enumerate(self.items):

@@ -494,3 +494,78 @@ def test_reader_dedupes_compaction_swap_window(tmp_path):
     repo = AggregateRepository(store, Order)
     loaded = repo.load(oid, ORDERS_PARTITION_KEY)
     assert len(loaded.items) == 1  # double-apply would duplicate the item
+
+
+# ---- aggregate snapshots (declared-but-dead in the reference) -------------
+
+def test_snapshot_load_equals_full_refold(store, tmp_path):
+    from cloudfabric_eventsourcing_spark.eventstore import JsonFileSnapshotStore
+
+    snaps = JsonFileSnapshotStore(str(tmp_path / "snaps"))
+    repo = AggregateRepository(store, Order, snapshot_store=snaps, snapshot_every=50)
+    plain = AggregateRepository(store, Order)
+    order = make_order()
+    repo.save(USER, order)
+    loaded = repo.load(order.id, ORDERS_PARTITION_KEY)
+    for i in range(120):
+        loaded.add_item(OrderItem(utcnow(), f"Item-{i}", decimal.Decimal("1.50") + i))
+    repo.save(USER, loaded)  # crosses 50 and 100 -> snapshot at v121
+    snap = snaps.load(ORDERS_PARTITION_KEY, order.id)
+    assert snap is not None and snap["version"] == 121
+
+    via_snap = repo.load(order.id, ORDERS_PARTITION_KEY)
+    via_fold = plain.load(order.id, ORDERS_PARTITION_KEY)
+    assert via_snap.version == via_fold.version == 121
+    assert via_snap.name == via_fold.name
+    assert [ (i.name, i.amount) for i in via_snap.items ] == [
+        (i.name, i.amount) for i in via_fold.items
+    ]
+    # the snapshot-loaded aggregate keeps working: mutate, save, reload
+    via_snap.add_item(OrderItem(utcnow(), "post-snap", decimal.Decimal("9.99")))
+    assert repo.save(USER, via_snap)
+    assert plain.load(order.id, ORDERS_PARTITION_KEY).version == 122
+
+
+def test_snapshot_load_reads_only_tail(store, tmp_path):
+    from cloudfabric_eventsourcing_spark.eventstore import JsonFileSnapshotStore
+
+    snaps = JsonFileSnapshotStore(str(tmp_path / "snaps"))
+    repo = AggregateRepository(store, Order, snapshot_store=snaps, snapshot_every=10)
+    order = make_order()
+    repo.save(USER, order)
+    loaded = repo.load(order.id, ORDERS_PARTITION_KEY)
+    for i in range(30):
+        loaded.add_item(OrderItem(utcnow(), f"I{i}", decimal.Decimal("1.00")))
+    repo.save(USER, loaded)  # snapshot at v31
+    # two more events past the snapshot
+    tail_writer = repo.load(order.id, ORDERS_PARTITION_KEY)
+    tail_writer.add_item(OrderItem(utcnow(), "tail-1", decimal.Decimal("2.00")))
+    tail_writer.add_item(OrderItem(utcnow(), "tail-2", decimal.Decimal("2.00")))
+    repo.save(USER, tail_writer)
+
+    seen = []
+    orig = store.load_stream
+
+    def spying(stream_id, partition_key, from_version=None):
+        seen.append(from_version)
+        return orig(stream_id, partition_key, from_version)
+
+    store.load_stream = spying
+    got = repo.load(order.id, ORDERS_PARTITION_KEY)
+    store.load_stream = orig
+    assert got.version == 33 and got.items[-1].name == "tail-2"
+    # the load asked the store for the tail only, not the whole stream
+    assert seen == [32]
+
+
+def test_snapshot_deleted_with_stream(store, tmp_path):
+    from cloudfabric_eventsourcing_spark.eventstore import JsonFileSnapshotStore
+
+    snaps = JsonFileSnapshotStore(str(tmp_path / "snaps"))
+    repo = AggregateRepository(store, Order, snapshot_store=snaps, snapshot_every=1)
+    order = make_order()
+    repo.save(USER, order)
+    assert snaps.load(ORDERS_PARTITION_KEY, order.id) is not None
+    repo.hard_delete(order.id, ORDERS_PARTITION_KEY)
+    assert snaps.load(ORDERS_PARTITION_KEY, order.id) is None
+    assert repo.load(order.id, ORDERS_PARTITION_KEY) is None
