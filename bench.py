@@ -93,6 +93,7 @@ def main() -> None:
         return best
 
     append_rate = _best_of(lambda: _bench_append_scenarios(n=100))
+    reload_plain, reload_snap = _bench_long_stream_reload()
     append_rate_2proc = _best_of(
         lambda: _bench_append_scenarios_2proc(n=100)
     )
@@ -161,6 +162,13 @@ def main() -> None:
                 # BASELINE.md derived targets
                 "append_scenarios_per_sec": append_rate,
                 "append_scenarios_per_sec_2proc": append_rate_2proc,
+                # S12 snapshots: point-load throughput on a 5k-event
+                # aggregate, full refold vs snapshot + tail fold (the
+                # 104-event T-append scenario is deliberately left
+                # snapshot-free — at that length the snapshot write
+                # costs more than the fold it saves)
+                "reload_5k_per_sec": reload_plain,
+                "reload_5k_snapshot_per_sec": reload_snap,
                 **_bench_replay(spark, sf_dir),
             }
         )
@@ -212,25 +220,94 @@ def _bench_oracles(sf_dir: str, timeout_s: float = 30.0) -> dict:
     return out
 
 
-def _bench_append_scenarios(n: int = 150) -> float:
-    """T-append: the reference's TestPlaceOrderAndAddItem scenario (place
-    order + reload + add 100 items + save + reload a 104-event-shape
-    stream) against the parquet event store. Baseline: Postgres ~78/s
-    single-threaded; target >= 39/s (BASELINE.md)."""
+def _bench_long_stream_reload(
+    stream_len: int = 5000, reloads: int = 30
+) -> tuple[float, float]:
+    """S12 snapshots where they matter: reloads/s of ONE long-lived
+    aggregate (5k events — a year-old cart, not the 104-event benchmark
+    scenario), full refold vs snapshot + tail fold."""
     import decimal
     import shutil
     import tempfile
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from cloudfabric_eventsourcing_spark.domain import AggregateRepository
-    from cloudfabric_eventsourcing_spark.eventstore import ParquetEventStore
+    from cloudfabric_eventsourcing_spark.eventstore import (
+        JsonFileSnapshotStore,
+        ParquetEventStore,
+    )
     from tests.domain_fixtures import ORDERS_PARTITION_KEY, Order, OrderItem, utcnow
 
     d = tempfile.mkdtemp(prefix="cfes-bench-")
     try:
         store = ParquetEventStore(os.path.join(d, "events"))
         store.initialize()
-        repo = AggregateRepository(store, Order)
+        snap_repo = AggregateRepository(
+            store, Order,
+            snapshot_store=JsonFileSnapshotStore(os.path.join(d, "snaps")),
+            snapshot_every=500,
+        )
+        plain_repo = AggregateRepository(store, Order)
+        o = Order(
+            "00000000-0000-0000-0000-00000000bee5", "Long",
+            [OrderItem(utcnow(), "seed", decimal.Decimal("1.00"))],
+        )
+        snap_repo.save({"userId": "bench"}, o)
+        loaded = snap_repo.load(o.id, ORDERS_PARTITION_KEY)
+        chunk = 500
+        for start in range(0, stream_len, chunk):
+            for j in range(chunk):
+                loaded.add_item(
+                    OrderItem(utcnow(), f"i{start + j}", decimal.Decimal("2.00"))
+                )
+            snap_repo.save({"userId": "bench"}, loaded)
+        store.compact()
+
+        def rate(repo) -> float:
+            t0 = time.perf_counter()
+            for _ in range(reloads):
+                repo.load(o.id, ORDERS_PARTITION_KEY)
+            return round(reloads / (time.perf_counter() - t0), 2)
+
+        return rate(plain_repo), rate(snap_repo)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _bench_append_scenarios(n: int = 150, snapshots: bool = False) -> float:
+    """T-append: the reference's TestPlaceOrderAndAddItem scenario (place
+    order + reload + add 100 items + save + reload a 104-event-shape
+    stream) against the parquet event store. Baseline: Postgres ~78/s
+    single-threaded; target >= 39/s (BASELINE.md).
+
+    snapshots=True runs the same scenario with aggregate snapshots
+    (S12): the final reload folds the post-snapshot tail only.  Kept a
+    SEPARATE field — the baseline comparison stays no-snapshot like the
+    reference's benchmark."""
+    import decimal
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from cloudfabric_eventsourcing_spark.domain import AggregateRepository
+    from cloudfabric_eventsourcing_spark.eventstore import (
+        JsonFileSnapshotStore,
+        ParquetEventStore,
+    )
+    from tests.domain_fixtures import ORDERS_PARTITION_KEY, Order, OrderItem, utcnow
+
+    d = tempfile.mkdtemp(prefix="cfes-bench-")
+    try:
+        store = ParquetEventStore(os.path.join(d, "events"))
+        store.initialize()
+        if snapshots:
+            repo = AggregateRepository(
+                store, Order,
+                snapshot_store=JsonFileSnapshotStore(os.path.join(d, "snaps")),
+                snapshot_every=100,
+            )
+        else:
+            repo = AggregateRepository(store, Order)
         t0 = time.perf_counter()
         for i in range(n):
             o = Order(
