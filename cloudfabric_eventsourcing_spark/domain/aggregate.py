@@ -154,8 +154,16 @@ class AggregateRepository(Generic[T]):
         return obj  # type: ignore[return-value]
 
     def load_or_throw(self, id: str, partition_key: str) -> T:
-        stream = self._store.load_stream_or_throw(id, partition_key)
-        return self._construct(stream.events)
+        # route through load() so the snapshot fast path applies to both
+        # public load entry points
+        obj = self.load(id, partition_key)
+        if obj is None:
+            from cloudfabric_eventsourcing_spark.eventstore.event import (
+                StreamNotFoundError,
+            )
+
+            raise StreamNotFoundError(f"stream {id!r} ({partition_key!r})")
+        return obj
 
     def _construct(self, events: list[Event]) -> T:
         first = events[0]

@@ -104,8 +104,18 @@ def curate(
         out = note("exact_dedup", out.join(reps, id_col, "left_semi"))
 
     if neardup_threshold is not None:
+        # in incremental mode the batch-internal scan must band exactly
+        # like the corpus index, or acceptance would depend on whether
+        # two near-dups arrive together or apart
+        if dedup_index_path is not None:
+            mh_num_perm, mh_bands, mh_n = _dedup._read_minhash_meta(
+                docs.sparkSession, dedup_index_path
+            )
+        else:
+            mh_num_perm, mh_bands, mh_n = 128, 32, 1
         pairs = _dedup.minhash_lsh_pairs(
-            out, threshold=neardup_threshold, text_col=text_col, id_col=id_col
+            out, threshold=neardup_threshold, num_perm=mh_num_perm,
+            bands=mh_bands, n=mh_n, text_col=text_col, id_col=id_col,
         )
         out = note(
             "neardup", _dedup.lsh_dedup_representatives(pairs, out, id_col=id_col)

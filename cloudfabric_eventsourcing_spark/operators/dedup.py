@@ -732,18 +732,19 @@ def ngram_decontaminate(
     (falls back to a shuffled semi join, still on 8-byte keys).
 
     Returns the surviving training rows (all columns)."""
-    def gram_hashes(df):
-        return F.transform(
-            _distinct_ngrams(F.col(text_col), n), lambda x: F.xxhash64(x)
-        )
+    # a Column expression, resolved against whichever frame selects it —
+    # both frames are read through the same `text_col` name
+    gram_hashes = F.transform(
+        _distinct_ngrams(F.col(text_col), n), lambda x: F.xxhash64(x)
+    )
 
     test_grams = (
-        test.select(F.explode(gram_hashes(test)).alias("__g")).distinct()
+        test.select(F.explode(gram_hashes).alias("__g")).distinct()
     )
     if broadcast_test:
         test_grams = F.broadcast(test_grams)
     train_grams = train.select(
-        F.col(id_col).alias("__id"), F.explode(gram_hashes(train)).alias("__g")
+        F.col(id_col).alias("__id"), F.explode(gram_hashes).alias("__g")
     )
     contaminated = (
         train_grams.join(test_grams, "__g", "left_semi")
@@ -773,18 +774,17 @@ def ngram_overlap_stats(
     hashes, the tiny test-gram set broadcasts, and the per-doc
     aggregate is map-side combinable."""
 
-    def gram_hashes(df):
-        return F.transform(
-            _distinct_ngrams(F.col(text_col), n), lambda x: F.xxhash64(x)
-        )
+    gram_hashes = F.transform(
+        _distinct_ngrams(F.col(text_col), n), lambda x: F.xxhash64(x)
+    )
 
     test_grams = (
-        test.select(F.explode(gram_hashes(test)).alias("__g")).distinct()
+        test.select(F.explode(gram_hashes).alias("__g")).distinct()
     )
     if broadcast_test:
         test_grams = F.broadcast(test_grams)
     train_grams = train.select(
-        F.col(id_col).alias("id"), F.explode_outer(gram_hashes(train)).alias("__g")
+        F.col(id_col).alias("id"), F.explode_outer(gram_hashes).alias("__g")
     )
     marked = train_grams.join(
         test_grams.select(F.col("__g"), F.lit(True).alias("__hit")),

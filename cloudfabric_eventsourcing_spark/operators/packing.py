@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def global_prefix_sum(
@@ -124,5 +125,10 @@ def write_training_shards(
     # deterministic-shuffle exchange) a second time, while the written
     # files answer max(shard) from partition-directory names alone.
     spark = df.sparkSession
-    n = spark.read.parquet(path).agg(F.max("shard")).collect()[0][0]
+    try:
+        n = spark.read.parquet(path).agg(F.max("shard")).collect()[0][0]
+    except AnalysisException:
+        # an empty input writes no data files (only _SUCCESS), and a
+        # schemaless parquet dir cannot be read back — zero shards
+        return 0
     return 0 if n is None else int(n) + 1

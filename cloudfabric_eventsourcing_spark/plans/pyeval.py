@@ -191,15 +191,33 @@ def eval_search(
                 for term in terms
             )
 
+        def array_field_match(values, s_an, i_an, syn) -> bool:
+            # mirrors the translator exactly: per-term exists() over the
+            # elements, AND across terms — terms may match DIFFERENT
+            # elements (translator.py match branch builds F.exists per
+            # term), so this must NOT require one element to hold all
+            terms = tokenize_terms(needle, s_an or analyzer)
+            if not terms:
+                return False
+            return all(
+                any(
+                    any(
+                        v in field_tokens(value, i_an)
+                        for v in expand_synonyms(term, syn)
+                    )
+                    for value in values
+                )
+                for term in terms
+            )
+
         for path, s_an, i_an in schema.searchable_path_analyzers():
             # per-field registered maps, like the Spark side
             syn = _effective_synonyms(path_maps.get(path), synonyms)
             head, _, rest = path.partition(".")
             head_val = _get_path(doc, head)
             if rest and isinstance(head_val, list):
-                if any(
-                    field_match(_get_path(e, rest), s_an, i_an, syn)
-                    for e in head_val
+                if array_field_match(
+                    [_get_path(e, rest) for e in head_val], s_an, i_an, syn
                 ):
                     return True
             elif field_match(_get_path(doc, path), s_an, i_an, syn):

@@ -386,7 +386,11 @@ def search_to_column(
                 field_pred = tp if field_pred is None else (field_pred & tp)
             if field_pred is not None:
                 acc = field_pred if acc is None else (acc | field_pred)
-        return acc
+        # a non-empty query whose terms analyze away everywhere (e.g.
+        # '!!!' under a standard analyzer) matches NOTHING — returning
+        # None here would read as "no search filter" and match ALL,
+        # where ES and the python backend both return the empty set
+        return F.lit(False) if acc is None else acc
     if mode == "fuzzy":
         # ES query_string fuzziness=AUTO: AND between terms; a term matches
         # a field when some whitespace token is within the AUTO edit

@@ -308,9 +308,14 @@ def deserialize_query(qs: str) -> ProjectionQuery:
             term, _, alts = group.partition(":")
             if term and alts:
                 # lowercase on read too, so hand-built strings with
-                # mixed-case keys still match at analysis time
-                syn[term.lower()] = [
-                    a.lower() for a in alts.split("|") if a
-                ]
+                # mixed-case keys still match at analysis time; keys
+                # colliding after lowercasing MERGE their groups (the
+                # serializer merges, so the round-trip stays symmetric)
+                group = syn.setdefault(term.lower(), [])
+                group.extend(
+                    a.lower()
+                    for a in alts.split("|")
+                    if a and a.lower() not in group
+                )
         query.synonyms = syn
     return query

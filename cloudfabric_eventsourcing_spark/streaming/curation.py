@@ -48,9 +48,19 @@ def curate_batch_against_index(
     """One micro-batch's survivors: intra-batch near-dups collapse to
     their min-id representative, then anything near-duplicating the
     persisted corpus index is dropped.  Pure transformation — callers
-    decide what to do with the survivors."""
+    decide what to do with the survivors.
+
+    The intra-batch scan uses the INDEX's pinned banding parameters,
+    not the library defaults: otherwise a pair of docs could be judged
+    duplicates when they arrive in the same batch (default shingling)
+    but both accepted when they arrive in different batches (index
+    shingling) — acceptance must not depend on batch arrival."""
+    num_perm, bands, n = _dedup._read_minhash_meta(
+        batch.sparkSession, index_path
+    )
     pairs = _dedup.minhash_lsh_pairs(
-        batch, threshold=threshold, text_col=text_col, id_col=id_col
+        batch, threshold=threshold, num_perm=num_perm, bands=bands, n=n,
+        text_col=text_col, id_col=id_col,
     )
     kept = _dedup.lsh_dedup_representatives(pairs, batch, id_col=id_col)
     cross = _dedup.dedup_against_index(

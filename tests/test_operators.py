@@ -236,9 +236,13 @@ def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
 
 def test_minhash_index_append_and_meta_guard(spark, docs, tmp_path):
     path = str(tmp_path / "mh_index2")
-    dedup.save_minhash_index(docs.limit(50), path)
+    # orderBy before limit: un-ordered limits give no row guarantee and
+    # are re-evaluated per action, so `extra` could otherwise differ
+    # between the index append and the probe
+    ordered = docs.orderBy("doc_id").select("doc_id", "text")
+    dedup.save_minhash_index(ordered.limit(50), path)
     # append more corpus; a copy of an appended doc must now be caught
-    extra = docs.limit(60).subtract(docs.limit(50))
+    extra = ordered.limit(60).subtract(ordered.limit(50))
     dedup.save_minhash_index(extra, path, mode="append")
     probe = extra.limit(1).select(
         (F.col("doc_id") + 500000).alias("doc_id"), "text"

@@ -620,6 +620,40 @@ def test_match_mode_index_search_analyzer_split(proj, spark):
             ) == (d["Id"] in got)
 
 
+def test_match_mode_zero_terms_matches_nothing(proj):
+    """A non-empty query whose terms analyze away ('!!!' under the
+    standard analyzer) must match the EMPTY set — returning None from
+    search_to_column would read as 'no filter' and match everything."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    q = ProjectionQuery(
+        search_text="!!!", search_mode="match", analyzer="standard"
+    )
+    assert run_query(proj, q, S).total_records_found == 0
+    docs = [r.document for r in run_query(proj, ProjectionQuery(), S).records]
+    assert not any(
+        eval_search("!!!", d, S, "match", "standard", None) for d in docs
+    )
+
+
+def test_match_mode_terms_spread_across_array_elements(proj):
+    """AND-across-terms over an array field: terms may match DIFFERENT
+    elements (per-term exists, like the translator builds) — both
+    backends must agree on that semantics."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    # o-1's Items names: Caverna, Dixit, Patchwork — two terms, two
+    # different elements
+    q = ProjectionQuery(search_text="caverna dixit", search_mode="match")
+    res = run_query(proj, q, S)
+    assert [r.document["Id"] for r in res.records] == ["o-1"]
+    docs = [r.document for r in run_query(proj, ProjectionQuery(), S).records]
+    for d in docs:
+        assert eval_search(
+            "caverna dixit", d, S, "match", None, None
+        ) == (d["Id"] == "o-1")
+
+
 def test_analyzed_tokens_matches_python_tokenizer(spark):
     """The Column-side index tokenizer and the Python query tokenizer are
     compiled from the same regex sources; differential-pin them on texts
