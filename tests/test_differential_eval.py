@@ -170,3 +170,49 @@ def test_differential_sort_and_search(spark):
         py_page, _ = run_query_docs(docs, query, SCHEMA)
         assert spark_ids == {d["Id"] for d in py_page}, f"search {needle}"
     df.unpersist()
+
+
+def test_differential_match_mode_fuzz(spark):
+    """Randomized Spark-vs-python differential over the match search
+    mode: random multi-term queries (incl. terms that analyze away,
+    terms spread across array elements, synonyms) × analyzers — the
+    guard for exactly the backend-divergence class a round-4 review
+    caught in the array branch."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    rng = random.Random(41)
+    docs = make_docs(rng, 60)
+    df = spark.createDataFrame(docs, SCHEMA_STRUCT).cache()
+    pool = [w.lower() for w in WORDS] + ["suffix", "!", "!!", "nope", "al"]
+    mismatches = []
+    for trial in range(30):
+        terms = rng.sample(pool, rng.randint(1, 3))
+        analyzer = rng.choice(["whitespace", "standard", "uax_url_email"])
+        syn = (
+            {rng.choice(pool[:6]): [rng.choice(pool[:6])]}
+            if rng.random() < 0.4
+            else None
+        )
+        query = ProjectionQuery(
+            search_text=" ".join(terms),
+            search_mode="match",
+            analyzer=analyzer,
+            synonyms=syn,
+        )
+        spark_ids = {
+            r["Id"]
+            for r in apply_query(df, query, SCHEMA).select("Id").collect()
+        }
+        py_ids = {
+            d["Id"]
+            for d in docs
+            if eval_search(
+                query.search_text, d, SCHEMA, "match", analyzer, syn
+            )
+        }
+        if spark_ids != py_ids:
+            mismatches.append(
+                (trial, query.search_text, analyzer, syn, spark_ids ^ py_ids)
+            )
+    assert not mismatches, f"match-mode backends disagree: {mismatches[:2]}"
+    df.unpersist()
