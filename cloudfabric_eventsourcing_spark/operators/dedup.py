@@ -619,16 +619,24 @@ def cosine_dedup_against_index(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe_flips: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicates between a NEW batch and a persisted
     cosine index: (new_id, index_id, cosine >= threshold).
 
-    Scale shape: the batch's bucket SET (bounded by batch size) is
-    collected driver-side and pushed as a partition filter — the corpus
-    scan reads only touched bucket directories — then the batch's
-    bucketed rows broadcast into the join and exact cosine verifies
-    within buckets.  Recall is the hyperplane-LSH collision bound of
-    cosine_neardup_pairs_lsh (same bucketing, same verify)."""
+    Scale shape: the batch's bucket SET (bounded by batch size × probe
+    count) is collected driver-side and pushed as a partition filter —
+    the corpus scan reads only touched bucket directories — then the
+    batch's bucketed rows broadcast into the join and exact cosine
+    verifies within buckets.
+
+    `nprobe_flips=1` (default) probes each query's bucket AND its
+    `bits` one-bit neighbors, the same multiprobe lsh_topk uses: a true
+    near-dup whose sign flips on one near-margin hyperplane lands one
+    bit away, and exact-bucket probing alone misses it with probability
+    1-(1-acos(s)/pi)^bits (~11% at bits=8, s=0.999).  Set 0 for
+    exact-bucket probing; the probe fan-out multiplies the scanned
+    bucket count, not the corpus."""
     from cloudfabric_eventsourcing_spark.operators.similarity import lsh_bucket
 
     spark = new_df.sparkSession
@@ -636,6 +644,18 @@ def cosine_dedup_against_index(
     qb = lsh_bucket(
         new_df, dims=dims, bits=bits, seed=seed, vec_col=vec_col
     ).select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("qv"), "bucket")
+    if nprobe_flips >= 1:
+        # each query row probes its own bucket + all 1-bit flips; probe
+        # values are distinct per row, so a given (query, index) pair
+        # can join at most once — no candidate dedup needed
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(bits)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     buckets = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
     idx = (
         spark.read.parquet(f"{path}/vectors")

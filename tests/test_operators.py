@@ -329,6 +329,55 @@ def test_cosine_index_incremental_dedup(spark, emb, tmp_path):
         )
 
 
+def test_cosine_index_multiprobe_recovers_bit_flip(spark, emb, tmp_path):
+    """A true near-dup whose sign flips on ONE near-margin hyperplane
+    lands one bucket-bit away: exact-bucket probing misses it, the
+    default 1-bit multiprobe finds it."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        _projection_matrix,
+    )
+
+    path = str(tmp_path / "cos_idx_mp")
+    corpus = emb.limit(50).select("vec_id", "embedding")
+    dims = len(corpus.select("embedding").first()[0])
+    bits, seed = 8, 42
+    dedup.save_cosine_index(corpus, path, dims=dims, bits=bits, seed=seed)
+    proj = _projection_matrix(dims, bits, seed)
+    rng = np.random.default_rng(3)
+    rows = corpus.collect()
+    # craft a copy of some corpus vector perturbed to flip EXACTLY one
+    # hyperplane sign while keeping cosine >= 0.99
+    planted = None
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        signs = (v @ proj) > 0
+        for _ in range(40):
+            v2 = v + rng.normal(0, 0.02 * np.linalg.norm(v) / np.sqrt(dims), dims)
+            s2 = (v2 @ proj) > 0
+            flips = int((signs != s2).sum())
+            cos = float(v @ v2 / (np.linalg.norm(v) * np.linalg.norm(v2)))
+            if flips == 1 and cos >= 0.99:
+                planted = (r["vec_id"], v2)
+                break
+        if planted:
+            break
+    assert planted is not None, "could not craft a one-bit-flip near-dup"
+    src_id, v2 = planted
+    batch = spark.createDataFrame(
+        [(999999, [float(x) for x in v2])], "vec_id long, embedding array<float>"
+    )
+    exact = dedup.cosine_dedup_against_index(
+        batch, path, threshold=0.99, nprobe_flips=0
+    ).collect()
+    assert src_id not in {r["index_id"] for r in exact}
+    probed = dedup.cosine_dedup_against_index(
+        batch, path, threshold=0.99, nprobe_flips=1
+    ).collect()
+    assert src_id in {r["index_id"] for r in probed}
+
+
 def test_minhash_lsh_bucket_cap_subset(spark, sf_dir):
     """Skew valve: capped buckets emit star pairs only — output must stay
     a SUBSET of the exact >=threshold pair list (verified pairs can never
