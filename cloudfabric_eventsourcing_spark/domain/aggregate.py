@@ -132,23 +132,42 @@ class AggregateRepository(Generic[T]):
         if self._snapshots is not None:
             snap = self._snapshots.load(partition_key, id)
             if snap is not None:
-                return self._load_from_snapshot(snap, id, partition_key)
+                # None here means the snapshot outlived its stream —
+                # fall through to the store, which is authoritative
+                obj = self._load_from_snapshot(snap, id, partition_key)
+                if obj is not None:
+                    return obj
         stream = self._store.load_stream(id, partition_key)
         if not stream.events:
             return None
         return self._construct(stream.events)
 
-    def _load_from_snapshot(self, snap: dict, id: str, partition_key: str) -> T:
-        """Snapshot + tail fold: O(events since snapshot), not O(stream)."""
+    def _load_from_snapshot(
+        self, snap: dict, id: str, partition_key: str
+    ) -> Optional[T]:
+        """Snapshot + tail fold: O(events since snapshot), not O(stream).
+
+        The tail is loaded FROM the snapshot's own version (one extra
+        event) as a stream-existence witness: a snapshot outliving its
+        hard-deleted stream must not resurrect the aggregate — an empty
+        read at the snapshot version means the stream is gone and the
+        load reports None/not-found, matching the no-snapshot paths."""
+        snap_version = int(snap["version"])
+        tail = self._store.load_stream(
+            id, partition_key, from_version=snap_version
+        )
+        # stream versions are consecutive, so a live stream at version
+        # >= snap_version returns the snapshot-version event first; an
+        # empty read means the stream is gone (or the snapshot is ahead
+        # of the store) — either way the store is authoritative
+        if not tail.events:
+            return None
         cls = self._derived.get(snap["aggregate_type"], self._cls)
         obj = cls.__new__(cls)
         AggregateBase.__init__(obj)
         obj.restore_snapshot(snap["state"])
-        obj.version = int(snap["version"])
-        tail = self._store.load_stream(
-            id, partition_key, from_version=obj.version + 1
-        )
-        for ev in tail.events:
+        obj.version = snap_version
+        for ev in tail.events[1:]:
             obj._raise_event(ev)
             obj.version += 1
         return obj  # type: ignore[return-value]

@@ -103,19 +103,26 @@ def curate(
         )
         out = note("exact_dedup", out.join(reps, id_col, "left_semi"))
 
+    # one meta read serves both the batch-internal scan and the index probe
+    index_banding = (
+        _dedup._read_minhash_meta(docs.sparkSession, dedup_index_path)
+        if dedup_index_path is not None
+        else None
+    )
+
     if neardup_threshold is not None:
         # in incremental mode the batch-internal scan must band exactly
         # like the corpus index, or acceptance would depend on whether
-        # two near-dups arrive together or apart
-        if dedup_index_path is not None:
-            mh_num_perm, mh_bands, mh_n = _dedup._read_minhash_meta(
-                docs.sparkSession, dedup_index_path
-            )
-        else:
-            mh_num_perm, mh_bands, mh_n = 128, 32, 1
+        # two near-dups arrive together or apart; otherwise fall through
+        # to the callee's own defaults (no duplicated constants to drift)
+        mh_kwargs = (
+            {}
+            if index_banding is None
+            else dict(zip(("num_perm", "bands", "n"), index_banding))
+        )
         pairs = _dedup.minhash_lsh_pairs(
-            out, threshold=neardup_threshold, num_perm=mh_num_perm,
-            bands=mh_bands, n=mh_n, text_col=text_col, id_col=id_col,
+            out, threshold=neardup_threshold, text_col=text_col,
+            id_col=id_col, **mh_kwargs,
         )
         out = note(
             "neardup", _dedup.lsh_dedup_representatives(pairs, out, id_col=id_col)
@@ -131,6 +138,7 @@ def curate(
             threshold=neardup_threshold if neardup_threshold is not None else 0.9,
             text_col=text_col,
             id_col=id_col,
+            banding=index_banding,
         )
         dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
         out = note("corpus_dedup", out.join(dup_ids, id_col, "left_anti"))

@@ -387,6 +387,7 @@ def dedup_against_index(
     threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
+    banding: Optional[tuple] = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and a persisted corpus
     index: (new_id, index_id, jaccard >= threshold).
@@ -399,9 +400,11 @@ def dedup_against_index(
     new batch's freshly hashed shingles with the index's stored ones —
     only candidate ids, never the whole corpus, reach the verify join.
     Banding parameters come from the index meta, so a query can never
-    band differently than the index was built."""
+    band differently than the index was built; callers that already
+    read the meta pass it as `banding=(num_perm, bands, n)` to skip the
+    re-read (a per-micro-batch driver round trip in streaming)."""
     spark = new_df.sparkSession
-    num_perm, bands, n = _read_minhash_meta(spark, path)
+    num_perm, bands, n = banding or _read_minhash_meta(spark, path)
     new_grams, new_banded = _grams_and_bands(
         new_df, num_perm, bands, n, text_col, id_col
     )
@@ -639,12 +642,22 @@ def cosine_dedup_against_index(
     bucket count, not the corpus."""
     from cloudfabric_eventsourcing_spark.operators.similarity import lsh_bucket
 
+    if nprobe_flips not in (0, 1):
+        # only exact-bucket and 1-bit-neighbor probing are implemented;
+        # accepting larger values silently as 1 would under-deliver the
+        # recall the caller asked for
+        raise ValueError("nprobe_flips must be 0 or 1")
     spark = new_df.sparkSession
     dims, bits, seed = _read_cosine_meta(spark, path)
     qb = lsh_bucket(
         new_df, dims=dims, bits=bits, seed=seed, vec_col=vec_col
     ).select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("qv"), "bucket")
-    if nprobe_flips >= 1:
+    # the probe frame broadcast into the bucket join is SLIM (new_id,
+    # bucket) — exploding before broadcasting the embeddings would ship
+    # bits+1 copies of every query vector; qv re-attaches afterwards by
+    # new_id (one row per query)
+    probes_df = qb.select("new_id", "bucket")
+    if nprobe_flips == 1:
         # each query row probes its own bucket + all 1-bit flips; probe
         # values are distinct per row, so a given (query, index) pair
         # can join at most once — no candidate dedup needed
@@ -655,13 +668,24 @@ def cosine_dedup_against_index(
                 for i in range(bits)
             ],
         )
-        qb = qb.withColumn("bucket", F.explode(probes))
-    buckets = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
+        probes_df = probes_df.withColumn("bucket", F.explode(probes))
+    buckets = [
+        r["bucket"] for r in probes_df.select("bucket").distinct().collect()
+    ]
     idx = (
         spark.read.parquet(f"{path}/vectors")
         .where(F.col("bucket").isin(buckets))
         .select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket")
     )
+    cand = (
+        idx.join(
+            F.broadcast(probes_df),
+            (idx.bucket == probes_df.bucket)
+            & (F.col("index_id") != F.col("new_id")),
+        )
+        .select("new_id", "index_id", "iv")
+    )
+    pairs = cand.join(F.broadcast(qb.select("new_id", "qv")), "new_id")
     dot = F.aggregate(
         F.zip_with(
             F.col("qv"), F.col("iv"),
@@ -678,13 +702,7 @@ def cosine_dedup_against_index(
     )
     cos = dot / (norm("qv") * norm("iv"))
     return (
-        idx.join(
-            F.broadcast(qb),
-            (idx.bucket == qb.bucket) & (F.col("index_id") != F.col("new_id")),
-        )
-        .select(
-            "new_id", "index_id", F.round(cos, 4).alias("cosine"),
-        )
+        pairs.select("new_id", "index_id", F.round(cos, 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -155,12 +155,15 @@ def eval_search(
         synonyms = _effective_synonyms(
             schema.searchable_synonym_map_names(), synonyms
         )
+        terms = tokenize_terms(needle, analyzer)
+        if not terms:
+            return False  # zero analyzed terms match nothing (all modes)
         return all(
             any(
                 eval_search(v, doc, schema, mode="substring")
                 for v in expand_synonyms(term, synonyms)
             )
-            for term in tokenize_terms(needle, analyzer)
+            for term in terms
         )
     if mode == "match":
         from cloudfabric_eventsourcing_spark.plans.translator import (
@@ -195,17 +198,16 @@ def eval_search(
             # mirrors the translator exactly: per-term exists() over the
             # elements, AND across terms — terms may match DIFFERENT
             # elements (translator.py match branch builds F.exists per
-            # term), so this must NOT require one element to hold all
+            # term), so this must NOT require one element to hold all.
+            # Element token sets are built ONCE, not per (term, variant).
             terms = tokenize_terms(needle, s_an or analyzer)
             if not terms:
                 return False
+            toks_per_elem = [field_tokens(v, i_an) for v in values]
             return all(
                 any(
-                    any(
-                        v in field_tokens(value, i_an)
-                        for v in expand_synonyms(term, syn)
-                    )
-                    for value in values
+                    any(v in toks for v in expand_synonyms(term, syn))
+                    for toks in toks_per_elem
                 )
                 for term in terms
             )
@@ -252,7 +254,10 @@ def eval_search(
                     return True
             return False
 
-        return all(term_hit(t) for t in tokenize_terms(needle, analyzer))
+        terms = tokenize_terms(needle, analyzer)
+        if not terms:
+            return False  # zero analyzed terms match nothing (all modes)
+        return all(term_hit(t) for t in terms)
     if mode == "phrase_prefix":
         import re
 

@@ -338,8 +338,14 @@ def search_to_column(
         synonyms = _effective_synonyms(
             schema.searchable_synonym_map_names(), synonyms
         )
+        terms = tokenize_terms(needle, analyzer)
+        if not terms:
+            # non-empty query, zero analyzed terms ('!!!' under standard)
+            # matches NOTHING — None would read as "no filter" (see the
+            # match-mode note below; same shape, all token modes)
+            return F.lit(False)
         acc: Optional[Column] = None
-        for term in tokenize_terms(needle, analyzer):
+        for term in terms:
             term_pred: Optional[Column] = None
             for variant in expand_synonyms(term, synonyms):
                 vp = _term_column(variant, schema)
@@ -395,8 +401,11 @@ def search_to_column(
         # ES query_string fuzziness=AUTO: AND between terms; a term matches
         # a field when some whitespace token is within the AUTO edit
         # distance (ElasticSearchQueryFactory.cs query_string surface)
+        terms = tokenize_terms(needle, analyzer)
+        if not terms:
+            return F.lit(False)  # same zero-terms rule as tokenized/match
         acc = None
-        for term in tokenize_terms(needle, analyzer):
+        for term in terms:
             term_pred = _fuzzy_term_column(term, schema)
             if term_pred is None:
                 return None

@@ -44,6 +44,7 @@ def curate_batch_against_index(
     threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
+    banding: Optional[tuple] = None,
 ) -> DataFrame:
     """One micro-batch's survivors: intra-batch near-dups collapse to
     their min-id representative, then anything near-duplicating the
@@ -54,8 +55,11 @@ def curate_batch_against_index(
     not the library defaults: otherwise a pair of docs could be judged
     duplicates when they arrive in the same batch (default shingling)
     but both accepted when they arrive in different batches (index
-    shingling) — acceptance must not depend on batch arrival."""
-    num_perm, bands, n = _dedup._read_minhash_meta(
+    shingling) — acceptance must not depend on batch arrival.
+    `banding=(num_perm, bands, n)` skips the meta re-read for callers
+    that already hold it (curate_stream reads it once per stream, not
+    per micro-batch)."""
+    num_perm, bands, n = banding or _dedup._read_minhash_meta(
         batch.sparkSession, index_path
     )
     pairs = _dedup.minhash_lsh_pairs(
@@ -66,6 +70,7 @@ def curate_batch_against_index(
     cross = _dedup.dedup_against_index(
         kept, index_path, threshold=threshold,
         text_col=text_col, id_col=id_col,
+        banding=(num_perm, bands, n),
     )
     dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
     return kept.join(dup_ids, id_col, "left_anti")
@@ -102,6 +107,7 @@ def curate_stream(
         accepted = curate_batch_against_index(
             batch, index_path, threshold=threshold,
             text_col=text_col, id_col=id_col,
+            banding=(num_perm, bands, n),
         )
         # materialize once: the corpus write, the index append, and the
         # emptiness probe would otherwise each re-run the dedup joins

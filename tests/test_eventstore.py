@@ -554,8 +554,10 @@ def test_snapshot_load_reads_only_tail(store, tmp_path):
     got = repo.load(order.id, ORDERS_PARTITION_KEY)
     store.load_stream = orig
     assert got.version == 33 and got.items[-1].name == "tail-2"
-    # the load asked the store for the tail only, not the whole stream
-    assert seen == [32]
+    # the load asked the store for the tail only, starting AT the
+    # snapshot version (the first event doubles as the stream-existence
+    # witness so a stale snapshot cannot resurrect a deleted stream)
+    assert seen == [31]
 
 
 def test_snapshot_deleted_with_stream(store, tmp_path):
@@ -569,3 +571,21 @@ def test_snapshot_deleted_with_stream(store, tmp_path):
     repo.hard_delete(order.id, ORDERS_PARTITION_KEY)
     assert snaps.load(ORDERS_PARTITION_KEY, order.id) is None
     assert repo.load(order.id, ORDERS_PARTITION_KEY) is None
+
+
+def test_stale_snapshot_cannot_resurrect_deleted_stream(store, tmp_path):
+    """A snapshot that outlives its stream (store cleared behind the
+    repository's back) must NOT resurrect the aggregate: the tail read
+    at the snapshot version is the existence witness."""
+    from cloudfabric_eventsourcing_spark.eventstore import JsonFileSnapshotStore
+
+    snaps = JsonFileSnapshotStore(str(tmp_path / "snaps"))
+    repo = AggregateRepository(store, Order, snapshot_store=snaps, snapshot_every=1)
+    order = make_order()
+    repo.save(USER, order)
+    assert snaps.load(ORDERS_PARTITION_KEY, order.id) is not None
+    # delete the STREAM only (simulates delete_all / out-of-band cleanup)
+    store.hard_delete(order.id, ORDERS_PARTITION_KEY)
+    assert repo.load(order.id, ORDERS_PARTITION_KEY) is None
+    with pytest.raises(StreamNotFoundError):
+        repo.load_or_throw(order.id, ORDERS_PARTITION_KEY)

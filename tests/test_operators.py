@@ -244,7 +244,7 @@ def test_minhash_index_append_and_meta_guard(spark, docs, tmp_path):
     # append more corpus; a copy of an appended doc must now be caught
     extra = ordered.limit(60).subtract(ordered.limit(50))
     dedup.save_minhash_index(extra, path, mode="append")
-    probe = extra.limit(1).select(
+    probe = extra.orderBy("doc_id").limit(1).select(
         (F.col("doc_id") + 500000).alias("doc_id"), "text"
     )
     hits = dedup.dedup_against_index(probe, path).collect()
