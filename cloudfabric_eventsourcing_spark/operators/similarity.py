@@ -261,3 +261,28 @@ def load_ivf_index(spark, path: str):
     )
     centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     return spark.read.parquet(f"{path}/vectors"), centroids
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Grow a persisted IVF index with new vectors, assigned to the
+    EXISTING centroids — the index-growth counterpart of the dedup
+    indexes' append mode (a corpus ingests daily; retraining centroids
+    per batch would re-shuffle the whole index).  Cell quality degrades
+    gracefully as the distribution drifts (cells get larger, recall
+    per probe falls) — retrain by rebuilding with save_ivf_index when
+    drift warrants it.  Mismatched dimensionality fails in ivf_assign's
+    matrix product rather than silently mis-assigning."""
+    spark = df.sparkSession
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )

@@ -879,6 +879,32 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, emb, tmp_path):
     assert "cell#" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_index_append_grows_searchable_corpus(spark, emb, tmp_path):
+    """append_to_ivf_index assigns NEW vectors to the existing
+    centroids: an appended vector becomes its own nearest neighbor in a
+    post-append query, and old results are unchanged."""
+    idx = str(tmp_path / "ivf_idx_app")
+    base = emb.orderBy("vec_id").limit(200)
+    extra = emb.orderBy("vec_id").limit(230).subtract(base)
+    dims = len(emb.select("embedding").first()[0])
+    cents = similarity.ivf_centroids_from_sample(base, n_cells=8)
+    similarity.save_ivf_index(base, cents, idx)
+    similarity.append_to_ivf_index(extra, idx)
+    vectors, cents2 = similarity.load_ivf_index(spark, idx)
+    assert vectors.count() == 230
+    probe = extra.orderBy("vec_id").first()
+    q = [float(x) for x in probe["embedding"]]
+    got = similarity.ivf_topk(vectors, cents2, q, k=1, nprobe=8).collect()
+    assert got[0]["vec_id"] == probe["vec_id"]
+    # equivalent to building the index over the union up front (same
+    # centroids, same assignment math)
+    want = similarity.ivf_topk(
+        similarity.ivf_assign(base.unionByName(extra), cents), cents,
+        q, k=1, nprobe=8,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_curation_fluency_gate_and_shuffle_positions(spark, docs):
     """Batch-2 stages compose: the fluency floor drops the least-fluent
     docs, and shuffle_positions emits a contiguous 0-based permutation."""
