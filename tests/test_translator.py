@@ -636,6 +636,23 @@ def test_match_mode_zero_terms_matches_nothing(proj):
     )
 
 
+def test_zero_terms_match_nothing_in_all_token_modes(proj):
+    """'!!!' under the standard analyzer tokenizes to nothing; every
+    token mode must return the empty set (None would mean 'no filter'
+    and match the whole table), and the python backend agrees."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    docs = [r.document for r in run_query(proj, ProjectionQuery(), S).records]
+    for mode in ("tokenized", "fuzzy", "match"):
+        q = ProjectionQuery(
+            search_text="!!!", search_mode=mode, analyzer="standard"
+        )
+        assert run_query(proj, q, S).total_records_found == 0, mode
+        assert not any(
+            eval_search("!!!", d, S, mode, "standard", None) for d in docs
+        ), mode
+
+
 def test_match_mode_terms_spread_across_array_elements(proj):
     """AND-across-terms over an array field: terms may match DIFFERENT
     elements (per-term exists, like the translator builds) — both
