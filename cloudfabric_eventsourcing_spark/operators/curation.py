@@ -215,3 +215,60 @@ def curate(
     if collect_stats:
         stats["output"] = out.count() if "sampled" not in stats else stats["sampled"]
     return out, stats
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: Optional[str] = None,
+) -> dict:
+    """Dataset-card statistics for a (curated) corpus — the report a
+    training pipeline emits before a run: document/token totals, token-
+    length distribution, and the language mix.
+
+    ONE aggregate pass over the corpus (plus one tiny groupBy for the
+    language histogram): doc count, total/mean whitespace tokens, exact
+    length percentiles (p50/p90/p99 via percentile, a sort-based
+    aggregate — exact because a dataset card is quoted, not sampled),
+    and per-language doc counts using the stored `lang_col` when given,
+    else the heuristic language id.  Returns a plain dict; callers
+    serialize it next to the shards."""
+    toks = _text.token_count_whitespace(F.col(text_col))
+    agg = (
+        docs.select(toks.alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+            F.expr("percentile(__n, array(0.5, 0.9, 0.99))").alias("pct"),
+        )
+        .collect()[0]
+    )
+    pct = agg["pct"]
+    lang_src = (
+        docs.select(F.col(lang_col).alias("lang"))
+        if lang_col is not None
+        else _text.with_language_id(docs, text_col=text_col).select(
+            F.col("lang_pred").alias("lang")
+        )
+    )
+    langs = {
+        r["lang"]: r["n"]
+        for r in lang_src.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_docs = int(agg["n_docs"] or 0)
+    total = int(agg["total_tokens"] or 0)
+    return {
+        "n_docs": n_docs,
+        "total_tokens": total,
+        "mean_tokens": (total / n_docs) if n_docs else 0.0,
+        "min_tokens": int(agg["min_tokens"] or 0),
+        "max_tokens": int(agg["max_tokens"] or 0),
+        "p50_tokens": float(pct[0]) if pct else 0.0,
+        "p90_tokens": float(pct[1]) if pct else 0.0,
+        "p99_tokens": float(pct[2]) if pct else 0.0,
+        "languages": langs,
+    }

@@ -905,6 +905,32 @@ def test_ivf_index_append_grows_searchable_corpus(spark, emb, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_corpus_report_stats(spark):
+    from cloudfabric_eventsourcing_spark.operators.curation import (
+        corpus_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "en"),
+            (2, "eins zwei", "de"),
+            (3, "a b c d e", "en"),
+            (4, "", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rep = corpus_report(df, lang_col="lang")
+    assert rep["n_docs"] == 4
+    assert rep["total_tokens"] == 3 + 2 + 5 + 0
+    assert rep["min_tokens"] == 0 and rep["max_tokens"] == 5
+    assert rep["mean_tokens"] == 2.5
+    assert rep["p50_tokens"] == 2.5  # exact interpolated median of 0,2,3,5
+    assert rep["languages"] == {"en": 3, "de": 1}
+    # heuristic language id path (no stored column)
+    rep2 = corpus_report(df.drop("lang"))
+    assert rep2["n_docs"] == 4 and set(rep2["languages"]) >= {"en"}
+
+
 def test_curation_fluency_gate_and_shuffle_positions(spark, docs):
     """Batch-2 stages compose: the fluency floor drops the least-fluent
     docs, and shuffle_positions emits a contiguous 0-based permutation."""
