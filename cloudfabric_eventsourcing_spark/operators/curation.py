@@ -226,39 +226,47 @@ def corpus_report(
     training pipeline emits before a run: document/token totals, token-
     length distribution, and the language mix.
 
-    ONE aggregate pass over the corpus (plus one tiny groupBy for the
-    language histogram): doc count, total/mean whitespace tokens, exact
-    length percentiles (p50/p90/p99 via percentile, a sort-based
-    aggregate — exact because a dataset card is quoted, not sampled),
-    and per-language doc counts using the stored `lang_col` when given,
-    else the heuristic language id.  Returns a plain dict; callers
-    serialize it next to the shards."""
-    toks = _text.token_count_whitespace(F.col(text_col))
-    agg = (
-        docs.select(toks.alias("__n"))
-        .agg(
+    The corpus is tokenized ONCE into a slim persisted (tokens, lang)
+    projection; the global aggregate (count/sum/min/max + exact
+    percentiles — exact, sort-based, because a dataset card is quoted,
+    not sampled) and the language histogram both read that projection.
+    Exact global percentiles cannot merge from per-group ones, so two
+    aggregates over the 2-column frame is the cheapest exact shape.
+    Languages come from the stored `lang_col` when given, else the
+    heuristic language id.  NULL text counts as 0 tokens, same as the
+    empty string.  Returns a plain dict; callers serialize it next to
+    the shards."""
+    # NULL-safe: size(split(NULL)) is NULL, which would drop NULL-text
+    # docs from sum/min/max/percentile while n_docs still counts them
+    toks = F.coalesce(
+        _text.token_count_whitespace(F.col(text_col)), F.lit(0)
+    )
+    if lang_col is not None:
+        lang_expr_src = docs.select(
+            toks.alias("__n"), F.col(lang_col).alias("lang")
+        )
+    else:
+        lang_expr_src = _text.with_language_id(docs, text_col=text_col).select(
+            toks.alias("__n"), F.col("lang_pred").alias("lang")
+        )
+    proj = lang_expr_src.persist()
+    try:
+        agg = proj.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n").alias("total_tokens"),
             F.min("__n").alias("min_tokens"),
             F.max("__n").alias("max_tokens"),
             F.expr("percentile(__n, array(0.5, 0.9, 0.99))").alias("pct"),
-        )
-        .collect()[0]
-    )
-    pct = agg["pct"]
-    lang_src = (
-        docs.select(F.col(lang_col).alias("lang"))
-        if lang_col is not None
-        else _text.with_language_id(docs, text_col=text_col).select(
-            F.col("lang_pred").alias("lang")
-        )
-    )
-    langs = {
-        r["lang"]: r["n"]
-        for r in lang_src.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+        ).collect()[0]
+        pct = agg["pct"]
+        langs = {
+            r["lang"]: r["n"]
+            for r in proj.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        proj.unpersist()
     n_docs = int(agg["n_docs"] or 0)
     total = int(agg["total_tokens"] or 0)
     return {

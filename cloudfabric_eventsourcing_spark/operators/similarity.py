@@ -268,6 +268,7 @@ def append_to_ivf_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    skip_existing: bool = False,
 ) -> None:
     """Grow a persisted IVF index with new vectors, assigned to the
     EXISTING centroids — the index-growth counterpart of the dedup
@@ -276,12 +277,20 @@ def append_to_ivf_index(
     gracefully as the distribution drifts (cells get larger, recall
     per probe falls) — retrain by rebuilding with save_ivf_index when
     drift warrants it.  Mismatched dimensionality fails in ivf_assign's
-    matrix product rather than silently mis-assigning."""
+    matrix product rather than silently mis-assigning.
+
+    Unlike the dedup indexes — where duplicate index rows provably
+    cannot change results — a re-appended id here occupies EXTRA top-k
+    slots, displacing real neighbors.  Callers retrying a batch must
+    ensure ids are new, or pass skip_existing=True to anti-join the
+    batch against the stored ids first (one extra id-column scan of
+    the index — cheap next to re-ingesting wrong data, but not free,
+    hence opt-in)."""
     spark = df.sparkSession
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    )
-    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    _, centroids = load_ivf_index(spark, path)
+    if skip_existing:
+        existing = spark.read.parquet(f"{path}/vectors").select(id_col)
+        df = df.join(existing, id_col, "left_anti")
     assigned = ivf_assign(df, centroids, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{path}/vectors"

@@ -886,23 +886,36 @@ def test_ivf_index_append_grows_searchable_corpus(spark, emb, tmp_path):
     idx = str(tmp_path / "ivf_idx_app")
     base = emb.orderBy("vec_id").limit(200)
     extra = emb.orderBy("vec_id").limit(230).subtract(base)
-    dims = len(emb.select("embedding").first()[0])
     cents = similarity.ivf_centroids_from_sample(base, n_cells=8)
     similarity.save_ivf_index(base, cents, idx)
     similarity.append_to_ivf_index(extra, idx)
     vectors, cents2 = similarity.load_ivf_index(spark, idx)
     assert vectors.count() == 230
+    # appended rows landed in the SAME cells ivf_assign computes —
+    # this is the assertion that catches a broken assignment (a
+    # probe-all-cells top-k query would pass regardless)
+    got_cells = {
+        r["vec_id"]: r["cell"]
+        for r in vectors.join(
+            extra.select("vec_id"), "vec_id", "left_semi"
+        ).select("vec_id", "cell").collect()
+    }
+    want_cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(extra, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got_cells == want_cells and len(got_cells) == 30
+    # an appended vector is its own nearest neighbor probing FEWER than
+    # all cells (nprobe < n_cells, so pruning is actually exercised)
     probe = extra.orderBy("vec_id").first()
     q = [float(x) for x in probe["embedding"]]
-    got = similarity.ivf_topk(vectors, cents2, q, k=1, nprobe=8).collect()
+    got = similarity.ivf_topk(vectors, cents2, q, k=1, nprobe=2).collect()
     assert got[0]["vec_id"] == probe["vec_id"]
-    # equivalent to building the index over the union up front (same
-    # centroids, same assignment math)
-    want = similarity.ivf_topk(
-        similarity.ivf_assign(base.unionByName(extra), cents), cents,
-        q, k=1, nprobe=8,
-    ).collect()
-    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # re-appending the same batch with skip_existing is a no-op
+    similarity.append_to_ivf_index(extra, idx, skip_existing=True)
+    assert spark.read.parquet(f"{idx}/vectors").count() == 230
 
 
 def test_corpus_report_stats(spark):
