@@ -2731,89 +2731,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # red, or code-changed-this-round) so each gets (re-)verified; entries past
 # the window keep their existing green rows at unchanged code.
 #
-# Round-4 rotation (executes the plan the r03 comment laid out): the 49
-# entries that went green in CORRECTNESS_r03 age one round; the window is
-# given to (a) the five entries without a current green row — p12 (r03 red,
-# oracle HUGEINT cast fixed this round), p14/t08/h28/h29 (registered past
-# the window last round, never driver-checked) — plus f13, whose only row
-# is r02 while round 3 edited the search path it exercises; and (b) 44 of
-# the 46 entries holding aging r01/r02 rows.  The two aging entries left
-# just past the window, with why that is safe:
-#   - f01_eq: the eq leaf is the most redundantly pinned path in the suite
-#     (differential-fuzzed in test_differential_eval, exercised inside the
-#     in-window f10 bool tree, j3's eq-OR chain, and the a4/a5 folds).
-#   - f05_ends_with: endswith shares the string-leaf dispatcher with the
-#     in-window f04 (startswith) and f06 (contains) and is pinned in
-#     test_translator; its green r02 row is at unchanged code.
-# Any query ADDED in round 4 must take a window slot on day one (pinned by
+# Round-5 rotation: the 50 entries that went green in CORRECTNESS_r04 age
+# one round (their rows are at since-unchanged code); the window goes to
+# (a) f01/f05/f07 — the only entries still riding r02 rows, flagged weak
+# by the r04 verdict until they hold a current row — and (b) 47 of the 49
+# entries holding r03 rows.  The two r03 entries left just past the
+# window, with why that is safe (both are frozen code, each green in the
+# local all-registry oracle harness this round, and each shares its one
+# nontrivial physical leaf with an in-window sibling):
+#   - w02_sliding_window: same F.window leaf as the in-window
+#     w01_tumbling_window — the two differ only in the slide argument —
+#     and the watermarked streaming variant is pinned in test_streaming.
+#   - h13_cube_revenue: F.cube compiles to the same Expand+Aggregate
+#     machinery as the in-window h7_rollup_revenue's F.rollup; the query
+#     function is unchanged since its r03 green row.
+# Any query ADDED in round 5 must take a window slot on day one (pinned by
 # test_registry_invariants), displacing the next safest aging entry.
 _VERIFY_FIRST = [
-    # --- no current green row: red/never-checked/stale ---
-    "p12_pack_offsets",
-    "p14_train_shuffle",
-    "t08_fluency_scores",
-    "h28_late_priority_lines",
-    "h29_dominant_suppliers",
-    "f13_search_text",
-    # new in round 4 (in-window on day one, displacing f07 — whose
-    # ignore-case lower() leaf is shared with the in-window f08 and
-    # pinned in test_translator)
-    "f23_search_match_analyzer",
-    # --- aging r02 rows: filter-translator leaves (round 3 touched the
-    # shared run_query/apply_query executor these flow through) ---
-    "f02_ne_null",
-    "f03_range",
-    "f03_ts_range",
-    "f04_starts_with",
-    "f06_contains_case_sensitive",
-    "f08_contains_ignore_case",
-    "f09_array_contains",
-    "f10_bool_tree",
-    "f11_nested_path",
-    "f12_array_exists",
-    "f14_partition_key",
-    # --- aging: search modes whose in-window superset (f19) aged out ---
-    "f16_search_tokenized",
-    "f17_search_scored",
-    # --- aging: text operators ---
-    "t01_language_id",
-    "t02_quality_score",
-    "t03_token_counts",
-    "t04_pii_redaction",
-    # --- aging: sort/pagination ---
-    "o1_multi_sort_limit",
-    "o2_nested_sort",
-    "o3_array_element_filtered_sort",
-    "o4_pagination",
-    # --- aging: aggregates/facets/folds ---
-    "a1_total_count",
-    "a2_max_stream_version",
-    "a3_store_statistics",
-    "a4_projection_fold_counts",
-    "a5_projection_fold_sum",
-    "a6_facet_counts",
-    "a6_facet_ranges",
-    "j3_in_list",
-    # --- aging: TPC-H h1-h6 (bench headliners) ---
-    "h1_pricing_summary",
-    "h2_revenue_by_nation",
-    "h3_top_customers",
-    "h4_semi_join_high_value_orders",
-    "h5_anti_join_customers_without_p_orders",
-    "h6_window_top3_orders_per_customer",
-    # --- aging: temporal / dedup / ANN ---
-    "x01_asof_join",
-    "p01_exact_dedup",
-    "p02_fingerprint_dedup",
-    "p03_ngram_jaccard_pairs",
-    "p04_minhash_lsh_pairs",
-    "p05_cosine_neardup_pairs",
-    "p10_decontaminate",
-    "s01_ann_brute_force_topk",
-    # -- driver window ends here (position 50) --
+    # --- aging r02 rows (the last pre-r03 rows in the registry) ---
     "f01_eq",
     "f05_ends_with",
     "f07_starts_ignore_case",
+    # --- r03 rows: search modes ---
+    "f15_suggestions",
+    "f18_search_phrase_prefix",
+    "f19_search_scored_boosted",
+    "f20_search_highlights",
+    "f21_search_fuzzy",
+    "f22_search_synonyms",
+    # --- r03 rows: text operators ---
+    "t05_rarity_weighted_scores",
+    "t06_repetition_stats",
+    "t07_vocab_topk",
+    "p11_boilerplate_lines",
+    # --- r03 rows: dedup / similarity / sampling / graph ---
+    "p06_cosine_neardup_lsh",
+    "p07_simhash_neardup",
+    "p08_stratified_sample",
+    "p09_weighted_mix",
+    "p13_duplicate_clusters",
+    "s02_ann_lsh_topk",
+    "s03_ann_ivf_topk",
+    "k01_salted_join",
+    # --- r03 rows: temporal / behavioral / multimodal ---
+    "x02_sessionization",
+    "x03_range_join",
+    "x04_funnel_conversion",
+    "x05_retention_cohorts",
+    "m01_multimodal_features",
+    # --- r03 rows: windows / set ops / median ---
+    "w01_tumbling_window",
+    "w03_session_window",
+    "u01_set_ops",
+    "a7_exact_median",
+    # --- r03 rows: TPC-H shapes ---
+    "h7_rollup_revenue",
+    "h8_shipping_priority",
+    "h9_order_priority_check",
+    "h10_promo_revenue_share",
+    "h11_large_volume_customers",
+    "h12_rich_idle_customers",
+    "h14_distinct_customers_per_nation",
+    "h15_nation_volume_shipping",
+    "h16_priority_status_matrix",
+    "h17_top_supplier_revenue",
+    "h18_small_quantity_revenue",
+    "h19_forecast_discount_revenue",
+    "h20_brand_size_quantity_revenue",
+    "h21_major_revenue_nations",
+    "h22_min_price_supplier",
+    "h23_market_share",
+    "h24_product_profit",
+    "h25_customer_distribution",
+    "h26_brand_supplier_counts",
+    "h27_waiting_suppliers",
+    # -- driver window ends here (position 50) --
+    "w02_sliding_window",
+    "h13_cube_revenue",
 ]
 
 

@@ -922,6 +922,14 @@ def run_query(
             score = score_column(
                 query.search_text, schema, query.search_mode, query.analyzer
             )
+        if score is None:
+            # A non-empty query can analyze to ZERO terms (e.g. "!!!"
+            # under the standard analyzer): search_to_column already
+            # pinned the empty result set via lit(False), but the score
+            # builders return None — scoring an empty set is vacuous, so
+            # a constant keeps the plan valid instead of raising from
+            # withColumn(None).
+            score = F.lit(0.0)
         filtered = filtered.withColumn("__score", score)
 
     filtered = filtered.persist()

@@ -653,6 +653,21 @@ def test_zero_terms_match_nothing_in_all_token_modes(proj):
         ), mode
 
 
+def test_zero_terms_with_scoring_returns_empty_not_error(proj):
+    """Zero analyzed terms + a scoring profile: search_to_column pins the
+    empty set via lit(False), but score_column/bm25ish_score return None —
+    run_query must fall back to a constant score and return the empty
+    result set, not raise from withColumn(None) (r04 advice item)."""
+    for profile in ("tf", "bm25ish"):
+        q = ProjectionQuery(
+            search_text="!!!", search_mode="match", analyzer="standard",
+            scoring_profile=profile,
+        )
+        res = run_query(proj, q, S)
+        assert res.total_records_found == 0, profile
+        assert res.records == [], profile
+
+
 def test_match_mode_terms_spread_across_array_elements(proj):
     """AND-across-terms over an array field: terms may match DIFFERENT
     elements (per-term exists, like the translator builds) — both
