@@ -74,6 +74,14 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = sf_dir
+    # scale-study knobs (unset in driver runs): run a query subset /
+    # skip the store benches (append/reload/replay measure the event
+    # store, not the scanned sf dir — no reason to re-run them per scale)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
+    skip_store = os.environ.get("SPARK_GRAFT_BENCH_SKIP_STORE") == "1"
     # T-append runs BEFORE the JVM exists: it is a pure-driver benchmark
     # and a live local[32] Spark JVM (GC + scheduler threads) costs it
     # ~35% throughput — measure the store, not the neighbor
@@ -92,11 +100,14 @@ def main() -> None:
             best = max(best, fn())
         return best
 
-    append_rate = _best_of(lambda: _bench_append_scenarios(n=100))
-    reload_plain, reload_snap = _bench_long_stream_reload()
-    append_rate_2proc = _best_of(
-        lambda: _bench_append_scenarios_2proc(n=100)
-    )
+    if skip_store:
+        append_rate = reload_plain = reload_snap = append_rate_2proc = None
+    else:
+        append_rate = _best_of(lambda: _bench_append_scenarios(n=100))
+        reload_plain, reload_snap = _bench_long_stream_reload()
+        append_rate_2proc = _best_of(
+            lambda: _bench_append_scenarios_2proc(n=100)
+        )
     spark = build_session(app_name="cfes-bench")
 
     qs = entry_mod.queries()
@@ -105,7 +116,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     build_costs: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         # min of 2 full rebuilds, timed from DataFrame CONSTRUCTION
         # through noop-sink execution. Construction is inside the timer
         # because (a) driver-side plan building is real per-query
@@ -132,7 +143,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     build_total = round(sum(build_costs.values()), 4)
-    oracle_timings = _bench_oracles(sf_dir)
+    oracle_timings = _bench_oracles(sf_dir, names=headline)
     comparable = {
         k: v for k, v in oracle_timings.items() if v is not None
     }
@@ -169,13 +180,15 @@ def main() -> None:
                 # costs more than the fold it saves)
                 "reload_5k_per_sec": reload_plain,
                 "reload_5k_snapshot_per_sec": reload_snap,
-                **_bench_replay(spark, sf_dir),
+                **({} if skip_store else _bench_replay(spark, sf_dir)),
             }
         )
     )
 
 
-def _bench_oracles(sf_dir: str, timeout_s: float = 30.0) -> dict:
+def _bench_oracles(
+    sf_dir: str, timeout_s: float = 30.0, names: list | None = None
+) -> dict:
     """DuckDB wall per headline query's oracle SQL on the same parquet —
     emitted so the BASELINE.md "within 2x of the single-node engine"
     budget is a recorded field instead of a judgment call.  Single run
@@ -191,12 +204,15 @@ def _bench_oracles(sf_dir: str, timeout_s: float = 30.0) -> dict:
     ).split()
     con = duckdb.connect()
     for t in tables:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # /root/testdata tables are single files; scaled dirs from
+        # tools/make_scaled_sf.py are directory datasets — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = entry_mod.oracle_sql()
     out: dict = {}
-    for name in HEADLINE:
+    for name in names if names is not None else HEADLINE:
         sql = oracles.get(name)
         if sql is None:
             continue
@@ -490,15 +506,19 @@ def _bench_replay(spark, sf_dir: str) -> dict:
             assert done, "rebuild processor found nothing to rebuild"
             return round(n / dt, 1)
 
-        # best-of-2: the replay section runs last, when the suite has left
-        # the machine hot — the better run measures the engine
+        # best-of-3: the replay section runs last, when the suite has left
+        # the machine hot — the better run measures the engine.  r04's
+        # driver row recorded sql-fold at 545.9k ev/s where two local
+        # runs of the same code measured 696.6k and 849.5k (a 1.6x
+        # spread); one extra attempt per metric costs ~20 s and pins the
+        # round-over-round comparison to the engine, not the neighbor.
         serial = max(
             run(limit=10_000, mode="serial", batches=1, tag=f"-{i}")
-            for i in range(2)
+            for i in range(3)
         )
         distributed = max(
             run(limit=None, mode="distributed", batches=2, tag=f"-{i}")
-            for i in range(2)
+            for i in range(3)
         )
         return {
             "replay_events_per_sec": distributed,
@@ -514,10 +534,11 @@ def _bench_sql_fold(spark, sf_dir: str) -> float:
     the same per-user counters as pure JVM aggregation — what the rebuild
     becomes when a builder's fold is expressible in SQL (A4/A5 shape).
 
-    Best-of-2 like every other suite timing: this section runs LAST, after
-    the heavy replay benches have left the JVM with dirty heaps and cold
-    scheduler pools — r02 measured it single-shot and logged a spurious
-    −22% vs r01 (272.9k vs 350.8k ev/s) that a second run erases."""
+    Best-of-3 (was 2): this section runs LAST, after the heavy replay
+    benches have left the JVM with dirty heaps and cold scheduler pools —
+    r02 measured it single-shot and logged a spurious −22% vs r01
+    (272.9k vs 350.8k ev/s), and r04's best-of-2 driver row still sat
+    1.6x under two local re-runs of the same code."""
     from pyspark.sql import functions as F
 
     from cloudfabric_eventsourcing_spark.sources import load_table
@@ -525,7 +546,7 @@ def _bench_sql_fold(spark, sf_dir: str) -> float:
     events = load_table(spark, sf_dir, "events")
     n = events.count()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         (
             events.groupBy("user_id")

@@ -14,6 +14,7 @@ from cloudfabric_eventsourcing_spark.operators import (
     curation,
     dedup,
     graph,
+    index_maintenance,
     multimodal,
     packing,
     sampling,
@@ -28,6 +29,7 @@ __all__ = [
     "curation",
     "dedup",
     "graph",
+    "index_maintenance",
     "similarity",
     "text",
     "multimodal",

@@ -60,6 +60,7 @@ def curate(
     boilerplate_min_docs: Optional[int] = None,
     neardup_threshold: Optional[float] = 0.9,
     dedup_index_path: Optional[str] = None,
+    dedup_index_broadcast: bool = True,
     min_quality: Optional[float] = None,
     max_repetition: Optional[float] = None,
     repetition_n: int = 3,
@@ -131,7 +132,9 @@ def curate(
     if dedup_index_path is not None:
         # incremental mode: this batch vs the persisted corpus index
         # (dedup.save_minhash_index) — runs AFTER internal dedup so only
-        # within-batch representatives pay the broadcast probe
+        # within-batch representatives pay the probe; a backfill-sized
+        # batch sets dedup_index_broadcast=False to keep its banded/gram
+        # frames off the driver
         cross = _dedup.dedup_against_index(
             out,
             dedup_index_path,
@@ -139,6 +142,7 @@ def curate(
             text_col=text_col,
             id_col=id_col,
             banding=index_banding,
+            broadcast=dedup_index_broadcast,
         )
         dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
         out = note("corpus_dedup", out.join(dup_ids, id_col, "left_anti"))

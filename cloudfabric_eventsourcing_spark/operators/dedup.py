@@ -372,8 +372,13 @@ def save_minhash_index(
     grams_df, banded = _grams_and_bands(
         df, num_perm, bands, n, text_col, id_col
     )
-    banded.write.mode(mode).partitionBy("bi").parquet(f"{path}/bands")
+    # grams FIRST, bands second: the three writes are not atomic, and the
+    # verify join in dedup_against_index resolves band candidates against
+    # grams — a band row whose grams are missing would silently drop a
+    # true duplicate, while an orphaned gram row (failure after the grams
+    # write, before the bands write) is unreachable and harmless.
     grams_df.write.mode(mode).parquet(f"{path}/grams")
+    banded.write.mode(mode).partitionBy("bi").parquet(f"{path}/bands")
 
 
 def _read_minhash_meta(spark, path: str) -> tuple[int, int, int]:
@@ -388,17 +393,29 @@ def dedup_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     banding: Optional[tuple] = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and a persisted corpus
     index: (new_id, index_id, jaccard >= threshold).
 
-    Scale shape: the new batch's banded rows are explicitly
-    broadcast — the daily increment is small next to the corpus, so the
-    bucket probe is a broadcast hash join against the index's bands
-    scan (no corpus shuffle, no corpus re-banding).  Candidates dedup
-    to (new, index) id pairs, then exact Jaccard verification joins the
-    new batch's freshly hashed shingles with the index's stored ones —
-    only candidate ids, never the whole corpus, reach the verify join.
+    Scale shape (broadcast=True, the daily-increment default — asserts
+    the batch is small next to the corpus): the batch's banded rows are
+    broadcast, so the bucket probe is a broadcast hash join against the
+    index's bands scan (no corpus shuffle, no corpus re-banding), and
+    exact verification streams the stored grams through two further
+    broadcast hash joins — first against the slim candidate id pairs
+    (which prunes the corpus grams to candidates with NO exchange; the
+    previous shape joined the full grams table and relied on AQE to
+    avoid a corpus-wide shuffle), then against the batch's freshly
+    hashed shingles.  The full plan has zero Exchange nodes over index
+    data (pinned in tests).
+
+    broadcast=False is the large-batch fallback (a backfill the size of
+    the corpus, not a daily increment): every join downgrades to a
+    shuffled hash/sort-merge join on slim keys — the batch's banded and
+    gram frames never transit the driver, mirroring
+    ngram_decontaminate's broadcast_test flag.
+
     Banding parameters come from the index meta, so a query can never
     band differently than the index was built; callers that already
     read the meta pass it as `banding=(num_perm, bands, n)` to skip the
@@ -408,11 +425,12 @@ def dedup_against_index(
     new_grams, new_banded = _grams_and_bands(
         new_df, num_perm, bands, n, text_col, id_col
     )
+    q_banded = F.broadcast(new_banded) if broadcast else new_banded
     idx_banded = spark.read.parquet(f"{path}/bands")
     cand = (
         idx_banded.alias("i")
         .join(
-            F.broadcast(new_banded.alias("q")),
+            q_banded.alias("q"),
             (F.col("i.bi") == F.col("q.bi"))
             & (F.col("i.bh") == F.col("q.bh"))
             & (F.col("i.id") != F.col("q.id")),
@@ -426,7 +444,14 @@ def dedup_against_index(
     gb = spark.read.parquet(f"{path}/grams").select(
         F.col("id").alias("index_id"), F.col("g").alias("gb")
     )
-    pairs = cand.join(F.broadcast(ga), "new_id").join(gb, "index_id")
+    if broadcast:
+        # corpus grams stream through broadcast joins: candidates prune
+        # first (slim id pairs), shingle arrays attach after
+        pairs = gb.join(F.broadcast(cand), "index_id").join(
+            F.broadcast(ga), "new_id"
+        )
+    else:
+        pairs = cand.join(ga, "new_id").join(gb, "index_id")
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size(F.array_union(F.col("ga"), F.col("gb")))
     j = inter / F.greatest(union, F.lit(1))

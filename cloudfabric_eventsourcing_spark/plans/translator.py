@@ -887,23 +887,50 @@ def run_query(
     schema: Optional[ProjectionSchema] = None,
     partition_key: Optional[str] = None,
     partition_key_column: str = "PartitionKey",
+    include_debug_information: bool = False,
 ) -> ProjectionQueryResult[dict]:
     """Full query: records + total_records_found + facets.
 
     The reference issues two round-trips (COUNT + page —
     PostgresqlProjectionRepository.cs:531-579); we share one filtered plan
-    and persist it so the scan runs once for count/page/facets."""
+    and persist it so the scan runs once for count/page/facets.
+
+    `include_debug_information=True` mirrors the reference's opt-in flag
+    (PostgresqlProjectionRepository.cs:619-652 interpolates the translated
+    SQL + parameters into DebugInformation): the result carries the
+    translated Column expressions — the engine's "backend query" — plus
+    the resolved index name and paging, so a user debugging a filter tree
+    sees exactly what ran.  Off by default: building the strings costs a
+    py4j round-trip per expression."""
+    debug: list[str] = []
+
+    def note(label: str, value) -> None:
+        if include_debug_information:
+            debug.append(f"{label}: {value}")
+
+    note(
+        "index",
+        schema.schema_name if schema is not None else "(anonymous dataframe)",
+    )
     filtered = df
     if partition_key is not None:
         filtered = filtered.where(F.col(partition_key_column) == partition_key)
+        note("partition_key", f"{partition_key_column} == {partition_key!r}")
     for f in query.filters:
-        filtered = filtered.where(filter_to_column(f, schema))
+        c = filter_to_column(f, schema)
+        filtered = filtered.where(c)
+        note("filter", c)
     search = search_to_column(
         query.search_text, schema, query.search_mode, query.analyzer,
         query.synonyms,
     )
     if search is not None:
         filtered = filtered.where(search)
+        note(
+            "search",
+            f"mode={query.search_mode} analyzer={query.analyzer} "
+            f"text={query.search_text!r} -> {search}",
+        )
 
     # relevance scoring (opt-in): "tf" is the deterministic oracle-exact
     # profile (score_column); "bm25ish" is the ES-parity float profile
@@ -931,13 +958,16 @@ def run_query(
             # withColumn(None).
             score = F.lit(0.0)
         filtered = filtered.withColumn("__score", score)
+        note("scoring", query.scoring_profile)
 
     filtered = filtered.persist()
     try:
         total = filtered.count()
         page = filtered
         if query.order_by:
-            page = page.orderBy(*sort_columns(query.order_by, schema))
+            sorts = sort_columns(query.order_by, schema)
+            note("order_by", ", ".join(str(s) for s in sorts))
+            page = page.orderBy(*sorts)
         elif scoring:
             # ES semantics: no explicit sort -> by relevance, best first
             tiebreak = (
@@ -948,8 +978,10 @@ def run_query(
             page = page.orderBy(F.desc("__score"), *tiebreak)
         if query.offset:
             page = page.offset(query.offset)
+            note("offset", query.offset)
         if query.limit is not None:
             page = page.limit(query.limit)
+            note("limit", query.limit)
         # P1/P3: hydrate only retrievable schema columns (IsRetrievable —
         # ProjectionDocumentPropertySchema.cs:22; filters/sorts above may
         # still use non-retrievable columns)
@@ -1001,5 +1033,8 @@ def run_query(
     finally:
         filtered.unpersist()
     return ProjectionQueryResult(
-        records=records, total_records_found=total, facets_stats=facets
+        records=records,
+        total_records_found=total,
+        facets_stats=facets,
+        debug_information="\n".join(debug),
     )

@@ -191,11 +191,35 @@ class ProjectionRepository:
         return self._query(index_name, schema, query, partition_key)
 
 
+def _describe_query(index_name, query, partition_key) -> str:
+    """Backend-agnostic debug description (the in-memory analogue of the
+    translated-query text the Spark backend emits): the reference fills
+    DebugInformation with the backend query it ran
+    (PostgresqlProjectionRepository.cs:619-652)."""
+    parts = [f"index: {index_name}"]
+    if partition_key is not None:
+        parts.append(f"partition_key: PartitionKey == {partition_key!r}")
+    parts.extend(f"filter: {f}" for f in query.filters)
+    if query.search_text and query.search_text != "*":
+        parts.append(
+            f"search: mode={query.search_mode} analyzer={query.analyzer} "
+            f"text={query.search_text!r}"
+        )
+    if query.order_by:
+        parts.append(f"order_by: {query.order_by}")
+    if query.offset:
+        parts.append(f"offset: {query.offset}")
+    if query.limit is not None:
+        parts.append(f"limit: {query.limit}")
+    return "\n".join(parts)
+
+
 class InMemoryProjectionRepository(ProjectionRepository):
-    def __init__(self, schema, state_store):
+    def __init__(self, schema, state_store, include_debug_information=False):
         super().__init__(schema, state_store)
         self._indexes: dict[str, dict[tuple[str, str], dict]] = {}
         self._lock = threading.Lock()
+        self._include_debug_information = include_debug_information
 
     def _create_index(self, index_name, schema):
         self._indexes.setdefault(index_name, {})
@@ -279,13 +303,21 @@ class InMemoryProjectionRepository(ProjectionRepository):
             records=[record(d) for d in page],
             total_records_found=total,
             facets_stats=facets,
+            debug_information=(
+                _describe_query(index_name, query, partition_key)
+                if self._include_debug_information
+                else ""
+            ),
         )
 
 
 class ParquetProjectionRepository(ProjectionRepository):
     """Snapshot-parquet backend; requires a SparkSession for queries."""
 
-    def __init__(self, schema, state_store, base_path: str, spark=None):
+    def __init__(
+        self, schema, state_store, base_path: str, spark=None,
+        include_debug_information=False,
+    ):
         super().__init__(schema, state_store)
         self.base_path = base_path
         self.spark = spark
@@ -293,6 +325,7 @@ class ParquetProjectionRepository(ProjectionRepository):
         # re-enters via overwrite_from_df's swap section
         self._lock = threading.RLock()
         self._schemas: dict[str, ProjectionSchema] = {}
+        self._include_debug_information = include_debug_information
 
     # -- snapshot helpers ---------------------------------------------------
     def _dir(self, index_name: str) -> str:
@@ -446,7 +479,10 @@ class ParquetProjectionRepository(ProjectionRepository):
         if path is None:
             return ProjectionQueryResult(records=[], total_records_found=0)
         df = self.spark.read.parquet(path)
-        return spark_run_query(df, query, schema, partition_key)
+        return spark_run_query(
+            df, query, schema, partition_key,
+            include_debug_information=self._include_debug_information,
+        )
 
     def update_documents_expr(
         self,

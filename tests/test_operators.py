@@ -2,6 +2,8 @@
 multimodal plumbing. (Exact dedup/jaccard/minhash/cosine/text operators are
 differential-tested against DuckDB in test_queries_oracle.py.)"""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -226,12 +228,47 @@ def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
         elif b < 100000 <= a:
             want.add((a, b))
     assert got == want and len(got) >= 5
-    # the bucket probe broadcasts the NEW side (no corpus shuffle)
+    # large-batch fallback (broadcast=False): shuffled joins, same pairs
+    got_shuffled = {
+        (r["new_id"], r["index_id"])
+        for r in dedup.dedup_against_index(batch, path, broadcast=False).collect()
+    }
+    assert got_shuffled == want
+    # Plan pin for the broadcast path: the bucket probe broadcasts the
+    # NEW side and the verify join streams the stored grams through
+    # broadcast joins (candidates prune first) — the ONLY shuffle in the
+    # whole plan is the slim candidate-pair dedup; the corpus bands and
+    # grams scans never hit an Exchange (the pre-r05 shape joined the
+    # full grams table and relied on AQE to avoid a corpus shuffle).
     plan = (
         dedup.dedup_against_index(batch, path)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # The structural guarantee: the stored-grams FileScan STREAMS through
+    # the verify joins — no Exchange node sits between it and the plan
+    # root (exchanges elsewhere carry only the small batch or slim
+    # candidate id pairs).
+    lines = plan.splitlines()
+
+    def _depth(line: str) -> int:
+        m = line.find("+- ")
+        return m if m >= 0 else len(line)
+
+    # the grams scan is the FileScan reading (id, g) — the location path
+    # can be elided in toString, the column list is not
+    gi = next(
+        i for i, l in enumerate(lines)
+        if "FileScan parquet [id#" in l and ",g#" in l
+    )
+    d = _depth(lines[gi])
+    for i in range(gi - 1, 0, -1):
+        if _depth(lines[i]) < d:
+            d = _depth(lines[i])
+            assert "Exchange" not in lines[i], (
+                f"stored grams shuffle at: {lines[i].strip()}"
+            )
 
 
 def test_minhash_index_append_and_meta_guard(spark, docs, tmp_path):
@@ -916,6 +953,129 @@ def test_ivf_index_append_grows_searchable_corpus(spark, emb, tmp_path):
     # re-appending the same batch with skip_existing is a no-op
     similarity.append_to_ivf_index(extra, idx, skip_existing=True)
     assert spark.read.parquet(f"{idx}/vectors").count() == 230
+
+
+def _parquet_files(d):
+    import glob as _glob
+
+    return _glob.glob(f"{d}/*.parquet")
+
+
+def _partition_dirs(d):
+    import glob as _glob
+
+    return [p for p in _glob.glob(f"{d}/*=*") if os.path.isdir(p)]
+
+
+def test_compact_minhash_index(spark, docs, tmp_path):
+    """N appends leave N files per band partition; compact_index folds
+    each to one file and the probe's pair set is byte-identical."""
+    from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "mh_compact")
+    ordered = docs.orderBy("doc_id").select("doc_id", "text")
+    dedup.save_minhash_index(ordered.limit(60), path)
+    for lo in (60, 80):
+        extra = ordered.limit(lo + 20).subtract(ordered.limit(lo))
+        dedup.save_minhash_index(extra, path, mode="append")
+    probe = ordered.limit(3).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    before = sorted(
+        tuple(r) for r in dedup.dedup_against_index(probe, path).collect()
+    )
+    assert len(before) >= 3
+    band_parts = _partition_dirs(f"{path}/bands")
+    assert any(len(_parquet_files(p)) > 1 for p in band_parts)
+    assert len(_parquet_files(f"{path}/grams")) > 1
+    report = compact_index(spark, path)
+    assert all(len(_parquet_files(p)) <= 1 for p in band_parts)
+    assert len(_parquet_files(f"{path}/grams")) == 1
+    assert report["bands"]["partitions_compacted"] > 0
+    assert report["grams"]["files_after"] == 1
+    after = sorted(
+        tuple(r) for r in dedup.dedup_against_index(probe, path).collect()
+    )
+    assert after == before
+    # idempotent: a second compact touches nothing
+    report2 = compact_index(spark, path)
+    assert report2["bands"]["partitions_compacted"] == 0
+    assert report2["grams"]["partitions_compacted"] == 0
+
+
+def test_compact_cosine_index(spark, emb, tmp_path):
+    from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "cos_compact")
+    ordered = emb.orderBy("vec_id").select("vec_id", "embedding")
+    dims = len(ordered.select("embedding").first()[0])
+    dedup.save_cosine_index(ordered.limit(100), path, dims=dims, bits=4)
+    extra = ordered.limit(150).subtract(ordered.limit(100))
+    dedup.save_cosine_index(extra, path, dims=dims, bits=4, mode="append")
+    batch = ordered.limit(5).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    before = sorted(
+        tuple(r)
+        for r in dedup.cosine_dedup_against_index(
+            batch, path, threshold=0.999
+        ).collect()
+    )
+    assert len(before) >= 5
+    parts = _partition_dirs(f"{path}/vectors")
+    assert any(len(_parquet_files(p)) > 1 for p in parts)
+    compact_index(spark, path)
+    assert all(len(_parquet_files(p)) <= 1 for p in parts)
+    after = sorted(
+        tuple(r)
+        for r in dedup.cosine_dedup_against_index(
+            batch, path, threshold=0.999
+        ).collect()
+    )
+    assert after == before
+
+
+def test_compact_ivf_index(spark, emb, tmp_path):
+    from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
+        compact_index,
+    )
+
+    idx = str(tmp_path / "ivf_compact")
+    base = emb.orderBy("vec_id").limit(150)
+    cents = similarity.ivf_centroids_from_sample(base, n_cells=8)
+    similarity.save_ivf_index(base, cents, idx)
+    for lo in (150, 180):
+        extra = emb.orderBy("vec_id").limit(lo + 30).subtract(
+            emb.orderBy("vec_id").limit(lo)
+        )
+        similarity.append_to_ivf_index(extra, idx)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    vectors, cents2 = similarity.load_ivf_index(spark, idx)
+    before = [
+        tuple(r)
+        for r in similarity.ivf_topk(vectors, cents2, q, k=5, nprobe=4).collect()
+    ]
+    parts = _partition_dirs(f"{idx}/vectors")
+    assert any(len(_parquet_files(p)) > 1 for p in parts)
+    compact_index(spark, idx)
+    assert all(len(_parquet_files(p)) <= 1 for p in parts)
+    vectors2, cents3 = similarity.load_ivf_index(spark, idx)
+    after = [
+        tuple(r)
+        for r in similarity.ivf_topk(vectors2, cents3, q, k=5, nprobe=4).collect()
+    ]
+    assert after == before
+    assert vectors2.count() == 210
+    # partition pruning still reaches the file listing post-compaction
+    plan = (
+        similarity.ivf_topk(vectors2, cents3, q, k=5, nprobe=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [cell" in plan
 
 
 def test_corpus_report_stats(spark):

@@ -653,6 +653,52 @@ def test_zero_terms_match_nothing_in_all_token_modes(proj):
         ), mode
 
 
+def test_debug_information_populated_on_opt_in(proj):
+    """include_debug_information=True fills the result with the translated
+    Column expressions + resolved index name (the reference's opt-in
+    DebugInformation, PostgresqlProjectionRepository.cs:619-652); default
+    stays empty-string."""
+    nested = Filter("ItemsCount", "ge", 1).and_(
+        Filter("Name", "string-contains", "a").or_(
+            Filter("Name", "string-starts-with", "C")
+        )
+    )
+    q = ProjectionQuery(
+        filters=[nested],
+        order_by=[SortInfo("UpdatedAt", "desc")],
+        limit=10,
+        offset=2,
+    )
+    assert run_query(proj, q, S).debug_information == ""
+    res = run_query(proj, q, S, include_debug_information=True)
+    info = res.debug_information
+    assert info  # non-empty
+    # stable, meaningful content: index name, the translated filter tree,
+    # the sort, and paging all appear
+    assert "index: order_list_projection" in info
+    assert "filter: " in info and "ItemsCount" in info and "Name" in info
+    assert "order_by: " in info and "UpdatedAt" in info and "DESC" in info
+    assert "limit: 10" in info and "offset: 2" in info
+    # deterministic across runs (the "stable" half of the done-bar)
+    res2 = run_query(proj, q, S, include_debug_information=True)
+    assert res2.debug_information == info
+    # both backends opt in through their repository constructors
+    from cloudfabric_eventsourcing_spark.eventstore import (
+        InMemoryMetadataRepository,
+    )
+    from cloudfabric_eventsourcing_spark.projections import (
+        InMemoryProjectionRepository,
+        ProjectionIndexStateStore,
+    )
+
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    repo = InMemoryProjectionRepository(S, state, include_debug_information=True)
+    repo.ensure_index()
+    mem = repo.query(q)
+    assert "index: " in mem.debug_information
+    assert "ItemsCount" in mem.debug_information
+
+
 def test_zero_terms_with_scoring_returns_empty_not_error(proj):
     """Zero analyzed terms + a scoring profile: search_to_column pins the
     empty set via lit(False), but score_column/bm25ish_score return None —
