@@ -569,6 +569,32 @@ def f18_search_phrase_prefix(spark, sf_dir):
 
 
 @q(
+    "f24_search_phrase_slop",
+    # bounded-gap phrase slop: up to 2 intervening tokens per term gap
+    # (the oracle regex replicates translator.phrase_prefix_regex(slop=2)
+    # verbatim — both engines run the same RE2 pattern)
+    "SELECT doc_id FROM documents WHERE "
+    "regexp_matches(lower(text), "
+    "'(^|[^a-z0-9])merge\\s+(\\S+\\s+){0,2}sort') OR "
+    "regexp_matches(lower(source), "
+    "'(^|[^a-z0-9])merge\\s+(\\S+\\s+){0,2}sort')",
+)
+def f24_search_phrase_slop(spark, sf_dir):
+    # ES phrase slop, bounded-gap approximation (the reference searches
+    # with slop 20 — ElasticSearchQueryFactory.cs:11-129): "merge sort"
+    # at slop=2 also matches "merge X sort" / "merge X Y sort", never a
+    # reordering.  Non-vacuous vs f18: at sf0.01 the slop widens the
+    # match set 32 -> 80 docs.
+    df = load_table(spark, sf_dir, "documents")
+    pq_ = ProjectionQuery(
+        search_text="merge sort",
+        search_mode="phrase_prefix",
+        phrase_slop=2,
+    )
+    return apply_query(df, pq_, documents_schema()).select("doc_id")
+
+
+@q(
     "f16_search_tokenized",
     "SELECT doc_id FROM documents WHERE "
     "(lower(text) LIKE '%merge%' OR lower(source) LIKE '%merge%') AND "
@@ -2745,6 +2771,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - h13_cube_revenue: F.cube compiles to the same Expand+Aggregate
 #     machinery as the in-window h7_rollup_revenue's F.rollup; the query
 #     function is unchanged since its r03 green row.
+#   - h20_brand_size_quantity_revenue: displaced by the round-5 addition
+#     f24_search_phrase_slop (new entries take a slot on day one); same
+#     pushed-part-filter + broadcast part<->lineitem filtered-agg leaves
+#     as the in-window h18_small_quantity_revenue, code unchanged since
+#     its r03 green row.
 # Any query ADDED in round 5 must take a window slot on day one (pinned by
 # test_registry_invariants), displacing the next safest aging entry.
 _VERIFY_FIRST = [
@@ -2759,6 +2790,7 @@ _VERIFY_FIRST = [
     "f20_search_highlights",
     "f21_search_fuzzy",
     "f22_search_synonyms",
+    "f24_search_phrase_slop",  # NEW in r05 — window slot on day one
     # --- r03 rows: text operators ---
     "t05_rarity_weighted_scores",
     "t06_repetition_stats",
@@ -2797,7 +2829,6 @@ _VERIFY_FIRST = [
     "h17_top_supplier_revenue",
     "h18_small_quantity_revenue",
     "h19_forecast_discount_revenue",
-    "h20_brand_size_quantity_revenue",
     "h21_major_revenue_nations",
     "h22_min_price_supplier",
     "h23_market_share",
@@ -2808,6 +2839,7 @@ _VERIFY_FIRST = [
     # -- driver window ends here (position 50) --
     "w02_sliding_window",
     "h13_cube_revenue",
+    "h20_brand_size_quantity_revenue",
 ]
 
 

@@ -225,6 +225,8 @@ def corpus_report(
     docs: DataFrame,
     text_col: str = "text",
     lang_col: Optional[str] = None,
+    approximate: bool = False,
+    accuracy: int = 10_000,
 ) -> dict:
     """Dataset-card statistics for a (curated) corpus — the report a
     training pipeline emits before a run: document/token totals, token-
@@ -236,6 +238,14 @@ def corpus_report(
     not sampled) and the language histogram both read that projection.
     Exact global percentiles cannot merge from per-group ones, so two
     aggregates over the 2-column frame is the cheapest exact shape.
+
+    `approximate=True` swaps the sort-based percentiles for
+    approx_percentile (KLL-style mergeable sketch at the given
+    `accuracy`, default 1/10000 relative rank error) — the 100 TB
+    opt-out: exact global percentiles force a single-reducer sort of
+    one int64 per document, the sketch merges map-side and never
+    concentrates the column on one task.  Everything else in the report
+    is unchanged (count/sum/min/max/histogram are already mergeable).
     Languages come from the stored `lang_col` when given, else the
     heuristic language id.  NULL text counts as 0 tokens, same as the
     empty string.  Returns a plain dict; callers serialize it next to
@@ -260,7 +270,14 @@ def corpus_report(
             F.sum("__n").alias("total_tokens"),
             F.min("__n").alias("min_tokens"),
             F.max("__n").alias("max_tokens"),
-            F.expr("percentile(__n, array(0.5, 0.9, 0.99))").alias("pct"),
+            (
+                F.expr(
+                    "approx_percentile(__n, array(0.5, 0.9, 0.99), "
+                    f"{int(accuracy)})"
+                )
+                if approximate
+                else F.expr("percentile(__n, array(0.5, 0.9, 0.99))")
+            ).alias("pct"),
         ).collect()[0]
         pct = agg["pct"]
         langs = {

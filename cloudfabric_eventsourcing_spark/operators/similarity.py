@@ -295,3 +295,92 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{path}/vectors"
     )
+
+
+def ivf_index_report(spark, path: str, vec_col: str = "embedding") -> dict:
+    """Cell-size and drift report on a persisted IVF index — the retrain
+    signal `append_to_ivf_index`'s docstring promises the caller.
+
+    ONE scan of the stored vectors (the tiny centroid table broadcasts):
+    per-cell vector count, parquet file count (the small-file /
+    compact_index signal — appends add a file per touched cell per
+    batch), and the mean cosine of each vector to its OWN centroid
+    (assignment quality: drifted appends land far from every trained
+    centroid and pull this down, which is exactly when recall-per-probe
+    degrades and a save_ivf_index retrain pays for itself).
+
+    Summary metrics:
+      imbalance      max cell size / (total / n_cells) — 1.0 is uniform;
+                     probe cost is driven by the largest probed cell, so
+                     this is the tail-latency multiplier.
+      size_cv        std/mean of cell sizes (0 = uniform).
+      mean_cos_to_centroid   vector-weighted global mean.
+      min_cell_mean_cos      the worst cell's mean (drift shows here
+                             first when appends drift locally).
+    Per-cell rows come back as `cells` (bounded by n_cells — the same
+    driver-side bound load_ivf_index already accepts for centroids)."""
+    vectors, centroids = load_ivf_index(spark, path)
+    n_cells = len(centroids)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cos = _dot(F.col(vec_col), F.col("centroid")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("centroid"))
+    )
+    per_cell = (
+        vectors.select("cell", vec_col, F.input_file_name().alias("__file"))
+        .join(F.broadcast(cent_df), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("__file").alias("files"),
+            F.avg(cos).alias("mean_cos"),
+        )
+        .orderBy("cell")
+        .collect()
+    )
+    sizes = [int(r["n"]) for r in per_cell]
+    total = sum(sizes)
+    mean_size = total / n_cells if n_cells else 0.0
+    if sizes and mean_size:
+        var = sum((s - mean_size) ** 2 for s in sizes) / n_cells
+        # empty cells count toward the variance: they ARE imbalance
+        var += (n_cells - len(sizes)) * mean_size**2
+        cv = (var**0.5) / mean_size
+        imbalance = max(sizes) / mean_size
+    else:
+        cv, imbalance = 0.0, 0.0
+    w_cos = (
+        sum(int(r["n"]) * float(r["mean_cos"]) for r in per_cell) / total
+        if total
+        else 0.0
+    )
+    return {
+        "n_cells": n_cells,
+        "populated_cells": len(sizes),
+        "empty_cells": n_cells - len(sizes),
+        "total_vectors": total,
+        "min_cell": min(sizes) if sizes else 0,
+        "max_cell": max(sizes) if sizes else 0,
+        "mean_cell": mean_size,
+        "imbalance": imbalance,
+        "size_cv": cv,
+        "mean_cos_to_centroid": w_cos,
+        "min_cell_mean_cos": (
+            min(float(r["mean_cos"]) for r in per_cell) if per_cell else 0.0
+        ),
+        "total_files": sum(int(r["files"]) for r in per_cell),
+        "max_files_per_cell": (
+            max(int(r["files"]) for r in per_cell) if per_cell else 0
+        ),
+        "cells": [
+            {
+                "cell": int(r["cell"]),
+                "n": int(r["n"]),
+                "files": int(r["files"]),
+                "mean_cos": float(r["mean_cos"]),
+            }
+            for r in per_cell
+        ],
+    }

@@ -137,6 +137,7 @@ def eval_search(
     mode: str = "substring",
     analyzer: str = "whitespace",
     synonyms: Optional[dict] = None,
+    phrase_slop: int = 0,
 ) -> bool:
     if not search_text or search_text == "*" or schema is None:
         return True
@@ -265,7 +266,7 @@ def eval_search(
             phrase_prefix_regex,
         )
 
-        pattern = phrase_prefix_regex(needle)
+        pattern = phrase_prefix_regex(needle, phrase_slop)
         if pattern is None:
             return True
         rx = re.compile(pattern)
@@ -370,11 +371,16 @@ def bm25ish_stats(
     schema: Optional[ProjectionSchema],
     mode: str = "substring",
     analyzer: str = "whitespace",
+    per_field: bool = False,
 ) -> dict:
     """Corpus statistics for the bm25ish profile computed the Python way:
     N, avg searchable-token doc length, per-term document frequency
     (df_t = docs where the term substring-matches any searchable field —
-    the same _term_column predicate the Spark side counts)."""
+    the same _term_column predicate the Spark side counts).
+
+    per_field=True adds the field-granular stats the ES-parity variant
+    needs: avgdl_f[path] and df_f[path][term] (the single-field
+    _field_term_pred / _field_dl_column counterparts)."""
     from cloudfabric_eventsourcing_spark.plans.translator import (
         tokenize_terms,
     )
@@ -396,22 +402,63 @@ def bm25ish_stats(
         )
         for t in terms
     }
-    return {"n": n, "avgdl": avgdl or 1.0, "df": dfs, "terms": terms}
+    stats = {"n": n, "avgdl": avgdl or 1.0, "df": dfs, "terms": terms}
+    if per_field:
+        paths = [p for p in schema.searchable_paths()] if schema else []
+        stats["avgdl_f"] = {
+            p: ((sum(_field_dl(d, p) for d in docs) / n) or 1.0)
+            if n
+            else 1.0
+            for p in paths
+        }
+        stats["df_f"] = {
+            p: {
+                t: sum(1 for d in docs if _field_matches(d, p, t))
+                for t in terms
+            }
+            for p in paths
+        }
+    return stats
+
+
+def _field_values(doc: dict, path: str) -> list:
+    """The value(s) one searchable path yields for a doc (array fields
+    fan out over elements) — the shared base of the per-field mirrors."""
+    head, _, rest = path.partition(".")
+    head_val = _get_path(doc, head)
+    if rest and isinstance(head_val, list):
+        return [_get_path(e, rest) for e in head_val]
+    return [_get_path(doc, path)]
+
+
+def _field_occurrences(doc: dict, path: str, term: str) -> float:
+    total = 0.0
+    for v in _field_values(doc, path):
+        if v is None:
+            continue
+        s = str(v).lower()
+        total += (len(s) - len(s.replace(term, ""))) / len(term)
+    return total
+
+
+def _field_dl(doc: dict, path: str) -> int:
+    return sum(
+        len(str(v).lower().split())
+        for v in _field_values(doc, path)
+        if v is not None
+    )
+
+
+def _field_matches(doc: dict, path: str, term: str) -> bool:
+    return any(
+        term in str(v).lower()
+        for v in _field_values(doc, path)
+        if v is not None
+    )
 
 
 def _doc_length(doc: dict, schema: ProjectionSchema) -> int:
-    total = 0
-    for path in schema.searchable_paths():
-        head, _, rest = path.partition(".")
-        head_val = _get_path(doc, head)
-        if rest and isinstance(head_val, list):
-            vals = [_get_path(e, rest) for e in head_val]
-        else:
-            vals = [_get_path(doc, path)]
-        for v in vals:
-            if v is not None:
-                total += len(str(v).lower().split())
-    return total
+    return sum(_field_dl(doc, path) for path in schema.searchable_paths())
 
 
 def bm25ish_score_doc(
@@ -423,18 +470,37 @@ def bm25ish_score_doc(
     analyzer: str = "whitespace",
     k1: float = 1.2,
     b: float = 0.75,
+    per_field: bool = False,
+    combine: str = "best_fields",
 ) -> float:
     """Arithmetic mirror of translator.bm25ish_score on precomputed
-    `stats` (bm25ish_stats) — the differential pin for the float
-    profile, which is excluded from hash oracles."""
+    `stats` (bm25ish_stats, same per_field flag) — the differential pin
+    for the float profile, which is excluded from hash oracles."""
     import math
 
     if not search_text or search_text == "*" or schema is None:
         return 0.0
     n = stats["n"]
+    total = 0.0
+    if per_field:
+        fields = list(schema.searchable_path_boosts())
+        for term in stats["terms"]:
+            field_scores = []
+            for path, boost in fields:
+                df_t = stats["df_f"][path].get(term, 0)
+                idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+                avgdl = stats["avgdl_f"][path] or 1.0
+                tf = _field_occurrences(doc, path, term)
+                dl = _field_dl(doc, path)
+                denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+                field_scores.append(boost * idf * tf * (k1 + 1.0) / denom)
+            if combine == "best_fields":
+                total += max(field_scores) if field_scores else 0.0
+            else:
+                total += sum(field_scores)
+        return total
     avgdl = stats["avgdl"]
     dl = _doc_length(doc, schema)
-    total = 0.0
     for term in stats["terms"]:
         df_t = stats["df"].get(term, 0)
         idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
@@ -515,7 +581,7 @@ def run_query_docs(
         if all(eval_filter(f, d, schema) for f in query.filters)
         and eval_search(
                     query.search_text, d, schema, query.search_mode,
-                    query.analyzer, query.synonyms,
+                    query.analyzer, query.synonyms, query.phrase_slop,
                 )
     ]
     total = len(filtered)

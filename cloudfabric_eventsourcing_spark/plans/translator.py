@@ -263,17 +263,29 @@ def analyzed_tokens(col: Column, analyzer: Optional[str]) -> Column:
     return F.filter(F.flatten(shattered), lambda t: t != F.lit(""))
 
 
-def phrase_prefix_regex(search_text: str) -> Optional[str]:
+def phrase_prefix_regex(search_text: str, slop: int = 0) -> Optional[str]:
     """Regex for ES match_phrase_prefix semantics: the terms must appear
     consecutively (any whitespace between them), the first term starts at
     a word boundary, the last term is an open prefix. Same pattern works
-    in Spark RLIKE and DuckDB regexp_matches (both RE2-ish)."""
+    in Spark RLIKE and DuckDB regexp_matches (both RE2-ish).
+
+    slop > 0 approximates ES phrase slop (the reference searches with
+    slop 20 — ElasticSearchQueryFactory.cs:11-129) as a bounded gap: up
+    to `slop` intervening whitespace tokens are allowed between EACH
+    adjacent term pair.  Documented divergence from ES's positional
+    model: ES's budget is TOTAL movement across the phrase and (at
+    slop >= 2) admits transpositions; the per-gap form is more
+    permissive on gaps, never reorders, and stays one RLIKE — no
+    positional index needed."""
     import re as _re
 
     terms = [t for t in (search_text or "").lower().split() if t]
     if not terms:
         return None
-    return "(^|[^a-z0-9])" + "\\s+".join(_re.escape(t) for t in terms)
+    sep = (
+        "\\s+" if slop <= 0 else "\\s+(\\S+\\s+){0,%d}" % int(slop)
+    )
+    return "(^|[^a-z0-9])" + sep.join(_re.escape(t) for t in terms)
 
 
 def _effective_synonyms(
@@ -312,6 +324,7 @@ def search_to_column(
     mode: str = "substring",
     analyzer: str = "whitespace",
     synonyms: Optional[dict] = None,
+    phrase_slop: int = 0,
 ) -> Optional[Column]:
     """Full-text search predicate (F13).
 
@@ -412,7 +425,7 @@ def search_to_column(
             acc = term_pred if acc is None else (acc & term_pred)
         return acc
     if mode == "phrase_prefix":
-        pattern = phrase_prefix_regex(needle)
+        pattern = phrase_prefix_regex(needle, phrase_slop)
         if pattern is None:
             return None
         acc = None
@@ -547,6 +560,42 @@ def _term_tf_column(term: str, schema: ProjectionSchema) -> Column:
     return acc
 
 
+def _field_term_pred(path: str, term: str, schema: ProjectionSchema) -> Column:
+    """`term` substring-matches ONE searchable field (array fields via
+    exists) — the single-field slice of _term_column, used for per-field
+    document frequencies."""
+    array_root, remainder, _ = _resolve_path(path, schema)
+    if array_root is not None:
+        return F.exists(F.col(array_root), _contains_lambda(remainder, term))
+    return F.lower(F.col(path)).contains(term)
+
+
+def _field_tf_column(path: str, term: str, schema: ProjectionSchema) -> Column:
+    """Unboosted occurrence count of `term` in ONE searchable field —
+    the per-field tf of the ES-parity bm25ish variant."""
+    array_root, remainder, _ = _resolve_path(path, schema)
+    if array_root is not None:
+        return F.aggregate(
+            F.coalesce(F.col(array_root), F.array()),
+            F.lit(0.0),
+            _sum_occurrences_lambda(remainder, term),
+        )
+    return _occurrence_count(F.col(path), term)
+
+
+def _field_dl_column(path: str, schema: ProjectionSchema) -> Column:
+    """Whitespace token count of ONE searchable field (array fields sum
+    over elements) — the per-field dl of the ES-parity bm25ish variant."""
+    array_root, remainder, _ = _resolve_path(path, schema)
+    if array_root is not None:
+        return F.aggregate(
+            F.coalesce(F.col(array_root), F.array()),
+            F.lit(0),
+            _sum_token_count_lambda(remainder),
+        )
+    return F.size(analyzed_tokens(F.col(path), None))
+
+
 def _doc_length_column(schema: ProjectionSchema) -> Column:
     """Whitespace token count over all searchable columns (array fields
     sum over elements) — the `dl` of the bm25ish saturation term."""
@@ -577,6 +626,8 @@ def bm25ish_score(
     analyzer: str = "whitespace",
     k1: float = 1.2,
     b: float = 0.75,
+    per_field: bool = False,
+    combine: str = "best_fields",
 ) -> Optional[Column]:
     """BM25-grade scoring profile (ProjectionQuery.scoring_profile ==
     "bm25ish"): sum over terms of
@@ -585,21 +636,33 @@ def bm25ish_score(
 
     with idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) — the shape the
     reference's ES backend scores with (BM25,
-    ElasticSearchProjectionIndexer.cs:64-271), using this engine's
-    boost-weighted cross-field TF in place of ES's per-field TFs (hence
-    "-ish" — a documented divergence like the "tf" profile itself).
+    ElasticSearchProjectionIndexer.cs:64-271).
 
-    Corpus statistics (N, per-term document frequency, avg doc length
-    over searchable text) come from ONE aggregate pass over `df` — the
-    projection index, as ES computes idf over the index, not the
-    filtered result — collected as a single driver row; idf becomes a
-    Python float constant, so the per-row plan is pure arithmetic.
+    per_field=False (default): this engine's boost-weighted CROSS-FIELD
+    TF stands in for ES's per-field TFs (hence "-ish" — a documented
+    divergence like the "tf" profile itself).
+
+    per_field=True: ES-parity field granularity — every searchable field
+    scores its own BM25 (its own tf, dl, avgdl, and df over the index),
+    multiplied by its schema boost exactly as ES applies field^boost;
+    per term the field scores combine as `combine`:
+      "best_fields" (ES multi_match default / dis_max): greatest().
+      "most_fields": sum across fields.
+    Terms still sum (operator-AND query).
+
+    Corpus statistics (N, per-(field,)term document frequency, avg doc
+    length) come from ONE aggregate pass over `df` — the projection
+    index, as ES computes idf over the index, not the filtered result —
+    collected as a single driver row; idf becomes a Python float
+    constant, so the per-row plan is pure arithmetic.
 
     log() + float math => deliberately EXCLUDED from the hash-compared
     oracle entries; pinned instead by the pytest differential against
     pyeval.bm25ish_score_doc on identical stats."""
     if not search_text or search_text == "*" or schema is None:
         return None
+    if combine not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown combine {combine!r}")
     needle = search_text.lower()
     terms = [
         t
@@ -610,6 +673,48 @@ def bm25ish_score(
     ]
     if not terms:
         return None
+    import math
+
+    if per_field:
+        fields = list(schema.searchable_path_boosts())
+        dls = {p: _field_dl_column(p, schema) for p, _ in fields}
+        stats_row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(dls[p]).alias(f"avgdl_{fi}") for fi, (p, _) in enumerate(fields)],
+            *[
+                F.sum(
+                    F.when(
+                        _field_term_pred(p, t, schema), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(f"df_{fi}_{ti}")
+                for fi, (p, _) in enumerate(fields)
+                for ti, t in enumerate(terms)
+            ],
+        ).collect()[0]
+        n = stats_row["n"] or 0
+        acc: Optional[Column] = None
+        for ti, term in enumerate(terms):
+            field_scores = []
+            for fi, (path, boost) in enumerate(fields):
+                df_t = int(stats_row[f"df_{fi}_{ti}"] or 0)
+                idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+                avgdl = float(stats_row[f"avgdl_{fi}"] or 1.0) or 1.0
+                tf = _field_tf_column(path, term, schema)
+                denom = tf + F.lit(k1) * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * dls[path].cast("double") / F.lit(avgdl)
+                )
+                s = F.lit(idf) * tf * F.lit(k1 + 1.0) / denom
+                field_scores.append(s * F.lit(float(boost)) if boost != 1.0 else s)
+            if combine == "best_fields" and len(field_scores) > 1:
+                term_score = F.greatest(*field_scores)
+            else:
+                term_score = field_scores[0]
+                for s in field_scores[1:]:
+                    term_score = term_score + s
+            acc = term_score if acc is None else (acc + term_score)
+        return acc
+
     dl = _doc_length_column(schema)
     stats_row = df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -623,9 +728,8 @@ def bm25ish_score(
     ).collect()[0]
     n = stats_row["n"] or 0
     avgdl = float(stats_row["avgdl"] or 1.0) or 1.0
-    import math
 
-    acc: Optional[Column] = None
+    acc = None
     for i, term in enumerate(terms):
         df_t = int(stats_row[f"df_{i}"] or 0)
         idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
@@ -736,7 +840,7 @@ def apply_query(
         df = df.where(filter_to_column(f, schema))
     search = search_to_column(
         query.search_text, schema, query.search_mode, query.analyzer,
-        query.synonyms,
+        query.synonyms, query.phrase_slop,
     )
     if search is not None:
         df = df.where(search)
@@ -922,7 +1026,7 @@ def run_query(
         note("filter", c)
     search = search_to_column(
         query.search_text, schema, query.search_mode, query.analyzer,
-        query.synonyms,
+        query.synonyms, query.phrase_slop,
     )
     if search is not None:
         filtered = filtered.where(search)
@@ -935,15 +1039,19 @@ def run_query(
     # relevance scoring (opt-in): "tf" is the deterministic oracle-exact
     # profile (score_column); "bm25ish" is the ES-parity float profile
     # (bm25ish_score — corpus stats over the INDEX frame `df`, the frame
-    # before filters, as ES computes idf over the index)
+    # before filters, as ES computes idf over the index);
+    # "bm25ish_per_field" scores each field's own BM25 and dis_max-es
+    # them per term (ES best_fields granularity)
     scoring = (
-        query.scoring_profile in ("tf", "bm25ish") and search is not None
+        query.scoring_profile in ("tf", "bm25ish", "bm25ish_per_field")
+        and search is not None
     )
     if scoring:
-        if query.scoring_profile == "bm25ish":
+        if query.scoring_profile in ("bm25ish", "bm25ish_per_field"):
             score = bm25ish_score(
                 df, query.search_text, schema, query.search_mode,
                 query.analyzer,
+                per_field=query.scoring_profile == "bm25ish_per_field",
             )
         else:
             score = score_column(

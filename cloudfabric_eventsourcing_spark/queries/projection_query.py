@@ -105,6 +105,13 @@ class ProjectionQuery:
     #: (0 edits <3 chars, 1 for 3-5, 2 above) — query_string fuzziness.
     #: "phrase_prefix": consecutive terms, last term an open prefix.
     search_mode: str = "substring"
+    #: Bounded-gap budget for "phrase_prefix": up to this many intervening
+    #: whitespace tokens allowed between each adjacent term pair (the
+    #: reference's ES search uses phrase slop 20 —
+    #: ElasticSearchQueryFactory.cs:11-129).  0 = strictly consecutive.
+    #: Per-gap approximation of ES's total-movement slop; never reorders
+    #: (documented divergence, translator.phrase_prefix_regex).
+    phrase_slop: int = 0
     #: Term tokenizer for tokenized search: "whitespace" (default),
     #: "uax_url_email" (punctuation-split EXCEPT emails/URLs stay whole —
     #: the reference's url-email-analyzer,

@@ -237,6 +237,8 @@ def serialize_query(query: ProjectionQuery) -> str:
     # stay byte-identical to the reference's wire format
     if query.search_mode and query.search_mode != "substring":
         qs += f"&searchMode={query.search_mode}"
+    if query.phrase_slop:
+        qs += f"&phraseSlop={query.phrase_slop}"
     if query.analyzer and query.analyzer != "whitespace":
         qs += f"&analyzer={query.analyzer}"
     if query.synonyms:
@@ -300,6 +302,8 @@ def deserialize_query(qs: str) -> ProjectionQuery:
         query.search_text = first("searchText")
     if first("searchMode"):
         query.search_mode = first("searchMode")
+    if first("phraseSlop"):
+        query.phrase_slop = int(first("phraseSlop"))
     if first("analyzer"):
         query.analyzer = first("analyzer")
     if first("synonyms"):

@@ -15,6 +15,8 @@ columns.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,6 +83,24 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
 # fixtures, so reusing the analyzed plan is safe.  Deliberately NOT in
 # load_parquet, whose callers may re-read paths they just rewrote.
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def invalidate_table_cache(path: Optional[str] = None) -> int:
+    """Drop cached analyzed DataFrames — ALL entries, or just those whose
+    parquet path starts with `path` (a table file or a whole sf dir).
+
+    The cache assumes sf dirs are immutable fixtures; any caller that
+    rewrites a table's parquet within the same Spark application must
+    invalidate here first or load_table hands back a stale plan/schema.
+    Returns the number of entries dropped."""
+    if path is None:
+        n = len(_TABLE_CACHE)
+        _TABLE_CACHE.clear()
+        return n
+    doomed = [k for k in _TABLE_CACHE if k[1].startswith(path)]
+    for k in doomed:
+        del _TABLE_CACHE[k]
+    return len(doomed)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1191,3 +1191,105 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
     # global order reconstructs from shard-order + file order per shard
     rows = back.orderBy("shard", "position").select("position").collect()
     assert [r["position"] for r in rows] == list(range(n_docs))
+
+
+def test_ivf_index_report_flags_drifted_append(spark, emb, tmp_path):
+    """ivf_index_report is the retrain signal append_to_ivf_index's
+    docstring promises: a drifted append (vectors far from every trained
+    centroid, landing in one cell) shows up as rising imbalance, a
+    falling cosine-to-own-centroid, and per-cell file growth — and
+    compact_index folds the files without touching the metrics."""
+    import numpy as np
+
+    idx = str(tmp_path / "ivf_drift")
+    base = emb.orderBy("vec_id").limit(200)
+    cents = similarity.ivf_centroids_from_sample(base, n_cells=8)
+    similarity.save_ivf_index(base, cents, idx)
+    r1 = similarity.ivf_index_report(spark, idx)
+    assert r1["n_cells"] == 8 and r1["total_vectors"] == 200
+    assert r1["max_files_per_cell"] >= 1
+    assert 0 < r1["mean_cos_to_centroid"] <= 1.0
+
+    # drifted batch: a unit vector from the centroids' null space (cos ~0
+    # to every trained centroid) plus a small pull toward centroid 0 so
+    # the whole batch lands in ONE cell — local drift, the worst shape
+    c = np.asarray(cents, dtype=np.float64)
+    _, _, vt = np.linalg.svd(c)
+    v_orth = vt[-1]  # orthogonal to all 8 centroids (64 dims >> 8)
+    c0 = c[0] / np.linalg.norm(c[0])
+    rows = []
+    for i in range(100):
+        v = v_orth.copy()
+        v[i % 64] += 1e-4 * (i + 1)  # deterministic de-duplication jitter
+        v = v + 0.2 * c0
+        rows.append((100_000 + i, [float(x) for x in v]))
+    drifted = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    similarity.append_to_ivf_index(drifted, idx)
+
+    r2 = similarity.ivf_index_report(spark, idx)
+    assert r2["total_vectors"] == 300
+    assert r2["imbalance"] > r1["imbalance"]
+    assert r2["mean_cos_to_centroid"] < r1["mean_cos_to_centroid"]
+    assert r2["min_cell_mean_cos"] < r1["min_cell_mean_cos"]
+    # the append wrote a second file into the touched cell
+    assert r2["max_files_per_cell"] >= 2
+    # the drifted mass concentrated: some cell grew by the whole batch
+    assert r2["max_cell"] >= r1["max_cell"] + 100 or r2["max_cell"] >= 100
+
+    # compaction folds files, changes no statistic
+    from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
+        compact_index,
+    )
+
+    compact_index(spark, idx)
+    r3 = similarity.ivf_index_report(spark, idx)
+    assert r3["max_files_per_cell"] == 1
+    for k in ("total_vectors", "imbalance", "min_cell", "max_cell"):
+        assert r3[k] == r2[k], k
+    assert abs(r3["mean_cos_to_centroid"] - r2["mean_cos_to_centroid"]) < 1e-9
+
+
+def test_corpus_report_approximate(spark, docs):
+    """corpus_report(approximate=True) swaps exact percentiles for the
+    mergeable approx_percentile sketch (the 100 TB opt-out — exact
+    global percentiles funnel one value per doc into a single-reducer
+    sort); every other field is identical, and at default accuracy on a
+    small corpus the percentiles agree with exact to the row."""
+    from cloudfabric_eventsourcing_spark.operators.curation import corpus_report
+
+    exact = corpus_report(docs)
+    approx = corpus_report(docs, approximate=True)
+    for k in ("n_docs", "total_tokens", "min_tokens", "max_tokens",
+              "mean_tokens", "languages"):
+        assert approx[k] == exact[k], k
+    # approx_percentile returns an observed value; allow the adjacent-rank
+    # wiggle at sketch accuracy, which on 500 docs is ~exact
+    for k in ("p50_tokens", "p90_tokens", "p99_tokens"):
+        assert abs(approx[k] - exact[k]) <= max(2.0, 0.02 * exact[k]), k
+
+
+def test_invalidate_table_cache(spark, tmp_path):
+    """load_table memoizes analyzed plans (bench plan-build win); a
+    caller that rewrites a table in the same application must be able to
+    drop the stale entry — prefix-scoped or wholesale."""
+    from cloudfabric_eventsourcing_spark.sources import (
+        invalidate_table_cache,
+        load_table,
+    )
+
+    d = str(tmp_path)
+    spark.range(5).toDF("x").write.parquet(f"{d}/t.parquet")
+    df1 = load_table(spark, d, "t")
+    assert load_table(spark, d, "t") is df1  # memoized
+    spark.range(9).toDF("x").write.mode("overwrite").parquet(f"{d}/t.parquet")
+    assert invalidate_table_cache(f"{d}/t.parquet") == 1
+    df2 = load_table(spark, d, "t")
+    assert df2 is not df1 and df2.count() == 9
+    # path-scoped invalidation leaves unrelated entries alone
+    spark.range(3).toDF("x").write.parquet(f"{d}/u.parquet")
+    load_table(spark, d, "u")
+    assert invalidate_table_cache(f"{d}/t.parquet") == 1
+    assert invalidate_table_cache(f"{d}/t.parquet") == 0
+    assert invalidate_table_cache() >= 1  # full clear takes the rest

@@ -1077,3 +1077,173 @@ def test_cluster_conf_profile_applies(spark):
     )
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64m"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_phrase_slop(proj):
+    """Bounded-gap phrase slop (the reference's ES search uses phrase
+    slop 20 — ElasticSearchQueryFactory.cs:11-129): up to `phrase_slop`
+    intervening tokens between each adjacent term pair; never reorders."""
+    def total(text, slop=0):
+        return run_query(
+            proj,
+            ProjectionQuery(
+                search_text=text, search_mode="phrase_prefix",
+                phrase_slop=slop,
+            ),
+            S,
+        ).total_records_found
+
+    # "first order" is non-consecutive in "First queryable order":
+    # slop=0 misses, slop=1 bridges the one-token gap
+    assert total("first order", 0) == 0
+    assert total("first order", 1) == 1
+    # "second parameter" needs a 4-token bridge in o-2's Name
+    assert total("second parameter", 3) == 0
+    assert total("second parameter", 4) == 1
+    # the last term stays an open prefix under slop
+    assert total("first ord", 1) == 1
+    # slop widens gaps but never reorders
+    assert total("order first", 5) == 0
+    # pyeval parity
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    doc = {"Name": "First queryable order", "Items": [], "CreatedBy": {}}
+    assert eval_search(
+        "first order", doc, S, mode="phrase_prefix", phrase_slop=1
+    )
+    assert not eval_search(
+        "first order", doc, S, mode="phrase_prefix", phrase_slop=0
+    )
+    assert not eval_search(
+        "order first", doc, S, mode="phrase_prefix", phrase_slop=5
+    )
+    # wire codec round-trip; default stays off the wire
+    from cloudfabric_eventsourcing_spark.queries import querystring as qs
+
+    q1 = ProjectionQuery(
+        search_text="first order", search_mode="phrase_prefix", phrase_slop=2
+    )
+    wire = qs.serialize_query(q1)
+    assert "phraseSlop=2" in wire
+    assert qs.deserialize_query(wire).phrase_slop == 2
+    assert "phraseSlop" not in qs.serialize_query(
+        ProjectionQuery(search_text="x")
+    )
+
+
+def test_bm25ish_per_field_differential(proj):
+    """scoring_profile="bm25ish_per_field" (ES-parity field granularity,
+    Missing-item #2 of VERDICT r04): every searchable field scores its
+    own BM25 over its own tf/dl/avgdl/df, the schema boost multiplies
+    the field score, and fields combine per term as ES best_fields
+    (dis_max).  Differential against the per_field pyeval mirror,
+    including boost interplay."""
+    import math
+
+    from cloudfabric_eventsourcing_spark.plans.pyeval import (
+        bm25ish_score_doc,
+        bm25ish_stats,
+    )
+
+    schema = order_schema()
+    for p in schema.properties:
+        if p.name == "Name":
+            p.searchable_boost = 4.0
+    q = ProjectionQuery(
+        search_text="queryable order",
+        search_mode="tokenized",
+        scoring_profile="bm25ish_per_field",
+    )
+    res = run_query(proj, q, schema)
+    assert {r.document["Id"] for r in res.records} == {"o-1", "o-2"}
+    assert all(r.score is not None and r.score > 0 for r in res.records)
+    docs = [r.document for r in run_query(proj, ProjectionQuery(), schema).records]
+    stats = bm25ish_stats(
+        q.search_text, docs, schema, q.search_mode, "whitespace",
+        per_field=True,
+    )
+    for r in res.records:
+        want = bm25ish_score_doc(
+            q.search_text, r.document, schema, stats, q.search_mode,
+            "whitespace", per_field=True,
+        )
+        assert abs(r.score - want) < 1e-9, (r.document["Id"], r.score, want)
+    # boost interplay: both terms live ONLY in the boosted Name field, so
+    # the whole score scales by exactly 4 vs the unboosted schema
+    plain = run_query(
+        proj,
+        ProjectionQuery(
+            search_text="queryable order", search_mode="tokenized",
+            scoring_profile="bm25ish_per_field",
+        ),
+        S,
+    )
+    plain_scores = {r.document["Id"]: r.score for r in plain.records}
+    for r in res.records:
+        assert abs(r.score - 4.0 * plain_scores[r.document["Id"]]) < 1e-9
+
+
+def test_bm25ish_per_field_combine_modes(spark):
+    """best_fields (dis_max) vs most_fields on a doc where one term hits
+    TWO fields: best takes the larger field score, most sums them — the
+    distinction the cross-field default cannot express."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import (
+        bm25ish_score_doc,
+        bm25ish_stats,
+    )
+    from cloudfabric_eventsourcing_spark.plans.translator import bm25ish_score
+
+    schema = ProjectionSchema(
+        "two_fields",
+        [
+            PropertySchema("Id", GUID, is_key=True),
+            PropertySchema("Title", STRING, is_searchable=True),
+            PropertySchema("Body", STRING, is_searchable=True),
+        ],
+    )
+    df = spark.createDataFrame(
+        [
+            ("d-1", "alpha news", "alpha story about beta"),
+            ("d-2", "gamma digest", "delta delta delta"),
+            ("d-3", "no match here", "nothing relevant"),
+        ],
+        schema.to_struct_type(),
+    )
+    docs = [r.asDict() for r in df.collect()]
+    for combine in ("best_fields", "most_fields"):
+        col = bm25ish_score(
+            df, "alpha", schema, "tokenized", per_field=True, combine=combine
+        )
+        got = {
+            r["Id"]: r["s"]
+            for r in df.select("Id", col.alias("s")).collect()
+        }
+        stats = bm25ish_stats(
+            "alpha", docs, schema, "tokenized", per_field=True
+        )
+        for d in docs:
+            want = bm25ish_score_doc(
+                "alpha", d, schema, stats, "tokenized",
+                per_field=True, combine=combine,
+            )
+            assert abs(got[d["Id"]] - want) < 1e-9, (combine, d["Id"])
+    # d-1 carries "alpha" in BOTH fields: most_fields strictly exceeds
+    # best_fields there; single-field docs are identical under both
+    best = bm25ish_score(
+        df, "alpha", schema, "tokenized", per_field=True, combine="best_fields"
+    )
+    most = bm25ish_score(
+        df, "alpha", schema, "tokenized", per_field=True, combine="most_fields"
+    )
+    rows = {
+        r["Id"]: (r["b"], r["m"])
+        for r in df.select(
+            "Id", best.alias("b"), most.alias("m")
+        ).collect()
+    }
+    assert rows["d-1"][1] > rows["d-1"][0] > 0
+    assert rows["d-3"] == (0.0, 0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25ish_score(df, "alpha", schema, per_field=True, combine="nosuch")
