@@ -86,6 +86,7 @@ def curate_stream(
     id_col: str = "doc_id",
     batch_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     available_now: bool = True,
+    compact_every: Optional[int] = None,
 ):
     """Run the streaming curation pipeline; returns the started query.
 
@@ -94,12 +95,26 @@ def curate_stream(
     cold start).  `batch_transform`, when given, runs FIRST on each
     batch (quality gates, PII scrub — any batch-local stage of
     operators/curation.py), so only documents that pass gating spend
-    dedup work."""
+    dedup work.
+
+    `compact_every=N` folds the index's accumulated append fragments
+    (operators/index_maintenance.compact_index) after every N
+    non-empty batches, bounding per-partition file counts under a
+    long-running ingest — without it, each accepted micro-batch adds
+    one file per touched band partition and the probe's file-listing
+    advantage erodes (the small-files pathology).  Compaction keeps
+    results byte-identical and its mid-swap read view only ever shows
+    transient duplicate index rows, which the probe de-duplicates, so
+    it is safe to run between (not during) this stream's own batches —
+    foreachBatch serializes them.  The counter is in-memory
+    (per-run): a restart just restarts the cadence, and a replayed
+    batch at worst compacts one batch early — idempotent."""
     # appends must band exactly like the existing index: read its pinned
     # parameters once, up front (also fails fast on a missing index)
     num_perm, bands, n = _dedup._read_minhash_meta(
         stream.sparkSession, index_path
     )
+    accepted_batches = [0]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if batch_transform is not None:
@@ -120,6 +135,13 @@ def curate_stream(
             num_perm=num_perm, bands=bands, n=n,
             text_col=text_col, id_col=id_col, mode="append",
         )
+        accepted_batches[0] += 1
+        if compact_every and accepted_batches[0] % compact_every == 0:
+            from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
+                compact_index,
+            )
+
+            compact_index(batch.sparkSession, index_path)
 
     writer = (
         stream.writeStream.foreachBatch(_process)

@@ -211,6 +211,72 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {13}
 
 
+def test_streaming_curation_auto_compaction_bounds_files(spark, tmp_path):
+    """curate_stream(compact_every=1): a long-running ingest must not
+    accumulate one index fragment per batch per band partition — the
+    maintenance hook folds them, and acceptance decisions are unchanged
+    (same accepted set as the uncompacted sibling test shape)."""
+    import glob
+    import os
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    dedup.save_minhash_index(corpus, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    texts = {
+        10: "a genuinely novel document about training shards",
+        11: "another fresh document mentioning catalyst optimizer",
+        12: "third novel text on adaptive query execution planning",
+    }
+    for i, (did, txt) in enumerate(texts.items()):
+        spark.createDataFrame([(did, txt)], ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # one dir per micro-batch
+        .parquet(f"{src}/*")
+    )
+    q = curate_stream(
+        stream, index_path, str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"), compact_every=1,
+    )
+    q.awaitTermination(120)
+
+    accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    }
+    assert accepted == set(texts)
+    # every band partition folded to one file despite 3 appends (vs 4
+    # fragments — initial save + one per accepted batch — without the hook)
+    band_dirs = [
+        d
+        for d in glob.glob(os.path.join(index_path, "bands", "*"))
+        if os.path.isdir(d)
+    ]
+    assert band_dirs
+    for d in band_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    # the compacted index still rejects a re-send of an accepted doc
+    resend = spark.createDataFrame(
+        [(30, texts[11])], ["doc_id", "text"]
+    )
+    hits = dedup.dedup_against_index(resend, index_path).collect()
+    assert {r["index_id"] for r in hits} == {11}
+
+
 def test_deduped_stream_drops_replayed_events(spark, tmp_path):
     """At-least-once source + dropDuplicatesWithinWatermark = exactly-once
     delivery with bounded state (T3's streaming counterpart)."""
