@@ -168,3 +168,20 @@ def test_h17_scalar_max_avoids_global_window(spark, sf_dir):
     assert "Window" not in plan
     # at most the 1-row scalar MAX may cross-join as a nested loop
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_grouping_sets_expand_over_preaggregate(spark, sf_dir):
+    """h7/h13 plan pin: the ROLLUP/CUBE lattice runs over the finest-
+    granularity pre-aggregate, never over the fact table — Expand must
+    sit ABOVE the base HashAggregate (one fact scan, and the row
+    multiplication by grouping-set count applies to a handful of
+    aggregated rows, not 60M lineitem)."""
+    for name in ("h7_rollup_revenue", "h13_cube_revenue"):
+        plan = _executed_plan(entry_mod.queries()[name](spark, sf_dir))
+        assert plan.count("Scan parquet") == 1, name
+        lines = plan.splitlines()
+        expand = next(i for i, l in enumerate(lines) if "Expand" in l)
+        # an aggregate below Expand = the pre-aggregate ran first
+        assert any(
+            "HashAggregate" in l for l in lines[expand + 1:]
+        ), f"{name}: Expand runs directly over the fact scan"
