@@ -1,0 +1,92 @@
+"""Correctness-at-scale spot check: the driver's CORRECTNESS comparison
+(row count + column names + order-insensitive canonical values) run at a
+LARGER scale factor than the driver's sf0.01 gate.
+
+Small-sf correctness does not automatically survive scale-up: plans
+re-shape under AQE at bigger inputs (SMJ<->broadcast flips, skew splits,
+partition coalescing), overflow/precision bugs only fire on bigger
+aggregates, and limit/sort queries can silently lose determinism when
+more partitions race.  This tool re-runs the same Spark-vs-DuckDB
+differential on a scaled dataset (tools/make_scaled_sf.py) so "correct"
+is a measured property of the SCALE PATH, not just the test fixture.
+
+Usage:
+  python tools/make_scaled_sf.py 10 /tmp/spark_graft_sf1
+  python tools/verify_at_scale.py /tmp/spark_graft_sf1 [name,name,...]
+
+Defaults to the oracle-comparable bench headliners minus the
+exact-quadratic oracles (p03/p04/p05/p13 DNF in DuckDB at this scale —
+Spark-side scaling for those is measured in bench/scaling studies).
+Prints one JSON line; exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+import bench  # noqa: E402
+from test_queries_oracle import TABLES, _canon  # noqa: E402
+
+from cloudfabric_eventsourcing_spark.session import build_session  # noqa: E402
+
+# oracles that are exact-quadratic scans: DNF in DuckDB beyond toy sf
+_SKIP = {"p03_ngram_jaccard_pairs", "p04_minhash_lsh_pairs",
+         "p05_cosine_neardup_pairs", "p13_duplicate_clusters"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        names = sys.argv[2].split(",")
+    else:
+        names = [q for q in bench.HEADLINE if q in oracles and q not in _SKIP]
+
+    spark = build_session(app_name="verify_at_scale")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    out: dict = {}
+    failed = []
+    for name in names:
+        sdf = qs[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        s_cols, s_canon = _canon(sdf.columns, srows)
+        d_cols, d_canon = _canon(dcols, drows)
+        entry = {
+            "rows_match": len(s_canon) == len(d_canon),
+            "schema_match": s_cols == d_cols,
+            "hash_match": s_canon == d_canon,
+            "spark_rows": len(s_canon),
+            "oracle_rows": len(d_canon),
+        }
+        out[name] = entry
+        ok = all(entry[k] for k in ("rows_match", "schema_match", "hash_match"))
+        if not ok:
+            failed.append(name)
+        print(f"-- {name}: {'OK' if ok else 'MISMATCH'} "
+              f"({entry['spark_rows']} rows)", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "checked": len(names),
+                      "failed": failed, "results": out}))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
