@@ -17,12 +17,20 @@ a broadcast of the batch's banded rows (the corpus is never shuffled or
 re-banded), and (3) the surviving novel documents are appended to both
 the output corpus and the index, so the NEXT batch dedups against them.
 
-Delivery note (T3 family): foreachBatch is at-least-once on retry — a
-replayed batch re-appends its banded rows to the index.  Duplicate
-index rows cannot change RESULTS (candidates are de-duplicated and
-verification is exact), they only cost index bytes; the output corpus
-write is the same append-only at-least-once as the reference's replay
-path, improvable to exactly-once with an id-keyed MERGE sink.
+Delivery note (T3 family): foreachBatch is at-least-once on retry.
+The INDEX side stays that way — a replayed batch re-appends its banded
+rows, and duplicate index rows cannot change RESULTS (candidates are
+de-duplicated and verification is exact), they only cost index bytes
+until the next compaction.  The CORPUS side is made idempotent with
+the standard epoch-keyed sink: each micro-batch overwrites its own
+``epoch=<epoch_id>`` subdirectory, so a retried batch (same epoch id
+under the same checkpoint — Structured Streaming's foreachBatch
+contract) replaces its previous partial output instead of appending a
+second copy.  Readers see ``epoch`` as an ordinary partition column —
+ingest-batch lineage for free.  Same-ID redelivery cannot be caught by
+the near-dup probe itself (the probe excludes same-id matches so that
+a corpus can be probed against its own index), which is exactly why
+the corpus write, not the probe, carries the idempotence.
 
 Reference behavior note: the reference has no streaming curation surface
 (its change feed drives projections only); this operator exists for the
@@ -129,7 +137,11 @@ def curate_stream(
         accepted = accepted.localCheckpoint(eager=True)
         if accepted.isEmpty():
             return
-        accepted.write.mode("append").parquet(corpus_path)
+        # epoch-keyed idempotent write (see module docstring): a retried
+        # batch overwrites ONLY its own subdirectory
+        accepted.write.mode("overwrite").parquet(
+            f"{corpus_path}/epoch={epoch_id}"
+        )
         _dedup.save_minhash_index(
             accepted.select(id_col, text_col), index_path,
             num_perm=num_perm, bands=bands, n=n,

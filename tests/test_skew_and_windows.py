@@ -211,6 +211,62 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {13}
 
 
+def test_streaming_curation_reingest_is_self_healing(spark, tmp_path):
+    """Delivery-semantics pin: redelivered input cannot duplicate corpus
+    rows.  The near-dup probe deliberately excludes same-id matches (so
+    a corpus can be probed against its own index), so the guarantee
+    comes from the epoch-keyed idempotent corpus write — a redelivered
+    batch overwrites its own epoch directory instead of appending a
+    second copy.  Simulated as the worst case: the whole source
+    replayed under a FRESH checkpoint (epochs restart and overwrite
+    deterministically), stronger than the single-batch retry the
+    foreachBatch contract actually produces."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_minhash_index(corpus, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (10, "a genuinely novel document about training shards"),
+            (11, "another fresh document mentioning catalyst optimizer"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "a"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_stream(stream, index_path, corpus_out, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    )
+    assert first == [10, 11]
+    run("ckpt2")  # full redelivery: fresh checkpoint, same source
+    second = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    )
+    # the corpus did not grow: each replayed batch overwrote its own
+    # epoch partition with identical content
+    assert second == first
+
+
 def test_streaming_curation_auto_compaction_bounds_files(spark, tmp_path):
     """curate_stream(compact_every=1): a long-running ingest must not
     accumulate one index fragment per batch per band partition — the
