@@ -1256,13 +1256,19 @@ def t01_language_id(spark, sf_dir):
 
 @q(
     "t02_quality_score",
-    "SELECT doc_id, round("
-    "  (CASE WHEN length(text) < 20 THEN 0.2 WHEN length(text) < 100 THEN 0.7 ELSE 1.0 END) * 0.3"
-    "  + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 0.3"
-    "  + (CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.1 THEN 0.5 ELSE 1.0 END) * 0.2"
-    "  + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / "
-    f"greatest(len({_TOKS_SQL.replace('lower(text)', 'text')}), 1) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.6 END) * 0.2"
-    ", 4) AS quality FROM documents",
+    # exact integer ten-thousandths mirror of text.quality_score (see its
+    # docstring: the float round() form tie-broke differently per engine
+    # at sf1); // is DuckDB BIGINT floor division — exact
+    "SELECT doc_id, ("
+    "  (3 * (CASE WHEN length(text) < 20 THEN 2000 WHEN length(text) < 100 THEN 7000 ELSE 10000 END)"
+    "   + 2 * (CASE WHEN 10 * length(regexp_replace(text, '[^.,;:!?]', '', 'g')) > greatest(length(text), 1) THEN 5000 ELSE 10000 END)"
+    "   + 2 * (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+    f"BETWEEN 3 * greatest(len({_TOKS_SQL.replace('lower(text)', 'text')}), 1) "
+    f"AND 10 * greatest(len({_TOKS_SQL.replace('lower(text)', 'text')}), 1) THEN 10000 ELSE 6000 END)"
+    "  ) // 10"
+    "  + (6000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + greatest(length(text), 1))"
+    "    // (2 * greatest(length(text), 1))"
+    ") / 10000.0 AS quality FROM documents",
 )
 def t02_quality(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -2795,6 +2801,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (below); its deterministic hash-bucket leaf is shared with the
 #     r04-green p14_train_shuffle and per-stratum semantics are pinned by
 #     test_sampling's seed-stability matrix.
+#   - x05_retention_cohorts: displaced when t02 re-entered (quality score
+#     rewritten to exact integer ten-thousandths); its single-scan
+#     window-anchor leaf is shared with the in-window x04, its
+#     COUNT(DISTINCT) Expand with the in-window h14, and cohort semantics
+#     are additionally pinned by the monotonicity pytest.
 #   - h20_brand_size_quantity_revenue: displaced by the round-5 addition
 #     f24_search_phrase_slop (new entries take a slot on day one); same
 #     pushed-part-filter + broadcast part<->lineitem filtered-agg leaves
@@ -2836,7 +2847,10 @@ _VERIFY_FIRST = [
     "x02_sessionization",
     "x03_range_join",
     "x04_funnel_conversion",
-    "x05_retention_cohorts",
+    # t02 changed in round 5 (exact-integer quality score — a real
+    # at-scale divergence found by verify_at_scale) — window slot on day
+    # one, displacing x05 (see note above the list)
+    "t02_quality_score",
     "m01_multimodal_features",
     # --- r03 rows: windows / set ops / median ---
     "w01_tumbling_window",
@@ -2866,6 +2880,7 @@ _VERIFY_FIRST = [
     # -- driver window ends here (position 50) --
     "w02_sliding_window",
     "p08_stratified_sample",
+    "x05_retention_cohorts",
     "h20_brand_size_quantity_revenue",
 ]
 

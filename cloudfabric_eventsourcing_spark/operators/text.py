@@ -82,22 +82,32 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: length band + alpha ratio +
-    punctuation penalty + mean-word-length band. Deterministic arithmetic
-    (integer counts + fixed constants) for oracle comparability."""
+    punctuation penalty + mean-word-length band.
+
+    Computed ENTIRELY in integer ten-thousandths (design rule 5: exact
+    arithmetic for engine-independent results).  The earlier float form
+    `round(weighted_sum, 4)` hit round-half ties: the weighted double
+    sum lands exactly on .00005 boundaries for some (alpha, length)
+    pairs and Spark/DuckDB resolve the tie differently — invisible at
+    sf0.01, 57 of 50k docs at sf1 (found by tools/verify_at_scale.py).
+    All band conditions are integer comparisons (P/N > 0.1 ⇔ 10P > N;
+    3 ≤ L/T ≤ 10 ⇔ 3T ≤ L ≤ 10T) and the only rational term,
+    0.3·L/N, is rounded half-up as (6000L+N) div (2N) — exact: its
+    distance from any integer is 0 or ≥ 1/(2N), far above double error,
+    so floor over the double quotient cannot misround."""
     n_chars = F.length(text)
+    n = F.greatest(n_chars, F.lit(1))
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    n_tokens = F.size(tokens_column(text, lowercase=False))
-    mean_wl = n_alpha / F.greatest(n_tokens, F.lit(1))
-    len_band = F.when(n_chars < 20, 0.2).when(n_chars < 100, 0.7).otherwise(1.0)
-    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
-    punct_penalty = F.when(
-        n_punct / F.greatest(n_chars, F.lit(1)) > 0.1, 0.5
-    ).otherwise(1.0)
-    wl_band = F.when((mean_wl >= 3) & (mean_wl <= 10), 1.0).otherwise(0.6)
-    return F.round(
-        len_band * 0.3 + alpha_ratio * 0.3 + punct_penalty * 0.2 + wl_band * 0.2, 4
-    )
+    t = F.greatest(F.size(tokens_column(text, lowercase=False)), F.lit(1))
+    s4 = F.when(n_chars < 20, 2000).when(n_chars < 100, 7000).otherwise(10000)
+    p4 = F.when(10 * n_punct > n, 5000).otherwise(10000)
+    w4 = F.when(
+        (n_alpha >= 3 * t) & (n_alpha <= 10 * t), 10000
+    ).otherwise(6000)
+    alpha4 = F.floor((6000 * n_alpha + n) / (2 * n)).cast("long")
+    q4 = (3 * s4 + 2 * p4 + 2 * w4) / 10 + alpha4
+    return (q4 / 10000).cast("double")
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -39,7 +39,7 @@ from cloudfabric_eventsourcing_spark.session import build_session  # noqa: E402
 from cloudfabric_eventsourcing_spark.sources import load_table  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-ID_STRIDE = 10_000_000
+ID_STRIDE = 50_000_000  # clear of the +10^7 planted-truth id offsets (p06/p07 oracles)
 
 # table -> BIGINT key columns to offset per replica (home keys and
 # foreign keys alike — same stride keeps every join edge intact)
