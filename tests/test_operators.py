@@ -1293,3 +1293,37 @@ def test_invalidate_table_cache(spark, tmp_path):
     assert invalidate_table_cache(f"{d}/t.parquet") == 1
     assert invalidate_table_cache(f"{d}/t.parquet") == 0
     assert invalidate_table_cache() >= 1  # full clear takes the rest
+
+
+def test_quality_score_exact_at_round_half_ties(spark):
+    """quality_score tie-boundary pin: the alpha term 0.3*L/N lands
+    EXACTLY on a .00005 rounding boundary whenever 6000*L is an odd
+    multiple of N (here N=400, any odd L) — the float round(sum, 4)
+    form resolved these ties differently per engine (57 of 50k docs at
+    sf1, caught by tools/verify_at_scale.py).  The integer form defines
+    them: half-up, computed in exact integer ten-thousandths.
+
+    Doc construction: 400 chars, 41 letters (alpha term 307.5 -> 308
+    half-up), 2 whitespace tokens (mean word length 20.5 > 10 -> 0.6
+    band), no punctuation.  q4 = (3*10000 + 2*10000 + 2*6000)/10 + 308
+    = 6508 -> 0.6508 exactly."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        with_quality_score,
+    )
+
+    text = "a" * 41 + " " + "1" * 358
+    assert len(text) == 400
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = with_quality_score(df).select("quality").collect()[0][0]
+    assert got == 0.6508, got
+    # DuckDB evaluates the same integer formula to the same double
+    import duckdb
+
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 1 AS doc_id, '{text}' AS text"
+    )
+    oracle = con.execute(em.oracle_sql()["t02_quality_score"]).fetchone()[1]
+    assert oracle == got
