@@ -340,3 +340,133 @@ def _prop_from_field(field: T.StructField, is_key: bool = False) -> PropertySche
     return PropertySchema(
         field.name, token, is_key=is_key, is_filterable=True, is_sortable=True
     )
+
+
+def prop(**kwargs) -> "dataclasses.Field":
+    """Dataclass field marker for `schema_from_dataclass` — the Pythonic
+    spelling of the reference's [ProjectionDocumentProperty(...)]
+    attribute (ProjectionDocumentPropertyAttribute.cs:3-24).  kwargs are
+    the PropertySchema capability/search-tuning names (is_key,
+    is_searchable, searchable_boost, analyzer, synonym_maps, ...).
+
+        @dataclasses.dataclass
+        class OrderDoc:
+            id: uuid.UUID = prop(is_key=True)
+            name: str = prop(is_searchable=True, searchable_boost=2.0)
+            internal_note: str = ""     # no prop() -> NOT projected
+
+    A `default=` / `default_factory=` kwarg passes through to the
+    underlying dataclasses.field."""
+    field_kwargs = {}
+    for k in ("default", "default_factory"):
+        if k in kwargs:
+            field_kwargs[k] = kwargs.pop(k)
+    if not field_kwargs:
+        field_kwargs["default"] = None
+    return dataclasses.field(metadata={"projection": kwargs}, **field_kwargs)
+
+
+_PY_SCALARS: dict = {}
+
+
+def _py_type_token(tp) -> str:
+    """Python annotation -> reference TypeCode token
+    (ProjectionDocumentAttribute.GetPropertyTypeCode: CLR type -> TypeCode;
+    Python ints are arbitrary-precision, so int -> Int64)."""
+    global _PY_SCALARS
+    if not _PY_SCALARS:
+        import datetime as _dt
+        import decimal as _dec
+        import uuid as _uuid
+
+        _PY_SCALARS = {
+            int: INT64,
+            float: DOUBLE,
+            bool: BOOLEAN,
+            str: STRING,
+            _dt.datetime: DATETIME,
+            _dec.Decimal: DECIMAL,
+            _uuid.UUID: GUID,
+        }
+    return _PY_SCALARS.get(tp)
+
+
+def schema_from_dataclass(cls, schema_name: Optional[str] = None) -> ProjectionSchema:
+    """Build a ProjectionSchema from an annotated dataclass — the Pythonic
+    mirror of `ProjectionDocumentSchemaFactory.FromTypeWithAttributes<T>()`
+    (ProjectionDocumentSchemaFactory.cs:9-20).
+
+    Reference semantics preserved:
+      - only fields carrying the `prop(...)` marker participate; unmarked
+        fields are skipped (the factory only collects decorated
+        properties — GetAllProjectionProperties,
+        ProjectionDocumentAttribute.cs:58-98 — which also subsumes the
+        reference's never-used IgnorePropertyAttribute);
+      - schema name defaults to the class name;
+      - nested dataclasses recurse (IsNestedObject), `list[Nested]`
+        recurses per element type (IsNestedArray), `list[scalar]` maps to
+        a scalar array;
+      - `Optional[X]` unwraps to X (reference nullability lives outside
+        the type code).
+    The result is an ordinary ProjectionSchema: `index_name` /
+    `properties_hash` / repositories / translators all apply."""
+    return ProjectionSchema(
+        schema_name or cls.__name__, _props_from_dataclass(cls)
+    )
+
+
+def _props_from_dataclass(cls) -> list:
+    """prop()-marked dataclass fields -> PropertySchema list (shared by
+    the top-level schema and nested objects/arrays, which — as in the
+    reference's nested dictionaries — carry no key property)."""
+    import typing
+
+    if not dataclasses.is_dataclass(cls):
+        raise TypeError(f"{cls!r} is not a dataclass")
+    hints = typing.get_type_hints(cls)
+    props: list[PropertySchema] = []
+    for f in dataclasses.fields(cls):
+        marker = f.metadata.get("projection")
+        if marker is None:
+            continue
+        tp = hints.get(f.name, f.type)
+        origin = typing.get_origin(tp)
+        if origin is typing.Union:  # Optional[X]
+            args = [a for a in typing.get_args(tp) if a is not type(None)]
+            if len(args) == 1:
+                tp = args[0]
+                origin = typing.get_origin(tp)
+        kwargs = dict(marker)
+        if origin in (list, tuple):
+            (elem,) = typing.get_args(tp)[:1] or (str,)
+            if dataclasses.is_dataclass(elem):
+                nested = _props_from_dataclass(elem)
+                props.append(
+                    PropertySchema(f.name, ARRAY,
+                                   nested_properties=nested, **kwargs)
+                )
+            else:
+                token = _py_type_token(elem)
+                if token is None:
+                    raise ValueError(
+                        f"{cls.__name__}.{f.name}: unsupported array "
+                        f"element type {elem!r}"
+                    )
+                props.append(
+                    PropertySchema(f.name, ARRAY,
+                                   array_element_type=token, **kwargs)
+                )
+        elif dataclasses.is_dataclass(tp):
+            nested = _props_from_dataclass(tp)
+            props.append(
+                PropertySchema(f.name, OBJECT,
+                               nested_properties=nested, **kwargs)
+            )
+        else:
+            token = _py_type_token(tp)
+            if token is None:
+                raise ValueError(
+                    f"{cls.__name__}.{f.name}: unsupported type {tp!r}"
+                )
+            props.append(PropertySchema(f.name, token, **kwargs))
+    return props

@@ -218,3 +218,97 @@ def test_ensure_index_honors_selector():
         r1.ensure_index(IndexSelector.Write)
     state.update_rebuild_progress(s1.schema_name, s1.index_name(), 1, completed=True)
     assert r1.ensure_index(IndexSelector.Write) == s1.index_name()
+
+
+def test_schema_from_dataclass_mirrors_attribute_factory():
+    """schema_from_dataclass = the reference's
+    ProjectionDocumentSchemaFactory.FromTypeWithAttributes
+    (ProjectionDocumentSchemaFactory.cs:9-20): only prop()-marked fields
+    participate, nesting recurses, Optional unwraps, and the result is
+    an ordinary ProjectionSchema (hash / index name / struct type)."""
+    import dataclasses
+    import decimal
+    import uuid
+    from typing import Optional
+
+    from cloudfabric_eventsourcing_spark.schema import (
+        ARRAY,
+        DATETIME,
+        DECIMAL,
+        GUID,
+        OBJECT,
+        STRING,
+        prop,
+        schema_from_dataclass,
+    )
+
+    @dataclasses.dataclass
+    class Item:
+        name: str = prop(is_searchable=True)
+        added: datetime.datetime = prop(is_sortable=True)
+        price: decimal.Decimal = prop()
+
+    @dataclasses.dataclass
+    class Address:
+        city: str = prop(is_filterable=True)
+
+    @dataclasses.dataclass
+    class OrderDoc:
+        id: uuid.UUID = prop(is_key=True)
+        name: Optional[str] = prop(is_searchable=True, searchable_boost=2.0)
+        items: list[Item] = prop(is_filterable=True)
+        address: Address = prop()
+        tags: list[str] = prop(is_filterable=True)
+        internal_note: str = ""  # unmarked -> skipped (IgnoreProperty)
+
+    s = schema_from_dataclass(OrderDoc)
+    assert s.schema_name == "OrderDoc"
+    assert [p.name for p in s.properties] == [
+        "id", "name", "items", "address", "tags",
+    ]
+    assert s.key_name == "id"
+    by = {p.name: p for p in s.properties}
+    assert by["id"].type == GUID
+    assert by["name"].type == STRING  # Optional unwrapped
+    assert by["name"].searchable_boost == 2.0
+    assert by["items"].type == ARRAY
+    assert [(n.name, n.type) for n in by["items"].nested_properties] == [
+        ("name", STRING), ("added", DATETIME), ("price", DECIMAL),
+    ]
+    assert by["address"].type == OBJECT
+    assert by["tags"].array_element_type == STRING
+    # ordinary schema: deterministic hash-suffixed index + struct mapping
+    assert s.index_name().startswith("orderdoc_")
+    st = s.to_struct_type()
+    assert st["items"].dataType.elementType["added"].dataType.typeName() == (
+        "timestamp"
+    )
+    # searchable surface composed from both levels
+    assert s.searchable_paths() == ["name", "items.name"]
+
+
+def test_schema_from_dataclass_errors():
+    import dataclasses
+
+    from cloudfabric_eventsourcing_spark.schema import (
+        prop,
+        schema_from_dataclass,
+    )
+
+    @dataclasses.dataclass
+    class NoKey:
+        name: str = prop(is_searchable=True)
+
+    with pytest.raises(ValueError, match="exactly one key"):
+        schema_from_dataclass(NoKey)
+
+    @dataclasses.dataclass
+    class BadType:
+        id: str = prop(is_key=True)
+        blob: bytes = prop()
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        schema_from_dataclass(BadType)
+
+    with pytest.raises(TypeError, match="not a dataclass"):
+        schema_from_dataclass(object)
