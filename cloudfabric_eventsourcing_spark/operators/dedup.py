@@ -394,9 +394,18 @@ def dedup_against_index(
     id_col: str = "doc_id",
     banding: Optional[tuple] = None,
     broadcast: bool = True,
+    include_same_id: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and a persisted corpus
     index: (new_id, index_id, jaccard >= threshold).
+
+    `include_same_id=False` (default) excludes id-identical matches so a
+    corpus can be probed against its own index; `include_same_id=True`
+    keeps them — a batch doc whose same-id near-identical twin already
+    sits in the index reports itself, which is how streaming curation
+    recognizes redelivered input as already-accepted (content-keyed
+    idempotence, no extra I/O: an identical doc bands identically, so
+    its same-id row lives in exactly the partitions the probe reads).
 
     Scale shape (broadcast=True, the daily-increment default — asserts
     the batch is small next to the corpus): the batch's banded rows are
@@ -427,14 +436,14 @@ def dedup_against_index(
     )
     q_banded = F.broadcast(new_banded) if broadcast else new_banded
     idx_banded = spark.read.parquet(f"{path}/bands")
+    bucket_match = (F.col("i.bi") == F.col("q.bi")) & (
+        F.col("i.bh") == F.col("q.bh")
+    )
+    if not include_same_id:
+        bucket_match = bucket_match & (F.col("i.id") != F.col("q.id"))
     cand = (
         idx_banded.alias("i")
-        .join(
-            q_banded.alias("q"),
-            (F.col("i.bi") == F.col("q.bi"))
-            & (F.col("i.bh") == F.col("q.bh"))
-            & (F.col("i.id") != F.col("q.id")),
-        )
+        .join(q_banded.alias("q"), bucket_match)
         .select(
             F.col("q.id").alias("new_id"), F.col("i.id").alias("index_id")
         )

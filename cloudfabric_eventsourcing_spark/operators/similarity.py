@@ -344,9 +344,11 @@ def ivf_index_report(spark, path: str, vec_col: str = "embedding") -> dict:
     total = sum(sizes)
     mean_size = total / n_cells if n_cells else 0.0
     if sizes and mean_size:
-        var = sum((s - mean_size) ** 2 for s in sizes) / n_cells
         # empty cells count toward the variance: they ARE imbalance
-        var += (n_cells - len(sizes)) * mean_size**2
+        var = (
+            sum((s - mean_size) ** 2 for s in sizes)
+            + (n_cells - len(sizes)) * mean_size**2
+        ) / n_cells
         cv = (var**0.5) / mean_size
         imbalance = max(sizes) / mean_size
     else:

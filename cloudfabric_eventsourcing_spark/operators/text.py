@@ -95,11 +95,17 @@ def quality_score(text: Column) -> Column:
     0.3·L/N, is rounded half-up as (6000L+N) div (2N) — exact: its
     distance from any integer is 0 or ≥ 1/(2N), far above double error,
     so floor over the double quotient cannot misround."""
-    n_chars = F.length(text)
-    n = F.greatest(n_chars, F.lit(1))
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    t = F.greatest(F.size(tokens_column(text, lowercase=False)), F.lit(1))
+    # long arithmetic throughout: F.length returns a 32-bit int and the
+    # scaled terms below (6000*n_alpha) wrap past ~357k alphabetic chars
+    # under non-ANSI int multiplication — a realistic document size; the
+    # DuckDB oracle computes the same terms in BIGINT
+    n_chars = F.length(text).cast("long")
+    n = F.greatest(n_chars, F.lit(1).cast("long"))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+    t = F.greatest(
+        F.size(tokens_column(text, lowercase=False)), F.lit(1)
+    ).cast("long")
     s4 = F.when(n_chars < 20, 2000).when(n_chars < 100, 7000).otherwise(10000)
     p4 = F.when(10 * n_punct > n, 5000).otherwise(10000)
     w4 = F.when(

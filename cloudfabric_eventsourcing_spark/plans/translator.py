@@ -1009,7 +1009,11 @@ def run_query(
     debug: list[str] = []
 
     def note(label: str, value) -> None:
+        # callables defer the str(Column) py4j round-trips to the
+        # debug-on path — call sites must not format Columns eagerly
         if include_debug_information:
+            if callable(value):
+                value = value()
             debug.append(f"{label}: {value}")
 
     note(
@@ -1032,7 +1036,7 @@ def run_query(
         filtered = filtered.where(search)
         note(
             "search",
-            f"mode={query.search_mode} analyzer={query.analyzer} "
+            lambda: f"mode={query.search_mode} analyzer={query.analyzer} "
             f"text={query.search_text!r} -> {search}",
         )
 
@@ -1074,7 +1078,7 @@ def run_query(
         page = filtered
         if query.order_by:
             sorts = sort_columns(query.order_by, schema)
-            note("order_by", ", ".join(str(s) for s in sorts))
+            note("order_by", lambda: ", ".join(str(s) for s in sorts))
             page = page.orderBy(*sorts)
         elif scoring:
             # ES semantics: no explicit sort -> by relevance, best first

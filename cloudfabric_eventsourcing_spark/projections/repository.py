@@ -295,7 +295,8 @@ class InMemoryProjectionRepository(ProjectionRepository):
                 for d in docs
                 if all(pyeval.eval_filter(f, d, schema) for f in query.filters)
                 and pyeval.eval_search(
-                    query.search_text, d, schema, query.search_mode, query.analyzer
+                    query.search_text, d, schema, query.search_mode,
+                    query.analyzer, query.synonyms, query.phrase_slop,
                 )
             ]
             facets = pyeval.facet_stats_docs(matched, query.facet_info_to_return)
@@ -522,7 +523,10 @@ class ParquetProjectionRepository(ProjectionRepository):
                 pred = pred & (F.col("PartitionKey") == partition_key)
             for f in query.filters:
                 pred = pred & filter_to_column(f, schema)
-            search = search_to_column(query.search_text, schema, query.search_mode)
+            search = search_to_column(
+                query.search_text, schema, query.search_mode,
+                query.analyzer, query.synonyms, query.phrase_slop,
+            )
             if search is not None:
                 pred = pred & search
             updates = dict(set_columns)

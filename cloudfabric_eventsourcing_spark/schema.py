@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import types
 from typing import Optional
 
 from pyspark.sql import types as T
@@ -431,7 +432,8 @@ def _props_from_dataclass(cls) -> list:
             continue
         tp = hints.get(f.name, f.type)
         origin = typing.get_origin(tp)
-        if origin is typing.Union:  # Optional[X]
+        # Optional[X] and the PEP 604 spelling X | None both unwrap
+        if origin is typing.Union or isinstance(tp, types.UnionType):
             args = [a for a in typing.get_args(tp) if a is not type(None)]
             if len(args) == 1:
                 tp = args[0]

@@ -97,7 +97,12 @@ def invalidate_table_cache(path: Optional[str] = None) -> int:
         n = len(_TABLE_CACHE)
         _TABLE_CACHE.clear()
         return n
-    doomed = [k for k in _TABLE_CACHE if k[1].startswith(path)]
+    # boundary-aware prefix: invalidating ".../sf1" must not also drop
+    # ".../sf10" entries that share the string prefix
+    prefix = path.rstrip("/") + "/"
+    doomed = [
+        k for k in _TABLE_CACHE if k[1] == path or k[1].startswith(prefix)
+    ]
     for k in doomed:
         del _TABLE_CACHE[k]
     return len(doomed)

@@ -21,16 +21,26 @@ Delivery note (T3 family): foreachBatch is at-least-once on retry.
 The INDEX side stays that way — a replayed batch re-appends its banded
 rows, and duplicate index rows cannot change RESULTS (candidates are
 de-duplicated and verification is exact), they only cost index bytes
-until the next compaction.  The CORPUS side is made idempotent with
-the standard epoch-keyed sink: each micro-batch overwrites its own
-``epoch=<epoch_id>`` subdirectory, so a retried batch (same epoch id
-under the same checkpoint — Structured Streaming's foreachBatch
-contract) replaces its previous partial output instead of appending a
-second copy.  Readers see ``epoch`` as an ordinary partition column —
-ingest-batch lineage for free.  Same-ID redelivery cannot be caught by
-the near-dup probe itself (the probe excludes same-id matches so that
-a corpus can be probed against its own index), which is exactly why
-the corpus write, not the probe, carries the idempotence.
+until the next compaction.  The CORPUS side is idempotent twice over:
+
+  * **content-keyed** — the probe runs with ``include_same_id=True``,
+    so a redelivered document (same id, same text) finds its own index
+    row and rejects itself as already-accepted.  This holds across
+    checkpoint resets and arbitrary re-batching of the source: a doc
+    whose index append committed can never be written to the corpus a
+    second time, no matter which epoch replays it.
+  * **position-keyed** — each micro-batch writes its own
+    ``run=<query id>/epoch=<epoch_id>`` subdirectory with overwrite, so
+    a retried batch whose index append did NOT commit (crash between
+    corpus write and index append) replaces its previous partial output
+    instead of appending a second copy.  The run segment is the
+    streaming query id from the checkpoint's metadata: epoch ids are
+    only unique PER CHECKPOINT, and without the run scope a stream
+    restarted with a fresh checkpoint over new input would silently
+    overwrite an earlier run's ``epoch=N`` corpus data.
+
+Readers see ``run``/``epoch`` as ordinary partition columns —
+ingest lineage for free.
 
 Reference behavior note: the reference has no streaming curation surface
 (its change feed drives projections only); this operator exists for the
@@ -75,10 +85,14 @@ def curate_batch_against_index(
         text_col=text_col, id_col=id_col,
     )
     kept = _dedup.lsh_dedup_representatives(pairs, batch, id_col=id_col)
+    # include_same_id: a redelivered doc (same id, same text) finds its
+    # own index row and rejects itself — content-keyed idempotence, so
+    # acceptance never depends on epoch numbering or checkpoint identity
     cross = _dedup.dedup_against_index(
         kept, index_path, threshold=threshold,
         text_col=text_col, id_col=id_col,
         banding=(num_perm, bands, n),
+        include_same_id=True,
     )
     dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
     return kept.join(dup_ids, id_col, "left_anti")
@@ -123,6 +137,19 @@ def curate_stream(
         stream.sparkSession, index_path
     )
     accepted_batches = [0]
+    run_id: list = [None]
+
+    def _run_id(spark) -> str:
+        # the streaming query id: stable across restarts of the SAME
+        # checkpoint (so a retried epoch overwrites itself), fresh for a
+        # NEW checkpoint (so old runs' epochs are never clobbered).
+        # Written by Spark to {checkpoint}/metadata before the first
+        # batch runs; read once per run.
+        if run_id[0] is None:
+            run_id[0] = str(
+                spark.read.json(f"{checkpoint}/metadata").collect()[0]["id"]
+            )
+        return run_id[0]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if batch_transform is not None:
@@ -137,10 +164,11 @@ def curate_stream(
         accepted = accepted.localCheckpoint(eager=True)
         if accepted.isEmpty():
             return
-        # epoch-keyed idempotent write (see module docstring): a retried
-        # batch overwrites ONLY its own subdirectory
+        # run+epoch-keyed idempotent write (see module docstring): a
+        # retried batch overwrites ONLY its own subdirectory, and a
+        # fresh checkpoint gets a fresh run segment
         accepted.write.mode("overwrite").parquet(
-            f"{corpus_path}/epoch={epoch_id}"
+            f"{corpus_path}/run={_run_id(batch.sparkSession)}/epoch={epoch_id}"
         )
         _dedup.save_minhash_index(
             accepted.select(id_col, text_col), index_path,

@@ -287,6 +287,32 @@ def test_schema_from_dataclass_mirrors_attribute_factory():
     assert s.searchable_paths() == ["name", "items.name"]
 
 
+def test_schema_from_dataclass_pep604_union():
+    """`str | None` (PEP 604) unwraps like Optional[str] — its origin is
+    types.UnionType, not typing.Union, and must not hit the unsupported-
+    type error."""
+    import dataclasses
+    import uuid
+
+    from cloudfabric_eventsourcing_spark.schema import (
+        INT64,
+        STRING,
+        prop,
+        schema_from_dataclass,
+    )
+
+    @dataclasses.dataclass
+    class Doc:
+        id: uuid.UUID = prop(is_key=True)
+        name: "str | None" = prop(is_searchable=True)
+        rank: "int | None" = prop(is_sortable=True)
+
+    s = schema_from_dataclass(Doc)
+    by = {p.name: p for p in s.properties}
+    assert by["name"].type == STRING
+    assert by["rank"].type == INT64
+
+
 def test_schema_from_dataclass_errors():
     import dataclasses
 

@@ -1005,6 +1005,96 @@ def test_compact_minhash_index(spark, docs, tmp_path):
     assert report2["grams"]["partitions_compacted"] == 0
 
 
+def test_compact_index_recovers_from_mid_swap_crash(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A crash between the compacted-file rename-in and the fragment
+    unlink leaves a directory holding every row twice; without repair,
+    the NEXT compaction would read fragments + compacted copy and bake
+    the duplicates into one file permanently.  The intent marker makes
+    the half-finished swap roll forward instead."""
+    from cloudfabric_eventsourcing_spark.operators import (
+        index_maintenance as im,
+    )
+
+    path = str(tmp_path / "mh_crash")
+    ordered = docs.orderBy("doc_id").select("doc_id", "text")
+    dedup.save_minhash_index(ordered.limit(60), path)
+    extra = ordered.limit(80).subtract(ordered.limit(60))
+    dedup.save_minhash_index(extra, path, mode="append")
+    grams_dir = f"{path}/grams"
+    truth = sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    )
+    assert len(_parquet_files(grams_dir)) > 1
+
+    # crash simulation: the first unlink INSIDE the grams dir raises —
+    # the moves and the marker have landed, the fragments have not gone
+    real_unlink = os.unlink
+
+    def crashing_unlink(p):
+        if os.path.dirname(p) == grams_dir and p.endswith(".parquet"):
+            raise OSError("simulated crash")
+        real_unlink(p)
+
+    monkeypatch.setattr(im.os, "unlink", crashing_unlink)
+    with pytest.raises(OSError, match="simulated crash"):
+        im._rewrite_dir(spark, grams_dir, 1)
+    monkeypatch.setattr(im.os, "unlink", real_unlink)
+
+    # post-crash state: fragments + compacted copy + marker; a reader
+    # sees transient duplicates (documented), never a partial dataset
+    assert os.path.exists(os.path.join(grams_dir, im._MARKER))
+    dup_rows = sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    )
+    assert len(dup_rows) == 2 * len(truth)
+
+    # recovery: compact_index repairs first, so the result is the TRUE
+    # row set in one file — not the doubled set
+    report = im.compact_index(spark, path)
+    assert not os.path.exists(os.path.join(grams_dir, im._MARKER))
+    assert len(_parquet_files(grams_dir)) == 1
+    recovered = sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    )
+    assert recovered == truth
+    assert report["grams"]["files_after"] == 1
+
+    # orphan tmp dirs (crash before the marker landed) are swept
+    junk = os.path.join(path, "bands", ".tmp-compact-bi=0-junk")
+    os.makedirs(junk)
+    im.compact_index(spark, path)
+    assert not os.path.exists(junk)
+
+
+def test_compaction_tmp_dirs_invisible_to_partition_discovery(
+    spark, docs, tmp_path
+):
+    """An in-flight compaction tmp dir inside a partitioned dataset must
+    not surface as a bogus partition: it is dot-prefixed, so Spark's
+    listing skips it and the partition column keeps its inferred type."""
+    import shutil
+
+    path = str(tmp_path / "mh_tmpvis")
+    dedup.save_minhash_index(
+        docs.orderBy("doc_id").select("doc_id", "text").limit(60), path
+    )
+    bands_dir = f"{path}/bands"
+    before = spark.read.parquet(bands_dir)
+    before_rows = before.count()
+    assert dict(before.dtypes)["bi"] == "int"
+    # simulate a concurrent compaction mid-write: a hidden tmp dir whose
+    # name embeds the partition spelling, holding a real parquet file
+    part = _partition_dirs(bands_dir)[0]
+    tmp = os.path.join(bands_dir, f".tmp-compact-{os.path.basename(part)}-7")
+    os.makedirs(tmp)
+    shutil.copy(_parquet_files(part)[0], os.path.join(tmp, "part-0.parquet"))
+    after = spark.read.parquet(bands_dir)
+    assert dict(after.dtypes)["bi"] == "int"  # no string fallback
+    assert after.count() == before_rows  # tmp rows invisible
+
+
 def test_compact_cosine_index(spark, emb, tmp_path):
     from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
         compact_index,
@@ -1292,6 +1382,14 @@ def test_invalidate_table_cache(spark, tmp_path):
     load_table(spark, d, "u")
     assert invalidate_table_cache(f"{d}/t.parquet") == 1
     assert invalidate_table_cache(f"{d}/t.parquet") == 0
+    # prefix matching is path-boundary-aware: invalidating .../sf1 must
+    # not drop .../sf10 entries that share the string prefix
+    for sub in ("sf1", "sf10"):
+        os.makedirs(f"{d}/{sub}", exist_ok=True)
+        spark.range(2).toDF("x").write.parquet(f"{d}/{sub}/v.parquet")
+        load_table(spark, f"{d}/{sub}", "v")
+    assert invalidate_table_cache(f"{d}/sf1") == 1  # not 2
+    assert invalidate_table_cache(f"{d}/sf10") == 1
     assert invalidate_table_cache() >= 1  # full clear takes the rest
 
 
@@ -1327,3 +1425,22 @@ def test_quality_score_exact_at_round_half_ties(spark):
     )
     oracle = con.execute(em.oracle_sql()["t02_quality_score"]).fetchone()[1]
     assert oracle == got
+
+
+def test_quality_score_no_int_overflow_on_large_docs(spark):
+    """The integer form's scaled alpha term (6000*n_alpha) exceeds
+    int32 past ~357k alphabetic chars — a realistic web/training doc
+    size; the arithmetic runs in BIGINT like the DuckDB oracle.
+
+    400k all-alpha one-token doc: s4=10000 (len>=100), p4=10000 (no
+    punct), w4=6000 (mean word len 400k > 10), alpha term
+    floor((6000*400000 + 400000)/800000) = floor(3000.5) = 3000
+    (6000*400000 = 2.4e9 > 2^31 — the overflow case).
+    q = (30000+20000+12000)/10 + 3000 = 9200 -> 0.92 exactly."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        with_quality_score,
+    )
+
+    df = spark.createDataFrame([(1, "a" * 400_000)], ["doc_id", "text"])
+    got = with_quality_score(df).select("quality").collect()[0][0]
+    assert got == 0.92, got

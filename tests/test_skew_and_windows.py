@@ -213,13 +213,13 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
 
 def test_streaming_curation_reingest_is_self_healing(spark, tmp_path):
     """Delivery-semantics pin: redelivered input cannot duplicate corpus
-    rows.  The near-dup probe deliberately excludes same-id matches (so
-    a corpus can be probed against its own index), so the guarantee
-    comes from the epoch-keyed idempotent corpus write — a redelivered
-    batch overwrites its own epoch directory instead of appending a
-    second copy.  Simulated as the worst case: the whole source
-    replayed under a FRESH checkpoint (epochs restart and overwrite
-    deterministically), stronger than the single-batch retry the
+    rows.  The guarantee is CONTENT-keyed: the acceptance probe runs
+    with include_same_id=True, so a redelivered doc (same id, same
+    text) finds its own committed index row and rejects itself as
+    already-accepted — independent of epoch numbering or checkpoint
+    identity.  Simulated as the worst case: the whole source replayed
+    under a FRESH checkpoint (a fresh run segment, so the position-keyed
+    overwrite cannot help), stronger than the single-batch retry the
     foreachBatch contract actually produces."""
     from cloudfabric_eventsourcing_spark.operators import dedup
     from cloudfabric_eventsourcing_spark.streaming.curation import (
@@ -262,9 +262,69 @@ def test_streaming_curation_reingest_is_self_healing(spark, tmp_path):
     second = sorted(
         r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
     )
-    # the corpus did not grow: each replayed batch overwrote its own
-    # epoch partition with identical content
+    # the corpus did not grow: every replayed doc matched its own index
+    # row and was rejected as already-accepted
     assert second == first
+
+
+def test_streaming_curation_checkpoint_reset_preserves_old_runs(
+    spark, tmp_path
+):
+    """A stream restarted with a FRESH checkpoint over NEW input must
+    not clobber an earlier run's corpus data: epoch ids are only unique
+    per checkpoint, and both runs here produce an epoch 0.  The corpus
+    write is run-scoped (run=<query id>/epoch=<n>), so the second run's
+    epoch 0 lands beside — not over — the first run's."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_minhash_index(corpus, index_path)
+
+    def run(src_name, docs, ckpt):
+        src = tmp_path / src_name
+        src.mkdir()
+        spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(str(src / "a"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_stream(
+            stream, index_path, corpus_out, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    # run 1: ingest docs 10/11, checkpoint A (epoch 0)
+    run(
+        "in1",
+        [
+            (10, "a genuinely novel document about training shards"),
+            (11, "another fresh document mentioning catalyst optimizer"),
+        ],
+        "ckptA",
+    )
+    # the retention scenario: source files rotate away, checkpoint is
+    # lost, NEW docs arrive — the new run's epochs restart at 0
+    run(
+        "in2",
+        [(12, "third novel text on adaptive query execution planning")],
+        "ckptB",
+    )
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    )
+    # run 1's docs survive run 2's epoch-0 write
+    assert accepted == [10, 11, 12]
 
 
 def test_streaming_curation_auto_compaction_bounds_files(spark, tmp_path):

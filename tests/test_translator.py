@@ -1079,6 +1079,70 @@ def test_cluster_conf_profile_applies(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_slop_threads_through_facets_and_bulk_update(spark, tmp_path):
+    """phrase_slop (with analyzer/synonyms) must reach EVERY
+    search-predicate call site, not just the paged query: the in-memory
+    facet recount and the bulk-update predicate previously built their
+    predicates without it, so facet totals disagreed with
+    total_records_found and slop-matched docs were silently skipped by
+    query-driven updates."""
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.eventstore import (
+        InMemoryMetadataRepository,
+    )
+    from cloudfabric_eventsourcing_spark.projections import (
+        InMemoryProjectionRepository,
+        ParquetProjectionRepository,
+        ProjectionIndexStateStore,
+    )
+
+    S2 = order_schema()
+    docs = [
+        {"Id": "a", "PartitionKey": "pk",
+         "Name": "First queryable order", "ItemsCount": 1},
+        {"Id": "b", "PartitionKey": "pk",
+         "Name": "nothing relevant here", "ItemsCount": 2},
+    ]
+    slop_q = ProjectionQuery(
+        search_text="first order", search_mode="phrase_prefix",
+        phrase_slop=1,
+        facet_info_to_return=[FacetInfoRequest("PartitionKey")],
+    )
+
+    # in-memory backend: facet totals agree with the slop-matched count
+    state = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    mem = InMemoryProjectionRepository(S2, state)
+    mem.ensure_index()
+    for d in docs:
+        mem.upsert(dict(d), "pk", selector="projection-rebuild")
+    res = mem.query(slop_q, selector="projection-rebuild")
+    assert res.total_records_found == 1
+    assert sum(s.count for s in res.facets_stats["PartitionKey"]) == 1
+
+    # parquet backend: the bulk-update predicate matches the same docs
+    # the query path matches
+    state2 = ProjectionIndexStateStore(InMemoryMetadataRepository())
+    pq = ParquetProjectionRepository(
+        S2, state2, str(tmp_path / "proj"), spark
+    )
+    pq.ensure_index()
+    state2.update_rebuild_progress(
+        S2.schema_name, S2.index_name(), 0, completed=True
+    )
+    for d in docs:
+        pq.upsert(dict(d), "pk")
+    pq.update_documents_expr(
+        ProjectionQuery(
+            search_text="first order", search_mode="phrase_prefix",
+            phrase_slop=1,
+        ),
+        {"ItemsCount": F.lit(99)},
+    )
+    assert pq.single("a", "pk")["ItemsCount"] == 99
+    assert pq.single("b", "pk")["ItemsCount"] == 2
+
+
 def test_phrase_slop(proj):
     """Bounded-gap phrase slop (the reference's ES search uses phrase
     slop 20 — ElasticSearchQueryFactory.cs:11-129): up to `phrase_slop`
