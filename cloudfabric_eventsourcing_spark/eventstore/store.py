@@ -593,6 +593,14 @@ class ParquetEventStore(EventStore):
         beater = threading.Thread(target=beat, daemon=True)
         beater.start()
         try:
+            # repair any swap a previous maintenance op left half-done
+            # BEFORE this op reads the fragment list: without this, a
+            # crash between _replace_fragments' rename-in and unlinks
+            # would make the next compact() fold fragments + compacted
+            # copy into one file — duplicate events baked permanently,
+            # and for a crashed hard_delete the supposedly-deleted rows
+            # resurrected into the compacted output
+            self._recover_swap()
             yield
         finally:
             stop.set()
@@ -616,6 +624,35 @@ class ParquetEventStore(EventStore):
             )
             self._replace_fragments(frags, table)
 
+    _SWAP_MARKER = ".swap-intent.json"
+
+    def _swap_marker_path(self) -> str:
+        return os.path.join(self.path, self._SWAP_MARKER)
+
+    def _recover_swap(self) -> None:
+        """Roll forward (or discard) a half-finished _replace_fragments.
+        Caller must hold the maintenance lock.  The marker is renamed in
+        atomically before the snapshot becomes visible, so: marker +
+        snapshot present → finish the unlinks; marker without snapshot →
+        nothing swapped, drop the marker.  Leftover `.tmp-compact-*`
+        files are pre-swap garbage either way."""
+        marker = self._swap_marker_path()
+        part = marker + ".part"
+        if os.path.exists(part):
+            os.unlink(part)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                intent = json.load(fh)
+            if os.path.exists(os.path.join(self.path, intent["out"])):
+                for base in intent["frags"]:
+                    f = os.path.join(self.path, base)
+                    if os.path.exists(f):
+                        os.unlink(f)
+                self._invalidate_version_cache()
+            os.unlink(marker)
+        for tmp in glob.glob(os.path.join(self.path, ".tmp-compact-*")):
+            os.unlink(tmp)
+
     def _replace_fragments(self, frags: list[str], table: pa.Table) -> None:
         """Atomically swap exactly `frags` for one compacted snapshot.
         Caller must hold the maintenance lock and must have built `table`
@@ -626,6 +663,20 @@ class ParquetEventStore(EventStore):
         out = os.path.join(
             self.path, f"part-{time.time_ns():020d}-compacted.parquet"
         )
+        # intent marker first (atomic via rename): a crash between the
+        # snapshot rename and the unlinks is repaired by _recover_swap
+        # at the next maintenance op instead of leaving fragments whose
+        # rows the next compact would duplicate into the store for good
+        marker = self._swap_marker_path()
+        with open(marker + ".part", "w") as fh:
+            json.dump(
+                {
+                    "out": os.path.basename(out),
+                    "frags": [os.path.basename(f) for f in frags],
+                },
+                fh,
+            )
+        os.rename(marker + ".part", marker)
         # snapshot becomes visible BEFORE the originals vanish: a reader
         # globbing mid-swap sees transient DUPLICATE rows — harmless for
         # appenders (max stream_version unchanged, version precheck stays
@@ -635,6 +686,7 @@ class ParquetEventStore(EventStore):
         os.rename(tmp, out)
         for f in frags:
             os.unlink(f)
+        os.unlink(marker)
         self._invalidate_version_cache()
 
     def get_statistics(self):

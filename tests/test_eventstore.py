@@ -306,6 +306,65 @@ def test_compact_and_hard_delete_still_work(tmp_path):
     assert not os.path.exists(store._maintenance_lock_path())
 
 
+def test_swap_crash_is_repaired_before_next_maintenance(
+    tmp_path, monkeypatch
+):
+    """A crash between _replace_fragments' snapshot rename and its
+    fragment unlinks must not let the NEXT compact() bake the duplicate
+    rows in — and for a crashed hard_delete, must not resurrect the
+    deleted stream into the compacted output.  The swap-intent marker
+    makes the half-finished swap roll forward at the next maintenance
+    op."""
+    import os
+
+    from cloudfabric_eventsourcing_spark.eventstore import store as st
+
+    store = _parquet_store(tmp_path)
+    for i in range(4):
+        _append_order(store, f"2c55f399-0000-0000-0000-00000000000{i}")
+    doomed = "2c55f399-0000-0000-0000-000000000000"
+    n_total = store.get_statistics().total_events_count
+    survivor = "2c55f399-0000-0000-0000-000000000001"
+    survivor_before = store.load_stream(survivor, ORDERS_PARTITION_KEY)
+
+    # crash simulation: the first fragment unlink during hard_delete's
+    # swap raises — snapshot (without the doomed stream) and marker are
+    # in place, the original fragments are not gone
+    real_unlink = os.unlink
+
+    def crashing_unlink(p):
+        base = os.path.basename(p)
+        if base.startswith("part-") and not base.endswith(
+            "-compacted.parquet"
+        ):
+            raise OSError("simulated crash")
+        real_unlink(p)
+
+    monkeypatch.setattr(st.os, "unlink", crashing_unlink)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.hard_delete(doomed, ORDERS_PARTITION_KEY)
+    monkeypatch.setattr(st.os, "unlink", real_unlink)
+    assert os.path.exists(store._swap_marker_path())
+
+    # mid-crash reads stay correct: per-stream loads dedupe the
+    # transient duplicate rows, so the stream looks exactly as before
+    s1 = store.load_stream(survivor, ORDERS_PARTITION_KEY)
+    assert s1.version == survivor_before.version
+    assert len(s1.events) == len(survivor_before.events)
+
+    # the next maintenance op repairs the swap FIRST: the compacted
+    # store holds each surviving event exactly once and the hard-deleted
+    # stream stays gone
+    store.compact()
+    assert not os.path.exists(store._swap_marker_path())
+    assert len(store._fragments()) == 1
+    per_stream = n_total // 4
+    assert store.get_statistics().total_events_count == n_total - per_stream
+    assert (
+        store.load_stream(doomed, ORDERS_PARTITION_KEY).version == 0
+    )
+
+
 def test_stale_commit_lock_is_stolen(tmp_path):
     """A lock file abandoned by a crashed writer must not stall appends for
     LOCK_TIMEOUT_S (reference: Postgres row locks die with the writer)."""
