@@ -216,3 +216,58 @@ def test_differential_match_mode_fuzz(spark):
             )
     assert not mismatches, f"match-mode backends disagree: {mismatches[:2]}"
     df.unpersist()
+
+
+def test_differential_phrase_slop_fuzz(spark):
+    """Randomized Spark-vs-python differential over phrase_prefix with
+    slop: random 2-3 term queries (last term sometimes truncated to an
+    open prefix) × slop 0-3 over multi-token docs — the RLIKE gap
+    budget and the python gap walker must agree on every doc."""
+    from cloudfabric_eventsourcing_spark.plans.pyeval import eval_search
+
+    rng = random.Random(55)
+    vocab = ["alpha", "beta", "gamma", "delta", "zeta", "omega", "kappa"]
+    docs = [
+        {
+            "Id": f"id-{i:03d}",
+            "s": " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(4, 12))
+            ),
+            "n": 0,
+            "d": 0.0,
+            "b": False,
+            "ts": BASE_TS,
+            "tags": [],
+            "items": [],
+            "PartitionKey": "P",
+        }
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, SCHEMA_STRUCT).cache()
+    mismatches = []
+    for trial in range(30):
+        terms = [rng.choice(vocab) for _ in range(rng.randint(2, 3))]
+        if rng.random() < 0.5:
+            terms[-1] = terms[-1][: rng.randint(2, 4)]
+        slop = rng.randint(0, 3)
+        query = ProjectionQuery(
+            search_text=" ".join(terms),
+            search_mode="phrase_prefix",
+            phrase_slop=slop,
+        )
+        spark_ids = {
+            r["Id"]
+            for r in apply_query(df, query, SCHEMA).select("Id").collect()
+        }
+        py_ids = {
+            d["Id"]
+            for d in docs
+            if eval_search(
+                query.search_text, d, SCHEMA,
+                mode="phrase_prefix", phrase_slop=slop,
+            )
+        }
+        if spark_ids != py_ids:
+            mismatches.append((trial, terms, slop, spark_ids ^ py_ids))
+    assert not mismatches, f"slop backends disagree: {mismatches[:3]}"
+    df.unpersist()
