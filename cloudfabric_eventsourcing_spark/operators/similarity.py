@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -386,3 +387,52 @@ def ivf_index_report(spark, path: str, vec_col: str = "embedding") -> dict:
             for r in per_cell
         ],
     }
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    out_path: str,
+    n_cells: Optional[int] = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: Optional[int] = None,
+    seed: int = 42,
+    lloyd_iters: int = 5,
+) -> np.ndarray:
+    """Retrain a persisted IVF index's centroids from its CURRENT
+    vectors and write a fresh index at `out_path` — the action
+    `ivf_index_report`'s drift metrics exist to trigger.  Closes the
+    index lifecycle: save → append (drift accumulates) → report →
+    retrain.
+
+    Blue/green on purpose (same philosophy as the projection layer's
+    dual-index rebuild): the retrained index materializes BESIDE the
+    live one, readers keep probing `path` until the caller switches,
+    and a mid-retrain failure leaves the live index untouched.  An
+    in-place rewrite is refused — it would destroy the index readers
+    are probing while the rewrite job runs.
+
+    Scale shape: centroid re-derivation collects only the k-means
+    sample to the driver (ivf_centroids_from_sample); the full-table
+    re-assignment + partitioned rewrite is one distributed pass
+    (save_ivf_index) — unavoidable for a retrain, since cell membership
+    is exactly what changes.  `n_cells` defaults to the live index's
+    cell count; pass a larger value when the report shows mean cell
+    size has outgrown the probe budget."""
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "retrain_ivf_index is blue/green: out_path must differ from "
+            "the live index path"
+        )
+    vectors, old_centroids = load_ivf_index(spark, path)
+    if n_cells is None:
+        n_cells = len(old_centroids)
+    # the stale cell assignment is dropped; ids and vectors carry over
+    fresh = vectors.drop("cell")
+    centroids = ivf_centroids_from_sample(
+        fresh, n_cells, vec_col=vec_col, id_col=id_col,
+        sample_size=sample_size, seed=seed, lloyd_iters=lloyd_iters,
+    )
+    save_ivf_index(fresh, centroids, out_path, vec_col=vec_col, id_col=id_col)
+    return centroids

@@ -1341,6 +1341,70 @@ def test_ivf_index_report_flags_drifted_append(spark, emb, tmp_path):
     assert abs(r3["mean_cos_to_centroid"] - r2["mean_cos_to_centroid"]) < 1e-9
 
 
+def test_retrain_ivf_index_recovers_drift(spark, emb, tmp_path):
+    """retrain_ivf_index closes the IVF lifecycle: after a drifted
+    append, retraining from the stored vectors restores assignment
+    quality (cos-to-own-centroid back up, worst cell no longer ~0),
+    keeps every vector, and is blue/green — the live index is untouched
+    and an in-place rewrite is refused."""
+    import numpy as np
+
+    idx = str(tmp_path / "ivf_live")
+    base = emb.orderBy("vec_id").limit(200)
+    cents = similarity.ivf_centroids_from_sample(base, n_cells=8)
+    similarity.save_ivf_index(base, cents, idx)
+
+    # same drift shape as the report test: a null-space direction, the
+    # whole batch landing in one cell
+    c = np.asarray(cents, dtype=np.float64)
+    _, _, vt = np.linalg.svd(c)
+    v_orth = vt[-1]
+    c0 = c[0] / np.linalg.norm(c[0])
+    rows = []
+    for i in range(100):
+        v = v_orth.copy()
+        v[i % 64] += 1e-4 * (i + 1)
+        v = v + 0.2 * c0
+        rows.append((100_000 + i, [float(x) for x in v]))
+    similarity.append_to_ivf_index(
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"),
+        idx,
+    )
+    drifted = similarity.ivf_index_report(spark, idx)
+
+    with pytest.raises(ValueError, match="blue/green"):
+        similarity.retrain_ivf_index(spark, idx, idx)
+
+    out = str(tmp_path / "ivf_retrained")
+    new_cents = similarity.retrain_ivf_index(spark, idx, out)
+    assert new_cents.shape[0] == 8
+    retrained = similarity.ivf_index_report(spark, out)
+
+    # every vector carried over; the live index is untouched
+    assert retrained["total_vectors"] == drifted["total_vectors"] == 300
+    assert similarity.ivf_index_report(spark, idx)["cells"] == (
+        drifted["cells"]
+    )
+    # retraining gives the drifted mass its own centroid(s): the worst
+    # cell's assignment quality recovers and the global mean improves
+    assert retrained["min_cell_mean_cos"] > drifted["min_cell_mean_cos"]
+    assert (
+        retrained["mean_cos_to_centroid"] > drifted["mean_cos_to_centroid"]
+    )
+
+    # the retrained index answers queries: a drifted vector's neighbors
+    # come from its own family (brute-force agreement on the top hit)
+    q = [float(x) for x in rows[0][1]]
+    vectors, cents2 = similarity.load_ivf_index(spark, out)
+    approx = similarity.ivf_topk(
+        vectors, cents2, q, k=5, nprobe=2
+    ).collect()
+    exact = similarity.brute_force_topk(
+        vectors.drop("cell"), q, k=5
+    ).collect()
+    assert approx[0]["vec_id"] == exact[0]["vec_id"]
+
+
 def test_corpus_report_approximate(spark, docs):
     """corpus_report(approximate=True) swaps exact percentiles for the
     mergeable approx_percentile sketch (the 100 TB opt-out — exact
