@@ -105,11 +105,21 @@ def _recover_dir(d: str) -> None:
     with open(marker) as fh:
         intent = json.load(fh)
     tmp = intent["tmp"]
-    for src_base, dst_base in intent["moves"]:
-        dst = os.path.join(d, dst_base)
-        if not os.path.exists(dst):
-            # rename is atomic: exactly one of tmp-file / target exists
-            os.rename(os.path.join(tmp, src_base), dst)
+    pending = [
+        (src_base, dst_base)
+        for src_base, dst_base in intent["moves"]
+        if not os.path.exists(os.path.join(d, dst_base))
+    ]
+    if pending and not os.path.isdir(tmp):
+        # tmp dir gone (external cleanup?) with moves still outstanding:
+        # rolling forward the unlinks would LOSE the unmoved rows.  Leave
+        # the original fragments in place (correct, just uncompacted),
+        # drop the marker, and let a later compaction retry from scratch.
+        os.unlink(marker)
+        return
+    for src_base, dst_base in pending:
+        # rename is atomic: exactly one of tmp-file / target exists
+        os.rename(os.path.join(tmp, src_base), os.path.join(d, dst_base))
     for frag_base in intent["frags"]:
         frag = os.path.join(d, frag_base)
         if os.path.exists(frag):
@@ -128,11 +138,16 @@ def _sweep_orphan_tmp(parent: str) -> None:
     ):
         try:
             with open(marker) as fh:
-                referenced.add(json.load(fh)["tmp"])
+                # realpath both sides: a marker written under one path
+                # spelling (relative cwd, symlinked root) must protect
+                # its tmp dir from a sweep under another — comparing raw
+                # strings would delete a live marker-referenced tmp and
+                # strand _recover_dir's roll-forward
+                referenced.add(os.path.realpath(json.load(fh)["tmp"]))
         except (OSError, json.JSONDecodeError, KeyError):
             continue
     for tmp in glob.glob(os.path.join(parent, f"{_TMP_PREFIX}*")):
-        if tmp not in referenced:
+        if os.path.realpath(tmp) not in referenced:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -157,7 +172,11 @@ def _rewrite_dir(spark: SparkSession, d: str, n_files: int) -> None:
         for i, f in enumerate(_data_files(tmp))
     ]
     intent = {
-        "tmp": tmp,
+        # realpath: the marker must reference the tmp dir by a spelling
+        # that survives a different cwd / a symlinked index root, or a
+        # post-crash sweep under the other spelling would treat it as
+        # orphaned (see _sweep_orphan_tmp)
+        "tmp": os.path.realpath(tmp),
         "moves": moves,
         "frags": [os.path.basename(f) for f in frags],
     }

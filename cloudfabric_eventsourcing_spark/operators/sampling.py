@@ -83,15 +83,36 @@ def stratified_sample_fraction(
     fractions: dict,
     seed: int = 0,
     default_fraction: Optional[float] = None,
+    max_strata: int = 100_000,
 ) -> DataFrame:
     """Approximate per-stratum Bernoulli sampling (Spark-native sampleBy)
     for when exact sizes don't matter and a second scan is too expensive.
-    Single stratum column only (sampleBy limitation)."""
+    Single stratum column only (sampleBy limitation).
+
+    ``default_fraction`` needs the distinct stratum set on the driver
+    (sampleBy takes a literal fraction map).  That is bounded and fine
+    for real strata (language, source, quality bucket) but a mistaken
+    high-cardinality column (doc id, url) would funnel the corpus into
+    the driver — so the collect is capped at ``max_strata`` and fails
+    loudly past it rather than OOMing quietly."""
     if len(strata_cols) != 1:
         raise ValueError("sampleBy supports exactly one stratum column")
     col = strata_cols[0]
     if default_fraction is not None:
-        present = [r[0] for r in df.select(col).distinct().collect()]
+        # limit(max+1): bounded driver transfer regardless of cardinality
+        present = [
+            r[0]
+            for r in df.select(col).distinct().limit(max_strata + 1).collect()
+        ]
+        if len(present) > max_strata:
+            raise ValueError(
+                f"stratum column {col!r} has more than {max_strata} "
+                "distinct values — default_fraction materializes the "
+                "stratum set on the driver, which is only sane for "
+                "low-cardinality strata (language, source, bucket). "
+                "Pass an explicit `fractions` map, raise `max_strata` "
+                "deliberately, or stratify on a coarser column."
+            )
         fractions = {v: fractions.get(v, default_fraction) for v in present}
     return df.sampleBy(col, fractions=fractions, seed=seed)
 

@@ -39,6 +39,18 @@ until the next compaction.  The CORPUS side is idempotent twice over:
     restarted with a fresh checkpoint over new input would silently
     overwrite an earlier run's ``epoch=N`` corpus data.
 
+  The two keys interact on one asymmetric crash: save_minhash_index's
+  grams and bands appends are separate jobs, so a crash mid-append can
+  commit doc A's index rows while doc C's never land.  On replay A
+  self-rejects (content key) while C is re-accepted — and a naive
+  epoch overwrite would then REPLACE the previous ``{A, C}`` output
+  with ``{C}``, stranding A in the index forever but never in the
+  corpus.  The rule is therefore **never shrink an existing epoch
+  dir**: a retried epoch first unions the rows already committed under
+  its own ``run=/epoch=`` path with the newly accepted set (distinct
+  by id) and overwrites with the union, so partial index commits can
+  only ever ADD corpus rows on replay, never drop them.
+
 Readers see ``run``/``epoch`` as ordinary partition columns —
 ingest lineage for free.
 
@@ -54,6 +66,40 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, functions as F
 
 from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
+
+
+def _path_exists(spark, path: str) -> bool:
+    """Filesystem-agnostic existence check through the Hadoop FS API
+    (works for local paths and any scheme the session can reach)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _check_corpus_layout(spark, corpus_path: str) -> None:
+    """Fail fast on a corpus directory written by the pre-run/epoch flat
+    append layout: mixing root-level parquet files with run=/epoch=
+    subdirectories gives Spark's partition discovery conflicting
+    directory depths (it refuses the read), and silently continuing
+    would strand the legacy rows.  Migration: move the flat files into
+    ``run=legacy/epoch=0/`` under the same root."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            raise ValueError(
+                f"corpus_path {corpus_path!r} holds root-level data "
+                f"files (e.g. {name!r}) from the legacy flat-append "
+                "layout; curate_stream now writes run=<id>/epoch=<n> "
+                "subdirectories and Spark rejects mixed-depth layouts. "
+                "Migrate first: move the flat files into "
+                f"{corpus_path}/run=legacy/epoch=0/"
+            )
 
 
 def curate_batch_against_index(
@@ -136,6 +182,8 @@ def curate_stream(
     num_perm, bands, n = _dedup._read_minhash_meta(
         stream.sparkSession, index_path
     )
+    # refuse a legacy flat-layout corpus before the first batch runs
+    _check_corpus_layout(stream.sparkSession, corpus_path)
     accepted_batches = [0]
     run_id: list = [None]
 
@@ -167,9 +215,29 @@ def curate_stream(
         # run+epoch-keyed idempotent write (see module docstring): a
         # retried batch overwrites ONLY its own subdirectory, and a
         # fresh checkpoint gets a fresh run segment
-        accepted.write.mode("overwrite").parquet(
-            f"{corpus_path}/run={_run_id(batch.sparkSession)}/epoch={epoch_id}"
+        spark = batch.sparkSession
+        epoch_path = (
+            f"{corpus_path}/run={_run_id(spark)}/epoch={epoch_id}"
         )
+        # never-shrink rule (module docstring): a retried epoch whose
+        # previous attempt committed the corpus write but only PART of
+        # the index append re-accepts the un-indexed docs and
+        # self-rejects the indexed ones — union with the rows already
+        # under this epoch path so the indexed-but-replayed docs are
+        # not dropped from the corpus.  localCheckpoint breaks lineage
+        # to the path we are about to overwrite.
+        corpus_rows = accepted
+        if _path_exists(spark, epoch_path):
+            prior = spark.read.parquet(epoch_path)
+            corpus_rows = (
+                prior.unionByName(accepted)
+                .dropDuplicates([id_col])
+                .localCheckpoint(eager=True)
+            )
+        corpus_rows.write.mode("overwrite").parquet(epoch_path)
+        # index append stays on the NEW survivors only: the prior rows
+        # either have index entries already (that's why they
+        # self-rejected) or are in `accepted` too
         _dedup.save_minhash_index(
             accepted.select(id_col, text_col), index_path,
             num_perm=num_perm, bands=bands, n=n,

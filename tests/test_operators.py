@@ -1095,6 +1095,96 @@ def test_compaction_tmp_dirs_invisible_to_partition_discovery(
     assert after.count() == before_rows  # tmp rows invisible
 
 
+def test_sweep_respects_marker_tmp_path_spelling(spark, docs, tmp_path):
+    """A marker-referenced tmp dir must survive the orphan sweep even
+    when the marker recorded the path under a different spelling than
+    the sweep walks (relative cwd, symlinked index root): both sides
+    are realpath-normalized, so the raw-string mismatch that used to
+    delete a live tmp — stranding _recover_dir's roll-forward in
+    FileNotFoundError forever — cannot recur."""
+    import json
+    import shutil
+
+    from cloudfabric_eventsourcing_spark.operators import (
+        index_maintenance as im,
+    )
+
+    path = str(tmp_path / "mh_spelling")
+    dedup.save_minhash_index(
+        docs.orderBy("doc_id").select("doc_id", "text").limit(60), path
+    )
+    grams_dir = f"{path}/grams"
+    truth = sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    )
+    # hand-build the post-crash state: tmp dir with the compacted file,
+    # marker whose tmp path is spelled with a redundant `/./` segment
+    frag = _parquet_files(grams_dir)[0]
+    tmp = os.path.join(path, ".tmp-compact-grams-999")
+    os.makedirs(tmp)
+    shutil.copy(frag, os.path.join(tmp, "c0.parquet"))
+    oddly_spelled = os.path.join(path, ".", ".tmp-compact-grams-999")
+    marker = {
+        "tmp": oddly_spelled,
+        "moves": [["c0.parquet", "part-recovered-00000.parquet"]],
+        "frags": [os.path.basename(frag)],
+    }
+    with open(os.path.join(grams_dir, im._MARKER), "w") as fh:
+        json.dump(marker, fh)
+    # the sweep must NOT delete the tmp dir the marker references
+    im._sweep_orphan_tmp(path)
+    assert os.path.isdir(tmp)
+    # and recovery rolls the swap forward from it
+    im.compact_index(spark, path)
+    recovered = sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    )
+    assert recovered == truth
+    assert not os.path.exists(os.path.join(grams_dir, im._MARKER))
+
+
+def test_recover_dir_survives_missing_tmp(spark, docs, tmp_path):
+    """If a marker's tmp dir is gone (external cleanup) with moves still
+    outstanding, recovery must NOT roll the unlinks forward — that would
+    drop the unmoved rows.  It leaves the original fragments in place
+    (uncompacted but correct), clears the marker, and a later compaction
+    retries from scratch instead of raising FileNotFoundError forever."""
+    import json
+
+    from cloudfabric_eventsourcing_spark.operators import (
+        index_maintenance as im,
+    )
+
+    path = str(tmp_path / "mh_missingtmp")
+    dedup.save_minhash_index(
+        docs.orderBy("doc_id").select("doc_id", "text").limit(60), path
+    )
+    grams_dir = f"{path}/grams"
+    truth = sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    )
+    frag = _parquet_files(grams_dir)[0]
+    marker = {
+        "tmp": os.path.join(path, ".tmp-compact-grams-gone"),
+        "moves": [["c0.parquet", "part-never-arrived.parquet"]],
+        "frags": [os.path.basename(frag)],
+    }
+    with open(os.path.join(grams_dir, im._MARKER), "w") as fh:
+        json.dump(marker, fh)
+    im._recover_dir(grams_dir)  # must not raise, must not unlink frags
+    assert os.path.exists(frag)
+    assert not os.path.exists(os.path.join(grams_dir, im._MARKER))
+    survivors = sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    )
+    assert survivors == truth
+    # and the next full compaction works normally
+    im.compact_index(spark, path)
+    assert sorted(
+        (r["id"],) for r in spark.read.parquet(grams_dir).collect()
+    ) == truth
+
+
 def test_compact_cosine_index(spark, emb, tmp_path):
     from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
         compact_index,

@@ -48,3 +48,22 @@ def test_fraction_sample_rates(spark, sf_dir):
     )
     n, total = out.count(), docs.count()
     assert 0.3 * total < n < 0.7 * total
+
+
+def test_fraction_sample_guards_high_cardinality_strata(spark, sf_dir):
+    """default_fraction materializes the stratum set on the driver; a
+    high-cardinality stratum column (doc id) must fail loudly at the
+    cap instead of funneling the corpus into driver memory."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="distinct values"):
+        sampling.stratified_sample_fraction(
+            docs, ["doc_id"], fractions={}, default_fraction=0.5,
+            max_strata=10,
+        )
+    # the cap is a guard, not a behavior change: under it, sampling works
+    out = sampling.stratified_sample_fraction(
+        docs, ["lang"], fractions={}, default_fraction=0.5, max_strata=10
+    )
+    assert 0 < out.count() < docs.count()

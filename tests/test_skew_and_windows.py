@@ -393,6 +393,121 @@ def test_streaming_curation_auto_compaction_bounds_files(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {11}
 
 
+def test_streaming_curation_partial_index_commit_never_shrinks_epoch(
+    spark, tmp_path
+):
+    """The asymmetric crash the epoch overwrite must survive: a batch's
+    corpus write committed, but the index append only half-landed (doc
+    10's band rows present, doc 11's absent — grams are written before
+    bands, so a mid-append crash leaves exactly this state).  On replay
+    10 self-rejects (content key) while 11 is re-accepted; a naive
+    epoch overwrite would then replace {10, 11} with {11}, stranding 10
+    in the index forever but never in the corpus.  The never-shrink
+    union keeps both."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_minhash_index(corpus, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (10, "a genuinely novel document about training shards"),
+            (11, "another fresh document mentioning catalyst optimizer"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "a"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_stream(stream, index_path, corpus_out, ckpt)
+        q.awaitTermination(120)
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    ) == [10, 11]
+
+    # simulate the partial index append: doc 11's BAND rows vanish (its
+    # grams stay — harmless orphans), so the replayed 11 finds no
+    # candidate match and is re-accepted
+    bands_dir = f"{index_path}/bands"
+    kept = (
+        spark.read.parquet(bands_dir)
+        .where(F.col("id") != 11)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(bands_dir)
+    kept.write.partitionBy("bi").parquet(bands_dir)
+
+    # force the committed epoch to replay under the SAME checkpoint
+    # (same run id, same epoch id): offsets/0 present, commits/0 gone
+    os.unlink(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    run(ckpt)
+    # 10 was NOT dropped even though it self-rejected on replay
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    ) == [10, 11]
+
+
+def test_streaming_curation_rejects_legacy_flat_corpus(spark, tmp_path):
+    """A corpus dir holding root-level parquet from the pre-run/epoch
+    flat-append layout must fail fast: mixed-depth leaf files break
+    Spark's partition discovery, and continuing would strand the legacy
+    rows outside the run=/epoch= lineage."""
+    import pytest
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    dedup.save_minhash_index(corpus, index_path)
+    corpus_out = str(tmp_path / "accepted")
+    # legacy layout: data files directly at the corpus root
+    corpus.coalesce(1).write.parquet(corpus_out)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "a genuinely novel document about training shards")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{src}/*")
+    )
+    with pytest.raises(ValueError, match="run=legacy"):
+        curate_stream(stream, index_path, corpus_out, str(tmp_path / "ck"))
+
+
 def test_deduped_stream_drops_replayed_events(spark, tmp_path):
     """At-least-once source + dropDuplicatesWithinWatermark = exactly-once
     delivery with bounded state (T3's streaming counterpart)."""
