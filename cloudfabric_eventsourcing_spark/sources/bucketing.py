@@ -15,9 +15,13 @@ join never shuffles either side.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import shutil
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
@@ -48,3 +52,195 @@ def exchange_count(df: DataFrame) -> int:
     is meant to drive to zero for the join inputs."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange hashpartitioning")
+
+
+# ---------------------------------------------------------------------------
+# Persisted bucketed layout for the star-schema fact tables
+#
+# The round-5 crossover study (PLANS.md) measured the one query family
+# where the embedded single-node oracle stays ahead of Spark locally:
+# star-join aggregates, whose cost is the shuffle materialization of the
+# lineitem<->orders fact-fact join.  Bucketing both facts by the order
+# key at WRITE time removes that shuffle from every subsequent join
+# (measured 1.86x on the h2 core at sf10, exchanges 3 -> 1) — and on a
+# real cluster it is the difference between shuffling 100 TB per join
+# and shuffling nothing.  This block makes that layout a first-class,
+# transparently-consumed artifact:
+#
+#   * ensure_bucketed_layout(spark, sf_dir) builds (or refreshes) the
+#     layout under a cache root, one-time cost, manifest-tracked;
+#   * load_table() consults the manifest and serves the bucketed table
+#     for covered names — every query path (bench, oracle harness,
+#     user code) picks it up with zero changes;
+#   * sessions that did not build the layout re-attach to it with a
+#     CREATE TABLE ... CLUSTERED BY ... LOCATION DDL (the bucket spec
+#     lives in the session catalog; the files carry Spark's bucket-id
+#     naming, so any session can re-register them).
+#
+# Cluster mapping: this is exactly Delta/Iceberg `bucket(N, key)`
+# partition-transform layout (or Hive bucketed tables); the manifest
+# stands in for the table catalog.
+# ---------------------------------------------------------------------------
+
+# fact tables and their (bucket_cols, sort_cols).  The order key is THE
+# repeated fact-fact join key of the workload; per-bucket sort also
+# removes the Sort under sort-merge joins and gives row-group min/max
+# pruning on the key.
+BUCKETED_SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    "lineitem": (("l_orderkey",), ("l_orderkey",)),
+    "orders": (("o_orderkey",), ("o_orderkey",)),
+}
+DEFAULT_N_BUCKETS = 32
+
+_MANIFEST = "manifest.json"
+
+
+def _layout_root() -> str:
+    root = os.environ.get("SPARK_GRAFT_BUCKETED_ROOT")
+    if root:
+        return root
+    # <repo>/.bucketed (gitignored): survives across sessions and bench
+    # runs on one machine; on a cluster this would be a table location
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".bucketed",
+    )
+
+
+def _digest(sf_dir: str) -> str:
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
+def bucketed_layout_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "root"
+    return os.path.join(_layout_root(), f"{base}-{_digest(sf_dir)}")
+
+
+def _catalog_name(sf_dir: str, name: str) -> str:
+    return f"cfes_bucketed_{_digest(sf_dir)}_{name}"
+
+
+def _source_signature(sf_dir: str, name: str) -> list:
+    """Cheap staleness probe for an immutable-fixture source: size+mtime
+    of the table file (or the newest fragment of a directory dataset)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(p)
+    except FileNotFoundError:
+        return ["missing"]
+    if os.path.isdir(p):
+        import glob as _glob
+
+        frags = _glob.glob(os.path.join(p, "*.parquet"))
+        return [
+            len(frags),
+            max((os.stat(f).st_mtime_ns for f in frags), default=0),
+            sum(os.stat(f).st_size for f in frags),
+        ]
+    return [st.st_size, st.st_mtime_ns]
+
+
+def read_bucketed_manifest(sf_dir: str) -> Optional[dict]:
+    path = os.path.join(bucketed_layout_dir(sf_dir), _MANIFEST)
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    specs: Optional[dict] = None,
+) -> dict:
+    """Build (or refresh) the bucketed fact layout for ``sf_dir``.
+
+    Idempotent: tables whose source signature matches the manifest are
+    left alone, so repeated calls cost one json read + a few stats.
+    Returns {"dir", "built": [names rebuilt], "manifest"}.  The manifest
+    is written LAST (atomic rename), so a crashed build is invisible to
+    readers and simply rebuilt next call.
+    """
+    from cloudfabric_eventsourcing_spark.sources import tables as _tables
+
+    specs = specs if specs is not None else BUCKETED_SPECS
+    ldir = bucketed_layout_dir(sf_dir)
+    os.makedirs(ldir, exist_ok=True)
+    manifest = read_bucketed_manifest(sf_dir)
+    if manifest is None or manifest.get("n_buckets") != n_buckets:
+        manifest = {"n_buckets": n_buckets, "source": os.path.abspath(sf_dir), "tables": {}}
+    built: list[str] = []
+    for name, (bcols, scols) in specs.items():
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        sig = _source_signature(sf_dir, name)
+        entry = manifest["tables"].get(name)
+        tpath = os.path.join(ldir, name)
+        if entry and entry.get("source_sig") == sig and os.path.isdir(tpath):
+            continue
+        df = _tables.load_parquet(spark, src)
+        cat = _catalog_name(sf_dir, name)
+        spark.sql(f"DROP TABLE IF EXISTS {cat}")
+        if os.path.isdir(tpath):
+            shutil.rmtree(tpath)
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bcols)
+        )
+        if scols:
+            writer = writer.sortBy(*scols)
+        writer.option("path", tpath).saveAsTable(cat)
+        manifest["tables"][name] = {
+            "bucket_cols": list(bcols),
+            "sort_cols": list(scols),
+            "schema_ddl": [
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            ],
+            "source_sig": sig,
+            "path": tpath,
+        }
+        built.append(name)
+    if built:
+        tmp = os.path.join(ldir, f".{_MANIFEST}.part")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, os.path.join(ldir, _MANIFEST))
+        # cached plain DataFrames for these tables are now stale
+        _tables.invalidate_table_cache(sf_dir.rstrip("/"))
+    return {"dir": ldir, "built": built, "manifest": manifest}
+
+
+def bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str
+) -> Optional[DataFrame]:
+    """The bucketed DataFrame for (sf_dir, name), re-registering the
+    catalog entry if this session has not seen it — or None when no
+    fresh layout covers the table (callers fall back to plain parquet).
+    Set SPARK_GRAFT_NO_BUCKETED=1 to force the plain path (A/B tools)."""
+    if os.environ.get("SPARK_GRAFT_NO_BUCKETED") == "1":
+        return None
+    manifest = read_bucketed_manifest(sf_dir)
+    if not manifest:
+        return None
+    entry = manifest["tables"].get(name)
+    if not entry or not os.path.isdir(entry["path"]):
+        return None
+    if entry.get("source_sig") != _source_signature(sf_dir, name):
+        return None  # stale layout: serve the source of truth instead
+    cat = _catalog_name(sf_dir, name)
+    if not spark.catalog.tableExists(cat):
+        cols = ", ".join(entry["schema_ddl"])
+        bcols = ", ".join(f"`{c}`" for c in entry["bucket_cols"])
+        scols = ", ".join(f"`{c}`" for c in entry["sort_cols"])
+        sorted_clause = f"SORTED BY ({scols}) " if entry["sort_cols"] else ""
+        spark.sql(
+            f"CREATE TABLE {cat} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bcols}) {sorted_clause}"
+            f"INTO {manifest['n_buckets']} BUCKETS "
+            f"LOCATION '{entry['path']}'"
+        )
+    return spark.table(cat)

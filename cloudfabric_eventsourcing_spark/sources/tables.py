@@ -112,7 +112,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
     df = _TABLE_CACHE.get(key)
     if df is None:
-        df = load_parquet(spark, key[1])
+        # a persisted bucketed layout (sources/bucketing.py) covering
+        # this table is served transparently: same rows, shuffle-free
+        # fact-fact joins.  Falls back to plain parquet when absent.
+        from cloudfabric_eventsourcing_spark.sources import bucketing
+
+        df = bucketing.bucketed_table(spark, sf_dir, name)
+        if df is None:
+            df = load_parquet(spark, key[1])
         _TABLE_CACHE[key] = df
     return df
 

@@ -59,3 +59,100 @@ def test_bucketed_aggregation_reuses_layout(spark, bucketed_tables):
     )
     agg.count()
     assert exchange_count(agg) == 0
+
+
+def test_persisted_layout_transparent_and_headline_shuffle_pin(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The persisted bucketed layout (ensure_bucketed_layout) is served
+    transparently by load_table, produces identical results on a
+    HEADLINE query (h2), and removes exactly the two fact-side
+    exchanges from its sort-merge plan.  Also pins cross-session
+    re-attach: dropping the catalog entry and reloading re-registers
+    the layout via DDL with the bucket spec intact."""
+    import __spark_entry__ as entry
+    from cloudfabric_eventsourcing_spark.sources import bucketing
+    from cloudfabric_eventsourcing_spark.sources.tables import (
+        invalidate_table_cache,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ROOT", str(tmp_path / "bl"))
+    h2 = entry.queries()["h2_revenue_by_nation"]
+    try:
+        # plain run first (no layout exists yet)
+        invalidate_table_cache()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain_df = h2(spark, sf_dir)
+        plain = sorted(map(tuple, plain_df.collect()))
+        plain_ex = exchange_count(plain_df)
+
+        res = bucketing.ensure_bucketed_layout(spark, sf_dir)
+        assert set(res["built"]) == {"lineitem", "orders"}
+        # second call: fresh layout, no rebuild
+        assert bucketing.ensure_bucketed_layout(spark, sf_dir)["built"] == []
+
+        invalidate_table_cache()
+        bucket_df = h2(spark, sf_dir)
+        got = sorted(map(tuple, bucket_df.collect()))
+        assert got == plain
+        bucket_ex = exchange_count(bucket_df)
+        # the two fact-side (lineitem/orders) exchanges vanish (AQE's
+        # executed-plan string repeats stages, so pin the >=2 delta and
+        # strict improvement, not an absolute count)
+        assert plain_ex - bucket_ex >= 2, (bucket_ex, plain_ex)
+
+        # cross-session re-attach: drop the catalog entries (a fresh
+        # session has none) and load again — DDL re-registration path
+        for t in ("lineitem", "orders"):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {bucketing._catalog_name(sf_dir, t)}"
+            )
+        invalidate_table_cache()
+        again = h2(spark, sf_dir)
+        assert sorted(map(tuple, again.collect())) == plain
+        assert exchange_count(again) == bucket_ex
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("lineitem", "orders"):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {bucketing._catalog_name(sf_dir, t)}"
+            )
+        invalidate_table_cache()
+
+
+def test_persisted_layout_stale_source_falls_back(spark, tmp_path, monkeypatch):
+    """A layout whose source signature no longer matches serves NOTHING:
+    load_table must return the (newer) source of truth, not stale
+    buckets."""
+    import shutil
+
+    from cloudfabric_eventsourcing_spark.sources import bucketing, load_table
+    from cloudfabric_eventsourcing_spark.sources.tables import (
+        invalidate_table_cache,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ROOT", str(tmp_path / "bl"))
+    sf2 = tmp_path / "sfcopy"
+    sf2.mkdir()
+    spark.range(100).selectExpr(
+        "id AS l_orderkey", "CAST(id AS DOUBLE) AS l_extendedprice"
+    ).coalesce(1).write.parquet(str(sf2 / "lineitem.parquet"))
+    try:
+        bucketing.ensure_bucketed_layout(
+            spark, str(sf2), specs={"lineitem": (("l_orderkey",), ())}
+        )
+        invalidate_table_cache()
+        assert load_table(spark, str(sf2), "lineitem").count() == 100
+        # source changes underneath: the layout must stop serving
+        shutil.rmtree(str(sf2 / "lineitem.parquet"))
+        spark.range(150).selectExpr(
+            "id AS l_orderkey", "CAST(id AS DOUBLE) AS l_extendedprice"
+        ).coalesce(1).write.parquet(str(sf2 / "lineitem.parquet"))
+        invalidate_table_cache()
+        assert load_table(spark, str(sf2), "lineitem").count() == 150
+    finally:
+        spark.sql(
+            "DROP TABLE IF EXISTS "
+            + bucketing._catalog_name(str(sf2), "lineitem")
+        )
+        invalidate_table_cache()
