@@ -2786,102 +2786,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # red, or code-changed-this-round) so each gets (re-)verified; entries past
 # the window keep their existing green rows at unchanged code.
 #
-# Round-5 rotation: the 50 entries that went green in CORRECTNESS_r04 age
-# one round (their rows are at since-unchanged code); the window goes to
-# (a) f01/f05/f07 — the only entries still riding r02 rows, flagged weak
-# by the r04 verdict until they hold a current row — and (b) 47 of the 49
-# entries holding r03 rows.  The two r03 entries left just past the
-# window, with why that is safe (both are frozen code, each green in the
-# local all-registry oracle harness this round, and each shares its one
-# nontrivial physical leaf with an in-window sibling):
-#   - w02_sliding_window: same F.window leaf as the in-window
-#     w01_tumbling_window — the two differ only in the slide argument —
-#     and the watermarked streaming variant is pinned in test_streaming.
-#   - p08_stratified_sample: displaced late in round 5 when h13 re-entered
-#     (below); its deterministic hash-bucket leaf is shared with the
-#     r04-green p14_train_shuffle and per-stratum semantics are pinned by
-#     test_sampling's seed-stability matrix.
-#   - x05_retention_cohorts: displaced when t02 re-entered (quality score
-#     rewritten to exact integer ten-thousandths); its single-scan
-#     window-anchor leaf is shared with the in-window x04, its
-#     COUNT(DISTINCT) Expand with the in-window h14, and cohort semantics
-#     are additionally pinned by the monotonicity pytest.
-#   - h20_brand_size_quantity_revenue: displaced by the round-5 addition
-#     f24_search_phrase_slop (new entries take a slot on day one); same
-#     pushed-part-filter + broadcast part<->lineitem filtered-agg leaves
-#     as the in-window h18_small_quantity_revenue, code unchanged since
-#     its r03 green row.
-# Any query ADDED in round 5 must take a window slot on day one (pinned by
+# Round-6 rotation: the 50 entries green in CORRECTNESS_r05 age one round;
+# the window leads with the four entries that sat just past position 50
+# last round (w02/p08/x05/h20 — the r05 verdict's explicit cadence ask),
+# then takes 46 of the 49 entries riding r04 rows.  The three r04-row
+# entries left just outside, with why that is safe (all three are frozen
+# code, each green in this round's local all-registry sf0.01 differential
+# — which ALSO exercises the new bucketed fact layout — and each shares
+# its nontrivial physical leaf with an in-window sibling):
+#   - f02_ne_null: same translator comparison leaf (translator.py:76) as
+#     the in-window f03_ts_range/f04/f06 family; null semantics pinned in
+#     test_translator's case matrix.
+#   - f03_range: numeric comparisons on the same leaf as the in-window
+#     f03_ts_range (which additionally covers the ns->us timestamp path —
+#     the riskier half of the pair).
+#   - o2_nested_sort: nested-path sort shares its leaf with the in-window
+#     o1_multi_sort_limit and o3_array_element_filtered_sort; PG null
+#     ordering pinned in test_translator.
+# NOTE this round's plan-affecting change is the bucketed lineitem/orders
+# layout, which load_table serves to EVERY query that scans those tables.
+# In-window: h1-h6, h20, h28, h29, x01, p12 run bucketed under the
+# driver's own gate; the r05-row h7-h27 (outside the window, code
+# unchanged) were re-verified hash-identical vs DuckDB at sf0.01 on the
+# bucketed path by tools/verify_at_scale.py this round.
+#
+# (Round-5 rotation, for the record: f01/f05/f07 off r02 rows plus 47 of
+# the 49 r03-row entries; w02/p08/x05/h20 sat just outside and lead this
+# round per the displacement notes then recorded.)
+# Any query ADDED in round 6 must take a window slot on day one (pinned by
 # test_registry_invariants), displacing the next safest aging entry.
 _VERIFY_FIRST = [
-    # --- aging r02 rows (the last pre-r03 rows in the registry) ---
-    "f01_eq",
-    "f05_ends_with",
-    "f07_starts_ignore_case",
-    # --- r03 rows: search modes ---
-    "f15_suggestions",
-    "f18_search_phrase_prefix",
-    "f19_search_scored_boosted",
-    "f20_search_highlights",
-    "f21_search_fuzzy",
-    "f22_search_synonyms",
-    "f24_search_phrase_slop",  # NEW in r05 — window slot on day one
-    # --- r03 rows: text operators ---
-    "t05_rarity_weighted_scores",
-    "t06_repetition_stats",
-    "t07_vocab_topk",
-    "p11_boilerplate_lines",
-    # --- r03 rows: dedup / similarity / sampling / graph ---
-    "p06_cosine_neardup_lsh",
-    "p07_simhash_neardup",
-    # h13 changed in round 5 (pre-aggregate-then-lattice rewrite, same
-    # rewrite as the in-window h7) — changed code takes a window slot on
-    # day one, displacing p08 (see note above the list)
-    "h13_cube_revenue",
-    "p09_weighted_mix",
-    "p13_duplicate_clusters",
-    "s02_ann_lsh_topk",
-    "s03_ann_ivf_topk",
-    "k01_salted_join",
-    # --- r03 rows: temporal / behavioral / multimodal ---
-    "x02_sessionization",
-    "x03_range_join",
-    "x04_funnel_conversion",
-    # t02 changed in round 5 (exact-integer quality score — a real
-    # at-scale divergence found by verify_at_scale) — window slot on day
-    # one, displacing x05 (see note above the list)
-    "t02_quality_score",
-    "m01_multimodal_features",
-    # --- r03 rows: windows / set ops / median ---
-    "w01_tumbling_window",
-    "w03_session_window",
-    "u01_set_ops",
-    "a7_exact_median",
-    # --- r03 rows: TPC-H shapes ---
-    "h7_rollup_revenue",
-    "h8_shipping_priority",
-    "h9_order_priority_check",
-    "h10_promo_revenue_share",
-    "h11_large_volume_customers",
-    "h12_rich_idle_customers",
-    "h14_distinct_customers_per_nation",
-    "h15_nation_volume_shipping",
-    "h16_priority_status_matrix",
-    "h17_top_supplier_revenue",
-    "h18_small_quantity_revenue",
-    "h19_forecast_discount_revenue",
-    "h21_major_revenue_nations",
-    "h22_min_price_supplier",
-    "h23_market_share",
-    "h24_product_profit",
-    "h25_customer_distribution",
-    "h26_brand_supplier_counts",
-    "h27_waiting_suppliers",
-    # -- driver window ends here (position 50) --
+    # --- the four entries displaced past position 50 in round 5 ---
     "w02_sliding_window",
     "p08_stratified_sample",
     "x05_retention_cohorts",
     "h20_brand_size_quantity_revenue",
+    # --- r04 rows: filters / search / sort / pagination ---
+    "f04_starts_with",
+    "f06_contains_case_sensitive",
+    "f08_contains_ignore_case",
+    "f09_array_contains",
+    "f12_array_exists",
+    "f10_bool_tree",
+    "f11_nested_path",
+    "f13_search_text",
+    "f17_search_scored",
+    "f16_search_tokenized",
+    "f23_search_match_analyzer",
+    "f14_partition_key",
+    "f03_ts_range",
+    "o1_multi_sort_limit",
+    "o3_array_element_filtered_sort",
+    "o4_pagination",
+    # --- r04 rows: aggregates / facets / folds ---
+    "a1_total_count",
+    "a2_max_stream_version",
+    "a3_store_statistics",
+    "a6_facet_counts",
+    "a6_facet_ranges",
+    "a4_projection_fold_counts",
+    "a5_projection_fold_sum",
+    "j3_in_list",
+    # --- r04 rows: TPC-H shapes (bucketed fact layout this round) ---
+    "h1_pricing_summary",
+    "h2_revenue_by_nation",
+    "h3_top_customers",
+    "h4_semi_join_high_value_orders",
+    "h5_anti_join_customers_without_p_orders",
+    "h6_window_top3_orders_per_customer",
+    "h28_late_priority_lines",
+    "h29_dominant_suppliers",
+    "x01_asof_join",
+    # --- r04 rows: dedup / similarity / text / packing ---
+    "p01_exact_dedup",
+    "p02_fingerprint_dedup",
+    "p10_decontaminate",
+    "p12_pack_offsets",
+    "p03_ngram_jaccard_pairs",
+    "p04_minhash_lsh_pairs",
+    "p05_cosine_neardup_pairs",
+    "s01_ann_brute_force_topk",
+    "t01_language_id",
+    "t03_token_counts",
+    "t04_pii_redaction",
+    "t08_fluency_scores",
+    "p14_train_shuffle",
+    # -- driver window ends here (position 50) --
+    "f02_ne_null",
+    "f03_range",
+    "o2_nested_sort",
 ]
 
 

@@ -9,6 +9,7 @@ Behavioral spec (reference, read-only):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -17,18 +18,45 @@ from typing import Any, Optional
 
 class InMemoryMetadataRepository:
     def __init__(self) -> None:
+        import threading
+
         self._items: dict[tuple[str, str], Any] = {}
+        self._lock = threading.Lock()
 
     def upsert_item(self, id: str, partition_key: str, item: Any) -> None:
-        self._items[(id, partition_key)] = item
+        with self._lock:
+            self._items[(id, partition_key)] = item
 
     def load_item(self, id: str, partition_key: str) -> Optional[Any]:
         return self._items.get((id, partition_key))
 
+    def compare_and_upsert(
+        self, id: str, partition_key: str, item: Any, expected: Any
+    ) -> bool:
+        """Atomic compare-and-swap: write only if the stored value still
+        equals ``expected`` (None = key absent).  The optimistic-lock
+        primitive the rebuild lease uses (the reference's conditional
+        UPDATE ... WHERE updated_at = @seen)."""
+        with self._lock:
+            if self._items.get((id, partition_key)) != expected:
+                return False
+            self._items[(id, partition_key)] = item
+            return True
+
 
 class JsonFileMetadataRepository:
     """Single-JSON-file store with atomic replace (small metadata only —
-    index state, rebuild progress; not a data path)."""
+    index state, rebuild progress; not a data path).
+
+    Writes take an advisory fcntl lock around the load-modify-save, so
+    CONCURRENT PROCESSES (the reference worker's maxParallelTasks shape,
+    ProjectionsRebuildProcessor.cs:28-59) cannot lose each other's
+    updates to different keys: without it, two workers leasing two
+    different projections could each read the file, apply their own key,
+    and the later replace would erase the earlier worker's lease.  Reads
+    stay lock-free — the atomic replace guarantees every reader sees a
+    complete (if slightly stale) snapshot, and the state store's
+    optimistic updated_at re-check handles staleness."""
 
     def __init__(self, path: str):
         self.path = path
@@ -46,10 +74,39 @@ class JsonFileMetadataRepository:
             json.dump(data, f)
         os.replace(tmp, self.path)
 
+    @contextlib.contextmanager
+    def _file_lock(self):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        lock_fd = os.open(self.path + ".lock", os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.lockf(lock_fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(lock_fd)  # closing releases the lock
+
     def upsert_item(self, id: str, partition_key: str, item: Any) -> None:
-        data = self._load()
-        data[f"{partition_key}\x00{id}"] = item
-        self._save(data)
+        with self._file_lock():
+            data = self._load()
+            data[f"{partition_key}\x00{id}"] = item
+            self._save(data)
+
+    def compare_and_upsert(
+        self, id: str, partition_key: str, item: Any, expected: Any
+    ) -> bool:
+        """Cross-process compare-and-swap under the advisory lock: write
+        only if the stored value still equals ``expected`` (None = key
+        absent).  Two worker processes racing to lease the same rebuild
+        serialize here; the loser sees the winner's lease and moves on."""
+        with self._file_lock():
+            data = self._load()
+            key = f"{partition_key}\x00{id}"
+            if data.get(key) != expected:
+                return False
+            data[key] = item
+            self._save(data)
+            return True
 
     def load_item(self, id: str, partition_key: str) -> Optional[Any]:
         return self._load().get(f"{partition_key}\x00{id}")

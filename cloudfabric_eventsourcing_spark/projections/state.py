@@ -205,7 +205,8 @@ class ProjectionIndexStateStore:
             )
 
         for name in self.list_names():
-            state = self.get(name)
+            raw_before = self._repo.load_item(name, self.PARTITION)
+            state = ProjectionIndexState.from_dict(raw_before) if raw_before else None
             if state is None or not any(eligible(s) for s in state.indexes_statuses):
                 continue
             started = _utcnow()
@@ -217,8 +218,20 @@ class ProjectionIndexStateStore:
             index.rebuild_started_at = started
             index.rebuild_health_check_at = started
             index.rebuild_completed_at = None
+            cas = getattr(self._repo, "compare_and_upsert", None)
+            if cas is not None:
+                # true compare-and-swap (the reference's conditional
+                # UPDATE, :425-441): the lease write succeeds only if
+                # nobody changed the row since our read — two parallel
+                # worker processes can never both acquire the same index
+                if not cas(
+                    state.projection_name, self.PARTITION,
+                    state.to_dict(), raw_before,
+                ):
+                    continue
+                return state, index.index_name
+            # fallback for custom repos without CAS: blind save + re-read
             self.save(state)
-            # optimistic lock: re-read and compare updated_at (:425-441)
             check = self.get(name)
             if check is None or check.updated_at != started:
                 continue
@@ -235,20 +248,35 @@ class ProjectionIndexStateStore:
         completed: bool = False,
     ) -> None:
         with self._lock:
-            state = self.get(projection_name)
-            if state is None:
-                return
-            for s in state.indexes_statuses:
-                if s.index_name == index_name:
-                    s.rebuild_events_processed = events_processed
-                    s.rebuild_health_check_at = _utcnow()
-                    if last_ts is not None:
-                        s.last_processed_event_timestamp = last_ts
-                    if total is not None:
-                        s.total_events_to_process = total
-                    if completed:
-                        s.rebuild_completed_at = _utcnow()
-            self.save(state)
+            cas = getattr(self._repo, "compare_and_upsert", None)
+            # CAS-with-retry: a progress heartbeat must never clobber a
+            # CONCURRENT change to the same row (another worker process
+            # leasing a sibling index status of this projection) — re-read
+            # and re-apply on conflict instead of blind-saving stale state
+            for _ in range(16):
+                raw = self._repo.load_item(projection_name, self.PARTITION)
+                if raw is None:
+                    return
+                state = ProjectionIndexState.from_dict(raw)
+                for s in state.indexes_statuses:
+                    if s.index_name == index_name:
+                        s.rebuild_events_processed = events_processed
+                        s.rebuild_health_check_at = _utcnow()
+                        if last_ts is not None:
+                            s.last_processed_event_timestamp = last_ts
+                        if total is not None:
+                            s.total_events_to_process = total
+                        if completed:
+                            s.rebuild_completed_at = _utcnow()
+                if cas is None:
+                    self.save(state)
+                    return
+                if cas(projection_name, self.PARTITION, state.to_dict(), raw):
+                    return
+            raise RuntimeError(
+                f"update_rebuild_progress({projection_name}): row contended "
+                "past 16 CAS retries"
+            )
 
 
 def _new_status(

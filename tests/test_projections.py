@@ -378,3 +378,110 @@ def test_rebuild_processor_distributed_path(world, spark):
     completed = [s for s in st.indexes_statuses if s.rebuild_completed_at]
     assert completed and completed[0].rebuild_events_processed == 4
     assert completed[0].total_events_to_process == 4
+
+
+def test_two_process_rebuild_workers_split_pending_rebuilds(tmp_path):
+    """The reference worker runs maxParallelTasks rebuild processors
+    against one state store (ProjectionsRebuildProcessor.cs:28-59); two
+    worker PROCESSES sharing a JsonFileMetadataRepository must split two
+    pending rebuilds — the CAS lease guarantees no index is acquired
+    twice — and both must complete.  Workers synchronize on a barrier
+    file so the race is real, not sequential."""
+    import decimal as _dec
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from cloudfabric_eventsourcing_spark.eventstore import (
+        JsonFileMetadataRepository,
+        ParquetEventStore,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    store = ParquetEventStore(str(tmp_path / "events"))
+    store.initialize()
+    repo = AggregateRepository(store, Order)
+    for i in range(30):
+        o = Order(
+            f"{i:08d}-0000-0000-0000-0000000000aa",
+            f"W{i}",
+            [OrderItem(utcnow(), "seed", _dec.Decimal("1.00"))],
+        )
+        repo.save(USER, o)
+        loaded = repo.load(o.id, ORDERS_PARTITION_KEY)
+        for j in range(3):
+            loaded.add_item(OrderItem(utcnow(), f"i{j}", _dec.Decimal("2.00")))
+        repo.save(USER, loaded)
+
+    state_path = str(tmp_path / "state.json")
+    state = ProjectionIndexStateStore(JsonFileMetadataRepository(state_path))
+    names = ("two_proc_proj_a", "two_proc_proj_b")
+    for nm in names:
+        schema = orders_list_schema()
+        schema.schema_name = nm
+        InMemoryProjectionRepository(schema, state).ensure_index()
+    pending = {
+        state.get(nm).indexes_statuses[0].index_name for nm in names
+    }
+    assert len(pending) == 2
+
+    barrier = str(tmp_path / "go")
+    worker = r"""
+import json, os, sys, time
+root, state_path, store_path, barrier = sys.argv[1:5]
+sys.path.insert(0, root)
+from cloudfabric_eventsourcing_spark.eventstore import (
+    JsonFileMetadataRepository, ParquetEventStore,
+)
+from cloudfabric_eventsourcing_spark.projections import (
+    IndexSelector, InMemoryProjectionRepository, ProjectionsEngine,
+    ProjectionsRebuildProcessor, ProjectionIndexStateStore,
+)
+from tests.domain_fixtures import OrdersListProjectionBuilder, orders_list_schema
+state = ProjectionIndexStateStore(JsonFileMetadataRepository(state_path))
+store = ParquetEventStore(store_path)
+store.initialize()
+def factory(index_name):
+    e = ProjectionsEngine(store)
+    for nm in ("two_proc_proj_a", "two_proc_proj_b"):
+        schema = orders_list_schema()
+        schema.schema_name = nm
+        if schema.index_name() == index_name:
+            repo = InMemoryProjectionRepository(schema, state)
+            e.add_projection_builder(
+                OrdersListProjectionBuilder(repo, IndexSelector.ProjectionRebuild)
+            )
+    assert e._builders, index_name
+    return e
+proc = ProjectionsRebuildProcessor(state, factory, store, chunk_size=5, mode="serial")
+while not os.path.exists(barrier):
+    time.sleep(0.001)
+print(json.dumps(proc.rebuild_projections_that_require_rebuild()), flush=True)
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, root, state_path,
+             str(tmp_path / "events"), barrier],
+            cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for _ in range(2)
+    ]
+    time.sleep(1.0)  # let both interpreters import and reach the barrier
+    with open(barrier, "w") as fh:
+        fh.write("go")
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-2000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+
+    done = [ix for r in results for ix in r]
+    # CAS lease: every pending index rebuilt EXACTLY once across workers
+    assert sorted(done) == sorted(pending), results
+    # and the race genuinely split: each worker rebuilt exactly one
+    assert [len(r) for r in results] == [1, 1], results
+    for nm in names:
+        st = state.get(nm)
+        assert all(s.rebuild_completed_at for s in st.indexes_statuses), nm
