@@ -1,12 +1,22 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is REAL and tested — schema, partition-friendly
-layout, Arrow batch shapes, mapInPandas signatures. The codec step itself is
-STUBBED: the image/audio libraries are not in this container, so
-`decode_image` raises NotImplementedError unless `fake=True`, which swaps in
-a deterministic byte-hash-derived decoder with the exact same output schema.
-Swap the stub for PIL/torchaudio/av calls in a real deployment; nothing
-around it changes.
+The Spark-side plumbing — schema, partition-friendly layout, Arrow batch
+shapes, mapInPandas signatures — is real and tested, and so is the image/
+audio codec step:
+
+  * images: PIL when importable (JPEG/WebP/whatever the deployment
+    installs), falling back to the dependency-free pure-Python PNG
+    decoder in operators/codecs.py (8-bit gray/RGB/RGBA/palette, all
+    five scanline filters) — so real PNG bytes decode, resize, and
+    featurize hermetically in this container;
+  * audio: RIFF/PCM WAV via the stdlib wave module (codecs.decode_wav);
+  * video: frame extraction genuinely needs a container/codec library
+    (av/ffmpeg — not installable here), so sample_frames keeps the
+    clearly-marked `fake=True` deterministic slicer only.
+
+`fake=True` remains on every operator as the hermetic stand-in (byte-hash
+features, deterministic slicing) with identical output schemas — useful
+for plumbing tests that should not depend on codec output.
 
 Design notes for 100 TB:
   - binary payloads ride in their own column so column pruning skips them
@@ -25,6 +35,25 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from cloudfabric_eventsourcing_spark.operators import codecs as _codecs
+
+
+def _decode_image(content: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raw pixels) via PIL when available,
+    else the pure-Python PNG decoder.  Raises ValueError /
+    NotImplementedError for formats neither path can handle."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(content))
+        img = img.convert("RGB")
+        return img.width, img.height, 3, img.tobytes()
+    except ImportError:
+        pass
+    return _codecs.decode_png(content)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -66,37 +95,59 @@ def decode_image_features(
     df: DataFrame, fake: bool = False, out_dim: int = 16
 ) -> DataFrame:
     """binary content -> fixed-size feature vector via mapInPandas.
-    Real codec NOT available in this environment: requires fake=True."""
+
+    Real path (default): decode pixels (_decode_image: PIL or pure-PNG),
+    emit the REAL width/height plus a normalized out_dim-bin luminance
+    histogram (codecs.image_features).  `fake=True` keeps the
+    deterministic byte-hash stand-in with metadata-derived dimensions —
+    same schema, no codec dependency."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "pass fake=True for the deterministic stand-in decoder"
+            if fake:
+                rows = {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["meta"].map(lambda m: m["width"] if m else None),
+                    "height": pdf["meta"].map(lambda m: m["height"] if m else None),
+                    "n_bytes": pdf["content"].map(
+                        lambda c: len(c) if c is not None else 0
+                    ),
+                    "features": pdf["content"].map(
+                        lambda c: _fake_decode(
+                            bytes(c) if c is not None else b"", out_dim
+                        )
+                    ),
+                }
+                yield pd.DataFrame(rows)
+                continue
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_bytes": [], "features": []}
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                w, h, ch, pixels = _decode_image(content)
+                out["media_id"].append(row["media_id"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(content))
+                out["features"].append(
+                    _codecs.image_features(w, h, ch, pixels, out_dim)
                 )
-            rows = {
-                "media_id": pdf["media_id"],
-                "width": pdf["meta"].map(lambda m: m["width"] if m else None),
-                "height": pdf["meta"].map(lambda m: m["height"] if m else None),
-                "n_bytes": pdf["content"].map(lambda c: len(c) if c is not None else 0),
-                "features": pdf["content"].map(
-                    lambda c: _fake_decode(bytes(c) if c is not None else b"", out_dim)
-                ),
-            }
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(out)
 
     schema = IMAGE_FEATURES_DDL.replace(
         "array<float>", "array<double>"
-    )  # fake decoder emits doubles
+    )  # both decoders emit float64 histograms/hashes
     return df.where(F.col("kind") == "image").mapInPandas(run, schema)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """video binary -> sampled frame bytes (1 row per sampled frame).
-    The fake sampler slices the payload deterministically."""
+    Video container demuxing genuinely needs av/ffmpeg (not installable
+    in this container), so this is the one operator that remains
+    fake-only: the fake sampler slices the payload deterministically
+    with the real mapInPandas plumbing around it."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -104,7 +155,9 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "video codec not available; pass fake=True"
+                    "video frame extraction needs a container/codec "
+                    "library (av/ffmpeg); pass fake=True for the "
+                    "deterministic slicer"
                 )
             out = {"media_id": [], "frame_idx": [], "frame_bytes": []}
             for _, row in pdf.iterrows():
@@ -149,12 +202,14 @@ def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
     """image binary -> resized image binary with updated metadata, the
-    standard pre-training normalization step. Real resampling needs an
-    image lib (not in this container); the fake path deterministically
-    re-chains the payload to width*height//8 bytes so downstream size
-    accounting is exercised for real. Output keeps the MEDIA_SCHEMA
-    column shapes (content + meta) so resize composes with
-    decode_image_features / the media table unchanged."""
+    standard pre-training normalization step.  Real path (default):
+    decode (_decode_image), nearest-neighbor resample (vectorized numpy),
+    re-encode PNG — output mime becomes image/png regardless of input.
+    The fake path deterministically re-chains the payload to
+    width*height//8 bytes so downstream size accounting is exercised
+    without a codec.  Output keeps the MEDIA_SCHEMA column shapes
+    (content + meta) so resize composes with decode_image_features /
+    the media table unchanged."""
 
     target_bytes = max(width * height // 8, 1)
 
@@ -163,9 +218,30 @@ def resize_images(
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image codec not available; pass fake=True"
-                )
+                out = {"media_id": [], "content": [], "meta": []}
+                for _, row in pdf.iterrows():
+                    content = (
+                        bytes(row["content"]) if row["content"] is not None else b""
+                    )
+                    w, h, ch, pixels = _decode_image(content)
+                    resized = _codecs.nearest_resize(
+                        w, h, ch, pixels, width, height
+                    )
+                    m = row["meta"]
+                    out["media_id"].append(row["media_id"])
+                    out["content"].append(
+                        _codecs.encode_png(width, height, ch, resized)
+                    )
+                    out["meta"].append(
+                        {
+                            "mime": "image/png",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": m["duration_ms"] if m else None,
+                        }
+                    )
+                yield pd.DataFrame(out)
+                continue
 
             def shrink(c):
                 content = bytes(c) if c is not None else b""
@@ -203,10 +279,13 @@ def chunk_audio(
 ) -> DataFrame:
     """audio binary -> fixed-duration chunks (1 row per chunk), the audio
     sibling of sample_frames: the shape a speech/ASR feature pipeline
-    consumes. Real resample/decode needs an audio lib (not in this
-    container); the fake path treats the payload as 8 kB/s PCM-ish bytes
-    and slices deterministically — schema, batching and partitioning are
-    the real plumbing either way."""
+    consumes.  Real path (default): parse RIFF/PCM WAV headers
+    (codecs.decode_wav), slice on FRAME boundaries at the file's actual
+    sample rate, and emit each chunk as a standalone WAV (so chunks
+    remain independently decodable downstream) with its true duration.
+    The fake path treats the payload as 8 kB/s PCM-ish bytes and slices
+    deterministically — schema, batching and partitioning are the real
+    plumbing either way."""
 
     bytes_per_ms = 8  # fake codec's fixed "sample rate"
 
@@ -214,12 +293,30 @@ def chunk_audio(
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio codec not available; pass fake=True"
-                )
             out = {"media_id": [], "chunk_idx": [], "chunk_bytes": [],
                    "duration_ms": []}
+            if not fake:
+                for _, row in pdf.iterrows():
+                    content = (
+                        bytes(row["content"]) if row["content"] is not None else b""
+                    )
+                    rate, n_ch, width, frames = _codecs.decode_wav(content)
+                    frame_bytes = n_ch * width
+                    frames_per_chunk = max(rate * chunk_ms // 1000, 1)
+                    step = frames_per_chunk * frame_bytes
+                    n_chunks = max((len(frames) + step - 1) // step, 1)
+                    for idx in range(n_chunks):
+                        piece = frames[idx * step:(idx + 1) * step]
+                        out["media_id"].append(row["media_id"])
+                        out["chunk_idx"].append(idx)
+                        out["chunk_bytes"].append(
+                            _codecs.encode_wav(rate, n_ch, width, piece)
+                        )
+                        out["duration_ms"].append(
+                            len(piece) * 1000 // (rate * frame_bytes)
+                        )
+                yield pd.DataFrame(out)
+                continue
             step = chunk_ms * bytes_per_ms
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
