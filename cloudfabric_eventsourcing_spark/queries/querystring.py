@@ -139,7 +139,17 @@ def serialize_connector(c: FilterConnector) -> str:
     return f"{c.logic}{LOGIC_JOIN}{serialize_filter(c.filter)}"
 
 
-_NESTED_SPLIT = re.compile(r"\.(?=(?:and|or)\$)")
+# Accept BOTH connector dialects on deserialize: the server joins
+# logic+filter with '$' (ProjectionQueryQueryStringExtensions.cs:21), but
+# the reference's own TS client emits '+' (filter.ts serialize) — a string
+# the reference C# server cannot actually parse (FilterConnector
+# QueryStringExtensions.cs:12-23 finds neither '$' nor a quote and
+# throws).  We keep the server dialect on SERIALIZE and accept the TS
+# dialect on DESERIALIZE (superset compatibility, pinned by the
+# checked-in fixtures transcribed from the TS codec).  Same for the
+# visible token: server "true"/"false", TS client 'T'/'F'.
+_NESTED_SPLIT = re.compile(r"\.(?=(?:and|or)[$+])")
+_TS_CONNECTOR = re.compile(r"^(and|or)\+")
 
 
 def deserialize_filter(s: str) -> Filter:
@@ -161,7 +171,8 @@ def deserialize_filter(s: str) -> Filter:
         operator=None if oper == "*" else oper,
         value=_value_from_wire(value),
         tag=urllib.parse.unquote_plus(tag),
-        visible=visible == "true",
+        # "true" = server dialect; "T" = TS-client dialect (filter.ts:76)
+        visible=visible in ("true", "T"),
         filters=filters,
     )
 
@@ -179,7 +190,11 @@ def _split_fields(s: str) -> tuple[str, str, str, str, str, str]:
 def deserialize_connector(s: str) -> FilterConnector:
     idx = s.find(LOGIC_JOIN)
     if idx < 0:
-        raise ValueError(f"malformed connector wire string: {s!r}")
+        # TS-client dialect: logic joined with '+' (filter.ts serialize)
+        m = _TS_CONNECTOR.match(s)
+        if m is None:
+            raise ValueError(f"malformed connector wire string: {s!r}")
+        idx = m.end(1)
     return FilterConnector(s[:idx], deserialize_filter(s[idx + 1 :]))
 
 

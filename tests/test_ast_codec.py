@@ -167,3 +167,74 @@ def test_filter_dict_roundtrip_typed_values():
     assert back.filters[0].filter.value == f.filters[0].filter.value
     assert back.filters[1].filter.value == f.filters[1].filter.value
     assert isinstance(back.filters[1].filter.value, uuid.UUID)
+
+
+def test_ts_client_wire_fixtures_deserialize_exactly():
+    """Cross-language pin: serialized strings produced by the reference's
+    TS client codec (filter.ts / filterConnector.ts — the first four are
+    byte-exact from its own jest expectations) must deserialize into the
+    exact AST.  The TS client joins connectors with '+' and writes
+    visible as T/F — a dialect the reference C# SERVER cannot actually
+    parse (FilterConnectorQueryStringExtensions.cs:12-23 throws);
+    deserialize here is a documented superset accepting both dialects,
+    while serialize stays on the server dialect."""
+    import decimal
+    import json
+    import os
+
+    from cloudfabric_eventsourcing_spark.queries import querystring as qsm
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "ts_wire_fixtures.json"
+    )
+    with open(path) as fh:
+        fixtures = json.load(fh)["fixtures"]
+    assert len(fixtures) >= 12
+
+    def to_dict(f):
+        return {
+            "property": f.property_name,
+            "operator": f.operator,
+            "value": f.value,
+            "visible": f.visible,
+            "tag": f.tag,
+            "filters": [
+                {"logic": c.logic, "filter": to_dict(c.filter)} for c in f.filters
+            ],
+        }
+
+    def expand(ast):
+        out = dict(ast)
+        v = out["value"]
+        if isinstance(v, dict) and "$decimal" in v:
+            out["value"] = decimal.Decimal(v["$decimal"])
+        out["filters"] = [
+            {"logic": c["logic"], "filter": expand(c["filter"])}
+            for c in out["filters"]
+        ]
+        return out
+
+    for fx in fixtures:
+        got = to_dict(qsm.deserialize_filter(fx["wire"]))
+        assert got == expand(fx["ast"]), fx["name"]
+
+
+def test_server_dialect_roundtrip_of_ts_asts():
+    """The ASTs deserialized from TS-client strings re-serialize on the
+    SERVER dialect and round-trip losslessly (the migration path: accept
+    the TS wire once, emit server wire thereafter)."""
+    import json
+    import os
+
+    from cloudfabric_eventsourcing_spark.queries import querystring as qsm
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "ts_wire_fixtures.json"
+    )
+    with open(path) as fh:
+        fixtures = json.load(fh)["fixtures"]
+    for fx in fixtures:
+        ast = qsm.deserialize_filter(fx["wire"])
+        server_wire = qsm.serialize_filter(ast)
+        again = qsm.deserialize_filter(server_wire)
+        assert qsm.serialize_filter(again) == server_wire, fx["name"]
