@@ -92,7 +92,47 @@ BUCKETED_SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 }
 DEFAULT_N_BUCKETS = 32
 
+# Activation threshold, measured (PLANS.md Round-6 notes): bucketing wins
+# 1.55x on the h-family at sf10 (60M-row lineitem) but COSTS ~20% at
+# sf0.1 — with a ~15 MB fact the shuffle it saves is cheaper than the
+# fixed 32-bucket scan granularity and catalog-analysis overhead it
+# adds.  The layout therefore only activates when the largest spec'd
+# source table crosses this size; below it, load_table serves plain
+# parquet (exactly the call a table catalog's optimizer would make).
+# The whole LAYOUT gates on the largest table: co-location needs both
+# join sides bucketed, so activating one without the other is useless.
+DEFAULT_MIN_SOURCE_BYTES = 100 * 1024 * 1024  # sf1 and up
+
 _MANIFEST = "manifest.json"
+
+
+def _min_source_bytes() -> int:
+    raw = os.environ.get("SPARK_GRAFT_BUCKETED_MIN_BYTES")
+    return int(raw) if raw else DEFAULT_MIN_SOURCE_BYTES
+
+
+def _source_bytes(sf_dir: str, name: str) -> int:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            import glob as _glob
+
+            return sum(
+                os.stat(f).st_size
+                for f in _glob.glob(os.path.join(p, "*.parquet"))
+            )
+        return os.stat(p).st_size
+    except FileNotFoundError:
+        return 0
+
+
+def _layout_active(sf_dir: str, specs: dict) -> bool:
+    threshold = _min_source_bytes()
+    if threshold <= 0:
+        return True
+    return max(
+        (_source_bytes(sf_dir, name) for name in specs), default=0
+    ) >= threshold
 
 
 def _layout_root() -> str:
@@ -166,6 +206,11 @@ def ensure_bucketed_layout(
     from cloudfabric_eventsourcing_spark.sources import tables as _tables
 
     specs = specs if specs is not None else BUCKETED_SPECS
+    if not _layout_active(sf_dir, specs):
+        # below the measured win threshold: building would only add scan
+        # overhead (see DEFAULT_MIN_SOURCE_BYTES); report inactive
+        return {"dir": bucketed_layout_dir(sf_dir), "built": [],
+                "manifest": {"n_buckets": n_buckets, "tables": {}}}
     ldir = bucketed_layout_dir(sf_dir)
     os.makedirs(ldir, exist_ok=True)
     manifest = read_bucketed_manifest(sf_dir)
@@ -225,6 +270,10 @@ def bucketed_table(
         return None
     manifest = read_bucketed_manifest(sf_dir)
     if not manifest:
+        return None
+    # serve-time gate too: a layout built under a different threshold (or
+    # for a table that has since shrunk) must not activate below the line
+    if not _layout_active(sf_dir, manifest.get("tables", {})):
         return None
     entry = manifest["tables"].get(name)
     if not entry or not os.path.isdir(entry["path"]):

@@ -77,6 +77,8 @@ def test_persisted_layout_transparent_and_headline_shuffle_pin(
     )
 
     monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ROOT", str(tmp_path / "bl"))
+    # toy-scale fixtures sit far below the size-gated activation line
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", "0")
     h2 = entry.queries()["h2_revenue_by_nation"]
     try:
         # plain run first (no layout exists yet)
@@ -132,6 +134,8 @@ def test_persisted_layout_stale_source_falls_back(spark, tmp_path, monkeypatch):
     )
 
     monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ROOT", str(tmp_path / "bl"))
+    # toy-scale fixtures sit far below the size-gated activation line
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", "0")
     sf2 = tmp_path / "sfcopy"
     sf2.mkdir()
     spark.range(100).selectExpr(
@@ -155,4 +159,40 @@ def test_persisted_layout_stale_source_falls_back(spark, tmp_path, monkeypatch):
             "DROP TABLE IF EXISTS "
             + bucketing._catalog_name(str(sf2), "lineitem")
         )
+        invalidate_table_cache()
+
+
+def test_layout_gates_on_source_size(spark, sf_dir, tmp_path, monkeypatch):
+    """Size-gated activation: below the threshold ensure_bucketed_layout
+    is a no-op and load_table serves plain parquet — the measured sf0.1
+    crossover (PLANS.md Round-6) where bucket-scan overhead exceeds the
+    shuffle saved.  Raising the gate above the already-built layout also
+    deactivates SERVING (a layout built under an older threshold must
+    not activate below the line)."""
+    from cloudfabric_eventsourcing_spark.sources import bucketing, load_table
+    from cloudfabric_eventsourcing_spark.sources.tables import (
+        invalidate_table_cache,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ROOT", str(tmp_path / "bl"))
+    # gate far above the toy fixture: nothing builds, nothing serves
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", str(10**12))
+    res = bucketing.ensure_bucketed_layout(spark, sf_dir)
+    assert res["built"] == [] and res["manifest"]["tables"] == {}
+    try:
+        # now build with the gate open...
+        monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", "0")
+        assert set(bucketing.ensure_bucketed_layout(spark, sf_dir)["built"]) == {
+            "lineitem", "orders",
+        }
+        # ...and close it again: the existing layout must stop serving
+        monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", str(10**12))
+        invalidate_table_cache()
+        df = load_table(spark, sf_dir, "lineitem")
+        assert "cfes_bucketed" not in df._jdf.queryExecution().logical().toString()
+    finally:
+        for t in ("lineitem", "orders"):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {bucketing._catalog_name(sf_dir, t)}"
+            )
         invalidate_table_cache()
