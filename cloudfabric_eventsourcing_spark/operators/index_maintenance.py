@@ -112,9 +112,16 @@ def _recover_dir(d: str) -> None:
     ]
     if pending and not os.path.isdir(tmp):
         # tmp dir gone (external cleanup?) with moves still outstanding:
-        # rolling forward the unlinks would LOSE the unmoved rows.  Leave
-        # the original fragments in place (correct, just uncompacted),
-        # drop the marker, and let a later compaction retry from scratch.
+        # rolling forward the unlinks would LOSE the unmoved rows.  Roll
+        # BACK instead: remove any compacted files already moved in
+        # (they duplicate fragment rows — left in place, the next
+        # compaction would bake the duplication in permanently), keep
+        # the original fragments (correct, just uncompacted), drop the
+        # marker, and let a later compaction retry from scratch.
+        for _src_base, dst_base in intent["moves"]:
+            dst = os.path.join(d, dst_base)
+            if os.path.exists(dst):
+                os.unlink(dst)
         os.unlink(marker)
         return
     for src_base, dst_base in pending:

@@ -51,6 +51,18 @@ until the next compaction.  The CORPUS side is idempotent twice over:
   by id) and overwrites with the union, so partial index commits can
   only ever ADD corpus rows on replay, never drop them.
 
+  One failure class stays OUTSIDE the delivery contract: external loss
+  of a COMMITTED epoch's corpus files (someone deletes data files of a
+  batch whose checkpoint commit landed).  The affected docs remain in
+  the index (self-rejecting on any redelivery) but cannot be
+  reconstructed from it — the index stores hashed shingles, never text,
+  by design.  That divergence is cheaply DETECTABLE:
+  ``index_corpus_divergence`` returns the stranded ids so an operator
+  can re-ingest those documents from the source of truth.  (A general
+  "readmit self-matched docs" write was considered and rejected: a doc
+  redelivered under a FRESH checkpoint also self-matches, and
+  readmitting it would duplicate it across run directories.)
+
 Readers see ``run``/``epoch`` as ordinary partition columns —
 ingest lineage for free.
 
@@ -63,6 +75,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
@@ -100,6 +113,36 @@ def _check_corpus_layout(spark, corpus_path: str) -> None:
                 "Migrate first: move the flat files into "
                 f"{corpus_path}/run=legacy/epoch=0/"
             )
+
+
+def index_corpus_divergence(
+    spark,
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids present in the MinHash index but absent from the corpus — the
+    stranded-document detector for the externally-lost-epoch failure
+    class (module docstring).  A healthy pipeline returns an empty
+    frame; non-empty output lists exactly the documents to re-ingest
+    from the source of truth.
+
+    Scale shape: one column-pruned scan of the index grams id column
+    and one of the corpus id column, a distinct per side, one anti-join
+    — no text is read, no index partition is re-banded."""
+    index_ids = (
+        spark.read.parquet(f"{index_path}/grams")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    try:
+        corpus_ids = (
+            spark.read.parquet(corpus_path).select(id_col).distinct()
+        )
+    except AnalysisException:
+        # corpus dir empty/unreadable: everything indexed is stranded
+        return index_ids
+    return index_ids.join(corpus_ids, id_col, "left_anti")
 
 
 def curate_batch_against_index(
@@ -228,12 +271,17 @@ def curate_stream(
         # to the path we are about to overwrite.
         corpus_rows = accepted
         if _path_exists(spark, epoch_path):
-            prior = spark.read.parquet(epoch_path)
-            corpus_rows = (
-                prior.unionByName(accepted)
-                .dropDuplicates([id_col])
-                .localCheckpoint(eager=True)
-            )
+            try:
+                prior = spark.read.parquet(epoch_path)
+                corpus_rows = (
+                    prior.unionByName(accepted)
+                    .dropDuplicates([id_col])
+                    .localCheckpoint(eager=True)
+                )
+            except AnalysisException:
+                # dir exists but holds no readable parquet (crash right
+                # after mkdir, before any file): nothing to preserve
+                pass
         corpus_rows.write.mode("overwrite").parquet(epoch_path)
         # index append stays on the NEW survivors only: the prior rows
         # either have index entries already (that's why they

@@ -1275,6 +1275,8 @@ def test_recover_dir_survives_missing_tmp(spark, docs, tmp_path):
         index_maintenance as im,
     )
 
+    import shutil
+
     path = str(tmp_path / "mh_missingtmp")
     dedup.save_minhash_index(
         docs.orderBy("doc_id").select("doc_id", "text").limit(60), path
@@ -1284,15 +1286,24 @@ def test_recover_dir_survives_missing_tmp(spark, docs, tmp_path):
         (r["id"],) for r in spark.read.parquet(grams_dir).collect()
     )
     frag = _parquet_files(grams_dir)[0]
+    # one move COMPLETED before the tmp dir vanished: its compacted file
+    # duplicates fragment rows and must be rolled back, or the next
+    # compaction bakes the duplication in permanently
+    moved_in = os.path.join(grams_dir, "part-arrived-00000.parquet")
+    shutil.copy(frag, moved_in)
     marker = {
         "tmp": os.path.join(path, ".tmp-compact-grams-gone"),
-        "moves": [["c0.parquet", "part-never-arrived.parquet"]],
+        "moves": [
+            ["c0.parquet", "part-arrived-00000.parquet"],
+            ["c1.parquet", "part-never-arrived.parquet"],
+        ],
         "frags": [os.path.basename(frag)],
     }
     with open(os.path.join(grams_dir, im._MARKER), "w") as fh:
         json.dump(marker, fh)
     im._recover_dir(grams_dir)  # must not raise, must not unlink frags
     assert os.path.exists(frag)
+    assert not os.path.exists(moved_in)  # partial roll-forward rolled back
     assert not os.path.exists(os.path.join(grams_dir, im._MARKER))
     survivors = sorted(
         (r["id"],) for r in spark.read.parquet(grams_dir).collect()

@@ -705,3 +705,58 @@ def test_interval_join_stream_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_index_corpus_divergence_detects_stranded_docs(spark, tmp_path):
+    """The stranded-document detector: ids in the index but missing from
+    the corpus (external loss of a committed epoch's files) are
+    reported; a healthy pipeline reports none."""
+    import glob
+    import os
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+        index_corpus_divergence,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_minhash_index(corpus, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (10, "a genuinely novel document about training shards"),
+            (11, "another fresh document mentioning catalyst optimizer"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{src}/*")
+    )
+    q = curate_stream(stream, index_path, corpus_out, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    # healthy: only the pre-seeded corpus doc (1) has no corpus row —
+    # it was indexed directly, never ingested through the stream
+    div = {
+        r["doc_id"]
+        for r in index_corpus_divergence(spark, index_path, corpus_out).collect()
+    }
+    assert div == {1}
+
+    # external loss of the committed epoch's files strands 10 and 11
+    for f in glob.glob(f"{corpus_out}/run=*/epoch=0/*"):
+        os.remove(f)
+    div = {
+        r["doc_id"]
+        for r in index_corpus_divergence(spark, index_path, corpus_out).collect()
+    }
+    assert div == {1, 10, 11}
