@@ -82,13 +82,28 @@ def exchange_count(df: DataFrame) -> int:
 # stands in for the table catalog.
 # ---------------------------------------------------------------------------
 
-# fact tables and their (bucket_cols, sort_cols).  The order key is THE
-# repeated fact-fact join key of the workload; per-bucket sort also
-# removes the Sort under sort-merge joins and gives row-group min/max
+# fact tables and their (bucket_cols, sort_cols), grouped by
+# CO-LOCATION: tables in one group only pay off together (bucketing one
+# side of the lineitem<->orders join is useless), so each group
+# activates as a unit on ITS largest member's size.  The order key is
+# THE repeated fact-fact join key of the workload; events bucket by
+# user_id because sessionization / per-user folds / funnel / retention
+# all partition by it (measured at sf10: x02 1.74 -> 0.95 s, a4-fold
+# 0.34 -> 0.26 s, exchanges 1 -> 0).  Per-bucket sort also removes the
+# Sort under sort-merge joins / windows and gives row-group min/max
 # pruning on the key.
+BUCKETED_GROUPS: list[dict[str, tuple[tuple[str, ...], tuple[str, ...]]]] = [
+    {
+        "lineitem": (("l_orderkey",), ("l_orderkey",)),
+        "orders": (("o_orderkey",), ("o_orderkey",)),
+    },
+    {
+        "events": (("user_id",), ("user_id", "ts")),
+    },
+]
+# flat view (all groups merged) — the default spec set
 BUCKETED_SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
-    "lineitem": (("l_orderkey",), ("l_orderkey",)),
-    "orders": (("o_orderkey",), ("o_orderkey",)),
+    name: spec for group in BUCKETED_GROUPS for name, spec in group.items()
 }
 DEFAULT_N_BUCKETS = 32
 
@@ -133,6 +148,24 @@ def _layout_active(sf_dir: str, specs: dict) -> bool:
     return max(
         (_source_bytes(sf_dir, name) for name in specs), default=0
     ) >= threshold
+
+
+def _group_for(name: str) -> dict:
+    """The co-location group a table belongs to (for gating): tables not
+    in any default group gate on their own size."""
+    for group in BUCKETED_GROUPS:
+        if name in group:
+            return group
+    return {name: None}
+
+
+def _spec_groups(specs: Optional[dict]) -> list[dict]:
+    """Default specs split into their co-location groups; a caller's
+    custom spec dict is treated as ONE group (they asked for exactly
+    that co-located set)."""
+    if specs is None or specs is BUCKETED_SPECS:
+        return BUCKETED_GROUPS
+    return [specs]
 
 
 def _layout_root() -> str:
@@ -205,10 +238,15 @@ def ensure_bucketed_layout(
     """
     from cloudfabric_eventsourcing_spark.sources import tables as _tables
 
-    specs = specs if specs is not None else BUCKETED_SPECS
-    if not _layout_active(sf_dir, specs):
-        # below the measured win threshold: building would only add scan
-        # overhead (see DEFAULT_MIN_SOURCE_BYTES); report inactive
+    # per-co-location-group gate: only groups whose largest member
+    # crosses the threshold build (see DEFAULT_MIN_SOURCE_BYTES) —
+    # below it the layout only adds scan overhead
+    active: dict = {}
+    for group in _spec_groups(specs):
+        if _layout_active(sf_dir, group):
+            active.update(group)
+    specs = active
+    if not specs:
         return {"dir": bucketed_layout_dir(sf_dir), "built": [],
                 "manifest": {"n_buckets": n_buckets, "tables": {}}}
     ldir = bucketed_layout_dir(sf_dir)
@@ -271,9 +309,10 @@ def bucketed_table(
     manifest = read_bucketed_manifest(sf_dir)
     if not manifest:
         return None
-    # serve-time gate too: a layout built under a different threshold (or
-    # for a table that has since shrunk) must not activate below the line
-    if not _layout_active(sf_dir, manifest.get("tables", {})):
+    # serve-time gate too (per co-location group): a layout built under
+    # a different threshold (or for a table that has since shrunk) must
+    # not activate below the line
+    if not _layout_active(sf_dir, _group_for(name)):
         return None
     entry = manifest["tables"].get(name)
     if not entry or not os.path.isdir(entry["path"]):

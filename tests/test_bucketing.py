@@ -89,7 +89,7 @@ def test_persisted_layout_transparent_and_headline_shuffle_pin(
         plain_ex = exchange_count(plain_df)
 
         res = bucketing.ensure_bucketed_layout(spark, sf_dir)
-        assert set(res["built"]) == {"lineitem", "orders"}
+        assert set(res["built"]) == {"lineitem", "orders", "events"}
         # second call: fresh layout, no rebuild
         assert bucketing.ensure_bucketed_layout(spark, sf_dir)["built"] == []
 
@@ -105,7 +105,7 @@ def test_persisted_layout_transparent_and_headline_shuffle_pin(
 
         # cross-session re-attach: drop the catalog entries (a fresh
         # session has none) and load again — DDL re-registration path
-        for t in ("lineitem", "orders"):
+        for t in ("lineitem", "orders", "events"):
             spark.sql(
                 f"DROP TABLE IF EXISTS {bucketing._catalog_name(sf_dir, t)}"
             )
@@ -115,7 +115,7 @@ def test_persisted_layout_transparent_and_headline_shuffle_pin(
         assert exchange_count(again) == bucket_ex
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        for t in ("lineitem", "orders"):
+        for t in ("lineitem", "orders", "events"):
             spark.sql(
                 f"DROP TABLE IF EXISTS {bucketing._catalog_name(sf_dir, t)}"
             )
@@ -162,6 +162,48 @@ def test_persisted_layout_stale_source_falls_back(spark, tmp_path, monkeypatch):
         invalidate_table_cache()
 
 
+def test_layout_gates_per_colocation_group(spark, sf_dir, tmp_path, monkeypatch):
+    """Each co-location group gates on ITS OWN largest member: with the
+    threshold between the lineitem and events source sizes, the
+    {lineitem, orders} group builds and serves while {events} stays
+    plain — bucketing activates exactly where each group's measured win
+    begins (PLANS.md Round-6), not on an unrelated table's size."""
+    import os
+
+    from cloudfabric_eventsourcing_spark.sources import bucketing, load_table
+    from cloudfabric_eventsourcing_spark.sources.tables import (
+        invalidate_table_cache,
+    )
+
+    li_sz = bucketing._source_bytes(sf_dir, "lineitem")
+    ev_sz = bucketing._source_bytes(sf_dir, "events")
+    assert ev_sz < li_sz, "fixture precondition"
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ROOT", str(tmp_path / "bl"))
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BUCKETED_MIN_BYTES", str((ev_sz + li_sz) // 2)
+    )
+    try:
+        res = bucketing.ensure_bucketed_layout(spark, sf_dir)
+        assert set(res["built"]) == {"lineitem", "orders"}
+        invalidate_table_cache()
+        li_plan = (
+            load_table(spark, sf_dir, "lineitem")
+            ._jdf.queryExecution().logical().toString()
+        )
+        ev_plan = (
+            load_table(spark, sf_dir, "events")
+            ._jdf.queryExecution().logical().toString()
+        )
+        assert "cfes_bucketed" in li_plan
+        assert "cfes_bucketed" not in ev_plan
+    finally:
+        for t in ("lineitem", "orders", "events"):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {bucketing._catalog_name(sf_dir, t)}"
+            )
+        invalidate_table_cache()
+
+
 def test_layout_gates_on_source_size(spark, sf_dir, tmp_path, monkeypatch):
     """Size-gated activation: below the threshold ensure_bucketed_layout
     is a no-op and load_table serves plain parquet — the measured sf0.1
@@ -183,7 +225,7 @@ def test_layout_gates_on_source_size(spark, sf_dir, tmp_path, monkeypatch):
         # now build with the gate open...
         monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", "0")
         assert set(bucketing.ensure_bucketed_layout(spark, sf_dir)["built"]) == {
-            "lineitem", "orders",
+            "lineitem", "orders", "events",
         }
         # ...and close it again: the existing layout must stop serving
         monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", str(10**12))
@@ -191,7 +233,7 @@ def test_layout_gates_on_source_size(spark, sf_dir, tmp_path, monkeypatch):
         df = load_table(spark, sf_dir, "lineitem")
         assert "cfes_bucketed" not in df._jdf.queryExecution().logical().toString()
     finally:
-        for t in ("lineitem", "orders"):
+        for t in ("lineitem", "orders", "events"):
             spark.sql(
                 f"DROP TABLE IF EXISTS {bucketing._catalog_name(sf_dir, t)}"
             )
