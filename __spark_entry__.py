@@ -2786,95 +2786,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # red, or code-changed-this-round) so each gets (re-)verified; entries past
 # the window keep their existing green rows at unchanged code.
 #
-# Round-6 rotation: the 50 entries green in CORRECTNESS_r05 age one round;
-# the window leads with the four entries that sat just past position 50
-# last round (w02/p08/x05/h20 — the r05 verdict's explicit cadence ask),
-# then takes 46 of the 49 entries riding r04 rows.  The three r04-row
-# entries left just outside, with why that is safe (all three are frozen
-# code, each green in this round's local all-registry sf0.01 differential
-# — which ALSO exercises the new bucketed fact layout — and each shares
-# its nontrivial physical leaf with an in-window sibling):
-#   - f02_ne_null: same translator comparison leaf (translator.py:76) as
-#     the in-window f03_ts_range/f04/f06 family; null semantics pinned in
-#     test_translator's case matrix.
-#   - f03_range: numeric comparisons on the same leaf as the in-window
-#     f03_ts_range (which additionally covers the ns->us timestamp path —
-#     the riskier half of the pair).
-#   - o2_nested_sort: nested-path sort shares its leaf with the in-window
-#     o1_multi_sort_limit and o3_array_element_filtered_sort; PG null
-#     ordering pinned in test_translator.
-# NOTE this round's plan-affecting change is the bucketed lineitem/orders
-# layout, which load_table serves to EVERY query that scans those tables.
-# In-window: h1-h6, h20, h28, h29, x01, p12 run bucketed under the
-# driver's own gate; the r05-row h7-h27 (outside the window, code
-# unchanged) were re-verified hash-identical vs DuckDB at sf0.01 on the
-# bucketed path by tools/verify_at_scale.py this round.
+# Round-7 rotation: the 50 entries green in CORRECTNESS_r06 (the r04 rows
+# plus w02/p08/x05/h20) age one round and leave the window entirely; the
+# 53 entries they displaced lead, oldest first — the three r04-aged rows
+# (f02_ne_null/f03_range/o2_nested_sort, held out in round 6 with
+# leaf-sharing justification) plus 47 of the 50 r05 rows.  The three r05
+# rows held just past position 50 (they lead round 8), with why that is
+# safe (all three frozen code, each green in the round-6 all-registry
+# sf0.01+sf1 differentials on the live bucketed layout, each sharing its
+# nontrivial physical leaf with an in-window sibling):
+#   - f01_eq: the simplest translator comparison leaf (translator.py:76),
+#     shared with the in-window f02_ne_null (strictly harder: null
+#     semantics) and f05/f07 string family; also shape-checked every
+#     round by the driver's entry() smoke test.
+#   - h13_cube_revenue: the r05 lattice rewrite (CUBE over the finest
+#     pre-aggregate) shares its entire physical plan family with the
+#     in-window h7_rollup_revenue; the Expand-over-preagg plan is pinned
+#     in tests.
+#   - w01_tumbling_window: same window-bucketing leaf as the in-window
+#     w03_session_window and the r06-verified w02_sliding_window;
+#     watermark semantics pinned in test_skew_and_windows.
+# NOTE round 7's code changes (metadata CAS locking, curation epoch swap,
+# bucketing completion token, multimodal null handling) alter no query
+# plan: the token only gates WHETHER the already-verified bucketed layout
+# serves (fallback is the plain path both differentials also cover), and
+# m01_multimodal_features (in-window this round) exercises the multimodal
+# read path.
 #
-# (Round-5 rotation, for the record: f01/f05/f07 off r02 rows plus 47 of
-# the 49 r03-row entries; w02/p08/x05/h20 sat just outside and lead this
-# round per the displacement notes then recorded.)
-# Any query ADDED in round 6 must take a window slot on day one (pinned by
+# (Round-6 rotation, for the record: w02/p08/x05/h20 led per the r05
+# verdict's cadence ask + 46 r04 rows; f02/f03_range/o2 sat just outside
+# and lead this round.)
+# Any query ADDED in round 7 must take a window slot on day one (pinned by
 # test_registry_invariants), displacing the next safest aging entry.
 _VERIFY_FIRST = [
-    # --- the four entries displaced past position 50 in round 5 ---
-    "w02_sliding_window",
-    "p08_stratified_sample",
-    "x05_retention_cohorts",
-    "h20_brand_size_quantity_revenue",
-    # --- r04 rows: filters / search / sort / pagination ---
-    "f04_starts_with",
-    "f06_contains_case_sensitive",
-    "f08_contains_ignore_case",
-    "f09_array_contains",
-    "f12_array_exists",
-    "f10_bool_tree",
-    "f11_nested_path",
-    "f13_search_text",
-    "f17_search_scored",
-    "f16_search_tokenized",
-    "f23_search_match_analyzer",
-    "f14_partition_key",
-    "f03_ts_range",
-    "o1_multi_sort_limit",
-    "o3_array_element_filtered_sort",
-    "o4_pagination",
-    # --- r04 rows: aggregates / facets / folds ---
-    "a1_total_count",
-    "a2_max_stream_version",
-    "a3_store_statistics",
-    "a6_facet_counts",
-    "a6_facet_ranges",
-    "a4_projection_fold_counts",
-    "a5_projection_fold_sum",
-    "j3_in_list",
-    # --- r04 rows: TPC-H shapes (bucketed fact layout this round) ---
-    "h1_pricing_summary",
-    "h2_revenue_by_nation",
-    "h3_top_customers",
-    "h4_semi_join_high_value_orders",
-    "h5_anti_join_customers_without_p_orders",
-    "h6_window_top3_orders_per_customer",
-    "h28_late_priority_lines",
-    "h29_dominant_suppliers",
-    "x01_asof_join",
-    # --- r04 rows: dedup / similarity / text / packing ---
-    "p01_exact_dedup",
-    "p02_fingerprint_dedup",
-    "p10_decontaminate",
-    "p12_pack_offsets",
-    "p03_ngram_jaccard_pairs",
-    "p04_minhash_lsh_pairs",
-    "p05_cosine_neardup_pairs",
-    "s01_ann_brute_force_topk",
-    "t01_language_id",
-    "t03_token_counts",
-    "t04_pii_redaction",
-    "t08_fluency_scores",
-    "p14_train_shuffle",
-    # -- driver window ends here (position 50) --
+    # --- r04-aged entries (oldest green rows in the registry) ---
     "f02_ne_null",
     "f03_range",
     "o2_nested_sort",
+    # --- r05 rows aging one round (47 of 50; 3 held out, lead r08) ---
+    "f05_ends_with",
+    "f07_starts_ignore_case",
+    "f15_suggestions",
+    "f18_search_phrase_prefix",
+    "f19_search_scored_boosted",
+    "f20_search_highlights",
+    "f21_search_fuzzy",
+    "f22_search_synonyms",
+    "f24_search_phrase_slop",
+    "t05_rarity_weighted_scores",
+    "t06_repetition_stats",
+    "t07_vocab_topk",
+    "p11_boilerplate_lines",
+    "p06_cosine_neardup_lsh",
+    "p07_simhash_neardup",
+    "p09_weighted_mix",
+    "p13_duplicate_clusters",
+    "s02_ann_lsh_topk",
+    "s03_ann_ivf_topk",
+    "k01_salted_join",
+    "x02_sessionization",
+    "x03_range_join",
+    "x04_funnel_conversion",
+    "t02_quality_score",
+    "m01_multimodal_features",
+    "w03_session_window",
+    "u01_set_ops",
+    "a7_exact_median",
+    "h7_rollup_revenue",
+    "h8_shipping_priority",
+    "h9_order_priority_check",
+    "h10_promo_revenue_share",
+    "h11_large_volume_customers",
+    "h12_rich_idle_customers",
+    "h14_distinct_customers_per_nation",
+    "h15_nation_volume_shipping",
+    "h16_priority_status_matrix",
+    "h17_top_supplier_revenue",
+    "h18_small_quantity_revenue",
+    "h19_forecast_discount_revenue",
+    "h21_major_revenue_nations",
+    "h22_min_price_supplier",
+    "h23_market_share",
+    "h24_product_profit",
+    "h25_customer_distribution",
+    "h26_brand_supplier_counts",
+    "h27_waiting_suppliers",
+    # -- driver window ends here (position 50) --
+    "f01_eq",
+    "h13_cube_revenue",
+    "w01_tumbling_window",
 ]
 
 

@@ -13,7 +13,27 @@ import contextlib
 import json
 import os
 import tempfile
+import threading
 from typing import Any, Optional
+
+# Process-wide per-path mutexes for JsonFileMetadataRepository: fcntl
+# locks alone cannot serialize THREADS of one process (lockf record locks
+# are owned per-process; flock is per open-file-description, but relying
+# on it for intra-process exclusion still lets one thread's close() drop
+# a lock another thread obtained through a different repository object on
+# some platforms).  The threading.Lock serializes threads; the flock
+# serializes processes.
+_PATH_LOCKS: dict[str, threading.Lock] = {}
+_PATH_LOCKS_GUARD = threading.Lock()
+
+
+def _path_lock(path: str) -> threading.Lock:
+    key = os.path.realpath(path)
+    with _PATH_LOCKS_GUARD:
+        lock = _PATH_LOCKS.get(key)
+        if lock is None:
+            lock = _PATH_LOCKS[key] = threading.Lock()
+        return lock
 
 
 class InMemoryMetadataRepository:
@@ -76,15 +96,30 @@ class JsonFileMetadataRepository:
 
     @contextlib.contextmanager
     def _file_lock(self):
+        """Two-layer mutual exclusion around load-modify-save.
+
+        Layer 1: a process-wide threading.Lock keyed by realpath — two
+        THREADS sharing (or independently constructing) a repository on
+        the same file serialize here.  lockf record locks are owned
+        per-process, so without this a second thread's lockf would
+        succeed immediately and, worse, its close() would drop the lock
+        out from under the first thread mid-critical-section.
+
+        Layer 2: fcntl.flock on a sidecar .lock file — flock locks
+        attach to the open-file-description, so separate PROCESSES (the
+        parallel rebuild workers) conflict; closing this fd releases
+        only this OFD's lock, never another holder's.
+        """
         import fcntl
 
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        lock_fd = os.open(self.path + ".lock", os.O_CREAT | os.O_WRONLY)
-        try:
-            fcntl.lockf(lock_fd, fcntl.LOCK_EX)
-            yield
-        finally:
-            os.close(lock_fd)  # closing releases the lock
+        with _path_lock(self.path + ".lock"):
+            lock_fd = os.open(self.path + ".lock", os.O_CREAT | os.O_WRONLY)
+            try:
+                fcntl.flock(lock_fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(lock_fd)  # releases this OFD's flock
 
     def upsert_item(self, id: str, partition_key: str, item: Any) -> None:
         with self._file_lock():

@@ -125,9 +125,18 @@ def decode_image_features(
             out = {"media_id": [], "width": [], "height": [],
                    "n_bytes": [], "features": []}
             for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
-                w, h, ch, pixels = _decode_image(content)
                 out["media_id"].append(row["media_id"])
+                if row["content"] is None:
+                    # content is nullable in MEDIA_SCHEMA: a null row
+                    # yields null decoded fields instead of aborting
+                    # the whole job on a codec error (r6 advice)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_bytes"].append(0)
+                    out["features"].append(None)
+                    continue
+                content = bytes(row["content"])
+                w, h, ch, pixels = _decode_image(content)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(content))
@@ -220,9 +229,22 @@ def resize_images(
             if not fake:
                 out = {"media_id": [], "content": [], "meta": []}
                 for _, row in pdf.iterrows():
-                    content = (
-                        bytes(row["content"]) if row["content"] is not None else b""
-                    )
+                    if row["content"] is None:
+                        # null content passes through as null (r6
+                        # advice) — there are no pixels to resample
+                        m = row["meta"]
+                        out["media_id"].append(row["media_id"])
+                        out["content"].append(None)
+                        out["meta"].append(
+                            {
+                                "mime": m["mime"] if m else None,
+                                "width": width,
+                                "height": height,
+                                "duration_ms": m["duration_ms"] if m else None,
+                            }
+                        )
+                        continue
+                    content = bytes(row["content"])
                     w, h, ch, pixels = _decode_image(content)
                     resized = _codecs.nearest_resize(
                         w, h, ch, pixels, width, height
@@ -297,9 +319,12 @@ def chunk_audio(
                    "duration_ms": []}
             if not fake:
                 for _, row in pdf.iterrows():
-                    content = (
-                        bytes(row["content"]) if row["content"] is not None else b""
-                    )
+                    if row["content"] is None:
+                        # null content yields zero chunks (this is an
+                        # exploding op; r6 advice — do not feed b'' to
+                        # the WAV parser and abort the job)
+                        continue
+                    content = bytes(row["content"])
                     rate, n_ch, width, frames = _codecs.decode_wav(content)
                     frame_bytes = n_ch * width
                     frames_per_chunk = max(rate * chunk_ms // 1000, 1)

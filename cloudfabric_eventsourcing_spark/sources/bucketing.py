@@ -213,6 +213,31 @@ def _source_signature(sf_dir: str, name: str) -> list:
     return [st.st_size, st.st_mtime_ns]
 
 
+_COMPLETE = "_SPARK_GRAFT_COMPLETE"  # underscore prefix: invisible to scans
+
+
+def _write_complete_token(tpath: str, sig: list, n_buckets: int) -> None:
+    """Per-table completion token, written AFTER saveAsTable finishes.
+    A rebuild runs rmtree + saveAsTable while the on-disk manifest still
+    lists the table (r6 advice): without the token a concurrent session
+    could see manifest + partially-written files and silently serve
+    incomplete rows — or, on an n_buckets change, register the stale
+    bucket count against new files and corrupt bucketed-join results.
+    Serving requires token presence AND token/manifest agreement."""
+    tmp = os.path.join(tpath, f".{_COMPLETE}.part")
+    with open(tmp, "w") as fh:
+        json.dump({"source_sig": sig, "n_buckets": n_buckets}, fh)
+    os.replace(tmp, os.path.join(tpath, _COMPLETE))
+
+
+def _read_complete_token(tpath: str) -> Optional[dict]:
+    try:
+        with open(os.path.join(tpath, _COMPLETE)) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def read_bucketed_manifest(sf_dir: str) -> Optional[dict]:
     path = os.path.join(bucketed_layout_dir(sf_dir), _MANIFEST)
     try:
@@ -262,7 +287,15 @@ def ensure_bucketed_layout(
         sig = _source_signature(sf_dir, name)
         entry = manifest["tables"].get(name)
         tpath = os.path.join(ldir, name)
-        if entry and entry.get("source_sig") == sig and os.path.isdir(tpath):
+        token = _read_complete_token(tpath)
+        if (
+            entry
+            and entry.get("source_sig") == sig
+            and os.path.isdir(tpath)
+            and token is not None
+            and token.get("source_sig") == sig
+            and token.get("n_buckets") == n_buckets
+        ):
             continue
         df = _tables.load_parquet(spark, src)
         cat = _catalog_name(sf_dir, name)
@@ -277,6 +310,7 @@ def ensure_bucketed_layout(
         if scols:
             writer = writer.sortBy(*scols)
         writer.option("path", tpath).saveAsTable(cat)
+        _write_complete_token(tpath, sig, n_buckets)
         manifest["tables"][name] = {
             "bucket_cols": list(bcols),
             "sort_cols": list(scols),
@@ -319,6 +353,16 @@ def bucketed_table(
         return None
     if entry.get("source_sig") != _source_signature(sf_dir, name):
         return None  # stale layout: serve the source of truth instead
+    token = _read_complete_token(entry["path"])
+    if (
+        token is None
+        or token.get("source_sig") != entry.get("source_sig")
+        or token.get("n_buckets") != manifest.get("n_buckets")
+    ):
+        # mid-rebuild (or crashed build): files may be partial, or the
+        # manifest's bucket count may not describe them — fall back to
+        # plain parquet rather than risk wrong join co-location
+        return None
     cat = _catalog_name(sf_dir, name)
     if not spark.catalog.tableExists(cat):
         cols = ", ".join(entry["schema_ddl"])

@@ -90,6 +90,57 @@ def _path_exists(spark, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _epoch_siblings(epoch_path: str) -> tuple[str, str]:
+    """Dot-prefixed tmp/old sibling dirs for the atomic epoch swap
+    (dot-prefixed names are invisible to Spark's file listing, so a
+    half-written tmp dir can never leak into a corpus read)."""
+    parent, base = epoch_path.rsplit("/", 1)
+    return f"{parent}/.{base}.swap-tmp", f"{parent}/.{base}.swap-old"
+
+
+def _recover_epoch_swap(spark, epoch_path: str) -> None:
+    """Close the crash windows of the epoch-union swap (r6 advice):
+    the union is written to a tmp sibling, marked _COMMITTED, and
+    renamed over the epoch dir — so the epoch dir never transitions
+    through an empty/partial state.  A crash can still land between
+    the renames; this replays the interrupted swap forward (tmp is
+    committed → install it) or backward (tmp incomplete → restore the
+    original from old), then clears debris."""
+    jvm, fs = _hadoop_fs(spark, epoch_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    tmp, old = _epoch_siblings(epoch_path)
+    if not fs.exists(P(epoch_path)):
+        if fs.exists(P(tmp + "/_COMMITTED")):
+            fs.rename(P(tmp), P(epoch_path))
+        elif fs.exists(P(old)):
+            fs.rename(P(old), P(epoch_path))
+    for p in (tmp, old):
+        if fs.exists(P(p)):
+            fs.delete(P(p), True)
+
+
+def _swap_epoch_dir(spark, epoch_path: str, df: DataFrame) -> None:
+    """Atomically replace ``epoch_path`` with ``df``: write to a tmp
+    sibling, stamp _COMMITTED after the write finishes, then two
+    renames.  On a cluster object store this maps to a manifest/table
+    commit; on HDFS/local both renames are metadata-atomic."""
+    jvm, fs = _hadoop_fs(spark, epoch_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    tmp, old = _epoch_siblings(epoch_path)
+    df.write.mode("overwrite").parquet(tmp)
+    fs.create(P(tmp + "/_COMMITTED")).close()
+    fs.rename(P(epoch_path), P(old))
+    if not fs.rename(P(tmp), P(epoch_path)):
+        raise IOError(f"epoch swap rename failed: {tmp} -> {epoch_path}")
+    fs.delete(P(old), True)
+
+
 def _check_corpus_layout(spark, corpus_path: str) -> None:
     """Fail fast on a corpus directory written by the pre-run/epoch flat
     append layout: mixing root-level parquet files with run=/epoch=
@@ -269,6 +320,8 @@ def curate_stream(
         # under this epoch path so the indexed-but-replayed docs are
         # not dropped from the corpus.  localCheckpoint breaks lineage
         # to the path we are about to overwrite.
+        _recover_epoch_swap(spark, epoch_path)
+        union_with_prior = False
         corpus_rows = accepted
         if _path_exists(spark, epoch_path):
             try:
@@ -278,11 +331,23 @@ def curate_stream(
                     .dropDuplicates([id_col])
                     .localCheckpoint(eager=True)
                 )
+                union_with_prior = True
             except AnalysisException:
                 # dir exists but holds no readable parquet (crash right
                 # after mkdir, before any file): nothing to preserve
                 pass
-        corpus_rows.write.mode("overwrite").parquet(epoch_path)
+        if union_with_prior:
+            # the epoch dir holds committed rows: replace it via the
+            # tmp-sibling + rename swap so it never passes through an
+            # empty/partial state (a crash inside a naive overwrite
+            # would drop the prior attempt's committed rows while the
+            # index still rejects those docs — the exact stranded-doc
+            # failure the union exists to close)
+            _swap_epoch_dir(spark, epoch_path, corpus_rows)
+        else:
+            # first attempt (or unreadable debris): nothing committed
+            # to lose, plain overwrite
+            corpus_rows.write.mode("overwrite").parquet(epoch_path)
         # index append stays on the NEW survivors only: the prior rows
         # either have index entries already (that's why they
         # self-rejected) or are in `accepted` too

@@ -162,6 +162,62 @@ def test_persisted_layout_stale_source_falls_back(spark, tmp_path, monkeypatch):
         invalidate_table_cache()
 
 
+def test_layout_requires_completion_token(spark, tmp_path, monkeypatch):
+    """A rebuild runs rmtree + saveAsTable while the manifest still
+    lists the table (r6 advice): mid-rebuild, a concurrent session sees
+    manifest + partially-written files.  Serving therefore requires the
+    per-table completion token written AFTER saveAsTable — remove it
+    (the mid-rebuild state) and bucketed_table must fall back to plain
+    parquet; an n_buckets mismatch between token and manifest (the
+    bucket-count-change window) must also refuse to serve."""
+    import json
+    import os
+
+    from cloudfabric_eventsourcing_spark.sources import bucketing, load_table
+    from cloudfabric_eventsourcing_spark.sources.tables import (
+        invalidate_table_cache,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_ROOT", str(tmp_path / "bl"))
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_MIN_BYTES", "0")
+    sf2 = tmp_path / "sftok"
+    sf2.mkdir()
+    spark.range(100).selectExpr(
+        "id AS l_orderkey", "CAST(id AS DOUBLE) AS l_extendedprice"
+    ).coalesce(1).write.parquet(str(sf2 / "lineitem.parquet"))
+    specs = {"lineitem": (("l_orderkey",), ())}
+    try:
+        info = bucketing.ensure_bucketed_layout(spark, str(sf2), specs=specs)
+        tpath = info["manifest"]["tables"]["lineitem"]["path"]
+        token_path = os.path.join(tpath, bucketing._COMPLETE)
+        assert os.path.exists(token_path)
+        assert bucketing.bucketed_table(spark, str(sf2), "lineitem") is not None
+
+        # mid-rebuild state: files present, token not yet written
+        os.unlink(token_path)
+        assert bucketing.bucketed_table(spark, str(sf2), "lineitem") is None
+        invalidate_table_cache()
+        assert load_table(spark, str(sf2), "lineitem").count() == 100
+
+        # ensure() treats the missing token as rebuild-needed
+        info = bucketing.ensure_bucketed_layout(spark, str(sf2), specs=specs)
+        assert info["built"] == ["lineitem"]
+        assert os.path.exists(token_path)
+        assert bucketing.bucketed_table(spark, str(sf2), "lineitem") is not None
+
+        # bucket-count-change window: token disagrees with manifest
+        tok = json.load(open(token_path))
+        tok["n_buckets"] += 1
+        json.dump(tok, open(token_path, "w"))
+        assert bucketing.bucketed_table(spark, str(sf2), "lineitem") is None
+    finally:
+        spark.sql(
+            "DROP TABLE IF EXISTS "
+            + bucketing._catalog_name(str(sf2), "lineitem")
+        )
+        invalidate_table_cache()
+
+
 def test_layout_gates_per_colocation_group(spark, sf_dir, tmp_path, monkeypatch):
     """Each co-location group gates on ITS OWN largest member: with the
     threshold between the lineitem and events source sizes, the

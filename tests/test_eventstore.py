@@ -235,6 +235,58 @@ def test_metadata_repository(tmp_path):
         assert repo.load_item("cfg", "P1") == {"name": "v2"}
 
 
+def test_metadata_cas_across_threads(tmp_path):
+    """compare_and_upsert must be a real CAS across THREADS of one
+    process, not just across processes: lockf record locks are owned
+    per-process, so the pre-fix implementation let two threads both
+    'acquire' the file lock and both win the same lease (r6 advice,
+    metadata.py).  N threads CAS from the same expected value — exactly
+    one may succeed; the survivors' increments must all land."""
+    import threading
+
+    for repo in (
+        InMemoryMetadataRepository(),
+        JsonFileMetadataRepository(str(tmp_path / "meta_cas.json")),
+    ):
+        repo.upsert_item("lease", "P1", {"owner": None, "v": 0})
+        wins: list[str] = []
+        barrier = threading.Barrier(8)
+
+        def contend(name: str) -> None:
+            barrier.wait()
+            if repo.compare_and_upsert(
+                "lease", "P1", {"owner": name, "v": 1}, {"owner": None, "v": 0}
+            ):
+                wins.append(name)
+
+        threads = [
+            threading.Thread(target=contend, args=(f"w{i}",)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1, f"{type(repo).__name__}: {wins} all won the CAS"
+        assert repo.load_item("lease", "P1") == {"owner": wins[0], "v": 1}
+
+        # read-modify-write upserts to DIFFERENT keys must not lose
+        # updates either (the interleaved load/save hazard)
+        def bump(key: str) -> None:
+            for i in range(20):
+                repo.upsert_item(f"{key}-{i}", "P2", i)
+
+        threads = [
+            threading.Thread(target=bump, args=(f"k{i}",)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for k in range(4):
+            for i in range(20):
+                assert repo.load_item(f"k{k}-{i}", "P2") == i
+
+
 def test_hard_delete_order_via_repository(store):
     # port of OrderTests.TestHardDeleteOrder (:664-699): save, hard delete
     # through the aggregate repository, load returns None

@@ -247,6 +247,48 @@ def test_multimodal_real_png_decode_resize_pipeline(spark):
     assert pixels == bytes([30, 60, 90]) * 16  # constant color preserved
 
 
+def test_multimodal_real_paths_tolerate_null_content(spark):
+    """content is nullable in MEDIA_SCHEMA and the fake paths handle
+    None — the real (default) paths must too: one null-content row
+    previously aborted the whole job with a codec ValueError (r6
+    advice).  Nulls yield null decoded fields (features/resize) or zero
+    chunks (audio); non-null rows in the same batch still decode."""
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    solid = codecs.encode_png(4, 3, 3, bytes([10, 20, 30]) * 12)
+    wav = codecs.encode_wav(8000, 1, 2, b"\x00\x01" * 800)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(solid),
+             {"mime": "image/png", "width": None, "height": None,
+              "duration_ms": None}),
+            (2, "image", None,
+             {"mime": "image/png", "width": None, "height": None,
+              "duration_ms": 9}),
+            (3, "audio", None, None),
+            (4, "audio", bytearray(wav),
+             {"mime": "audio/wav", "width": None, "height": None,
+              "duration_ms": None}),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in
+             multimodal.decode_image_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (4, 3)
+    assert feats[2]["width"] is None and feats[2]["features"] is None
+    assert feats[2]["n_bytes"] == 0
+
+    resized = {r["media_id"]: r for r in
+               multimodal.resize_images(media, 2, 2).collect()}
+    assert resized[2]["content"] is None
+    assert resized[2]["meta"]["width"] == 2
+    assert resized[2]["meta"]["duration_ms"] == 9
+    assert codecs.decode_png(bytes(resized[1]["content"]))[:2] == (2, 2)
+
+    chunks = multimodal.chunk_audio(media, chunk_ms=50).collect()
+    assert {r["media_id"] for r in chunks} == {4}  # null row: zero chunks
+
+
 def test_multimodal_real_wav_chunking(spark):
     """Real audio path: RIFF/PCM WAV parsed at its true sample rate,
     chunked on frame boundaries, each chunk an independently decodable

@@ -472,6 +472,63 @@ def test_streaming_curation_partial_index_commit_never_shrinks_epoch(
     ) == [10, 11]
 
 
+def test_epoch_swap_never_exposes_empty_dir(spark, tmp_path):
+    """The epoch-union rewrite goes through a tmp-sibling + rename swap
+    (r6 advice): a naive mode('overwrite') deletes the epoch dir before
+    the new files commit, so a crash inside that window loses the prior
+    attempt's committed rows — and on the next replay those docs
+    self-reject against the index while absent from the corpus (the
+    stranded-doc failure).  Pin the swap itself and both crash-window
+    recoveries."""
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        _epoch_siblings,
+        _recover_epoch_swap,
+        _swap_epoch_dir,
+    )
+
+    epoch = str(tmp_path / "corpus" / "run=r1" / "epoch=0")
+    tmp_dir, old_dir = _epoch_siblings(epoch)
+
+    def rows(*ids):
+        return spark.createDataFrame([(i, f"doc {i}") for i in ids],
+                                     ["doc_id", "text"])
+
+    def read_ids():
+        return sorted(r["doc_id"] for r in spark.read.parquet(epoch).collect())
+
+    # normal swap: contents replaced, no sibling debris
+    rows(10).write.parquet(epoch)
+    _swap_epoch_dir(spark, epoch, rows(10, 11))
+    assert read_ids() == [10, 11]
+    import os
+    assert not os.path.exists(tmp_dir) and not os.path.exists(old_dir)
+
+    # crash BETWEEN the renames: epoch moved aside, committed union in
+    # tmp — recovery rolls the swap forward
+    rows(10, 11, 12).write.parquet(tmp_dir)
+    open(tmp_dir + "/_COMMITTED", "w").close()
+    os.rename(epoch, old_dir)
+    _recover_epoch_swap(spark, epoch)
+    assert read_ids() == [10, 11, 12]
+    assert not os.path.exists(tmp_dir) and not os.path.exists(old_dir)
+
+    # crash MID-tmp-write (no _COMMITTED) after epoch moved aside —
+    # recovery rolls back to the original
+    rows(99).write.parquet(tmp_dir)  # incomplete attempt: no marker
+    os.rename(epoch, old_dir)
+    _recover_epoch_swap(spark, epoch)
+    assert read_ids() == [10, 11, 12]
+    assert not os.path.exists(tmp_dir) and not os.path.exists(old_dir)
+
+    # crash after tmp commit but BEFORE the first rename: epoch intact,
+    # committed tmp is debris (the replay re-unions) — swept
+    rows(1, 2).write.parquet(tmp_dir)
+    open(tmp_dir + "/_COMMITTED", "w").close()
+    _recover_epoch_swap(spark, epoch)
+    assert read_ids() == [10, 11, 12]
+    assert not os.path.exists(tmp_dir)
+
+
 def test_streaming_curation_rejects_legacy_flat_corpus(spark, tmp_path):
     """A corpus dir holding root-level parquet from the pre-run/epoch
     flat-append layout must fail fast: mixed-depth leaf files break
