@@ -282,10 +282,45 @@ class ProjectionsRebuildProcessor:
                 p.unpersist()
         return processed
 
-    def rebuild_projections_that_require_rebuild(self) -> list[str]:
-        done = []
-        while True:
-            name = self.rebuild_one_projection_which_requires_rebuild()
-            if name is None:
-                return done
-            done.append(name)
+    def rebuild_projections_that_require_rebuild(
+        self, max_parallel_tasks: int = 1
+    ) -> list[str]:
+        """Drain every pending rebuild; with ``max_parallel_tasks > 1``,
+        mirror the reference worker's wave shape
+        (Worker/ProjectionsRebuildProcessor.cs:28-59, default
+        maxParallelTasks=4 there): acquire up to N leases, run those
+        rebuilds concurrently, await the wave, repeat until nothing is
+        pending.  Lease acquisition is the state store's CAS, so
+        concurrent threads (or a second worker process) can never
+        double-acquire one index; Spark accepts job submission from
+        multiple threads, so distributed-mode waves genuinely overlap.
+        The default stays serial — parallel draining is the long-queue
+        worker deployment's knob, not a local-test default."""
+        done: list[str] = []
+        if max_parallel_tasks <= 1:
+            while True:
+                name = self.rebuild_one_projection_which_requires_rebuild()
+                if name is None:
+                    return done
+                done.append(name)
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=max_parallel_tasks
+        ) as pool:
+            while True:
+                # one wave: the reference acquires serially (each CAS
+                # marks the row leased, so the next acquire sees fresh
+                # state) then awaits the batch
+                futures = [
+                    pool.submit(self.rebuild_one_projection_which_requires_rebuild)
+                    for _ in range(max_parallel_tasks)
+                ]
+                wave = [f.result() for f in futures]  # re-raises failures
+                done.extend(n for n in wave if n is not None)
+                if any(n is None for n in wave):
+                    # at least one worker found the queue empty — but a
+                    # rebuild finishing mid-wave may have been re-flagged;
+                    # the reference recurses until a FULL empty pass
+                    if all(n is None for n in wave):
+                        return done

@@ -929,16 +929,18 @@ def test_connected_components_known_graph(spark):
 def test_connected_components_long_chain_converges(spark):
     from cloudfabric_eventsourcing_spark.operators import graph
 
-    # a 12-node path — worst case for min-label propagation (diameter 11);
-    # must still converge within the default iteration budget
+    # a 200-node path — worst case for plain min-label propagation
+    # (diameter 199, far beyond the 20-round default budget); pointer
+    # jumping doubles reach per round, so O(log d) rounds suffice and
+    # the default budget must now finish it exactly
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(199)], ["id_a", "id_b"]
     )
     got = {
         r["node"]: r["component"]
         for r in graph.connected_components(edges).collect()
     }
-    assert got == {i: 0 for i in range(12)}
+    assert got == {i: 0 for i in range(200)}
 
 
 def test_connected_components_string_ids(spark):

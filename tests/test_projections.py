@@ -380,6 +380,70 @@ def test_rebuild_processor_distributed_path(world, spark):
     assert completed[0].total_events_to_process == 4
 
 
+def test_threaded_rebuild_waves_drain_pending_rebuilds(tmp_path):
+    """rebuild_projections_that_require_rebuild(max_parallel_tasks=N):
+    the reference worker's in-process concurrency shape
+    (ProjectionsRebuildProcessor.cs:28-59, maxParallelTasks=4) — waves
+    of N concurrent rebuilds until a full empty pass.  Three pending
+    rebuilds with N=2 forces a mixed wave (1 name + 1 None) whose
+    remainder must still drain; the now thread-safe metadata CAS
+    guarantees each index is acquired exactly once."""
+    import decimal as _dec
+
+    from cloudfabric_eventsourcing_spark.eventstore import (
+        JsonFileMetadataRepository,
+        ParquetEventStore,
+    )
+
+    store = ParquetEventStore(str(tmp_path / "events"))
+    store.initialize()
+    repo = AggregateRepository(store, Order)
+    for i in range(10):
+        o = Order(
+            f"{i:08d}-0000-0000-0000-0000000000bb",
+            f"T{i}",
+            [OrderItem(utcnow(), "seed", _dec.Decimal("1.00"))],
+        )
+        repo.save(USER, o)
+
+    state = ProjectionIndexStateStore(
+        JsonFileMetadataRepository(str(tmp_path / "state.json"))
+    )
+    names = ("thr_proj_a", "thr_proj_b", "thr_proj_c")
+    repos = {}
+    for nm in names:
+        schema = orders_list_schema()
+        schema.schema_name = nm
+        repos[nm] = InMemoryProjectionRepository(schema, state)
+        repos[nm].ensure_index()
+    pending = {state.get(nm).indexes_statuses[0].index_name for nm in names}
+    assert len(pending) == 3
+
+    def factory(index_name):
+        e = ProjectionsEngine(store)
+        for nm in names:
+            schema = orders_list_schema()
+            schema.schema_name = nm
+            if schema.index_name() == index_name:
+                e.add_projection_builder(
+                    OrdersListProjectionBuilder(
+                        repos[nm], IndexSelector.ProjectionRebuild
+                    )
+                )
+        assert e._builders, index_name
+        return e
+
+    proc = ProjectionsRebuildProcessor(
+        state, factory, store, chunk_size=5, mode="serial"
+    )
+    done = proc.rebuild_projections_that_require_rebuild(max_parallel_tasks=2)
+    # every pending index rebuilt EXACTLY once (no double-acquire)
+    assert sorted(done) == sorted(pending)
+    for nm in names:
+        st = state.get(nm)
+        assert all(s.rebuild_completed_at for s in st.indexes_statuses), nm
+
+
 def test_two_process_rebuild_workers_split_pending_rebuilds(tmp_path):
     """The reference worker runs maxParallelTasks rebuild processors
     against one state store (ProjectionsRebuildProcessor.cs:28-59); two
