@@ -2107,6 +2107,47 @@ def p13_duplicate_clusters(spark, sf_dir):
     return _graph.duplicate_clusters(_lsh_pairs_materialized(spark, sf_dir))
 
 
+@q(
+    "p15_incremental_clusters",
+    # INCREMENTAL cluster maintenance proven against the full recompute:
+    # the pair graph is split at the median doc id — "old" edges (both
+    # endpoints below) initialize labels via connected_components, the
+    # rest arrive as a batch folded in by incremental_components
+    # (operators/graph.py: batch-sized merge graph + broadcast relabel,
+    # zero corpus shuffle).  The oracle clusters ALL pairs at once with
+    # the recursive-CTE closure (p13's oracle) — label parity proves the
+    # incremental path reaches exactly the batch-recompute answer.
+    "WITH RECURSIVE toks AS (SELECT doc_id, "
+    f"list_distinct({_TOKS_SQL}) AS t FROM documents), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM toks a JOIN toks b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / "
+    "greatest(len(list_distinct(a.t || b.t)), 1) >= 0.9), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT a, b FROM edges "
+    "UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a) "
+    "SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n",
+)
+def p15_incremental_clusters(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import graph as _graph
+
+    pairs = _lsh_pairs_materialized(spark, sf_dir)
+    split = pairs.agg(
+        (F.min("id_a") + (F.max("id_b") - F.min("id_a")) / 2).alias("k")
+    ).collect()[0]["k"]
+    old_edges = pairs.where(
+        (F.col("id_a") < split) & (F.col("id_b") < split)
+    )
+    new_edges = pairs.where(
+        (F.col("id_a") >= split) | (F.col("id_b") >= split)
+    )
+    labels = _graph.connected_components(old_edges)
+    return _graph.incremental_components(labels, new_edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # (session, sf_dir) -> materialized MinHash-LSH pair frame, shared by
 # every consumer of the p04 pair set.  A real pipeline materializes
 # pairs ONCE and derives clusters from the materialized frame; without
@@ -2806,6 +2847,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - w01_tumbling_window: same window-bucketing leaf as the in-window
 #     w03_session_window and the r06-verified w02_sliding_window;
 #     watermark semantics pinned in test_skew_and_windows.
+#   - h26_brand_supplier_counts: displaced when the round-7-added
+#     p15_incremental_clusters took its day-one slot; its distinct-agg
+#     leaf is shared with the in-window
+#     h14_distinct_customers_per_nation, and its star scan with the
+#     rest of the in-window h-family.
+# p15_incremental_clusters (ADDED round 7) sits beside p13 in the
+# window: new queries verify day one.
 # NOTE round 7's code changes (metadata CAS locking, curation epoch swap,
 # bucketing completion token, multimodal null handling) alter no query
 # plan: the token only gates WHETHER the already-verified bucketed layout
@@ -2841,6 +2889,7 @@ _VERIFY_FIRST = [
     "p07_simhash_neardup",
     "p09_weighted_mix",
     "p13_duplicate_clusters",
+    "p15_incremental_clusters",
     "s02_ann_lsh_topk",
     "s03_ann_ivf_topk",
     "k01_salted_join",
@@ -2869,9 +2918,9 @@ _VERIFY_FIRST = [
     "h23_market_share",
     "h24_product_profit",
     "h25_customer_distribution",
-    "h26_brand_supplier_counts",
     "h27_waiting_suppliers",
     # -- driver window ends here (position 50) --
+    "h26_brand_supplier_counts",
     "f01_eq",
     "h13_cube_revenue",
     "w01_tumbling_window",

@@ -138,3 +138,243 @@ def duplicate_clusters(
     absent — callers keep them as-is."""
     cc = connected_components(pairs, src=src, dst=dst)
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    component_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Merge NEW edges into existing component labels without
+    recomputing the corpus: returns the full updated (node, component)
+    frame, equal to ``connected_components(old_edges UNION new_edges)``
+    whenever ``labels`` was correct for the old edges.
+
+    The scale contract (what makes this the 100 TB shape): all graph
+    work runs on the BATCH-sized side.  New edge endpoints map to their
+    current components (absent nodes are their own component); edges
+    whose endpoints already share a component vanish; what remains is a
+    component-level merge graph bounded by the batch's edge count, on
+    which the ordinary connected_components runs.  The resulting merge
+    map (old component -> new component) is broadcast into one
+    map-side relabel join over the corpus labels — the corpus is never
+    shuffled, and only components actually touched by the batch change.
+
+    Correctness sketch: component labels are min member ids, so the
+    merge graph's min-label CC assigns every merged group the min over
+    all its members' mins = the global min member id — exactly what a
+    full recompute assigns.  A new node with a smaller id than an
+    existing component's min relabels that whole component (the full
+    recompute would too).
+    """
+    merge_map, new_rows = _merge_plan(
+        labels, new_edges, node_col, component_col, src, dst
+    )
+    # batch-bounded by construction: safe to broadcast against a corpus-
+    # sized labels frame (the relabel is then map-side, zero shuffle)
+    updated = (
+        labels.join(
+            F.broadcast(merge_map),
+            labels[component_col] == F.col("__old_c"),
+            "left",
+        )
+        .select(
+            F.col(node_col),
+            F.coalesce("__new_c", F.col(component_col)).alias(component_col),
+        )
+    )
+    return updated.unionByName(new_rows)
+
+
+def _merge_plan(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    node_col: str,
+    component_col: str,
+    src: str,
+    dst: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared batch-sized half of the incremental merge: returns
+    (merge_map: (__old_c, __new_c) for every touched component, and
+    new_rows: (node, component) for endpoints absent from ``labels``,
+    already resolved through the merge map).  Both frames are bounded
+    by the batch's edge count, never the corpus."""
+    lab_a = labels.select(
+        F.col(node_col).alias("__a"), F.col(component_col).alias("__ca")
+    )
+    lab_b = labels.select(
+        F.col(node_col).alias("__b"), F.col(component_col).alias("__cb")
+    )
+    mapped = (
+        new_edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .join(lab_a, "__a", "left")
+        .join(lab_b, "__b", "left")
+        .select(
+            "__a",
+            "__b",
+            F.coalesce("__ca", F.col("__a")).alias("__ea"),
+            F.coalesce("__cb", F.col("__b")).alias("__eb"),
+        )
+        .localCheckpoint(eager=True)  # reused for merge graph AND new rows
+    )
+    comp_edges = (
+        mapped.select("__ea", "__eb").where(F.col("__ea") != F.col("__eb"))
+    )
+    merge_map = connected_components(comp_edges, src="__ea", dst="__eb").select(
+        F.col("node").alias("__old_c"), F.col("component").alias("__new_c")
+    )
+    endpoints = (
+        mapped.select(F.col("__a").alias("__n"), F.col("__ea").alias("__c0"))
+        .unionByName(
+            mapped.select(F.col("__b").alias("__n"), F.col("__eb").alias("__c0"))
+        )
+        .dropDuplicates(["__n"])
+    )
+    new_rows = (
+        endpoints.join(
+            labels.select(F.col(node_col).alias("__n")), "__n", "left_anti"
+        )
+        .join(F.broadcast(merge_map), F.col("__c0") == F.col("__old_c"), "left")
+        .select(
+            F.col("__n").alias(node_col),
+            F.coalesce("__new_c", F.col("__c0")).alias(component_col),
+        )
+    )
+    return merge_map, new_rows
+
+
+# ---------------------------------------------------------------------------
+# Persisted cluster index (incremental duplicate-family maintenance)
+#
+# The persisted sibling of incremental_components, completing the index
+# family (MinHash index, cosine-LSH index, IVF index -> cluster index):
+# duplicate-family labels maintained ONLINE as pair batches arrive, with
+# per-batch I/O proportional to the BATCH, never the corpus.
+#
+# Layout:
+#   path/labels/   base (node, component) parquet — rewritten only by
+#                  save and compact, never by appends
+#   path/nodes/    appended per batch: rows for nodes first seen in that
+#                  batch (labels as of that append)
+#   path/remap/    appended per batch: (old_c, new_c) component merges
+#
+# Read path resolves labels by FOLDING the remap journal with the same
+# connected_components operator (successive merges compose exactly like
+# union-find: the transitive closure's min is the final label), then one
+# broadcast relabel join — so a corpus-sized labels file is read once
+# and never shuffled.  The journal is bounded by total merges since the
+# last compaction; compact_cluster_index materializes resolved labels
+# and clears it.
+#
+# Delivery contract: appends are at-least-once idempotent.  A replayed
+# batch re-appends the same remap edges (duplicates cannot change a
+# min-closure) and the same node rows (the read path keeps one row per
+# node).  remap is written BEFORE nodes, so a crash between the two
+# leaves only already-merged components visible; the batch retry
+# restores the missing node rows.
+# ---------------------------------------------------------------------------
+
+def save_cluster_index(
+    labels: DataFrame,
+    path: str,
+    node_col: str = "node",
+    component_col: str = "component",
+) -> None:
+    """Initialize (or reset) the persisted cluster index from a full
+    labels frame (e.g. connected_components of the initial corpus)."""
+    labels.select(
+        F.col(node_col).alias("node"), F.col(component_col).alias("component")
+    ).write.mode("overwrite").parquet(f"{path}/labels")
+
+
+def load_cluster_labels(spark, path: str) -> DataFrame:
+    """Resolved (node, component) view: base + appended nodes, relabeled
+    through the min-closure of the remap journal."""
+    from pyspark.errors import AnalysisException
+
+    base = spark.read.parquet(f"{path}/labels")
+    try:
+        nodes = spark.read.parquet(f"{path}/nodes")
+        base = base.unionByName(nodes)
+    except AnalysisException:
+        pass  # no appends yet
+    try:
+        remap = spark.read.parquet(f"{path}/remap")
+    except AnalysisException:
+        return base.dropDuplicates(["node"])
+    folded = connected_components(remap, src="old_c", dst="new_c").select(
+        F.col("node").alias("__old_c"), F.col("component").alias("__final_c")
+    )
+    return (
+        base.join(
+            F.broadcast(folded), base["component"] == F.col("__old_c"), "left"
+        )
+        .select(
+            "node",
+            F.coalesce("__final_c", F.col("component")).alias("component"),
+        )
+        .dropDuplicates(["node"])
+    )
+
+
+def append_cluster_pairs(
+    spark,
+    path: str,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> dict:
+    """Fold one batch of new duplicate pairs into the index.  Writes
+    ONLY batch-sized files (merges + first-seen nodes); the base labels
+    are untouched.  Returns {"merges": n, "new_nodes": n}."""
+    labels = load_cluster_labels(spark, path)
+    merge_map, new_rows = _merge_plan(
+        labels, new_edges, "node", "component", src, dst
+    )
+    real_merges = (
+        merge_map.where(F.col("__old_c") != F.col("__new_c"))
+        .select(
+            F.col("__old_c").alias("old_c"), F.col("__new_c").alias("new_c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_rows = new_rows.localCheckpoint(eager=True)
+    n_merges = real_merges.count()
+    n_new = new_rows.count()
+    # remap BEFORE nodes (see delivery contract above)
+    if n_merges:
+        real_merges.write.mode("append").parquet(f"{path}/remap")
+    if n_new:
+        new_rows.write.mode("append").parquet(f"{path}/nodes")
+    return {"merges": n_merges, "new_nodes": n_new}
+
+
+def compact_cluster_index(spark, path: str) -> None:
+    """Materialize the resolved labels as the new base and clear the
+    journal.  Crash-safe by construction: resolved labels are written to
+    a tmp dir and renamed over labels/ (never an empty/partial base);
+    re-applying a not-yet-deleted journal to already-resolved labels is
+    the identity (the old component ids no longer appear), and leftover
+    node rows duplicate resolved rows, which the read path drops."""
+    import shutil
+
+    resolved = load_cluster_labels(spark, path).localCheckpoint(eager=True)
+    tmp = f"{path}/.labels.compact-tmp"
+    resolved.write.mode("overwrite").parquet(tmp)
+    old = f"{path}/.labels.compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    import os
+
+    os.rename(f"{path}/labels", old)
+    os.rename(tmp, f"{path}/labels")
+    shutil.rmtree(old, ignore_errors=True)
+    # nodes BEFORE remap: a leftover node row still resolves through the
+    # journal to the same final label as its resolved base duplicate,
+    # whereas the reverse order could leave a stale node row with no
+    # journal to resolve it (dropDuplicates might then keep the stale
+    # label) — every crash point in this order is idempotent
+    for sub in ("nodes", "remap"):
+        shutil.rmtree(f"{path}/{sub}", ignore_errors=True)

@@ -1773,3 +1773,126 @@ def test_quality_score_no_int_overflow_on_large_docs(spark):
     df = spark.createDataFrame([(1, "a" * 400_000)], ["doc_id", "text"])
     got = with_quality_score(df).select("quality").collect()[0][0]
     assert got == 0.92, got
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """incremental_components(labels, new_edges) must equal a full
+    connected_components over old+new edges, across the interesting
+    merge shapes: chain-join of two components, a brand-new node
+    bridging components, a new node whose id UNDERCUTS an existing
+    component's min (relabels the whole component), an intra-component
+    edge (no-op), and an isolated new-node pair.  Plus a seeded random
+    graph split at arbitrary points."""
+    import random
+
+    from cloudfabric_eventsourcing_spark.operators import graph
+
+    def check(old_edges, new_edges):
+        old_df = spark.createDataFrame(old_edges, ["id_a", "id_b"])
+        new_df = spark.createDataFrame(new_edges, ["id_a", "id_b"])
+        labels = graph.connected_components(old_df)
+        got = {
+            (r["node"], r["component"])
+            for r in graph.incremental_components(labels, new_df).collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in graph.connected_components(
+                old_df.unionByName(new_df)
+            ).collect()
+        }
+        assert got == want, (sorted(got - want), sorted(want - got))
+
+    # chain-join: {1,2} and {3,4} merge via (2,3)
+    check([(1, 2), (3, 4)], [(2, 3)])
+    # new node bridges two components
+    check([(1, 2), (10, 11)], [(99, 2), (99, 10)])
+    # new node undercuts an existing min: component {5,6} relabels to 0
+    check([(5, 6)], [(0, 6)])
+    # intra-component edge: no-op
+    check([(1, 2), (2, 3)], [(1, 3)])
+    # isolated brand-new pair
+    check([(1, 2)], [(20, 21)])
+    # seeded random graphs, random split point
+    rng = random.Random(7)
+    for _ in range(3):
+        nodes = list(range(40))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = rng.randrange(1, len(edges) - 1)
+        check(edges[:cut], edges[cut:])
+
+
+def test_cluster_index_incremental_maintenance(spark, tmp_path):
+    """Persisted cluster index: appends write ONLY batch-sized journal
+    files (base labels untouched), the resolved view always equals a
+    full recompute, replayed appends are idempotent, and compaction
+    folds the journal without changing labels."""
+    import glob
+    import os
+
+    from cloudfabric_eventsourcing_spark.operators import graph
+
+    path = str(tmp_path / "cidx")
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],
+        [(2, 3), (20, 21)],          # merges {1,2}+{3,4}; new pair
+        [(0, 11), (21, 10)],         # undercut min; bridge via new edge
+    ]
+    base = spark.createDataFrame(batches[0], ["id_a", "id_b"])
+    graph.save_cluster_index(graph.connected_components(base), path)
+    base_files = sorted(glob.glob(f"{path}/labels/*"))
+
+    def full(upto):
+        edges = [e for b in batches[: upto + 1] for e in b]
+        return {
+            (r["node"], r["component"])
+            for r in graph.connected_components(
+                spark.createDataFrame(edges, ["id_a", "id_b"])
+            ).collect()
+        }
+
+    for i, b in enumerate(batches[1:], start=1):
+        stats = graph.append_cluster_pairs(
+            spark, path, spark.createDataFrame(b, ["id_a", "id_b"])
+        )
+        got = {
+            (r["node"], r["component"])
+            for r in graph.load_cluster_labels(spark, path).collect()
+        }
+        assert got == full(i), (i, stats)
+        # base labels never rewritten by an append
+        assert sorted(glob.glob(f"{path}/labels/*")) == base_files
+
+    # replayed append (at-least-once delivery): same state
+    graph.append_cluster_pairs(
+        spark, path, spark.createDataFrame(batches[2], ["id_a", "id_b"])
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in graph.load_cluster_labels(spark, path).collect()
+    }
+    assert got == full(2)
+
+    # compaction: labels identical, journal cleared, base rewritten
+    graph.compact_cluster_index(spark, path)
+    assert not os.path.exists(f"{path}/remap")
+    assert not os.path.exists(f"{path}/nodes")
+    got = {
+        (r["node"], r["component"])
+        for r in graph.load_cluster_labels(spark, path).collect()
+    }
+    assert got == full(2)
+
+    # appends keep working after compaction
+    graph.append_cluster_pairs(
+        spark, path, spark.createDataFrame([(4, 20)], ["id_a", "id_b"])
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in graph.load_cluster_labels(spark, path).collect()
+    }
+    batches.append([(4, 20)])
+    assert got == full(3)
