@@ -329,8 +329,24 @@ def append_cluster_pairs(
 ) -> dict:
     """Fold one batch of new duplicate pairs into the index.  Writes
     ONLY batch-sized files (merges + first-seen nodes); the base labels
-    are untouched.  Returns {"merges": n, "new_nodes": n}."""
-    labels = load_cluster_labels(spark, path)
+    are untouched.  Returns {"merges": n, "new_nodes": n}.  A missing
+    index cold-starts: an empty base (typed from the edges' id column)
+    is written first, so a curation stream needs no separate init."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    try:
+        labels = load_cluster_labels(spark, path)
+    except AnalysisException:
+        idt = new_edges.schema[src].dataType
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("node", idt), T.StructField("component", idt)]
+            ),
+        )
+        empty.write.mode("overwrite").parquet(f"{path}/labels")
+        labels = empty
     merge_map, new_rows = _merge_plan(
         labels, new_edges, "node", "component", src, dst
     )

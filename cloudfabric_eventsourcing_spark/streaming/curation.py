@@ -203,11 +203,14 @@ def curate_batch_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     banding: Optional[tuple] = None,
+    return_edges: bool = False,
 ) -> DataFrame:
     """One micro-batch's survivors: intra-batch near-dups collapse to
     their min-id representative, then anything near-duplicating the
     persisted corpus index is dropped.  Pure transformation — callers
-    decide what to do with the survivors.
+    decide what to do with the survivors.  With ``return_edges=True``
+    returns ``(accepted, edges)`` where edges is the batch's evaluated
+    duplicate-pair graph (id_a, id_b) for cluster provenance.
 
     The intra-batch scan uses the INDEX's pinned banding parameters,
     not the library defaults: otherwise a pair of docs could be judged
@@ -235,7 +238,20 @@ def curate_batch_against_index(
         include_same_id=True,
     )
     dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
-    return kept.join(dup_ids, id_col, "left_anti")
+    accepted = kept.join(dup_ids, id_col, "left_anti")
+    if not return_edges:
+        return accepted
+    # duplicate-family provenance: every pair edge this batch's dedup
+    # evaluated — intra-batch near-dups plus batch-vs-corpus matches
+    # (self-matches of redelivered docs excluded: a self loop carries no
+    # family information).  These are exactly the edges the streaming
+    # cluster index (operators/graph.py) folds in per batch.
+    edges = pairs.select("id_a", "id_b").unionByName(
+        cross.where(F.col("new_id") != F.col("index_id")).select(
+            F.col("new_id").alias("id_a"), F.col("index_id").alias("id_b")
+        )
+    )
+    return accepted, edges
 
 
 def curate_stream(
@@ -249,6 +265,7 @@ def curate_stream(
     batch_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     available_now: bool = True,
     compact_every: Optional[int] = None,
+    clusters_path: Optional[str] = None,
 ):
     """Run the streaming curation pipeline; returns the started query.
 
@@ -270,7 +287,21 @@ def curate_stream(
     it is safe to run between (not during) this stream's own batches —
     foreachBatch serializes them.  The counter is in-memory
     (per-run): a restart just restarts the cadence, and a replayed
-    batch at worst compacts one batch early — idempotent."""
+    batch at worst compacts one batch early — idempotent.
+
+    `clusters_path`, when given, maintains a persisted duplicate-family
+    cluster index (operators/graph.py) online: each batch's evaluated
+    pair edges — intra-batch near-dups and batch-vs-corpus matches —
+    fold in at batch cost, so rejected docs keep provenance ("dropped
+    as a duplicate of family F") without any batch recompute.  The
+    index cold-starts on first use and its appends are at-least-once
+    idempotent (a replayed batch re-appends the same edges, which
+    cannot change a min-closure).  Family scope, honestly stated: the
+    labels cluster the edges this loop EVALUATES.  Rejected docs are
+    never indexed, so a rejected-to-rejected similarity across batches
+    is not probed and cannot merge two families on its own — families
+    connect through accepted (indexed) members, which is the curation
+    loop's provenance question, not a full all-pairs closure."""
     # appends must band exactly like the existing index: read its pinned
     # parameters once, up front (also fails fast on a missing index)
     num_perm, bands, n = _dedup._read_minhash_meta(
@@ -296,14 +327,28 @@ def curate_stream(
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if batch_transform is not None:
             batch = batch_transform(batch)
-        accepted = curate_batch_against_index(
+        result = curate_batch_against_index(
             batch, index_path, threshold=threshold,
             text_col=text_col, id_col=id_col,
             banding=(num_perm, bands, n),
+            return_edges=clusters_path is not None,
         )
+        accepted = result[0] if clusters_path is not None else result
         # materialize once: the corpus write, the index append, and the
         # emptiness probe would otherwise each re-run the dedup joins
         accepted = accepted.localCheckpoint(eager=True)
+        if clusters_path is not None:
+            # BEFORE the empty-accept early exit: a batch whose docs
+            # were ALL rejected still carries family edges (that is the
+            # provenance case).  Replays re-append identical edges —
+            # harmless to the min-closure (see append_cluster_pairs).
+            from cloudfabric_eventsourcing_spark.operators.graph import (
+                append_cluster_pairs,
+            )
+
+            edges = result[1].localCheckpoint(eager=True)
+            if not edges.isEmpty():
+                append_cluster_pairs(batch.sparkSession, clusters_path, edges)
         if accepted.isEmpty():
             return
         # run+epoch-keyed idempotent write (see module docstring): a

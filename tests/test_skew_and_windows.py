@@ -211,6 +211,78 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {13}
 
 
+def test_streaming_curation_maintains_cluster_index(spark, tmp_path):
+    """curate_stream(clusters_path=...): duplicate families maintained
+    ONLINE — rejected docs keep provenance (same component as what
+    rejected them), intra-batch twins cluster, cross-batch dup chains
+    connect through the accepted member, and the persisted labels match
+    what the batch operator computes over the same evaluated edges."""
+    from cloudfabric_eventsourcing_spark.operators import dedup, graph
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    clusters = str(tmp_path / "clusters")
+    dedup.save_minhash_index(corpus, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch a: dup of corpus doc 1; novel doc 11
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "a genuinely novel document about training shards"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "a"))
+    # batch b: dup of 11 (cross-batch chain 11-12), intra-batch twins
+    # 20/21, and a batch that ALSO extends family {1,10} via 14
+    spark.createDataFrame(
+        [
+            (12, "a genuinely novel document about training shards"),
+            (14, "the quick brown fox jumps over the lazy dog today"),
+            (20, "twin texts born in the same micro batch right here"),
+            (21, "twin texts born in the same micro batch right here"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_stream(
+        stream, index_path, corpus_out, str(tmp_path / "ckpt"),
+        clusters_path=clusters,
+    )
+    q.awaitTermination(120)
+
+    labels = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    # family {1,10,14}: rejected docs share the corpus doc's component
+    assert labels[10] == labels[1] == labels[14] == 1
+    # cross-batch chain: 12 rejected as dup of accepted 11
+    assert labels[12] == labels[11] == 11
+    # intra-batch twins: 21 collapses onto 20
+    assert labels[21] == labels[20] == 20
+    # compaction preserves the streamed labels
+    graph.compact_cluster_index(spark, clusters)
+    after = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    assert after == labels
+
+
 def test_streaming_curation_reingest_is_self_healing(spark, tmp_path):
     """Delivery-semantics pin: redelivered input cannot duplicate corpus
     rows.  The guarantee is CONTENT-keyed: the acceptance probe runs
