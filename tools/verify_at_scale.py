@@ -40,7 +40,8 @@ from cloudfabric_eventsourcing_spark.session import build_session  # noqa: E402
 
 # oracles that are exact-quadratic scans: DNF in DuckDB beyond toy sf
 _SKIP = {"p03_ngram_jaccard_pairs", "p04_minhash_lsh_pairs",
-         "p05_cosine_neardup_pairs", "p13_duplicate_clusters"}
+         "p05_cosine_neardup_pairs", "p13_duplicate_clusters",
+         "p15_incremental_clusters"}
 
 
 def main() -> None:
