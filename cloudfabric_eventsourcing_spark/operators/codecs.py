@@ -202,3 +202,135 @@ def encode_wav(
         wf.setframerate(sample_rate)
         wf.writeframes(frames)
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# AVI (uncompressed RGB) — the video floor
+#
+# Compressed video genuinely needs av/ffmpeg, but the RIFF/AVI container
+# with uncompressed BI_RGB frames is parseable from the spec with struct
+# alone — the same status WAV has on the audio side.  Frames are stored
+# as bottom-up 24-bit BGR DIBs with 4-byte-padded rows ('00db' chunks in
+# the 'movi' list); decode flips to top-down RGB so the output composes
+# directly with encode_png / image_features.  Anything compressed
+# ('00dc' with a non-zero biCompression) raises cleanly — that honesty
+# boundary is documented at the multimodal operator.
+# ---------------------------------------------------------------------------
+
+def is_avi(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF body;
+    chunks are word-aligned (odd sizes padded with one byte)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
+    """AVI bytes -> (width, height, fps, [top-down RGB frame bytes]).
+
+    Supports the uncompressed-RGB profile: BITMAPINFOHEADER with
+    biCompression == 0 (BI_RGB), 24 bits per pixel, frames in '00db'
+    (or '00dc' with BI_RGB) chunks.  Raises ValueError on anything
+    else — compressed codecs need a real decoder stack."""
+    if not is_avi(data):
+        raise ValueError("not an AVI file")
+    width = height = None
+    bit_count = compression = None
+    usec_per_frame = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, bit_count, compression, usec_per_frame
+        for fourcc, p, size in _riff_chunks(data, start, end):
+            if fourcc == b"LIST":
+                walk(p + 4, p + size)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                (usec_per_frame,) = struct.unpack("<I", data[p:p + 4])
+            elif fourcc == b"strf" and width is None:
+                # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes,
+                # biBitCount, biCompression, ...
+                _, w, h, _, bc, comp = struct.unpack(
+                    "<IiiHHI", data[p:p + 20]
+                )
+                width, height = w, abs(h)
+                bit_count, compression = bc, comp
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append(data[p:p + size])
+
+    walk(12, len(data))
+    if width is None or not frames:
+        raise ValueError("no video stream found in AVI")
+    if compression != 0 or bit_count != 24:
+        raise ValueError(
+            f"unsupported AVI codec (biCompression={compression}, "
+            f"biBitCount={bit_count}); only uncompressed 24-bit BI_RGB "
+            "is decodable without a codec library"
+        )
+    row_stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+    out = []
+    for raw in frames:
+        arr = np.frombuffer(raw[: row_stride * height], dtype=np.uint8)
+        arr = arr.reshape(height, row_stride)[:, : width * 3]
+        arr = arr.reshape(height, width, 3)[::-1, :, ::-1]  # flip rows, BGR->RGB
+        out.append(arr.tobytes())
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return width, height, fps, out
+
+
+def encode_avi(
+    width: int, height: int, fps: float, frames: list[bytes]
+) -> bytes:
+    """Inverse of decode_avi (uncompressed 24-bit BI_RGB) — fixture
+    builder and the re-encode side of frame pipelines.  `frames` are
+    top-down RGB; rows are flipped/padded to the bottom-up BGR DIB the
+    container stores."""
+    row_stride = (width * 3 + 3) & ~3
+    dibs = []
+    for f in frames:
+        arr = np.frombuffer(f, dtype=np.uint8).reshape(height, width, 3)
+        arr = arr[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+        padded = np.zeros((height, row_stride), dtype=np.uint8)
+        padded[:, : width * 3] = arr.reshape(height, width * 3)
+        dibs.append(padded.tobytes())
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    usec = int(round(1e6 / fps)) if fps else 0
+    frame_bytes = row_stride * height
+    avih = struct.pack(
+        "<14I",
+        usec, frame_bytes * max(int(fps), 1), 0, 0x10,  # AVIF_HASINDEX off
+        len(frames), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"\x00" * 4  # fccType, fccHandler (none)
+        + struct.pack("<10I", 0, 0, 0, 1, max(int(round(fps)), 1),
+                      0, len(frames), frame_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -290,11 +290,35 @@ def save_cluster_index(
     ).write.mode("overwrite").parquet(f"{path}/labels")
 
 
+def _recover_compact_swap(path: str) -> None:
+    """Close the compaction rename windows: a crash between
+    rename(labels -> old) and rename(tmp -> labels) would otherwise
+    leave labels/ missing — and the next append's cold-start bootstrap
+    would then install an EMPTY base over a real corpus.  Roll the swap
+    forward when the tmp dir is committed, backward otherwise."""
+    import os
+    import shutil
+
+    labels, tmp, old = (
+        f"{path}/labels",
+        f"{path}/.labels.compact-tmp",
+        f"{path}/.labels.compact-old",
+    )
+    if not os.path.isdir(labels):
+        if os.path.exists(f"{tmp}/_COMMITTED"):
+            os.rename(tmp, labels)
+        elif os.path.isdir(old):
+            os.rename(old, labels)
+    for p in (tmp, old):
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def load_cluster_labels(spark, path: str) -> DataFrame:
     """Resolved (node, component) view: base + appended nodes, relabeled
     through the min-closure of the remap journal."""
     from pyspark.errors import AnalysisException
 
+    _recover_compact_swap(path)
     base = spark.read.parquet(f"{path}/labels")
     try:
         nodes = spark.read.parquet(f"{path}/nodes")
@@ -377,13 +401,15 @@ def compact_cluster_index(spark, path: str) -> None:
     node rows duplicate resolved rows, which the read path drops."""
     import shutil
 
+    import os
+
+    # eager checkpoint materializes BEFORE the files it reads are moved
     resolved = load_cluster_labels(spark, path).localCheckpoint(eager=True)
     tmp = f"{path}/.labels.compact-tmp"
     resolved.write.mode("overwrite").parquet(tmp)
+    open(f"{tmp}/_COMMITTED", "w").close()  # _recover_compact_swap gate
     old = f"{path}/.labels.compact-old"
     shutil.rmtree(old, ignore_errors=True)
-    import os
-
     os.rename(f"{path}/labels", old)
     os.rename(tmp, f"{path}/labels")
     shutil.rmtree(old, ignore_errors=True)

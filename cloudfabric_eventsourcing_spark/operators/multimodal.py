@@ -153,22 +153,38 @@ def decode_image_features(
 
 def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """video binary -> sampled frame bytes (1 row per sampled frame).
-    Video container demuxing genuinely needs av/ffmpeg (not installable
-    in this container), so this is the one operator that remains
-    fake-only: the fake sampler slices the payload deterministically
-    with the real mapInPandas plumbing around it."""
+
+    Real path (default): demux uncompressed-RGB RIFF/AVI containers
+    (codecs.decode_avi — same dependency-free floor as PNG/WAV), take
+    every ``every_n``-th frame, and emit each as a standalone PNG so the
+    sampled frames compose directly with decode_image_features /
+    resize_images.  COMPRESSED video (H.264 etc.) raises cleanly — DCT
+    codecs genuinely need av/ffmpeg, which deployments install on the
+    executors; uncompressed AVI is the hermetic floor, not a ceiling.
+    Null content yields zero frames (exploding op, same contract as
+    chunk_audio).  The fake path keeps the deterministic 64-byte slicer
+    for hermetic plumbing tests."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video frame extraction needs a container/codec "
-                    "library (av/ffmpeg); pass fake=True for the "
-                    "deterministic slicer"
-                )
             out = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            if not fake:
+                for _, row in pdf.iterrows():
+                    if row["content"] is None:
+                        continue
+                    w, h, _fps, frames = _codecs.decode_avi(
+                        bytes(row["content"])
+                    )
+                    for idx in range(0, len(frames), every_n):
+                        out["media_id"].append(row["media_id"])
+                        out["frame_idx"].append(idx)
+                        out["frame_bytes"].append(
+                            _codecs.encode_png(w, h, 3, frames[idx])
+                        )
+                yield pd.DataFrame(out)
+                continue
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
                 n_frames = max(len(content) // 64, 1)

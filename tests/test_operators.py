@@ -1896,3 +1896,143 @@ def test_cluster_index_incremental_maintenance(spark, tmp_path):
     }
     batches.append([(4, 20)])
     assert got == full(3)
+
+    # compaction crash windows: labels renamed away, committed tmp left
+    # behind — the next read must roll the swap FORWARD, never let an
+    # append bootstrap an empty base over a real corpus
+    graph.compact_cluster_index(spark, path)
+    want = {
+        (r["node"], r["component"])
+        for r in graph.load_cluster_labels(spark, path).collect()
+    }
+    import shutil
+
+    tmp_dir = f"{path}/.labels.compact-tmp"
+    shutil.copytree(f"{path}/labels", tmp_dir)
+    open(f"{tmp_dir}/_COMMITTED", "w").close()
+    os.rename(f"{path}/labels", f"{path}/.labels.compact-old")
+    got = {
+        (r["node"], r["component"])
+        for r in graph.load_cluster_labels(spark, path).collect()
+    }
+    assert got == want
+    assert os.path.isdir(f"{path}/labels")
+    assert not os.path.exists(tmp_dir)
+    # backward roll: labels gone, UNCOMMITTED tmp, original in old
+    spark.createDataFrame([(999, 999)], ["node", "component"]).write.parquet(
+        tmp_dir
+    )  # incomplete attempt: no _COMMITTED marker
+    os.rename(f"{path}/labels", f"{path}/.labels.compact-old")
+    got = {
+        (r["node"], r["component"])
+        for r in graph.load_cluster_labels(spark, path).collect()
+    }
+    assert got == want
+    assert not os.path.exists(tmp_dir)
+    assert not os.path.exists(f"{path}/.labels.compact-old")
+
+
+def test_avi_codec_hand_packed_spec_bytes():
+    """decode_avi validated against a container packed BY HAND from the
+    RIFF/AVI spec (independent of encode_avi, so a shared layout bug
+    cannot self-validate): bottom-up padded BGR DIB rows must come back
+    top-down RGB."""
+    import struct
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    # 2x2 frame, image rows top-down RGB: [RED, GREEN] / [BLUE, WHITE]
+    dib = bytes([255, 0, 0, 255, 255, 255, 0, 0]) + bytes(
+        [0, 0, 255, 0, 255, 0, 0, 0]
+    )
+
+    def ck(fcc, payload):
+        return (
+            fcc + struct.pack("<I", len(payload)) + payload
+            + (b"\0" if len(payload) & 1 else b"")
+        )
+
+    avih = struct.pack(
+        "<14I", 100000, 0, 0, 0x10, 1, 0, 1, len(dib), 2, 2, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"\0" * 4
+        + struct.pack("<10I", 0, 0, 0, 1, 10, 0, 1, len(dib), 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 2, 2)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(dib), 0, 0, 0, 0)
+    hdrl = ck(
+        b"LIST",
+        b"hdrl" + ck(b"avih", avih)
+        + ck(b"LIST", b"strl" + ck(b"strh", strh) + ck(b"strf", strf)),
+    )
+    movi = ck(b"LIST", b"movi" + ck(b"00db", dib))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w, h, fps, frames = codecs.decode_avi(avi)
+    assert (w, h) == (2, 2) and abs(fps - 10.0) < 1e-9
+    assert frames[0] == bytes([255, 0, 0, 0, 255, 0]) + bytes(
+        [0, 0, 255, 255, 255, 255]
+    )
+    # encode/decode round-trip on multi-frame content with row padding
+    fr = [bytes((i * 37 + j) % 256 for j in range(5 * 4 * 3)) for i in range(25)]
+    w2, h2, fps2, out = codecs.decode_avi(codecs.encode_avi(5, 4, 12.0, fr))
+    # fps quantizes through the container's integer usec-per-frame field
+    assert (w2, h2, out) == (5, 4, fr) and abs(fps2 - 12.0) < 1e-3
+
+
+def test_multimodal_real_video_frame_pipeline(spark):
+    """Real video path end-to-end: uncompressed AVI -> every-n-th frame
+    as standalone PNG -> image features on the sampled frames.  Nulls
+    yield zero frames; compressed codecs raise the honest boundary."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    frames = [
+        bytes(((i * 31 + j) % 256) for j in range(6 * 4 * 3)) for i in range(25)
+    ]
+    avi = codecs.encode_avi(6, 4, 10.0, frames)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(avi),
+             {"mime": "video/x-msvideo", "width": None, "height": None,
+              "duration_ms": 2500}),
+            (2, "video", None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        multimodal.sample_frames(media, every_n=10).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["media_id"] for r in rows] == [1, 1, 1]  # null row: 0 frames
+    assert [r["frame_idx"] for r in rows] == [0, 10, 20]
+    for r in rows:
+        w, h, ch, pixels = codecs.decode_png(bytes(r["frame_bytes"]))
+        assert (w, h, ch) == (6, 4, 3)
+        assert pixels == frames[r["frame_idx"]]  # lossless through PNG
+
+    # sampled frames compose with the image feature extractor
+    as_images = spark.createDataFrame(
+        [
+            (int(r["frame_idx"]), "image", bytearray(bytes(r["frame_bytes"])),
+             {"mime": "image/png", "width": None, "height": None,
+              "duration_ms": None})
+            for r in rows
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.decode_image_features(as_images).collect()
+    assert {(r["width"], r["height"]) for r in feats} == {(6, 4)}
+
+    # honesty boundary: a compressed stream raises, not garbage output
+    with _pytest.raises(Exception, match="unsupported AVI codec"):
+        bad = avi.replace(
+            __import__("struct").pack("<IiiHHI", 40, 6, 4, 1, 24, 0),
+            __import__("struct").pack("<IiiHHI", 40, 6, 4, 1, 24, 0x34363248),
+        )
+        spark.createDataFrame(
+            [(3, "video", bytearray(bad), None)], multimodal.MEDIA_SCHEMA
+        ).transform(lambda d: multimodal.sample_frames(d, every_n=5)).collect()
