@@ -398,7 +398,11 @@ def compact_cluster_index(spark, path: str) -> None:
     a tmp dir and renamed over labels/ (never an empty/partial base);
     re-applying a not-yet-deleted journal to already-resolved labels is
     the identity (the old component ids no longer appear), and leftover
-    node rows duplicate resolved rows, which the read path drops."""
+    node rows duplicate resolved rows, which the read path drops.
+    Concurrency: run from the ingest loop's serialization point (e.g.
+    between curate_stream batches — foreachBatch serializes), not
+    concurrently with an append: an append landing between the resolve
+    and the journal clear would be erased with it."""
     import shutil
 
     import os

@@ -227,6 +227,11 @@ def curate_batch_against_index(
         batch, threshold=threshold, num_perm=num_perm, bands=bands, n=n,
         text_col=text_col, id_col=id_col,
     )
+    if return_edges:
+        # pairs and cross each feed BOTH outputs (accepted + edges);
+        # materialize once so the LSH scan and the index probe are not
+        # re-run by the second consumer
+        pairs = pairs.localCheckpoint(eager=True)
     kept = _dedup.lsh_dedup_representatives(pairs, batch, id_col=id_col)
     # include_same_id: a redelivered doc (same id, same text) finds its
     # own index row and rejects itself — content-keyed idempotence, so
@@ -237,6 +242,8 @@ def curate_batch_against_index(
         banding=(num_perm, bands, n),
         include_same_id=True,
     )
+    if return_edges:
+        cross = cross.localCheckpoint(eager=True)
     dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
     accepted = kept.join(dup_ids, id_col, "left_anti")
     if not return_edges:

@@ -2036,3 +2036,29 @@ def test_multimodal_real_video_frame_pipeline(spark):
         spark.createDataFrame(
             [(3, "video", bytearray(bad), None)], multimodal.MEDIA_SCHEMA
         ).transform(lambda d: multimodal.sample_frames(d, every_n=5)).collect()
+
+
+def test_incremental_components_string_ids(spark):
+    """String doc ids flow through the incremental merge exactly like
+    the base CC (labels are min-by-lexicographic member id); pins the
+    coalesce/broadcast path against type surprises."""
+    from cloudfabric_eventsourcing_spark.operators import graph
+
+    old = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-x", "doc-y")], ["id_a", "id_b"]
+    )
+    new = spark.createDataFrame(
+        [("doc-a", "doc-c"), ("doc-y", "doc-z")], ["id_a", "id_b"]
+    )
+    labels = graph.connected_components(old)
+    got = {
+        (r["node"], r["component"])
+        for r in graph.incremental_components(labels, new).collect()
+    }
+    want = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(old.unionByName(new)).collect()
+    }
+    assert got == want
+    assert ("doc-a", "doc-a") in got  # new min relabels {b,c}
+    assert ("doc-b", "doc-a") in got
