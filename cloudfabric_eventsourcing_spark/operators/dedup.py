@@ -330,6 +330,43 @@ def _grams_and_bands(
 # Persisted MinHash index (incremental dedup)
 # ---------------------------------------------------------------------------
 
+_INDEX_MARKER = "_SPARK_GRAFT_CONSISTENT"  # underscore prefix: ignored by scans
+
+
+def _marker_path(spark, path: str):
+    jvm = spark._jvm
+    mp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_INDEX_MARKER}")
+    return mp.getFileSystem(spark._jsc.hadoopConfiguration()), mp
+
+
+def _clear_marker(spark, path: str) -> None:
+    """First step of a full (overwrite) index save: the meta/data writes
+    that follow are separate jobs, and a crash between them over an
+    existing index leaves parts that DISAGREE (e.g. new banding params
+    over old band rows — probes then silently admit duplicates).  With
+    the marker gone, every reader fails loudly until the save is
+    re-run to completion."""
+    fs, mp = _marker_path(spark, path)
+    fs.delete(mp, False)
+
+
+def _stamp_marker(spark, path: str) -> None:
+    fs, mp = _marker_path(spark, path)
+    fs.create(mp).close()
+
+
+def _require_marker(spark, path: str) -> None:
+    fs, mp = _marker_path(spark, path)
+    if not fs.exists(mp):
+        raise ValueError(
+            f"index at {path} has no consistency marker: a full save is "
+            "in flight or was interrupted (its parts may disagree). "
+            "Re-run the save to completion. For an index written by an "
+            f"older version, create {path}/{_INDEX_MARKER} after "
+            "verifying it is complete."
+        )
+
+
 def save_minhash_index(
     df: DataFrame,
     path: str,
@@ -366,6 +403,7 @@ def save_minhash_index(
                 "band inconsistently"
             )
     else:
+        _clear_marker(spark, path)
         spark.createDataFrame(
             [(num_perm, bands, n)], "num_perm int, bands int, n int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -379,9 +417,12 @@ def save_minhash_index(
     # write, before the bands write) is unreachable and harmless.
     grams_df.write.mode(mode).parquet(f"{path}/grams")
     banded.write.mode(mode).partitionBy("bi").parquet(f"{path}/bands")
+    if mode != "append":
+        _stamp_marker(spark, path)
 
 
 def _read_minhash_meta(spark, path: str) -> tuple[int, int, int]:
+    _require_marker(spark, path)
     row = spark.read.parquet(f"{path}/meta").collect()[0]
     return (int(row["num_perm"]), int(row["bands"]), int(row["n"]))
 
@@ -634,6 +675,7 @@ def save_cosine_index(
                 "bucket inconsistently"
             )
     else:
+        _clear_marker(spark, path)
         spark.createDataFrame(
             [(dims, bits, seed)], "dims int, bits int, seed int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -643,9 +685,12 @@ def save_cosine_index(
     bucketed.write.mode(mode).partitionBy("bucket").parquet(
         f"{path}/vectors"
     )
+    if mode != "append":
+        _stamp_marker(spark, path)
 
 
 def _read_cosine_meta(spark, path: str) -> tuple[int, int, int]:
+    _require_marker(spark, path)
     row = spark.read.parquet(f"{path}/meta").collect()[0]
     return (int(row["dims"]), int(row["bits"]), int(row["seed"]))
 

@@ -226,6 +226,9 @@ def ivf_topk(
 # Persisted IVF index
 # ---------------------------------------------------------------------------
 
+_IVF_MARKER = "_SPARK_GRAFT_CONSISTENT"  # underscore prefix: ignored by scans
+
+
 def save_ivf_index(
     df: DataFrame,
     centroids: np.ndarray,
@@ -243,6 +246,16 @@ def save_ivf_index(
     the file listing, not a post-scan filter (pinned by
     test_ivf_index_roundtrip_prunes_partitions)."""
     spark = df.sparkSession
+    # consistency marker, deleted FIRST and rewritten LAST: centroids
+    # and vectors are two separate jobs, and a crash between them over
+    # an existing index would otherwise leave NEW centroids beside OLD
+    # cell assignments — probes then read the wrong partitions with no
+    # error at all.  Missing marker = mid-write or interrupted; load
+    # fails loudly instead of serving silently wrong neighbors.
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{_IVF_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(marker, False)
     cent_rows = [
         (int(i), [float(v) for v in c]) for i, c in enumerate(centroids)
     ]
@@ -253,10 +266,24 @@ def save_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/vectors"
     )
+    fs.create(marker).close()
+
 
 
 def load_ivf_index(spark, path: str):
     """Returns (assigned_vectors_df, centroid_matrix) for ivf_topk."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{_IVF_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
+        raise ValueError(
+            f"IVF index at {path} has no consistency marker: a "
+            "save_ivf_index run is in flight or was interrupted "
+            "(centroids and vectors may disagree). Re-run "
+            "save_ivf_index, or retrain_ivf_index blue/green. For an "
+            f"index saved by an older version, create {path}/"
+            f"{_IVF_MARKER} after verifying it is complete."
+        )
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     )

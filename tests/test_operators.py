@@ -2062,3 +2062,72 @@ def test_incremental_components_string_ids(spark):
     assert got == want
     assert ("doc-a", "doc-a") in got  # new min relabels {b,c}
     assert ("doc-b", "doc-a") in got
+
+
+def test_ivf_index_refuses_inconsistent_state(spark, emb, tmp_path):
+    """save_ivf_index writes centroids and vectors as two jobs; a crash
+    between them over a live index leaves new centroids beside old cell
+    assignments — probes would read the wrong partitions with no error.
+    The consistency marker (deleted first, rewritten last) converts
+    that silent corruption into a loud load failure."""
+    import os
+
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import similarity
+
+    path = str(tmp_path / "ivf_marker")
+    cents = similarity.ivf_centroids_from_sample(emb, 4)
+    similarity.save_ivf_index(emb, cents, path)
+    marker = os.path.join(path, similarity._IVF_MARKER)
+    assert os.path.exists(marker)
+    similarity.load_ivf_index(spark, path)  # consistent: loads fine
+
+    # mid-write state: marker deleted, second job not yet done
+    os.unlink(marker)
+    with _pytest.raises(ValueError, match="consistency marker"):
+        similarity.load_ivf_index(spark, path)
+    # every consumer of load_ivf_index inherits the gate
+    with _pytest.raises(ValueError, match="consistency marker"):
+        similarity.append_to_ivf_index(emb, path)
+
+    # completing the save restores service
+    similarity.save_ivf_index(emb, cents, path)
+    vectors, got = similarity.load_ivf_index(spark, path)
+    assert got.shape == cents.shape and vectors.count() == emb.count()
+
+
+def test_dedup_indexes_refuse_inconsistent_state(spark, docs, emb, tmp_path):
+    """Full (overwrite) saves of the MinHash and cosine indexes write
+    meta and data as separate jobs; a crash between them over a live
+    index leaves parts that disagree (new banding params over old band
+    rows silently ADMIT duplicates).  The consistency marker — cleared
+    first, stamped last — makes every reader fail loudly instead."""
+    import os
+
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+
+    mh = str(tmp_path / "mh_idx")
+    dedup.save_minhash_index(docs, mh)
+    assert os.path.exists(os.path.join(mh, dedup._INDEX_MARKER))
+    dedup.dedup_against_index(docs.limit(3), mh)  # gated read works
+
+    os.unlink(os.path.join(mh, dedup._INDEX_MARKER))  # mid-save state
+    with _pytest.raises(ValueError, match="consistency marker"):
+        dedup.dedup_against_index(docs.limit(3), mh)
+    with _pytest.raises(ValueError, match="consistency marker"):
+        dedup.save_minhash_index(docs, mh, mode="append")
+    dedup.save_minhash_index(docs, mh)  # completed save restores service
+    dedup.dedup_against_index(docs.limit(3), mh)
+
+    cs = str(tmp_path / "cos_idx")
+    dims = len(emb.select("embedding").first()[0])
+    dedup.save_cosine_index(emb, cs, dims=dims)
+    assert os.path.exists(os.path.join(cs, dedup._INDEX_MARKER))
+    os.unlink(os.path.join(cs, dedup._INDEX_MARKER))
+    with _pytest.raises(ValueError, match="consistency marker"):
+        dedup.cosine_dedup_against_index(emb.limit(3), cs, threshold=0.9)
+    dedup.save_cosine_index(emb, cs, dims=dims)
+    dedup.cosine_dedup_against_index(emb.limit(3), cs, threshold=0.9)
