@@ -415,6 +415,18 @@ def curate_stream(
             )
 
             compact_index(batch.sparkSession, index_path)
+            if clusters_path is not None and _path_exists(
+                batch.sparkSession, f"{clusters_path}/labels"
+            ):
+                # same cadence for the cluster journal (existence-gated:
+                # a stream that never saw a pair edge has no index yet);
+                # foreachBatch serializes batches, so this runs at the
+                # compaction's required single-writer point (graph.py)
+                from cloudfabric_eventsourcing_spark.operators.graph import (
+                    compact_cluster_index,
+                )
+
+                compact_cluster_index(batch.sparkSession, clusters_path)
 
     writer = (
         stream.writeStream.foreachBatch(_process)

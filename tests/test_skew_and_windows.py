@@ -261,8 +261,11 @@ def test_streaming_curation_maintains_cluster_index(spark, tmp_path):
     q = curate_stream(
         stream, index_path, corpus_out, str(tmp_path / "ckpt"),
         clusters_path=clusters,
+        compact_every=1,  # exercises the cluster-journal cadence too
     )
     q.awaitTermination(120)
+    import os
+    assert not os.path.exists(f"{clusters}/remap")  # journal folded
 
     labels = {
         r["node"]: r["component"]
