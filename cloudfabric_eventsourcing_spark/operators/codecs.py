@@ -243,25 +243,48 @@ def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
         raise ValueError("not an AVI file")
     width = height = None
     bit_count = compression = None
+    top_down = False
     usec_per_frame = None
+    # stream bookkeeping: strh chunks appear in stream-declaration order,
+    # and each stream's data chunks are tagged '<NN>db'/'<NN>dc' with NN =
+    # that zero-based order.  Taking the FIRST strf regardless of its
+    # owning strh's fccType would parse a WAVEFORMATEX as a
+    # BITMAPINFOHEADER whenever the audio stream list precedes the video
+    # one — track fccType and only accept strf (and frame chunks) for
+    # the 'vids' stream.
+    stream_no = -1
+    vid_stream: int | None = None
     frames: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, bit_count, compression, usec_per_frame
+        nonlocal width, height, bit_count, compression, top_down
+        nonlocal usec_per_frame, stream_no, vid_stream
         for fourcc, p, size in _riff_chunks(data, start, end):
             if fourcc == b"LIST":
                 walk(p + 4, p + size)  # skip the list-type fourcc
             elif fourcc == b"avih":
                 (usec_per_frame,) = struct.unpack("<I", data[p:p + 4])
-            elif fourcc == b"strf" and width is None:
+            elif fourcc == b"strh":
+                stream_no += 1
+                if data[p:p + 4] == b"vids" and vid_stream is None:
+                    vid_stream = stream_no
+            elif fourcc == b"strf" and (
+                stream_no == vid_stream and width is None
+            ):
                 # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes,
                 # biBitCount, biCompression, ...
                 _, w, h, _, bc, comp = struct.unpack(
                     "<IiiHHI", data[p:p + 20]
                 )
-                width, height = w, abs(h)
+                # biHeight < 0 declares a top-down DIB (rows already in
+                # display order — no flip)
+                width, height, top_down = w, abs(h), h < 0
                 bit_count, compression = bc, comp
             elif fourcc[2:4] in (b"db", b"dc"):
+                if vid_stream is not None and fourcc[:2].isdigit() and (
+                    int(fourcc[:2]) != vid_stream
+                ):
+                    continue  # another stream's data chunk
                 frames.append(data[p:p + size])
 
     walk(12, len(data))
@@ -278,7 +301,10 @@ def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
     for raw in frames:
         arr = np.frombuffer(raw[: row_stride * height], dtype=np.uint8)
         arr = arr.reshape(height, row_stride)[:, : width * 3]
-        arr = arr.reshape(height, width, 3)[::-1, :, ::-1]  # flip rows, BGR->RGB
+        arr = arr.reshape(height, width, 3)
+        if not top_down:
+            arr = arr[::-1]  # bottom-up DIB -> display order
+        arr = arr[:, :, ::-1]  # BGR -> RGB
         out.append(arr.tobytes())
     fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
     return width, height, fps, out

@@ -476,7 +476,11 @@ def dedup_against_index(
         new_df, num_perm, bands, n, text_col, id_col
     )
     q_banded = F.broadcast(new_banded) if broadcast else new_banded
-    idx_banded = spark.read.parquet(f"{path}/bands")
+    # explicit schema (identical banding -> identical schema): a cold-start
+    # index built from an EMPTY corpus has a bands dir with no data files
+    # (empty partitionBy writes nothing), where schema inference fails —
+    # with the schema given, Spark reads it as a legal empty relation
+    idx_banded = spark.read.schema(new_banded.schema).parquet(f"{path}/bands")
     bucket_match = (F.col("i.bi") == F.col("q.bi")) & (
         F.col("i.bh") == F.col("q.bh")
     )
@@ -491,7 +495,7 @@ def dedup_against_index(
         .dropDuplicates(["new_id", "index_id"])
     )
     ga = new_grams.select(F.col("id").alias("new_id"), F.col("g").alias("ga"))
-    gb = spark.read.parquet(f"{path}/grams").select(
+    gb = spark.read.schema(new_grams.schema).parquet(f"{path}/grams").select(
         F.col("id").alias("index_id"), F.col("g").alias("gb")
     )
     if broadcast:
@@ -751,8 +755,14 @@ def cosine_dedup_against_index(
     buckets = [
         r["bucket"] for r in probes_df.select("bucket").distinct().collect()
     ]
+    # explicit schema (identical bucketing -> identical schema): an index
+    # cold-started from an EMPTY corpus has a vectors dir with no data
+    # files (empty partitionBy writes nothing) where inference fails
+    stored_schema = qb.select(
+        F.col("new_id").alias(id_col), F.col("qv").alias(vec_col), "bucket"
+    ).schema
     idx = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.schema(stored_schema).parquet(f"{path}/vectors")
         .where(F.col("bucket").isin(buckets))
         .select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket")
     )

@@ -290,27 +290,46 @@ def save_cluster_index(
     ).write.mode("overwrite").parquet(f"{path}/labels")
 
 
-def _recover_compact_swap(path: str) -> None:
+def _index_fs(spark, path: str):
+    """(Path class, FileSystem) for the index root, resolved through the
+    Hadoop FS API so every swap/recovery touch is scheme-aware (local,
+    hdfs://, s3a:// — same filesystems Spark reads the index with)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return (
+        jvm.org.apache.hadoop.fs.Path,
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()),
+    )
+
+
+def _checked_rename(fs, P, src: str, dst: str) -> None:
+    """Hadoop FileSystem.rename reports failure by returning false, not
+    raising; an unchecked false here would let the debris sweep delete
+    the committed rows the failed rename left stranded."""
+    if not fs.rename(P(src), P(dst)):
+        raise IOError(f"cluster index swap rename failed: {src} -> {dst}")
+
+
+def _recover_compact_swap(spark, path: str) -> None:
     """Close the compaction rename windows: a crash between
     rename(labels -> old) and rename(tmp -> labels) would otherwise
     leave labels/ missing — and the next append's cold-start bootstrap
     would then install an EMPTY base over a real corpus.  Roll the swap
     forward when the tmp dir is committed, backward otherwise."""
-    import os
-    import shutil
-
+    P, fs = _index_fs(spark, path)
     labels, tmp, old = (
         f"{path}/labels",
         f"{path}/.labels.compact-tmp",
         f"{path}/.labels.compact-old",
     )
-    if not os.path.isdir(labels):
-        if os.path.exists(f"{tmp}/_COMMITTED"):
-            os.rename(tmp, labels)
-        elif os.path.isdir(old):
-            os.rename(old, labels)
+    if not fs.exists(P(labels)):
+        if fs.exists(P(tmp + "/_COMMITTED")):
+            _checked_rename(fs, P, tmp, labels)
+        elif fs.exists(P(old)):
+            _checked_rename(fs, P, old, labels)
     for p in (tmp, old):
-        shutil.rmtree(p, ignore_errors=True)
+        if fs.exists(P(p)):
+            fs.delete(P(p), True)
 
 
 def load_cluster_labels(spark, path: str) -> DataFrame:
@@ -318,7 +337,7 @@ def load_cluster_labels(spark, path: str) -> DataFrame:
     through the min-closure of the remap journal."""
     from pyspark.errors import AnalysisException
 
-    _recover_compact_swap(path)
+    _recover_compact_swap(spark, path)
     base = spark.read.parquet(f"{path}/labels")
     try:
         nodes = spark.read.parquet(f"{path}/nodes")
@@ -403,24 +422,24 @@ def compact_cluster_index(spark, path: str) -> None:
     between curate_stream batches — foreachBatch serializes), not
     concurrently with an append: an append landing between the resolve
     and the journal clear would be erased with it."""
-    import shutil
-
-    import os
-
+    P, fs = _index_fs(spark, path)
     # eager checkpoint materializes BEFORE the files it reads are moved
     resolved = load_cluster_labels(spark, path).localCheckpoint(eager=True)
     tmp = f"{path}/.labels.compact-tmp"
     resolved.write.mode("overwrite").parquet(tmp)
-    open(f"{tmp}/_COMMITTED", "w").close()  # _recover_compact_swap gate
+    fs.create(P(tmp + "/_COMMITTED")).close()  # _recover_compact_swap gate
     old = f"{path}/.labels.compact-old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(f"{path}/labels", old)
-    os.rename(tmp, f"{path}/labels")
-    shutil.rmtree(old, ignore_errors=True)
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    _checked_rename(fs, P, f"{path}/labels", old)
+    _checked_rename(fs, P, tmp, f"{path}/labels")
+    fs.delete(P(old), True)
     # nodes BEFORE remap: a leftover node row still resolves through the
     # journal to the same final label as its resolved base duplicate,
     # whereas the reverse order could leave a stale node row with no
     # journal to resolve it (dropDuplicates might then keep the stale
     # label) — every crash point in this order is idempotent
     for sub in ("nodes", "remap"):
-        shutil.rmtree(f"{path}/{sub}", ignore_errors=True)
+        sub_path = P(f"{path}/{sub}")
+        if fs.exists(sub_path):
+            fs.delete(sub_path, True)

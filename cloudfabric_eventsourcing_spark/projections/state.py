@@ -23,6 +23,7 @@ import dataclasses
 import datetime
 import json
 import threading
+import uuid
 from typing import Optional
 
 from cloudfabric_eventsourcing_spark.schema import ProjectionSchema
@@ -58,6 +59,13 @@ class IndexStateForSchemaVersion:
     rebuild_completed_at: Optional[datetime.datetime] = None
     rebuild_health_check_at: Optional[datetime.datetime] = None
     last_processed_event_timestamp: Optional[datetime.datetime] = None
+    # lease-ownership nonce for repos WITHOUT compare_and_upsert: the
+    # blind-save fallback's re-read check compares this instead of the
+    # acquisition timestamp (two workers can sample the same microsecond;
+    # they cannot sample the same uuid).  Absent from the reference row
+    # (its conditional UPDATE needs no fallback); defaults keep old
+    # persisted dicts loadable.
+    rebuild_owner_nonce: Optional[str] = None
 
     def to_dict(self) -> dict:
         return {k: _iso(v) for k, v in dataclasses.asdict(self).items()}
@@ -218,6 +226,7 @@ class ProjectionIndexStateStore:
             index.rebuild_started_at = started
             index.rebuild_health_check_at = started
             index.rebuild_completed_at = None
+            index.rebuild_owner_nonce = uuid.uuid4().hex
             cas = getattr(self._repo, "compare_and_upsert", None)
             if cas is not None:
                 # true compare-and-swap (the reference's conditional
@@ -230,10 +239,25 @@ class ProjectionIndexStateStore:
                 ):
                     continue
                 return state, index.index_name
-            # fallback for custom repos without CAS: blind save + re-read
+            # fallback for custom repos without CAS: blind save + re-read.
+            # Ownership is the per-worker NONCE, not the timestamp — two
+            # workers that sample the same microsecond would both pass a
+            # timestamp check and double-acquire the index.
             self.save(state)
             check = self.get(name)
-            if check is None or check.updated_at != started:
+            winner = None
+            if check is not None:
+                winner = next(
+                    (
+                        s
+                        for s in check.indexes_statuses
+                        if s.index_name == index.index_name
+                    ),
+                    None,
+                )
+            if winner is None or (
+                winner.rebuild_owner_nonce != index.rebuild_owner_nonce
+            ):
                 continue
             return check, index.index_name
         return None, None

@@ -116,10 +116,19 @@ def _recover_epoch_swap(spark, epoch_path: str) -> None:
     P = jvm.org.apache.hadoop.fs.Path
     tmp, old = _epoch_siblings(epoch_path)
     if not fs.exists(P(epoch_path)):
+        # rename failure returns false (Hadoop FS contract); raising here
+        # matters because the debris sweep below would otherwise DELETE
+        # the committed rows the failed rename left stranded in tmp/old
         if fs.exists(P(tmp + "/_COMMITTED")):
-            fs.rename(P(tmp), P(epoch_path))
+            if not fs.rename(P(tmp), P(epoch_path)):
+                raise IOError(
+                    f"epoch swap recovery rename failed: {tmp} -> {epoch_path}"
+                )
         elif fs.exists(P(old)):
-            fs.rename(P(old), P(epoch_path))
+            if not fs.rename(P(old), P(epoch_path)):
+                raise IOError(
+                    f"epoch swap recovery rename failed: {old} -> {epoch_path}"
+                )
     for p in (tmp, old):
         if fs.exists(P(p)):
             fs.delete(P(p), True)
@@ -135,7 +144,14 @@ def _swap_epoch_dir(spark, epoch_path: str, df: DataFrame) -> None:
     tmp, old = _epoch_siblings(epoch_path)
     df.write.mode("overwrite").parquet(tmp)
     fs.create(P(tmp + "/_COMMITTED")).close()
-    fs.rename(P(epoch_path), P(old))
+    # Hadoop FileSystem.rename reports failure by returning false, not
+    # raising.  An unchecked first rename could leave epoch_path in
+    # place and (on FSes with dir-into-dir rename semantics) let the
+    # second rename move tmp INSIDE it and "succeed" — the unioned rows
+    # would be lost while the index append proceeds, recreating the
+    # stranded-doc inconsistency this swap exists to prevent.
+    if not fs.rename(P(epoch_path), P(old)):
+        raise IOError(f"epoch swap rename failed: {epoch_path} -> {old}")
     if not fs.rename(P(tmp), P(epoch_path)):
         raise IOError(f"epoch swap rename failed: {tmp} -> {epoch_path}")
     fs.delete(P(old), True)

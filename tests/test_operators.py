@@ -1982,6 +1982,69 @@ def test_avi_codec_hand_packed_spec_bytes():
     assert (w2, h2, out) == (5, 4, fr) and abs(fps2 - 12.0) < 1e-3
 
 
+def test_avi_codec_audio_stream_first_and_top_down_dib():
+    """r7 advice pins: (1) an AVI whose AUDIO strl precedes the video one
+    must not parse the audio WAVEFORMATEX as a BITMAPINFOHEADER — the
+    decoder tracks each strh's fccType and takes strf/frame chunks from
+    the 'vids' stream only; (2) negative biHeight declares a top-down
+    DIB whose rows are already in display order — no flip."""
+    import struct
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    # top-down 2x2 frame stored in DISPLAY order (BGR):
+    # [RED, GREEN] / [BLUE, WHITE]
+    dib = bytes([0, 0, 255, 0, 255, 0]) + b"\0\0" + bytes(
+        [255, 0, 0, 255, 255, 255]
+    ) + b"\0\0"
+
+    def ck(fcc, payload):
+        return (
+            fcc + struct.pack("<I", len(payload)) + payload
+            + (b"\0" if len(payload) & 1 else b"")
+        )
+
+    avih = struct.pack(
+        "<14I", 100000, 0, 0, 0x10, 1, 0, 2, len(dib), 2, 2, 0, 0, 0, 0
+    )
+    # stream 0: audio.  Its strf is a WAVEFORMATEX — 16-bit PCM stereo —
+    # which a first-strf-wins parser would misread as a BITMAPINFOHEADER.
+    strh_aud = (
+        b"auds" + b"\0" * 4
+        + struct.pack("<10I", 0, 0, 0, 1, 8000, 0, 8000, 16000, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    strf_aud = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    # stream 1: video, biHeight NEGATIVE (top-down)
+    strh_vid = (
+        b"vids" + b"\0" * 4
+        + struct.pack("<10I", 0, 0, 0, 1, 10, 0, 1, len(dib), 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 2, 2)
+    )
+    strf_vid = struct.pack(
+        "<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(dib), 0, 0, 0, 0
+    )
+    hdrl = ck(
+        b"LIST",
+        b"hdrl" + ck(b"avih", avih)
+        + ck(b"LIST", b"strl" + ck(b"strh", strh_aud) + ck(b"strf", strf_aud))
+        + ck(b"LIST", b"strl" + ck(b"strh", strh_vid) + ck(b"strf", strf_vid)),
+    )
+    # a stray '00dc' data chunk belonging to the AUDIO stream must be
+    # skipped; the real frame is stream 1's '01db'
+    movi = ck(b"LIST", b"movi" + ck(b"00dc", b"\xde\xad") + ck(b"01db", dib))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w, h, fps, frames = codecs.decode_avi(avi)
+    assert (w, h) == (2, 2) and abs(fps - 10.0) < 1e-9
+    assert len(frames) == 1
+    # top-down: row order preserved, BGR -> RGB only
+    assert frames[0] == bytes([255, 0, 0, 0, 255, 0]) + bytes(
+        [0, 0, 255, 255, 255, 255]
+    )
+
+
 def test_multimodal_real_video_frame_pipeline(spark):
     """Real video path end-to-end: uncompressed AVI -> every-n-th frame
     as standalone PNG -> image features on the sampled frames.  Nulls

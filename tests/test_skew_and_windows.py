@@ -211,6 +211,76 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {13}
 
 
+def test_curation_cold_start_from_empty_index(spark, tmp_path):
+    """A brand-new pipeline has NO corpus yet: an index saved from an
+    empty DataFrame must be probe-able (r8 find: the empty partitionBy
+    write leaves no data files, so the probe read needs the explicit
+    banded schema instead of inference).  First batch of a stream over
+    an empty index is accepted in full and grows the index."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    index_path = str(tmp_path / "index")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dedup.save_minhash_index(empty, index_path, num_perm=32, bands=8)
+
+    # direct probe against the empty index: no candidates, no error
+    batch = spark.createDataFrame(
+        [(1, "a first ever document for a cold started corpus")],
+        ["doc_id", "text"],
+    )
+    assert dedup.dedup_against_index(batch, index_path).count() == 0
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "a first ever document for a cold started corpus"),
+            (2, "a second unrelated document about catalyst planning"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    corpus_out = str(tmp_path / "accepted")
+    q = curate_stream(stream, index_path, corpus_out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    accepted = {r["doc_id"] for r in spark.read.parquet(corpus_out).collect()}
+    assert accepted == {1, 2}
+    # the grown index rejects a re-send
+    resend = spark.createDataFrame(
+        [(9, "a first ever document for a cold started corpus")],
+        ["doc_id", "text"],
+    )
+    hits = dedup.dedup_against_index(resend, index_path).collect()
+    assert {r["index_id"] for r in hits} == {1}
+
+
+def test_cosine_index_cold_start_from_empty(spark, tmp_path):
+    """save_cosine_index over an empty frame must yield a probe-able
+    index (same empty-partitionBy pathology as the MinHash index)."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+
+    path = str(tmp_path / "cidx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    dedup.save_cosine_index(empty, path, dims=4, bits=4)
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert dedup.cosine_dedup_against_index(batch, path, 0.9).count() == 0
+    dedup.save_cosine_index(batch, path, dims=4, bits=4, mode="append")
+    probe = spark.createDataFrame(
+        [(2, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    hits = dedup.cosine_dedup_against_index(probe, path, 0.9).collect()
+    assert {r["index_id"] for r in hits} == {1}
+
+
 def test_streaming_curation_maintains_cluster_index(spark, tmp_path):
     """curate_stream(clusters_path=...): duplicate families maintained
     ONLINE — rejected docs keep provenance (same component as what
