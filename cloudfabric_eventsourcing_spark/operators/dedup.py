@@ -706,6 +706,8 @@ def cosine_dedup_against_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe_flips: int = 1,
+    meta: Optional[tuple] = None,
+    include_same_id: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicates between a NEW batch and a persisted
     cosine index: (new_id, index_id, cosine >= threshold).
@@ -722,7 +724,14 @@ def cosine_dedup_against_index(
     bit away, and exact-bucket probing alone misses it with probability
     1-(1-acos(s)/pi)^bits (~11% at bits=8, s=0.999).  Set 0 for
     exact-bucket probing; the probe fan-out multiplies the scanned
-    bucket count, not the corpus."""
+    bucket count, not the corpus.
+
+    `include_same_id=True` keeps id-identical matches — the streaming
+    vector loop's content-keyed idempotence: a redelivered vector (same
+    id, same embedding) buckets identically, finds its own index row in
+    the probed partitions, and rejects itself.  `meta=(dims, bits, seed)`
+    skips the per-call meta read for callers that hold it (one driver
+    round trip per micro-batch in streaming)."""
     from cloudfabric_eventsourcing_spark.operators.similarity import lsh_bucket
 
     if nprobe_flips not in (0, 1):
@@ -731,7 +740,7 @@ def cosine_dedup_against_index(
         # recall the caller asked for
         raise ValueError("nprobe_flips must be 0 or 1")
     spark = new_df.sparkSession
-    dims, bits, seed = _read_cosine_meta(spark, path)
+    dims, bits, seed = meta or _read_cosine_meta(spark, path)
     qb = lsh_bucket(
         new_df, dims=dims, bits=bits, seed=seed, vec_col=vec_col
     ).select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("qv"), "bucket")
@@ -766,12 +775,11 @@ def cosine_dedup_against_index(
         .where(F.col("bucket").isin(buckets))
         .select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket")
     )
+    join_cond = idx.bucket == probes_df.bucket
+    if not include_same_id:
+        join_cond = join_cond & (F.col("index_id") != F.col("new_id"))
     cand = (
-        idx.join(
-            F.broadcast(probes_df),
-            (idx.bucket == probes_df.bucket)
-            & (F.col("index_id") != F.col("new_id")),
-        )
+        idx.join(F.broadcast(probes_df), join_cond)
         .select("new_id", "index_id", "iv")
     )
     pairs = cand.join(F.broadcast(qb.select("new_id", "qv")), "new_id")

@@ -182,6 +182,39 @@ def _check_corpus_layout(spark, corpus_path: str) -> None:
             )
 
 
+def _write_epoch_never_shrink(
+    spark, epoch_path: str, accepted: DataFrame, id_col: str
+) -> None:
+    """Run+epoch-keyed idempotent corpus write shared by the text and
+    vector loops: replay any interrupted swap, union with rows already
+    committed under this epoch path (never-shrink rule — see module
+    docstring), and install via the atomic tmp+_COMMITTED+rename swap
+    when prior rows exist (a naive overwrite would pass through an
+    empty/partial state)."""
+    _recover_epoch_swap(spark, epoch_path)
+    union_with_prior = False
+    corpus_rows = accepted
+    if _path_exists(spark, epoch_path):
+        try:
+            prior = spark.read.parquet(epoch_path)
+            corpus_rows = (
+                prior.unionByName(accepted)
+                .dropDuplicates([id_col])
+                .localCheckpoint(eager=True)
+            )
+            union_with_prior = True
+        except AnalysisException:
+            # dir exists but holds no readable parquet (crash right
+            # after mkdir, before any file): nothing to preserve
+            pass
+    if union_with_prior:
+        _swap_epoch_dir(spark, epoch_path, corpus_rows)
+    else:
+        # first attempt (or unreadable debris): nothing committed to
+        # lose, plain overwrite
+        corpus_rows.write.mode("overwrite").parquet(epoch_path)
+
+
 def index_corpus_divergence(
     spark,
     index_path: str,
@@ -324,12 +357,58 @@ def curate_stream(
     never indexed, so a rejected-to-rejected similarity across batches
     is not probed and cannot merge two families on its own — families
     connect through accepted (indexed) members, which is the curation
-    loop's provenance question, not a full all-pairs closure."""
+    loop's provenance question, not a full all-pairs closure (the
+    offline `close_rejected_families` pass fills that gap on demand)."""
     # appends must band exactly like the existing index: read its pinned
     # parameters once, up front (also fails fast on a missing index)
     num_perm, bands, n = _dedup._read_minhash_meta(
         stream.sparkSession, index_path
     )
+
+    def probe(batch: DataFrame, return_edges: bool):
+        return curate_batch_against_index(
+            batch, index_path, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+            banding=(num_perm, bands, n),
+            return_edges=return_edges,
+        )
+
+    def append(accepted: DataFrame) -> None:
+        _dedup.save_minhash_index(
+            accepted.select(id_col, text_col), index_path,
+            num_perm=num_perm, bands=bands, n=n,
+            text_col=text_col, id_col=id_col, mode="append",
+        )
+
+    return _run_curation_stream(
+        stream, index_path, corpus_path, checkpoint, id_col,
+        probe, append, batch_transform, available_now,
+        compact_every, clusters_path,
+    )
+
+
+def _run_curation_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str,
+    probe: Callable,
+    append: Callable[[DataFrame], None],
+    batch_transform: Optional[Callable[[DataFrame], DataFrame]],
+    available_now: bool,
+    compact_every: Optional[int],
+    clusters_path: Optional[str],
+):
+    """Modality-independent streaming-curation skeleton shared by the
+    text (MinHash) and embedding (cosine-LSH) loops: per micro-batch,
+    gate → `probe` (intra-batch dedup + persisted-index probe; returns
+    accepted or (accepted, edges)) → cluster-index fold → run/epoch
+    idempotent corpus write → `append` (grow the index) → compaction
+    cadence.  All delivery/crash reasoning in the module docstring
+    applies to any (probe, append) pair whose probe is content-keyed
+    idempotent (include_same_id) and whose append only ever ADDS
+    index rows."""
     # refuse a legacy flat-layout corpus before the first batch runs
     _check_corpus_layout(stream.sparkSession, corpus_path)
     accepted_batches = [0]
@@ -350,12 +429,7 @@ def curate_stream(
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if batch_transform is not None:
             batch = batch_transform(batch)
-        result = curate_batch_against_index(
-            batch, index_path, threshold=threshold,
-            text_col=text_col, id_col=id_col,
-            banding=(num_perm, bands, n),
-            return_edges=clusters_path is not None,
-        )
+        result = probe(batch, clusters_path is not None)
         accepted = result[0] if clusters_path is not None else result
         # materialize once: the corpus write, the index append, and the
         # emptiness probe would otherwise each re-run the dedup joins
@@ -386,44 +460,13 @@ def curate_stream(
         # the index append re-accepts the un-indexed docs and
         # self-rejects the indexed ones — union with the rows already
         # under this epoch path so the indexed-but-replayed docs are
-        # not dropped from the corpus.  localCheckpoint breaks lineage
-        # to the path we are about to overwrite.
-        _recover_epoch_swap(spark, epoch_path)
-        union_with_prior = False
-        corpus_rows = accepted
-        if _path_exists(spark, epoch_path):
-            try:
-                prior = spark.read.parquet(epoch_path)
-                corpus_rows = (
-                    prior.unionByName(accepted)
-                    .dropDuplicates([id_col])
-                    .localCheckpoint(eager=True)
-                )
-                union_with_prior = True
-            except AnalysisException:
-                # dir exists but holds no readable parquet (crash right
-                # after mkdir, before any file): nothing to preserve
-                pass
-        if union_with_prior:
-            # the epoch dir holds committed rows: replace it via the
-            # tmp-sibling + rename swap so it never passes through an
-            # empty/partial state (a crash inside a naive overwrite
-            # would drop the prior attempt's committed rows while the
-            # index still rejects those docs — the exact stranded-doc
-            # failure the union exists to close)
-            _swap_epoch_dir(spark, epoch_path, corpus_rows)
-        else:
-            # first attempt (or unreadable debris): nothing committed
-            # to lose, plain overwrite
-            corpus_rows.write.mode("overwrite").parquet(epoch_path)
+        # not dropped from the corpus.  localCheckpoint (above) breaks
+        # lineage to the path we are about to overwrite.
+        _write_epoch_never_shrink(spark, epoch_path, accepted, id_col)
         # index append stays on the NEW survivors only: the prior rows
         # either have index entries already (that's why they
         # self-rejected) or are in `accepted` too
-        _dedup.save_minhash_index(
-            accepted.select(id_col, text_col), index_path,
-            num_perm=num_perm, bands=bands, n=n,
-            text_col=text_col, id_col=id_col, mode="append",
-        )
+        append(accepted)
         accepted_batches[0] += 1
         if compact_every and accepted_batches[0] % compact_every == 0:
             from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
@@ -451,3 +494,209 @@ def curate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curate_vector_batch_against_index(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    meta: Optional[tuple] = None,
+    return_edges: bool = False,
+):
+    """Embedding twin of curate_batch_against_index: one micro-batch's
+    surviving vectors after intra-batch cosine near-dup collapse and a
+    probe of the persisted cosine-LSH index (dedup.save_cosine_index).
+    With ``return_edges=True`` returns ``(accepted, edges)`` where edges
+    is the batch's evaluated duplicate-pair graph for cluster provenance.
+
+    The intra-batch scan uses the INDEX's pinned (dims, bits, seed) —
+    acceptance must not depend on which batch a vector arrives in.  The
+    probe runs ``include_same_id=True``: a redelivered vector (same id,
+    same embedding) buckets identically, finds its own index row, and
+    rejects itself — the content-keyed idempotence leg of the delivery
+    contract (module docstring)."""
+    dims, bits, seed = meta or _dedup._read_cosine_meta(
+        batch.sparkSession, index_path
+    )
+    pairs = _dedup.cosine_neardup_pairs_lsh(
+        batch, threshold=threshold, dims=dims, bits=bits, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    if return_edges:
+        # pairs and cross each feed BOTH outputs (accepted + edges);
+        # materialize once so the bucket scan and the index probe are
+        # not re-run by the second consumer
+        pairs = pairs.localCheckpoint(eager=True)
+    kept = _dedup.lsh_dedup_representatives(pairs, batch, id_col=id_col)
+    cross = _dedup.cosine_dedup_against_index(
+        kept, index_path, threshold=threshold,
+        vec_col=vec_col, id_col=id_col,
+        meta=(dims, bits, seed), include_same_id=True,
+    )
+    if return_edges:
+        cross = cross.localCheckpoint(eager=True)
+    dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
+    accepted = kept.join(dup_ids, id_col, "left_anti")
+    if not return_edges:
+        return accepted
+    # duplicate-family provenance: intra-batch near-dup pairs plus
+    # batch-vs-corpus matches (self-matches of redelivered vectors
+    # excluded: a self loop carries no family information)
+    edges = pairs.select("id_a", "id_b").unionByName(
+        cross.where(F.col("new_id") != F.col("index_id")).select(
+            F.col("new_id").alias("id_a"), F.col("index_id").alias("id_b")
+        )
+    )
+    return accepted, edges
+
+
+def curate_vector_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    available_now: bool = True,
+    compact_every: Optional[int] = None,
+    clusters_path: Optional[str] = None,
+):
+    """Streaming curation for the EMBEDDING modality — the cosine-LSH
+    twin of curate_stream, sharing its skeleton and its entire
+    delivery/crash contract (module docstring): per micro-batch,
+    intra-batch cosine dedup → probe of the persisted cosine index →
+    run/epoch never-shrink corpus write → index append → compaction
+    cadence, with optional online duplicate-family clustering.
+
+    `index_path` must already hold a cosine index (dedup.save_cosine_index
+    over the existing corpus — an empty frame works for a cold start,
+    pinning (dims, bits, seed) for every batch that follows).  The
+    index append is ONE bucketed write per batch (no two-phase grams/
+    bands asymmetry), so the only replay case is crash-between-corpus-
+    write-and-index-append, which the never-shrink epoch union already
+    covers.  Compaction (`compact_every=`) folds the per-batch bucket
+    fragments through the same compact_index machinery — the cosine
+    layout's `vectors/bucket=` dirs are a first-class dataset there.
+
+    Scale shape per batch: the corpus is touched only at the probed
+    bucket partitions (batch-bounded file listing), the batch side
+    broadcasts, and the append writes only the accepted rows — nothing
+    corpus-sized ever shuffles, so batch cost is flat in corpus size
+    (the property measured for the text loop in PLANS.md)."""
+    dims, bits, seed = _dedup._read_cosine_meta(
+        stream.sparkSession, index_path
+    )
+
+    def probe(batch: DataFrame, return_edges: bool):
+        return curate_vector_batch_against_index(
+            batch, index_path, threshold=threshold,
+            vec_col=vec_col, id_col=id_col,
+            meta=(dims, bits, seed), return_edges=return_edges,
+        )
+
+    def append(accepted: DataFrame) -> None:
+        _dedup.save_cosine_index(
+            accepted.select(id_col, vec_col), index_path,
+            dims=dims, bits=bits, seed=seed,
+            vec_col=vec_col, id_col=id_col, mode="append",
+        )
+
+    return _run_curation_stream(
+        stream, index_path, corpus_path, checkpoint, id_col,
+        probe, append, batch_transform, available_now,
+        compact_every, clusters_path,
+    )
+
+
+def vector_index_corpus_divergence(
+    spark,
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding twin of index_corpus_divergence: ids present in the
+    cosine index but absent from the corpus (the externally-lost-epoch
+    detector).  One column-pruned scan of the index's id column, one of
+    the corpus id column, a distinct per side, one anti-join."""
+    index_ids = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .select(F.col(id_col).alias(id_col))
+        .distinct()
+    )
+    try:
+        corpus_ids = (
+            spark.read.parquet(corpus_path).select(id_col).distinct()
+        )
+    except AnalysisException:
+        return index_ids
+    return index_ids.join(corpus_ids, id_col, "left_anti")
+
+
+def close_rejected_families(
+    rejected: DataFrame,
+    index_path: str,
+    clusters_path: str,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Periodic offline closure of the cluster index's documented scope
+    limit: the streaming loop only evaluates batch-vs-batch and
+    batch-vs-ACCEPTED edges, so two docs rejected in different batches
+    whose similarity runs through no accepted member sit in separate
+    families.  This pass runs the one-shot pair scan over the REJECTED
+    set (caller-supplied: typically source anti-join corpus) and folds
+    the found edges into the persisted cluster index — merging exactly
+    the families the loop could not.
+
+    Banding comes from the index meta, so closure edges are judged by
+    the SAME shingling/threshold geometry as the loop's edges.  The fold
+    is append_cluster_pairs, so re-running the pass is idempotent
+    (duplicate edges cannot change a min-closure).  Returns its report
+    ({"merges": n, "new_nodes": n}).
+
+    Scale shape: pair cost is quadratic only within true-dup families
+    of the rejected set (the minhash_lsh_pairs property); the cluster
+    fold is batch-sized.  Run it on the curation loop's maintenance
+    cadence, not per batch."""
+    spark = rejected.sparkSession
+    num_perm, bands, n = _dedup._read_minhash_meta(spark, index_path)
+    pairs = _dedup.minhash_lsh_pairs(
+        rejected, threshold=threshold, num_perm=num_perm, bands=bands, n=n,
+        text_col=text_col, id_col=id_col,
+    )
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    from cloudfabric_eventsourcing_spark.operators.graph import (
+        append_cluster_pairs,
+    )
+
+    return append_cluster_pairs(spark, clusters_path, edges)
+
+
+def close_rejected_vector_families(
+    rejected: DataFrame,
+    index_path: str,
+    clusters_path: str,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Embedding twin of close_rejected_families: cosine-LSH pair scan
+    over the rejected vector set under the index's pinned (dims, bits,
+    seed), folded into the cluster index."""
+    spark = rejected.sparkSession
+    dims, bits, seed = _dedup._read_cosine_meta(spark, index_path)
+    pairs = _dedup.cosine_neardup_pairs_lsh(
+        rejected, threshold=threshold, dims=dims, bits=bits, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    from cloudfabric_eventsourcing_spark.operators.graph import (
+        append_cluster_pairs,
+    )
+
+    return append_cluster_pairs(spark, clusters_path, edges)

@@ -1,0 +1,376 @@
+"""Streaming curation for the EMBEDDING modality — pytest twins of the
+text-loop suite (test_skew_and_windows.py): cross-batch rejection via
+the persisted cosine-LSH index, index growth, content-keyed redelivery
+idempotence, the never-shrink crash replay, online duplicate-family
+clustering, and the stranded-vector divergence detector."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfabric_eventsourcing_spark.operators import dedup, graph
+from cloudfabric_eventsourcing_spark.streaming.curation import (
+    curate_vector_batch_against_index,
+    curate_vector_stream,
+    vector_index_corpus_divergence,
+)
+
+DIMS, BITS = 4, 4
+E1 = [1.0, 0.0, 0.0, 0.0]
+E2 = [0.0, 1.0, 0.0, 0.0]
+E3 = [0.0, 0.0, 1.0, 0.0]
+E4 = [0.0, 0.0, 0.0, 1.0]
+# same direction as E1 (cosine 1.0) at a different magnitude — scaling
+# preserves both the hyperplane signs (same bucket) and the cosine
+E1_SCALED = [2.5, 0.0, 0.0, 0.0]
+VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def _ids(spark, path):
+    return sorted(r["vec_id"] for r in spark.read.parquet(path).collect())
+
+
+def test_vector_curation_dedups_across_batches(spark, tmp_path):
+    """Each batch dedups against the cosine index AND the index grows
+    with accepted vectors, so a later batch cannot re-accept an earlier
+    batch's embedding."""
+    index_path = str(tmp_path / "cidx")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_cosine_index(
+        _mk(spark, [(1, E1)]), index_path, dims=DIMS, bits=BITS
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch a: dup of corpus vec 1 (same direction), novel vec 11
+    _mk(spark, [(10, E1_SCALED), (11, E2)]).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    # batch b: dup of batch-a's ACCEPTED 11 — must reject because the
+    # index grew — plus a novel vec and an intra-batch twin pair 20/21
+    _mk(
+        spark, [(12, E2), (13, E3), (20, E4), (21, E4)]
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_vector_stream(
+        stream, index_path, corpus_out, str(tmp_path / "ckpt"),
+        threshold=0.95,
+    )
+    q.awaitTermination(120)
+    assert _ids(spark, corpus_out) == [11, 13, 20]
+    # the grown index rejects a re-send of every accepted vector
+    hits = dedup.cosine_dedup_against_index(
+        _mk(spark, [(30, E3)]), index_path, 0.95
+    ).collect()
+    assert {r["index_id"] for r in hits} == {13}
+
+
+def test_vector_curation_reingest_is_self_healing(spark, tmp_path):
+    """Content-keyed idempotence: the probe runs include_same_id=True,
+    so a redelivered vector (same id, same embedding) finds its own
+    index row and rejects itself — even under a FRESH checkpoint where
+    the position-keyed overwrite cannot help."""
+    index_path = str(tmp_path / "cidx")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_cosine_index(
+        _mk(spark, [(1, E1)]), index_path, dims=DIMS, bits=BITS
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _mk(spark, [(10, E2), (11, E3)]).coalesce(1).write.parquet(str(src / "a"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_vector_stream(
+            stream, index_path, corpus_out, str(tmp_path / ckpt),
+            threshold=0.95,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    assert _ids(spark, corpus_out) == [10, 11]
+    run("ckpt2")  # full redelivery under a fresh checkpoint
+    assert _ids(spark, corpus_out) == [10, 11]
+
+
+def test_vector_curation_partial_index_commit_never_shrinks_epoch(
+    spark, tmp_path
+):
+    """The asymmetric crash (text-loop twin): corpus write committed but
+    vec 11's index rows never landed.  On replay 10 self-rejects
+    (content key) while 11 is re-accepted; a naive epoch overwrite
+    would replace {10, 11} with {11}.  The never-shrink union keeps
+    both."""
+    index_path = str(tmp_path / "cidx")
+    corpus_out = str(tmp_path / "accepted")
+    dedup.save_cosine_index(
+        _mk(spark, [(1, E1)]), index_path, dims=DIMS, bits=BITS
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _mk(spark, [(10, E2), (11, E3)]).coalesce(1).write.parquet(str(src / "a"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_vector_stream(
+            stream, index_path, corpus_out, ckpt, threshold=0.95
+        )
+        q.awaitTermination(120)
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    assert _ids(spark, corpus_out) == [10, 11]
+
+    # simulate the partial append: vec 11's index rows vanish
+    vec_dir = f"{index_path}/vectors"
+    kept = (
+        spark.read.parquet(vec_dir)
+        .where(F.col("vec_id") != 11)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(vec_dir)
+    kept.write.partitionBy("bucket").parquet(vec_dir)
+
+    # force the committed epoch to replay under the SAME checkpoint
+    os.unlink(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    run(ckpt)
+    # 10 was NOT dropped even though it self-rejected on replay
+    assert _ids(spark, corpus_out) == [10, 11]
+
+
+def test_vector_curation_maintains_cluster_index(spark, tmp_path):
+    """curate_vector_stream(clusters_path=...): duplicate families
+    maintained online — rejected vectors keep provenance, intra-batch
+    twins cluster, cross-batch chains connect through the accepted
+    member; compaction preserves the labels."""
+    index_path = str(tmp_path / "cidx")
+    corpus_out = str(tmp_path / "accepted")
+    clusters = str(tmp_path / "clusters")
+    dedup.save_cosine_index(
+        _mk(spark, [(1, E1)]), index_path, dims=DIMS, bits=BITS
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch a: dup of corpus vec 1; novel 11
+    _mk(spark, [(10, E1_SCALED), (11, E2)]).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    # batch b: cross-batch chain 11-12, family {1,10} extended via 14,
+    # intra-batch twins 20/21
+    _mk(
+        spark, [(12, E2), (14, E1), (20, E4), (21, E4)]
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_vector_stream(
+        stream, index_path, corpus_out, str(tmp_path / "ckpt"),
+        threshold=0.95, clusters_path=clusters, compact_every=1,
+    )
+    q.awaitTermination(120)
+    assert not os.path.exists(f"{clusters}/remap")  # journal folded
+
+    labels = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    assert labels[10] == labels[1] == labels[14] == 1
+    assert labels[12] == labels[11] == 11
+    assert labels[21] == labels[20] == 20
+    graph.compact_cluster_index(spark, clusters)
+    after = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    assert after == labels
+
+
+def test_vector_index_corpus_divergence_detects_stranded(spark, tmp_path):
+    """Externally-lost-epoch detector, embedding flavor: a vector whose
+    index rows exist but whose corpus rows were deleted is reported."""
+    index_path = str(tmp_path / "cidx")
+    corpus_path = str(tmp_path / "corpus")
+    dedup.save_cosine_index(
+        _mk(spark, [(1, E1), (2, E2)]), index_path, dims=DIMS, bits=BITS
+    )
+    _mk(spark, [(1, E1)]).write.parquet(f"{corpus_path}/run=r1/epoch=0")
+    stranded = vector_index_corpus_divergence(
+        spark, index_path, corpus_path
+    ).collect()
+    assert {r["vec_id"] for r in stranded} == {2}
+    # healthy pipeline: empty report
+    _mk(spark, [(2, E2)]).write.parquet(f"{corpus_path}/run=r1/epoch=1")
+    assert (
+        vector_index_corpus_divergence(spark, index_path, corpus_path).count()
+        == 0
+    )
+
+
+def test_vector_batch_probe_plan_partition_prunes(spark, tmp_path):
+    """Scale pin: the batch probe's corpus scan is pruned to the probed
+    bucket partitions (PartitionFilters at the file listing), and the
+    batch side broadcasts — nothing corpus-sized shuffles."""
+    index_path = str(tmp_path / "cidx")
+    corpus = _mk(spark, [(i, [float(i % 7 + 1), float(i % 3), 1.0, 0.0]) for i in range(64)])
+    dedup.save_cosine_index(corpus, index_path, dims=DIMS, bits=BITS)
+    batch = _mk(spark, [(1000, E1)])
+    accepted = curate_vector_batch_against_index(
+        batch, index_path, threshold=0.95
+    )
+    plan = accepted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_close_rejected_families_merges_text_families(spark, tmp_path):
+    """The cluster index's documented scope limit, closed offline: R1
+    and R2 are rejected in different batches against DIFFERENT accepted
+    docs (A and B), and their own similarity runs through no accepted
+    member — so the stream leaves two families.  The closure pass over
+    the rejected set finds the R1-R2 edge and merges them.  Re-running
+    is idempotent."""
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        close_rejected_families,
+        curate_stream,
+    )
+
+    w = lambda pre, lo, hi: " ".join(f"{pre}{i}" for i in range(lo, hi))  # noqa: E731
+    text_a = w("a", 0, 10)                                # {a0..a9}
+    text_r1 = w("a", 0, 8) + " c0 c1"                     # J(A,R1)=8/12≈0.67
+    text_r2 = w("a", 0, 6) + " c0 c1 b0 b1"               # J(R1,R2)=8/12; J(A,R2)=6/14
+    text_b = w("a", 0, 5) + " c0 c1 b0 b1 d0"             # J(B,R2)=9/11; J(B,R1)=7/13
+
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    clusters = str(tmp_path / "clusters")
+    dedup.save_minhash_index(
+        spark.createDataFrame([(1, text_a), (2, text_b)], ["doc_id", "text"]),
+        index_path,
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame([(10, text_r1)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "a"))
+    spark.createDataFrame([(11, text_r2)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_stream(
+        stream, index_path, corpus_out, str(tmp_path / "ckpt"),
+        threshold=0.6, clusters_path=clusters,
+    )
+    q.awaitTermination(120)
+    # both rejected; stream leaves TWO families (the scope limit)
+    assert not os.path.exists(corpus_out)  # nothing accepted, no epoch dir
+    labels = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    assert labels[10] == labels[1] and labels[11] == labels[2]
+    assert labels[10] != labels[11]
+
+    rejected = spark.createDataFrame(
+        [(10, text_r1), (11, text_r2)], ["doc_id", "text"]
+    )
+    report = close_rejected_families(
+        rejected, index_path, clusters, threshold=0.6
+    )
+    assert report["merges"] >= 1
+    merged = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    assert len({merged[1], merged[2], merged[10], merged[11]}) == 1
+    # idempotent re-run: same edges, no further merges
+    again = close_rejected_families(
+        rejected, index_path, clusters, threshold=0.6
+    )
+    assert again["merges"] == 0 and again["new_nodes"] == 0
+
+
+def test_close_rejected_vector_families_merges(spark, tmp_path):
+    """Embedding twin: an angle chain A–R1–R2–B where each rejected
+    vector matches only its neighbor.  The stream leaves {A,R1} and
+    {B,R2}; the closure pass merges them through the R1-R2 edge."""
+    import math
+
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        close_rejected_vector_families,
+        curate_vector_stream,
+    )
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    vec_a, vec_r1, vec_r2, vec_b = rot(0), rot(14), rot(28), rot(42)
+    # threshold 0.95 = cos(18.2°): neighbors (14° apart) match, skips
+    # (28°, cos=0.88) and A-B (42°) do not
+    index_path = str(tmp_path / "cidx")
+    corpus_out = str(tmp_path / "accepted")
+    clusters = str(tmp_path / "clusters")
+    dedup.save_cosine_index(
+        _mk(spark, [(1, vec_a), (2, vec_b)]), index_path, dims=DIMS, bits=BITS
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _mk(spark, [(10, vec_r1)]).coalesce(1).write.parquet(str(src / "a"))
+    _mk(spark, [(11, vec_r2)]).coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_vector_stream(
+        stream, index_path, corpus_out, str(tmp_path / "ckpt"),
+        threshold=0.95, clusters_path=clusters,
+    )
+    q.awaitTermination(120)
+    assert not os.path.exists(corpus_out)  # nothing accepted, no epoch dir
+    labels = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    assert labels[10] == labels[1] and labels[11] == labels[2]
+    assert labels[10] != labels[11]
+
+    report = close_rejected_vector_families(
+        _mk(spark, [(10, vec_r1), (11, vec_r2)]), index_path, clusters,
+        threshold=0.95,
+    )
+    assert report["merges"] >= 1
+    merged = {
+        r["node"]: r["component"]
+        for r in graph.load_cluster_labels(spark, clusters).collect()
+    }
+    assert len({merged[1], merged[2], merged[10], merged[11]}) == 1
