@@ -729,14 +729,33 @@ class ParquetEventStore(EventStore):
             return spark.createDataFrame([], schema=_SPARK_SCHEMA_DDL)
         return spark.read.schema(_SPARK_SCHEMA_DDL).parquet(self.path)
 
-    def read_stream(self, spark):
+    def read_stream(self, spark, date_from=None):
         """Structured Streaming source over the store directory (S4 change
-        feed — each committed fragment becomes part of a micro-batch)."""
-        return (
+        feed — each committed fragment becomes part of a micro-batch).
+
+        `date_from` starts the subscription at a point in time — the
+        reference change feed's StartTime
+        (CosmosDbEventStoreChangeFeedObserver.cs:67-93): events with
+        created_at >= date_from flow, older ones are filtered at the
+        source (the predicate sits directly on the scan, so parquet
+        row-group stats prune old fragments).  INCLUSIVE on the boundary
+        by design: multiple events can share the boundary microsecond,
+        and an exclusive start would silently skip the later ones — the
+        same reasoning as replay_events' one-µs re-read.  A consumer
+        that replayed up to `date_from` therefore sees the boundary
+        events twice and must dedup by event id, exactly like the
+        replay path (the projections observer's parity mode and the
+        distributed MERGE are both idempotent per event id already)."""
+        stream = (
             spark.readStream.schema(_SPARK_SCHEMA_DDL)
             .option("maxFilesPerTrigger", 1000)
             .parquet(self.path)
         )
+        if date_from is not None:
+            from pyspark.sql import functions as F
+
+            stream = stream.where(F.col("created_at") >= F.lit(date_from))
+        return stream
 
 
 def _table_from_records(records: list[EventRecord]) -> pa.Table:

@@ -1,16 +1,20 @@
-"""Dependency-free media codecs: PNG and WAV, in pure Python + numpy.
+"""Dependency-free media codecs: PNG, JPEG, WAV, AVI — pure Python + numpy.
 
 The multimodal operators (operators/multimodal.py) need a real byte ->
 pixels/samples step to be more than plumbing.  Full-blown image/audio
-stacks (PIL, torchaudio, av) are not in this container, but the two
-formats that dominate checked-in fixtures and lossless pipelines are
-decodable from the spec with stdlib only:
+stacks (PIL, torchaudio, av) are not in this container, but the formats
+that dominate checked-in fixtures, lossless pipelines, and real image
+corpora are decodable from the spec with stdlib + numpy:
 
   * PNG: zlib-compressed filtered scanlines (ISO/IEC 15948).  Supported
     here: 8-bit grayscale / gray+alpha / RGB / RGBA / palette,
     non-interlaced, all five scanline filters (None/Sub/Up/Average/
     Paeth).  That covers everything a standard encoder with default
     settings emits.  16-bit and Adam7 interlace raise cleanly.
+  * JPEG: baseline sequential JFIF (ITU-T T.81 SOF0/SOF1) — Huffman
+    decode, dequantize, IDCT, chroma upsampling, YCbCr->RGB; restart
+    intervals honored; progressive/arithmetic/12-bit raise cleanly
+    (see the JPEG section below).
   * WAV: RIFF PCM via the stdlib `wave` module.
 
 Production swap-in: `multimodal._decode_image` prefers PIL when it IS
@@ -360,3 +364,615 @@ def encode_avi(
     movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF) — the lossy-image floor
+#
+# Real image corpora are overwhelmingly JPEG, so a PNG-only floor leaves
+# the dominant format undecodable wherever PIL is not installed.  Baseline
+# sequential JPEG (ITU-T T.81 SOF0: 8-bit, Huffman-coded, interleaved
+# single scan) is decodable from the spec with struct + numpy, same
+# status as the PNG/WAV/AVI decoders above: entropy decoding is a
+# per-block Python loop (this is the hermetic floor, not the fast path —
+# PIL is preferred when importable), while dequantization, the 2-D IDCT,
+# chroma upsampling, and the YCbCr->RGB transform are batched numpy over
+# all blocks at once.  Progressive (SOF2), arithmetic-coded (SOF9+),
+# lossless, hierarchical, and 12-bit variants raise cleanly.
+# ---------------------------------------------------------------------------
+
+# zigzag index i -> natural (row-major) index within the 8x8 block
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); spatial =
+# A.T @ coeff @ A, coeff = A @ spatial @ A.T (orthonormal)
+def _dct_basis() -> "np.ndarray":
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] *= 1 / np.sqrt(2)
+    return a
+
+
+_DCT_A = _dct_basis()
+
+# unsupported SOF markers -> honest failure text
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive JPEG (SOF2)",
+    0xC3: "lossless JPEG (SOF3)",
+    0xC5: "differential sequential JPEG (SOF5)",
+    0xC6: "differential progressive JPEG (SOF6)",
+    0xC7: "differential lossless JPEG (SOF7)",
+    0xC9: "arithmetic-coded JPEG (SOF9)",
+    0xCA: "arithmetic-coded progressive JPEG (SOF10)",
+    0xCB: "arithmetic-coded lossless JPEG (SOF11)",
+    0xCD: "differential arithmetic JPEG (SOF13)",
+    0xCE: "differential arithmetic progressive JPEG (SOF14)",
+    0xCF: "differential arithmetic lossless JPEG (SOF15)",
+}
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == b"\xff\xd8"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; restart markers are consumed explicitly by the MCU loop
+    (expect_rst), never silently skipped."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                nxt = self.d[self.p]
+                if nxt == 0x00:
+                    self.p += 1  # stuffed 0xFF data byte
+                else:
+                    # marker inside entropy data: per T.81 the decoder
+                    # pads with 1-bits to finish the current scan; any
+                    # structural overrun surfaces as a Huffman error
+                    self.p -= 1
+                    b = 0xFF
+            self.buf = b
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self, idx: int) -> None:
+        self.n = 0  # byte-align
+        if self.d[self.p] == 0xFF and self.d[self.p + 1] == 0xD0 + (idx & 7):
+            self.p += 2
+        else:
+            raise ValueError("JPEG restart marker missing/misplaced")
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """DC/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _build_huff(bits: list, vals: list) -> dict:
+    """Canonical Huffman: (length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline JFIF bytes -> (width, height, channels, raw row-major
+    pixels).  3-component scans decode as YCbCr -> RGB (BT.601 / JFIF
+    constants); 1-component as grayscale.  Subsampling supported for
+    any integer-ratio factors (4:4:4, 4:2:2, 4:2:0, 4:1:1) via
+    replication upsampling.  Restart intervals honored.  Progressive /
+    arithmetic / 12-bit raise NotImplementedError (see module note)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None  # list of (id, h, v, tq)
+    w = h = None
+    restart = 0
+    pos = 2
+    scan = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+            continue
+        if m == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if m == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq_id = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = struct.unpack(">64H", seg[i:i + 128])
+                    i += 128
+                else:
+                    vals = struct.unpack("64B", seg[i:i + 64])
+                    i += 64
+                nat = np.zeros(64, np.int32)
+                for zz, natidx in enumerate(_ZIGZAG):
+                    nat[natidx] = vals[zz]
+                qt[tq_id] = nat.reshape(8, 8)
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG (only 8)")
+            h, w = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            comps = []
+            for c in range(n):
+                cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
+        elif m in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                _SOF_UNSUPPORTED[m] + " needs a full codec stack"
+            )
+        elif m == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _build_huff(bits, vals)
+                i += 17 + nv
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS — header, then entropy data
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            break
+    if comps is None or scan is None or w is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hi, vi, _ in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer chroma sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan}
+    # per component: coefficient planes (block grid), filled by the scan
+    planes = []
+    for cid, hi, vi, tq_id in comps:
+        planes.append(
+            np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
+        )
+    reader = _JpegBitReader(data, pos)
+    preds = [0] * len(comps)
+    blocks_per_comp: list[list] = [[] for _ in comps]  # (by, bx, coeff64)
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.align_and_expect_rst(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
+            for ci, (cid, hi, vi, tq_id) in enumerate(comps):
+                dc_t = huff[(0, scan_by_cid[cid][0])]
+                ac_t = huff[(1, scan_by_cid[cid][1])]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coeff = [0] * 64
+                        s = _huff_decode(reader, dc_t)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coeff[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            coeff[_ZIGZAG[k]] = _extend(reader.bits(s), s)
+                            k += 1
+                        blocks_per_comp[ci].append(
+                            (my * vi + by, mx * hi + bx, coeff)
+                        )
+            mcu_count += 1
+    # batched dequantize + IDCT per component
+    out_planes = []
+    for ci, (cid, hi, vi, tq_id) in enumerate(comps):
+        blocks = blocks_per_comp[ci]
+        coeffs = np.array(
+            [b[2] for b in blocks], np.float64
+        ).reshape(-1, 8, 8) * qt[tq_id]
+        spatial = np.einsum(
+            "ui,nuv,vj->nij", _DCT_A, coeffs, _DCT_A, optimize=True
+        ) + 128.0
+        plane = planes[ci]
+        for (by, bx, _), blk in zip(blocks, spatial):
+            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+        # crop to the component's true resolution, then replicate up
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(
+            np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+        )[:h, :w]
+        out_planes.append(plane)
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"{len(out_planes)}-component JPEG")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# standard quantization tables (T.81 Annex K.1), natural (row-major) order
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32).reshape(8, 8)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32).reshape(8, 8)
+
+# standard Huffman tables (T.81 Annex K.3): (BITS list, HUFFVAL list)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_encode_table(bits: list, vals: list) -> dict:
+    """Canonical Huffman for the ENCODER: symbol -> (code, length)."""
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-pad) and emit RSTn — T.81 restart markers sit
+        unstuffed between entropy segments."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category s, s-bit two's-complement-style code)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def _scaled_q(base: "np.ndarray", quality: int) -> "np.ndarray":
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(w, h, channels, raw pixels) -> baseline JFIF bytes.  channels 1
+    (grayscale) or 3 (RGB, encoded YCbCr — 4:4:4 by default, 4:2:0 with
+    ``subsample=True``).  Standard Annex K quantization (IJG quality
+    scaling) + Huffman tables; ``restart_interval=N`` emits DRI + RSTn
+    markers every N MCUs.  The fixture builder and re-encode side of
+    decode_jpeg — lossy by nature, so round-trip tests assert
+    closeness, not equality."""
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    arr = arr.astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        qtabs = [0, 1, 1]
+        htabs = [0, 1, 1]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        if subsample:
+            # 4:2:0 chroma: pad to even dims (edge), 2x2 box mean
+            for ci in (1, 2):
+                p = comps[ci]
+                p = np.pad(
+                    p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), mode="edge"
+                )
+                comps[ci] = (
+                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+                ) / 4.0
+    else:
+        comps = [arr[..., 0]]
+        qtabs = [0]
+        htabs = [0]
+        samp = [(1, 1)]
+    q0 = _scaled_q(_Q_LUMA, quality)
+    q1 = _scaled_q(_Q_CHROMA, quality)
+    qts = [q0, q1]
+    dc_enc = [
+        _huff_encode_table(*_HUFF_DC_LUMA),
+        _huff_encode_table(*_HUFF_DC_CHROMA),
+    ]
+    ac_enc = [
+        _huff_encode_table(*_HUFF_AC_LUMA),
+        _huff_encode_table(*_HUFF_AC_CHROMA),
+    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # pad each component plane (edge replication — minimizes ringing at
+    # image borders) to its MCU-aligned block grid
+    padded = []
+    for ci, plane in enumerate(comps):
+        hi, vi = samp[ci]
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        padded.append(
+            np.pad(
+                plane,
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge",
+            )
+        )
+    writer = _JpegBitWriter()
+    preds = [0] * len(comps)
+    inv_zig = list(_ZIGZAG)  # zigzag position -> natural index
+
+    def emit_block(block: "np.ndarray", ci: int) -> None:
+        coeff = _DCT_A @ (block - 128.0) @ _DCT_A.T
+        qc = np.round(coeff / qts[qtabs[ci]]).astype(np.int64)
+        flat = qc.reshape(-1)
+        zz = [int(flat[inv_zig[i]]) for i in range(64)]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        s, code = _magnitude(diff)
+        hc, hl = dc_enc[htabs[ci]][s]
+        writer.write(hc, hl)
+        if s:
+            writer.write(code, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_enc[htabs[ci]][0xF0]  # ZRL
+                writer.write(hc, hl)
+                run -= 16
+            s, code = _magnitude(zz[k])
+            hc, hl = ac_enc[htabs[ci]][(run << 4) | s]
+            writer.write(hc, hl)
+            writer.write(code, s)
+            run = 0
+        if last_nz < 63:
+            hc, hl = ac_enc[htabs[ci]][0x00]  # EOB
+            writer.write(hc, hl)
+
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                writer.restart(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
+            for ci, plane in enumerate(padded):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        emit_block(plane[r0:r0 + 8, c0:c0 + 8], ci)
+            mcu_count += 1
+    entropy = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid: int, q: "np.ndarray") -> bytes:
+        zz = bytes(int(q.reshape(-1)[inv_zig[i]]) for i in range(64))
+        return seg(0xDB, bytes([tid]) + zz)
+
+    def dht(tc: int, th: int, table: tuple) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, q0)
+    if channels == 3:
+        out += dqt(1, q1)
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qtabs[ci]])
+    out += seg(0xC0, bytes(sof))
+    out += dht(0, 0, _HUFF_DC_LUMA)
+    out += dht(1, 0, _HUFF_AC_LUMA)
+    if channels == 3:
+        out += dht(0, 1, _HUFF_DC_CHROMA)
+        out += dht(1, 1, _HUFF_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, (htabs[ci] << 4) | htabs[ci]])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -41,8 +41,9 @@ from cloudfabric_eventsourcing_spark.operators import codecs as _codecs
 
 def _decode_image(content: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, raw pixels) via PIL when available,
-    else the pure-Python PNG decoder.  Raises ValueError /
-    NotImplementedError for formats neither path can handle."""
+    else the pure-Python decoders (PNG; baseline JPEG).  Raises
+    ValueError / NotImplementedError for formats neither path can
+    handle (progressive JPEG, WebP, ... without PIL)."""
     try:
         import io
 
@@ -53,6 +54,8 @@ def _decode_image(content: bytes) -> tuple[int, int, int, bytes]:
         return img.width, img.height, 3, img.tobytes()
     except ImportError:
         pass
+    if _codecs.is_jpeg(content):
+        return _codecs.decode_jpeg(content)
     return _codecs.decode_png(content)
 
 MEDIA_SCHEMA = T.StructType(

@@ -54,6 +54,7 @@ class SparkStreamingProjectionsObserver:
         checkpoint_dir: str,
         handled_event_types: Optional[set[str]] = None,
         mode: str = "distributed",
+        date_from: Optional[datetime.datetime] = None,
     ):
         if mode not in ("distributed", "parity"):
             raise ValueError(f"unknown observer mode {mode!r}")
@@ -62,6 +63,11 @@ class SparkStreamingProjectionsObserver:
         self.engine = engine
         self.checkpoint_dir = checkpoint_dir
         self.mode = mode
+        # subscribe-from-point-in-time (the reference change feed's
+        # StartTime): inclusive boundary; duplicates a replay already
+        # applied at exactly date_from are absorbed by the per-id
+        # idempotent apply paths (see store.read_stream docstring)
+        self.date_from = date_from
         # builder fan-out (T6): push down the union of handled types so the
         # stream filter prunes unhandled events before they reach Python
         if handled_event_types is None:
@@ -151,7 +157,7 @@ class SparkStreamingProjectionsObserver:
             self.engine.handle_event(record.to_event())
 
     def _stream_df(self):
-        df = self.event_store.read_stream(self.spark)
+        df = self.event_store.read_stream(self.spark, date_from=self.date_from)
         if self.handled_event_types:
             types = sorted(self.handled_event_types - {"AggregateUpdated"})
             synthetic_needed = "AggregateUpdated" in self.handled_event_types

@@ -2194,3 +2194,144 @@ def test_dedup_indexes_refuse_inconsistent_state(spark, docs, emb, tmp_path):
         dedup.cosine_dedup_against_index(emb.limit(3), cs, threshold=0.9)
     dedup.save_cosine_index(emb, cs, dims=dims)
     dedup.cosine_dedup_against_index(emb.limit(3), cs, threshold=0.9)
+
+
+def test_jpeg_codec_hand_packed_spec_bytes():
+    """decode_jpeg validated against a container packed BY HAND from
+    ITU-T T.81 (independent of encode_jpeg, so a shared layout bug
+    cannot self-validate): one 8x8 grayscale block, flat level 160.
+    DCT DC of a flat (160-128) block is 8*32=256; with a constant
+    all-16 quantization table the quantized DC is 16 (category 5).
+    Standard DC-luma Huffman gives category-5 code '110'; DC bits
+    '10000'; EOB is '1010'; 1-padded to two bytes = D0 AF."""
+    import struct
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    def seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    dqt = seg(0xDB, bytes([0]) + bytes([16]) * 64)
+    sof = seg(
+        0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    )
+    bits_dc = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(range(12)))
+    bits_ac = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(codecs._HUFF_AC_LUMA[1])
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0x00, 0x3F, 0x00]))
+    jpg = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bytes([0xD0, 0xAF]) + b"\xff\xd9"
+    )
+    w, h, ch, px = codecs.decode_jpeg(jpg)
+    assert (w, h, ch) == (8, 8, 1)
+    assert set(px) == {160} and len(px) == 64
+
+
+def test_jpeg_codec_round_trips_and_honest_boundaries():
+    """encode/decode closeness across the profile matrix (lossy codec:
+    assert bounded error, not equality): grayscale, RGB 4:4:4, RGB
+    4:2:0 subsampled, restart intervals.  Progressive and
+    arithmetic-coded variants raise the honest boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    def maxerr(a, b):
+        return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+    gray = (np.add.outer(np.arange(24) * 3, np.arange(33) * 5) % 256).astype(
+        np.uint8
+    )
+    w, h, ch, px = codecs.decode_jpeg(
+        codecs.encode_jpeg(33, 24, 1, gray.tobytes(), quality=90)
+    )
+    assert (w, h, ch) == (33, 24, 1)
+    assert maxerr(np.frombuffer(px, np.uint8).reshape(24, 33), gray) <= 2
+
+    rgb = np.zeros((16, 20, 3), np.uint8)
+    rgb[..., 0] = np.arange(20)[None, :] * 12
+    rgb[..., 1] = np.arange(16)[:, None] * 15
+    rgb[..., 2] = 77
+    w, h, ch, px = codecs.decode_jpeg(
+        codecs.encode_jpeg(20, 16, 3, rgb.tobytes(), quality=92)
+    )
+    assert (w, h, ch) == (20, 16, 3)
+    assert maxerr(np.frombuffer(px, np.uint8).reshape(16, 20, 3), rgb) <= 4
+
+    # 4:2:0: smooth chroma so box-mean + replication stays close; pins
+    # the decoder's sampling-factor MCU layout and upsampler
+    rgb2 = np.zeros((24, 36, 3), np.uint8)
+    rgb2[..., 0] = 128 + np.arange(36)[None, :] * 2
+    rgb2[..., 1] = 100
+    rgb2[..., 2] = 128 + np.arange(24)[:, None] * 3
+    jp420 = codecs.encode_jpeg(
+        36, 24, 3, rgb2.tobytes(), quality=92, subsample=True
+    )
+    w, h, ch, px = codecs.decode_jpeg(jp420)
+    assert (w, h, ch) == (36, 24, 3)
+    assert maxerr(np.frombuffer(px, np.uint8).reshape(24, 36, 3), rgb2) <= 6
+
+    # restart markers: 4 MCUs with DRI=1 -> RST0/1/2 between them; the
+    # decoder must byte-align, consume each marker, and reset DC preds
+    gray2 = (np.add.outer(np.arange(8) * 7, np.arange(32) * 3) % 256).astype(
+        np.uint8
+    )
+    jpr = codecs.encode_jpeg(
+        32, 8, 1, gray2.tobytes(), quality=90, restart_interval=1
+    )
+    assert b"\xff\xd0" in jpr and b"\xff\xd2" in jpr
+    w, h, ch, px = codecs.decode_jpeg(jpr)
+    assert maxerr(np.frombuffer(px, np.uint8).reshape(8, 32), gray2) <= 2
+
+    base = codecs.encode_jpeg(20, 16, 3, rgb.tobytes())
+    for marker, msg in ((0xC2, "progressive"), (0xC9, "arithmetic")):
+        bad = bytearray(base)
+        bad[bad.find(b"\xff\xc0") + 1] = marker
+        with _pytest.raises(NotImplementedError, match=msg):
+            codecs.decode_jpeg(bytes(bad))
+    with _pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"\x00\x01\x02")
+
+
+def test_multimodal_jpeg_features_and_resize(spark):
+    """JPEG media rows flow through the real pipeline: true dimensions +
+    luminance histogram from decode_image_features, and resize_images
+    decodes JPEG -> resamples -> re-encodes PNG."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    rgb = np.zeros((16, 24, 3), np.uint8)
+    rgb[..., 0] = np.arange(24)[None, :] * 10
+    rgb[..., 1] = 200
+    jpg = codecs.encode_jpeg(24, 16, 3, rgb.tobytes(), quality=90)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(jpg),
+             {"mime": "image/jpeg", "width": 24, "height": 16,
+              "duration_ms": None}),
+            (2, "image", None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.decode_image_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (24, 16)
+    assert abs(sum(rows[1]["features"]) - 1.0) < 1e-9
+    assert rows[2]["features"] is None  # null row tolerated
+
+    resized = {
+        r["media_id"]: r for r in multimodal.resize_images(media, 8, 8).collect()
+    }
+    w, h, ch, px = codecs.decode_png(bytes(resized[1]["content"]))
+    assert (w, h, ch) == (8, 8, 3)
+    assert resized[1]["meta"]["mime"] == "image/png"
+    assert resized[2]["content"] is None

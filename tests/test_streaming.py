@@ -341,3 +341,66 @@ def test_update_documents_expr_bulk(spark, tmp_path, world):
         ProjectionQuery(filters=[Filter("Name", "string-ends-with", "[archived]")])
     )
     assert res.total_records_found == 1
+
+
+def test_read_stream_from_timestamp(spark, tmp_path):
+    """Change-feed StartTime parity (CosmosDbEventStoreChangeFeedObserver
+    .cs:67-93): read_stream(date_from=ts) subscribes from a point in
+    time — earlier events are filtered at the source, and the boundary
+    is INCLUSIVE so events sharing the boundary microsecond are not
+    skipped (they arrive as duplicates of a replay that ended at ts and
+    are absorbed by per-id dedup, like the replay path)."""
+    import datetime
+
+    from cloudfabric_eventsourcing_spark.eventstore.event import Event
+
+    store = ParquetEventStore(str(tmp_path / "events"))
+    store.initialize()
+    t0 = datetime.datetime(2026, 8, 15, 10, 0, 0)
+    t1 = datetime.datetime(2026, 8, 15, 11, 0, 0)
+    t2 = datetime.datetime(2026, 8, 15, 12, 0, 0)
+
+    def ev(sid, ts):
+        return Event(
+            aggregate_id=sid, partition_key="pk", timestamp=ts,
+            aggregate_type="Thing",
+        )
+
+    # stream A: one old event, one AT the boundary; stream B: one at the
+    # boundary (tie across streams), one after it
+    store.append_to_stream(USER, "s-a", 0, [ev("s-a", t0), ev("s-a", t1)])
+    store.append_to_stream(USER, "s-b", 0, [ev("s-b", t1), ev("s-b", t2)])
+
+    seen = []
+
+    def collect(batch, _epoch):
+        seen.extend(
+            (r["stream_id"], r["created_at"]) for r in batch.collect()
+        )
+
+    q = (
+        store.read_stream(spark, date_from=t1)
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # only boundary-and-later events: t0 filtered, BOTH t1 ties present
+    assert sorted(seen) == [("s-a", t1), ("s-b", t1), ("s-b", t2)]
+
+    # without date_from the same store yields everything (control)
+    seen2 = []
+
+    def collect2(batch, _epoch):
+        seen2.extend(r["created_at"] for r in batch.collect())
+
+    q2 = (
+        store.read_stream(spark)
+        .writeStream.foreachBatch(collect2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(seen2) == [t0, t1, t1, t2]
