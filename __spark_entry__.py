@@ -2866,64 +2866,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # and lead this round.)
 # Any query ADDED in round 7 must take a window slot on day one (pinned by
 # test_registry_invariants), displacing the next safest aging entry.
+# Round-8 rotation (per the r07 verdict cadence ask): h26/f01/h13/w01 —
+# the four that sat just outside r07's window — lead, followed by the 46
+# other entries whose last driver check predates r07 (every r07-window
+# row went green 50/50 and rotates out).  Four of the safest aged
+# translator filters (f04/f06/f08/f09 — pinned by the 54-test
+# case-sensitivity matrix AND the full-registry sf0.01 sweep) are held
+# just outside at positions 51-54 and lead r09.  No queries() entries
+# were added in round 8 (the round's new operators are streaming-only:
+# vector curation, closure passes — pytest-pinned), so no day-one slots
+# are needed.
 _VERIFY_FIRST = [
-    # --- r04-aged entries (oldest green rows in the registry) ---
-    "f02_ne_null",
-    "f03_range",
-    "o2_nested_sort",
-    # --- r05 rows aging one round (47 of 50; 3 held out, lead r08) ---
-    "f05_ends_with",
-    "f07_starts_ignore_case",
-    "f15_suggestions",
-    "f18_search_phrase_prefix",
-    "f19_search_scored_boosted",
-    "f20_search_highlights",
-    "f21_search_fuzzy",
-    "f22_search_synonyms",
-    "f24_search_phrase_slop",
-    "t05_rarity_weighted_scores",
-    "t06_repetition_stats",
-    "t07_vocab_topk",
-    "p11_boilerplate_lines",
-    "p06_cosine_neardup_lsh",
-    "p07_simhash_neardup",
-    "p09_weighted_mix",
-    "p13_duplicate_clusters",
-    "p15_incremental_clusters",
-    "s02_ann_lsh_topk",
-    "s03_ann_ivf_topk",
-    "k01_salted_join",
-    "x02_sessionization",
-    "x03_range_join",
-    "x04_funnel_conversion",
-    "t02_quality_score",
-    "m01_multimodal_features",
-    "w03_session_window",
-    "u01_set_ops",
-    "a7_exact_median",
-    "h7_rollup_revenue",
-    "h8_shipping_priority",
-    "h9_order_priority_check",
-    "h10_promo_revenue_share",
-    "h11_large_volume_customers",
-    "h12_rich_idle_customers",
-    "h14_distinct_customers_per_nation",
-    "h15_nation_volume_shipping",
-    "h16_priority_status_matrix",
-    "h17_top_supplier_revenue",
-    "h18_small_quantity_revenue",
-    "h19_forecast_discount_revenue",
-    "h21_major_revenue_nations",
-    "h22_min_price_supplier",
-    "h23_market_share",
-    "h24_product_profit",
-    "h25_customer_distribution",
-    "h27_waiting_suppliers",
-    # -- driver window ends here (position 50) --
     "h26_brand_supplier_counts",
     "f01_eq",
     "h13_cube_revenue",
     "w01_tumbling_window",
+    "f03_ts_range",
+    "f12_array_exists",
+    "f10_bool_tree",
+    "f11_nested_path",
+    "f13_search_text",
+    "f17_search_scored",
+    "t04_pii_redaction",
+    "f16_search_tokenized",
+    "f23_search_match_analyzer",
+    "f14_partition_key",
+    "o1_multi_sort_limit",
+    "o3_array_element_filtered_sort",
+    "o4_pagination",
+    "a1_total_count",
+    "a2_max_stream_version",
+    "a3_store_statistics",
+    "a6_facet_counts",
+    "a6_facet_ranges",
+    "a4_projection_fold_counts",
+    "a5_projection_fold_sum",
+    "j3_in_list",
+    "h1_pricing_summary",
+    "h2_revenue_by_nation",
+    "h3_top_customers",
+    "p01_exact_dedup",
+    "p02_fingerprint_dedup",
+    "p10_decontaminate",
+    "p12_pack_offsets",
+    "p03_ngram_jaccard_pairs",
+    "p04_minhash_lsh_pairs",
+    "p05_cosine_neardup_pairs",
+    "s01_ann_brute_force_topk",
+    "t01_language_id",
+    "t03_token_counts",
+    "h4_semi_join_high_value_orders",
+    "h5_anti_join_customers_without_p_orders",
+    "h6_window_top3_orders_per_customer",
+    "x01_asof_join",
+    "h20_brand_size_quantity_revenue",
+    "h28_late_priority_lines",
+    "h29_dominant_suppliers",
+    "t08_fluency_scores",
+    "x05_retention_cohorts",
+    "p14_train_shuffle",
+    "p08_stratified_sample",
+    "w02_sliding_window",
+    # -- driver window ends here (position 50) --
+    "f04_starts_with",
+    "f06_contains_case_sensitive",
+    "f08_contains_ignore_case",
+    "f09_array_contains",
 ]
 
 

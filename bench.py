@@ -160,8 +160,7 @@ def main() -> None:
     comparable = {
         k: v for k, v in oracle_timings.items() if v is not None
     }
-    print(
-        json.dumps(
+    payload = (
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
@@ -201,8 +200,41 @@ def main() -> None:
                 "reload_5k_snapshot_per_sec": reload_snap,
                 **({} if skip_store else _bench_replay(spark, sf_dir)),
             }
-        )
     )
+    print(json.dumps(payload))
+    # The driver keeps only a 2000-char TAIL of stdout in BENCH_r{N}.json,
+    # which drops the per-query tables this suite exists to record (the
+    # r07 verdict had to recover them from /tmp).  Persist the FULL
+    # payload into the repo so every round's per-query spark/oracle wall
+    # and the >2x list are auditable from git alone.  Round number =
+    # max committed BENCH_r* + 1 (the driver writes BENCH_r{N} only
+    # after the round ends); override the path for close-out runs at
+    # other scales (e.g. BENCH_full_r08_sf10.json).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_OUT")
+    if out_path is None:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        out_path = os.path.join(
+            here, f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
+        )
+    slow = sorted(
+        (
+            (k, round(timings[k] / v, 2))
+            for k, v in comparable.items()
+            if v > 0 and timings[k] / v > 2.0
+        ),
+        key=lambda kv: -kv[1],
+    )
+    payload["over_2x_oracle"] = dict(slow)
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
 
 
 def _bench_oracles(

@@ -334,7 +334,16 @@ def _recover_compact_swap(spark, path: str) -> None:
 
 def load_cluster_labels(spark, path: str) -> DataFrame:
     """Resolved (node, component) view: base + appended nodes, relabeled
-    through the min-closure of the remap journal."""
+    through the min-closure of the remap journal.
+
+    Broadcast bound: the folded relabel map has at most one row per
+    REMAP JOURNAL ENTRY, and each entry is one component merge — so its
+    size is bounded by total merges since the last compaction, never by
+    corpus size (a corpus can only merge components it has, and each
+    merge retires one).  At ~16 B/row, even 10M accumulated merges
+    broadcast in ~160 MB; compaction (compact_cluster_index) resets the
+    journal to zero, and the measured default cadence is in PLANS.md
+    (Round-8 journal-depth study)."""
     from pyspark.errors import AnalysisException
 
     _recover_compact_swap(spark, path)
