@@ -209,16 +209,18 @@ def encode_wav(
 
 
 # ---------------------------------------------------------------------------
-# AVI (uncompressed RGB) — the video floor
+# AVI (uncompressed RGB + Motion JPEG) — the video floor
 #
-# Compressed video genuinely needs av/ffmpeg, but the RIFF/AVI container
-# with uncompressed BI_RGB frames is parseable from the spec with struct
-# alone — the same status WAV has on the audio side.  Frames are stored
-# as bottom-up 24-bit BGR DIBs with 4-byte-padded rows ('00db' chunks in
-# the 'movi' list); decode flips to top-down RGB so the output composes
-# directly with encode_png / image_features.  Anything compressed
-# ('00dc' with a non-zero biCompression) raises cleanly — that honesty
-# boundary is documented at the multimodal operator.
+# Inter-frame video (H.264 etc.) genuinely needs av/ffmpeg, but the
+# RIFF/AVI container with uncompressed BI_RGB frames is parseable from
+# the spec with struct alone — the same status WAV has on the audio
+# side — and MJPG streams are per-frame baseline JPEGs, which the JPEG
+# floor below decodes.  Uncompressed frames are stored as bottom-up
+# 24-bit BGR DIBs with 4-byte-padded rows ('00db' chunks in the 'movi'
+# list); decode flips to top-down RGB so the output composes directly
+# with encode_png / image_features.  Inter-frame codecs (biCompression
+# other than BI_RGB/MJPG) raise cleanly — that honesty boundary is
+# documented at the multimodal operator.
 # ---------------------------------------------------------------------------
 
 def is_avi(data: bytes) -> bool:
@@ -239,10 +241,12 @@ def _riff_chunks(data: bytes, start: int, end: int):
 def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
     """AVI bytes -> (width, height, fps, [top-down RGB frame bytes]).
 
-    Supports the uncompressed-RGB profile: BITMAPINFOHEADER with
-    biCompression == 0 (BI_RGB), 24 bits per pixel, frames in '00db'
-    (or '00dc' with BI_RGB) chunks.  Raises ValueError on anything
-    else — compressed codecs need a real decoder stack."""
+    Supports the uncompressed-RGB profile (BITMAPINFOHEADER with
+    biCompression == 0, 24 bits per pixel, frames in '00db'/'00dc'
+    chunks) and Motion JPEG (biCompression == 'MJPG', each frame a
+    standalone baseline JPEG decoded by decode_jpeg).  Raises
+    ValueError on anything else — inter-frame codecs need a real
+    decoder stack."""
     if not is_avi(data):
         raise ValueError("not an AVI file")
     width = height = None
@@ -294,11 +298,29 @@ def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
     walk(12, len(data))
     if width is None or not frames:
         raise ValueError("no video stream found in AVI")
+    if compression == 0x47504A4D:  # 'MJPG' — Motion JPEG
+        # each frame chunk is a standalone baseline JPEG (decode_jpeg
+        # below); grayscale frames replicate to RGB so the output
+        # composes with encode_png / image_features like the RGB path
+        out = []
+        for raw in frames:
+            fw, fh, fch, px = decode_jpeg(raw)
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    f"MJPEG frame {fw}x{fh} mismatches container "
+                    f"{width}x{height}"
+                )
+            if fch == 1:
+                arr = np.frombuffer(px, np.uint8)
+                px = np.repeat(arr, 3).tobytes()
+            out.append(px)
+        fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+        return width, height, fps, out
     if compression != 0 or bit_count != 24:
         raise ValueError(
             f"unsupported AVI codec (biCompression={compression}, "
             f"biBitCount={bit_count}); only uncompressed 24-bit BI_RGB "
-            "is decodable without a codec library"
+            "and MJPG are decodable without a codec library"
         )
     row_stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
     out = []
@@ -315,20 +337,32 @@ def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
 
 
 def encode_avi(
-    width: int, height: int, fps: float, frames: list[bytes]
+    width: int,
+    height: int,
+    fps: float,
+    frames: list[bytes],
+    codec: str = "rgb",
+    quality: int = 85,
 ) -> bytes:
-    """Inverse of decode_avi (uncompressed 24-bit BI_RGB) — fixture
-    builder and the re-encode side of frame pipelines.  `frames` are
-    top-down RGB; rows are flipped/padded to the bottom-up BGR DIB the
-    container stores."""
+    """Inverse of decode_avi — fixture builder and the re-encode side of
+    frame pipelines.  `frames` are top-down RGB.  codec="rgb" stores
+    uncompressed bottom-up BGR DIBs (lossless); codec="mjpeg" stores
+    each frame as a standalone baseline JPEG (encode_jpeg, lossy —
+    Motion JPEG, what real capture pipelines emit when they avoid
+    inter-frame codecs)."""
+    if codec not in ("rgb", "mjpeg"):
+        raise ValueError("codec must be 'rgb' or 'mjpeg'")
     row_stride = (width * 3 + 3) & ~3
-    dibs = []
+    payloads = []
     for f in frames:
+        if codec == "mjpeg":
+            payloads.append(encode_jpeg(width, height, 3, f, quality=quality))
+            continue
         arr = np.frombuffer(f, dtype=np.uint8).reshape(height, width, 3)
         arr = arr[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
         padded = np.zeros((height, row_stride), dtype=np.uint8)
         padded[:, : width * 3] = arr.reshape(height, width * 3)
-        dibs.append(padded.tobytes())
+        payloads.append(padded.tobytes())
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         return (
@@ -341,27 +375,32 @@ def encode_avi(
 
     usec = int(round(1e6 / fps)) if fps else 0
     frame_bytes = row_stride * height
+    mjpeg = codec == "mjpeg"
+    handler = b"MJPG" if mjpeg else b"\x00" * 4
+    bi_compression = 0x47504A4D if mjpeg else 0
     avih = struct.pack(
         "<14I",
         usec, frame_bytes * max(int(fps), 1), 0, 0x10,  # AVIF_HASINDEX off
         len(frames), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"\x00" * 4  # fccType, fccHandler (none)
+        b"vids" + handler  # fccType, fccHandler
         + struct.pack("<10I", 0, 0, 0, 1, max(int(round(fps)), 1),
                       0, len(frames), frame_bytes, 0xFFFFFFFF, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
+        40, width, height, 1, 24, bi_compression, frame_bytes, 0, 0, 0, 0,
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    # compressed frames use '00dc' per the RIFF convention, DIBs '00db'
+    data_fcc = b"00dc" if mjpeg else b"00db"
+    movi = lst(b"movi", b"".join(chunk(data_fcc, d) for d in payloads))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 

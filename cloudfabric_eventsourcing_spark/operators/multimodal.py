@@ -157,13 +157,14 @@ def decode_image_features(
 def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """video binary -> sampled frame bytes (1 row per sampled frame).
 
-    Real path (default): demux uncompressed-RGB RIFF/AVI containers
-    (codecs.decode_avi — same dependency-free floor as PNG/WAV), take
-    every ``every_n``-th frame, and emit each as a standalone PNG so the
-    sampled frames compose directly with decode_image_features /
-    resize_images.  COMPRESSED video (H.264 etc.) raises cleanly — DCT
-    codecs genuinely need av/ffmpeg, which deployments install on the
-    executors; uncompressed AVI is the hermetic floor, not a ceiling.
+    Real path (default): demux RIFF/AVI containers — uncompressed RGB
+    or Motion JPEG (codecs.decode_avi; same dependency-free floor as
+    PNG/JPEG/WAV) — take every ``every_n``-th frame, and emit each as a
+    standalone PNG so the sampled frames compose directly with
+    decode_image_features / resize_images.  INTER-FRAME video (H.264
+    etc.) raises cleanly — motion-compensated codecs genuinely need
+    av/ffmpeg, which deployments install on the executors; AVI
+    RGB/MJPEG is the hermetic floor, not a ceiling.
     Null content yields zero frames (exploding op, same contract as
     chunk_audio).  The fake path keeps the deterministic 64-byte slicer
     for hermetic plumbing tests."""

@@ -2335,3 +2335,43 @@ def test_multimodal_jpeg_features_and_resize(spark):
     assert (w, h, ch) == (8, 8, 3)
     assert resized[1]["meta"]["mime"] == "image/png"
     assert resized[2]["content"] is None
+
+
+def test_avi_mjpeg_codec_and_frame_pipeline(spark):
+    """Motion JPEG AVI — per-frame baseline JPEGs in the RIFF container,
+    decodable now that the JPEG floor exists: round-trip closeness
+    (lossy), '00dc' + biCompression='MJPG' container fields, and the
+    sampled-frame pipeline end-to-end."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    frames = []
+    for i in range(12):
+        f = np.zeros((16, 24, 3), np.uint8)
+        f[..., 0] = (np.arange(24)[None, :] * 10 + i * 7) % 256
+        f[..., 1] = 120
+        f[..., 2] = (np.arange(16)[:, None] * 9) % 256
+        frames.append(f.tobytes())
+    avi = codecs.encode_avi(24, 16, 10.0, frames, codec="mjpeg", quality=92)
+    assert b"MJPG" in avi and b"00dc" in avi
+    w, h, fps, out = codecs.decode_avi(avi)
+    assert (w, h, len(out)) == (24, 16, 12)
+    for got, want in zip(out, frames):
+        err = np.abs(
+            np.frombuffer(got, np.uint8).astype(int)
+            - np.frombuffer(want, np.uint8).astype(int)
+        ).max()
+        assert err <= 6  # lossy, bounded
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi),
+          {"mime": "video/x-msvideo", "width": None, "height": None,
+           "duration_ms": 1200})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(media, every_n=5).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 5, 10]
+    for r in rows:
+        fw, fh, fch, _ = codecs.decode_png(bytes(r["frame_bytes"]))
+        assert (fw, fh, fch) == (24, 16, 3)
