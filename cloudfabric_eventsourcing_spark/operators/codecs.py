@@ -557,6 +557,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any marker may be preceded by extra 0xFF fill
+        # bytes — skip them (a 0xFF second byte is fill, not a marker)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         m = data[pos + 1]
         pos += 2
         if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:

@@ -622,11 +622,21 @@ def vector_index_corpus_divergence(
     cosine index but absent from the corpus (the externally-lost-epoch
     detector).  One column-pruned scan of the index's id column, one of
     the corpus id column, a distinct per side, one anti-join."""
-    index_ids = (
-        spark.read.parquet(f"{index_path}/vectors")
-        .select(F.col(id_col).alias(id_col))
-        .distinct()
-    )
+    try:
+        index_ids = (
+            spark.read.parquet(f"{index_path}/vectors")
+            .select(F.col(id_col).alias(id_col))
+            .distinct()
+        )
+    except AnalysisException:
+        # a COLD index (saved from an empty frame) has a vectors dir
+        # with no data files — nothing indexed, so nothing can be
+        # stranded.  (The text twin never hits this: its grams table is
+        # unpartitioned, and an empty write still leaves a
+        # schema-bearing file.)
+        return spark.createDataFrame([], f"{id_col} string").select(
+            F.col(id_col)
+        )
     try:
         corpus_ids = (
             spark.read.parquet(corpus_path).select(id_col).distinct()

@@ -2375,3 +2375,33 @@ def test_avi_mjpeg_codec_and_frame_pipeline(spark):
     for r in rows:
         fw, fh, fch, _ = codecs.decode_png(bytes(r["frame_bytes"]))
         assert (fw, fh, fch) == (24, 16, 3)
+
+
+def test_jpeg_fill_bytes_and_odd_dim_subsampling():
+    """Two spec corners found in self-review: (1) T.81 B.1.1.2 allows
+    extra 0xFF fill bytes before any marker — parsers that treat the
+    second 0xFF as the marker id lose sync; (2) odd image dimensions
+    under 4:2:0 (chroma planes are ceil-halved and the decoder crops
+    after replication)."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    rgb = np.zeros((17, 29, 3), np.uint8)
+    rgb[..., 0] = 128 + np.arange(29)[None, :] * 2
+    rgb[..., 1] = 90
+    rgb[..., 2] = 128 + np.arange(17)[:, None] * 3
+    jp = codecs.encode_jpeg(29, 17, 3, rgb.tobytes(), quality=92, subsample=True)
+    w, h, ch, px = codecs.decode_jpeg(jp)
+    assert (w, h, ch) == (29, 17, 3)
+    err = np.abs(
+        np.frombuffer(px, np.uint8).reshape(17, 29, 3).astype(int)
+        - rgb.astype(int)
+    ).max()
+    assert err <= 6
+
+    base = codecs.encode_jpeg(8, 8, 1, bytes(range(64)), quality=90)
+    stuffed = base.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xc0", 1
+    )
+    assert codecs.decode_jpeg(stuffed)[3] == codecs.decode_jpeg(base)[3]

@@ -374,3 +374,22 @@ def test_close_rejected_vector_families_merges(spark, tmp_path):
         for r in graph.load_cluster_labels(spark, clusters).collect()
     }
     assert len({merged[1], merged[2], merged[10], merged[11]}) == 1
+
+
+def test_vector_divergence_on_cold_index(spark, tmp_path):
+    """A cold-started (empty) cosine index has no data files in its
+    vectors dir — the divergence detector must report nothing stranded
+    instead of failing schema inference."""
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        vector_index_corpus_divergence,
+    )
+
+    path = str(tmp_path / "cidx")
+    empty = spark.createDataFrame([], VEC_SCHEMA)
+    dedup.save_cosine_index(empty, path, dims=DIMS, bits=BITS)
+    assert (
+        vector_index_corpus_divergence(
+            spark, path, str(tmp_path / "no_corpus")
+        ).count()
+        == 0
+    )
