@@ -4,15 +4,16 @@ The Spark-side plumbing — schema, partition-friendly layout, Arrow batch
 shapes, mapInPandas signatures — is real and tested, and so is the image/
 audio codec step:
 
-  * images: PIL when importable (JPEG/WebP/whatever the deployment
-    installs), falling back to the dependency-free pure-Python PNG
-    decoder in operators/codecs.py (8-bit gray/RGB/RGBA/palette, all
-    five scanline filters) — so real PNG bytes decode, resize, and
+  * images: PIL when importable (WebP/whatever the deployment
+    installs), falling back to the dependency-free pure-Python decoders
+    in operators/codecs.py — PNG (8-bit gray/RGB/RGBA/palette, all five
+    scanline filters) and baseline JPEG (T.81 SOF0/1, restart
+    intervals, 4:2:0) — so real PNG/JPEG bytes decode, resize, and
     featurize hermetically in this container;
   * audio: RIFF/PCM WAV via the stdlib wave module (codecs.decode_wav);
-  * video: frame extraction genuinely needs a container/codec library
-    (av/ffmpeg — not installable here), so sample_frames keeps the
-    clearly-marked `fake=True` deterministic slicer only.
+  * video: RIFF/AVI demux for uncompressed-RGB and Motion-JPEG streams
+    (codecs.decode_avi); inter-frame codecs (H.264...) genuinely need
+    av/ffmpeg and raise the honest boundary.
 
 `fake=True` remains on every operator as the hermetic stand-in (byte-hash
 features, deterministic slicing) with identical output schemas — useful
@@ -375,3 +376,46 @@ def chunk_audio(
             yield pd.DataFrame(out)
 
     return df.where(F.col("kind") == "audio").mapInPandas(run, AUDIO_CHUNK_DDL)
+
+
+def image_feature_vectors(
+    df: DataFrame, out_dim: int = 16, fake: bool = False
+) -> DataFrame:
+    """Image media rows -> (vec_id, embedding) in the exact shape the
+    embedding operators consume (dedup.cosine_*, similarity.*,
+    streaming vector curation): decode_image_features' luminance
+    histogram re-labeled as an embedding column.  The glue that makes
+    images a first-class DEDUP modality — see image_neardup_pairs."""
+    feats = decode_image_features(df, fake=fake, out_dim=out_dim)
+    return feats.where(F.col("features").isNotNull()).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.995,
+    out_dim: int = 16,
+    bits: int = 8,
+    seed: int = 42,
+    fake: bool = False,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: decode -> fixed-size feature vector ->
+    hyperplane-LSH bucketing -> exact cosine within buckets
+    (dedup.cosine_neardup_pairs_lsh).  Returns (id_a, id_b, cosine).
+
+    The feature floor is the deterministic luminance histogram
+    (codecs.image_features) — robust to re-encoding (PNG vs JPEG of the
+    same pixels land ~identical), NOT to crops/rotations; a deployment
+    with a real vision encoder swaps the feature step and keeps the
+    entire LSH/verify/curation machinery unchanged (the vectors are
+    just an embedding column).  Scale shape inherited from the vector
+    ops: decode is mapInPandas beside the scan, candidates are
+    bucket-local, nothing corpus-sized shuffles."""
+    from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
+
+    vecs = image_feature_vectors(df, out_dim=out_dim, fake=fake)
+    return _dedup.cosine_neardup_pairs_lsh(
+        vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
+    )

@@ -393,3 +393,89 @@ def test_vector_divergence_on_cold_index(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_image_neardup_pairs_across_reencodes(spark):
+    """Images become a first-class dedup modality: the same pixels
+    re-encoded (lossless PNG vs lossy JPEG) land ~identical feature
+    vectors and pair up; a different image does not."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
+
+    # structurally distinct LUMINANCE DISTRIBUTIONS (the feature is a
+    # histogram): a full-range gradient vs a dark low-contrast image
+    img_a = np.zeros((32, 48, 3), np.uint8)
+    img_a[...] = (np.arange(48)[None, :, None] * 255) // 47
+    img_b = np.full((32, 48, 3), 30, np.uint8)
+    img_b[8:16, 8:24] = 55
+    rows = [
+        (1, "image", bytearray(codecs.encode_png(48, 32, 3, img_a.tobytes())),
+         None),
+        (2, "image",
+         bytearray(codecs.encode_jpeg(48, 32, 3, img_a.tobytes(), quality=95)),
+         None),
+        (3, "image", bytearray(codecs.encode_png(48, 32, 3, img_b.tobytes())),
+         None),
+        (4, "image", None, None),  # null row tolerated
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.image_neardup_pairs(media, threshold=0.995).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_image_stream_curation_composes_with_vector_loop(spark, tmp_path):
+    """End-to-end multimodal curation: a STREAM of image bytes is
+    curated by perceptual near-dup — batch_transform decodes features
+    (image_feature_vectors), then the standard vector loop probes and
+    grows the persisted cosine index.  A JPEG re-encode of an
+    already-accepted PNG arriving in a LATER batch is rejected."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_vector_stream,
+    )
+
+    img_a = np.zeros((32, 48, 3), np.uint8)
+    img_a[...] = (np.arange(48)[None, :, None] * 255) // 47
+    img_b = np.full((32, 48, 3), 30, np.uint8)
+    img_b[8:16, 8:24] = 55
+    png_a = codecs.encode_png(48, 32, 3, img_a.tobytes())
+    jpg_a = codecs.encode_jpeg(48, 32, 3, img_a.tobytes(), quality=95)
+    png_b = codecs.encode_png(48, 32, 3, img_b.tobytes())
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "image", bytearray(png_a), None)], multimodal.MEDIA_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(11, "image", bytearray(jpg_a), None),   # re-encode of 10: reject
+         (12, "image", bytearray(png_b), None)],  # novel: accept
+        multimodal.MEDIA_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    index_path = str(tmp_path / "cidx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    dedup.save_cosine_index(empty, index_path, dims=16, bits=8)
+
+    stream = (
+        spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_vector_stream(
+        stream, index_path, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        threshold=0.995,
+        batch_transform=multimodal.image_feature_vectors,
+    )
+    q.awaitTermination(120)
+    accepted = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert accepted == [10, 12]
