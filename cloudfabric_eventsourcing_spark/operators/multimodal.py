@@ -419,3 +419,112 @@ def image_neardup_pairs(
     return _dedup.cosine_neardup_pairs_lsh(
         vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
     )
+
+
+AUDIO_FEATURES_DDL = (
+    "media_id long, sample_rate int, n_samples long, features array<double>"
+)
+
+
+def _audio_features(content: bytes, out_dim: int) -> tuple[int, int, list]:
+    """(sample_rate, n_samples, out_dim spectral-band energies) from WAV
+    bytes: mono-mix, magnitude spectrum (numpy rfft), log-spaced band
+    pooling, L1 normalization.  Gain scaling and sample-width
+    re-encodes of the same signal land ~identical vectors; time shifts
+    and different signals do not — a real (if floor-grade) acoustic
+    fingerprint, same status as the image histogram."""
+    sr, nch, width, frames = _codecs.decode_wav(content)
+    import numpy as np
+
+    if width == 2:
+        x = np.frombuffer(frames, np.int16).astype(np.float64)
+    elif width == 1:
+        x = np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0
+    elif width == 4:
+        x = np.frombuffer(frames, np.int32).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    n = x.size
+    if n == 0:
+        return sr, 0, [0.0] * out_dim
+    mag = np.abs(np.fft.rfft(x))
+    # log-spaced band edges over the positive spectrum (skip DC)
+    edges = np.unique(
+        np.round(
+            np.logspace(0, np.log10(max(mag.size - 1, 2)), out_dim + 1)
+        ).astype(int)
+    )
+    while edges.size < out_dim + 1:  # tiny clips: pad linear edges
+        edges = np.unique(np.append(edges, edges[-1] + 1))
+    bands = [
+        float(mag[edges[i]:max(edges[i + 1], edges[i] + 1)].sum())
+        for i in range(out_dim)
+    ]
+    total = sum(bands) or 1.0
+    return sr, n, [b / total for b in bands]
+
+
+def audio_feature_vectors(
+    df: DataFrame, out_dim: int = 16, fake: bool = False
+) -> DataFrame:
+    """Audio media rows -> (vec_id, embedding), the dedup-modality glue
+    for audio (mirror of image_feature_vectors): WAV bytes -> normalized
+    log-band spectrum via mapInPandas.  Null content yields no row.
+    `fake=True` keeps the byte-hash stand-in."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "n_samples": [],
+                   "features": []}
+            for _, row in pdf.iterrows():
+                if row["content"] is None:
+                    continue
+                content = bytes(row["content"])
+                if fake:
+                    sr, n, feats = 0, len(content), _fake_decode(
+                        content, out_dim
+                    )
+                else:
+                    sr, n, feats = _audio_features(content, out_dim)
+                out["media_id"].append(row["media_id"])
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["features"].append(feats)
+            if out["media_id"]:
+                # a batch whose rows were ALL null yields nothing: an
+                # empty pandas frame infers float64 columns, which Arrow
+                # cannot convert to list<double>
+                yield pd.DataFrame(out)
+
+    feats = df.where(F.col("kind") == "audio").mapInPandas(
+        run, AUDIO_FEATURES_DDL
+    )
+    return feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.995,
+    out_dim: int = 16,
+    bits: int = 8,
+    seed: int = 42,
+    fake: bool = False,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs — the acoustic twin of
+    image_neardup_pairs: spectral-band embedding -> hyperplane-LSH ->
+    exact cosine within buckets.  Same swap-in contract: a real audio
+    encoder replaces the feature step, the LSH/verify/curation
+    machinery is unchanged."""
+    from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
+
+    vecs = audio_feature_vectors(df, out_dim=out_dim, fake=fake)
+    return _dedup.cosine_neardup_pairs_lsh(
+        vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
+    )

@@ -479,3 +479,45 @@ def test_image_stream_curation_composes_with_vector_loop(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     )
     assert accepted == [10, 12]
+
+
+def test_audio_neardup_pairs_across_reencodes(spark):
+    """Audio as a dedup modality: the same signal re-encoded (16-bit vs
+    8-bit PCM, different gain) pairs up via the spectral-band embedding;
+    a different signal does not; null content tolerated."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 second
+    sig_a = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(
+        2 * np.pi * 1320 * t
+    )
+    sig_b = 0.5 * np.sin(2 * np.pi * 3000 * t) + 0.4 * np.sin(
+        2 * np.pi * 200 * t
+    )
+
+    def wav16(sig, gain=1.0):
+        pcm = np.clip(sig * gain * 32000, -32768, 32767).astype(np.int16)
+        return codecs.encode_wav(sr, 1, 2, pcm.tobytes())
+
+    def wav8(sig):
+        pcm = np.clip(sig * 120 + 128, 0, 255).astype(np.uint8)
+        return codecs.encode_wav(sr, 1, 1, pcm.tobytes())
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav16(sig_a)), None),
+            (2, "audio", bytearray(wav8(sig_a)), None),       # re-encode of 1
+            (3, "audio", bytearray(wav16(sig_a, 0.4)), None), # gain change of 1
+            (4, "audio", bytearray(wav16(sig_b)), None),      # different
+            (5, "audio", None, None),                         # null tolerated
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.audio_neardup_pairs(media, threshold=0.99).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
