@@ -95,8 +95,16 @@ def _fake_decode(content: bytes, out_dim: int = 16) -> list[float]:
     return feats
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "null", "skip"):
+        raise ValueError(
+            f"on_error must be 'raise', 'null', or 'skip' (got {on_error!r})"
+        )
+
+
 def decode_image_features(
-    df: DataFrame, fake: bool = False, out_dim: int = 16
+    df: DataFrame, fake: bool = False, out_dim: int = 16,
+    on_error: str = "raise",
 ) -> DataFrame:
     """binary content -> fixed-size feature vector via mapInPandas.
 
@@ -104,7 +112,15 @@ def decode_image_features(
     emit the REAL width/height plus a normalized out_dim-bin luminance
     histogram (codecs.image_features).  `fake=True` keeps the
     deterministic byte-hash stand-in with metadata-derived dimensions —
-    same schema, no codec dependency."""
+    same schema, no codec dependency.
+
+    `on_error` is the corrupt-content policy — at corpus scale some
+    blobs WILL be truncated/mislabeled, and the default "raise" kills
+    the whole job on the first one: "null" emits the row with null
+    decoded fields (like null content — countable, joinable back for a
+    quarantine report), "skip" drops it.  Decode failures only; nothing
+    else is swallowed."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -128,26 +144,39 @@ def decode_image_features(
                 continue
             out = {"media_id": [], "width": [], "height": [],
                    "n_bytes": [], "features": []}
+
+            def null_row(mid, nb):
+                out["media_id"].append(mid)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["n_bytes"].append(nb)
+                out["features"].append(None)
+
             for _, row in pdf.iterrows():
-                out["media_id"].append(row["media_id"])
                 if row["content"] is None:
                     # content is nullable in MEDIA_SCHEMA: a null row
                     # yields null decoded fields instead of aborting
                     # the whole job on a codec error (r6 advice)
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["n_bytes"].append(0)
-                    out["features"].append(None)
+                    null_row(row["media_id"], 0)
                     continue
                 content = bytes(row["content"])
-                w, h, ch, pixels = _decode_image(content)
+                try:
+                    w, h, ch, pixels = _decode_image(content)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "null":
+                        null_row(row["media_id"], len(content))
+                    continue
+                out["media_id"].append(row["media_id"])
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(content))
                 out["features"].append(
                     _codecs.image_features(w, h, ch, pixels, out_dim)
                 )
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     schema = IMAGE_FEATURES_DDL.replace(
         "array<float>", "array<double>"
@@ -155,7 +184,10 @@ def decode_image_features(
     return df.where(F.col("kind") == "image").mapInPandas(run, schema)
 
 
-def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+def sample_frames(
+    df: DataFrame, every_n: int = 10, fake: bool = False,
+    on_error: str = "raise",
+) -> DataFrame:
     """video binary -> sampled frame bytes (1 row per sampled frame).
 
     Real path (default): demux RIFF/AVI containers — uncompressed RGB
@@ -167,8 +199,12 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
     av/ffmpeg, which deployments install on the executors; AVI
     RGB/MJPEG is the hermetic floor, not a ceiling.
     Null content yields zero frames (exploding op, same contract as
-    chunk_audio).  The fake path keeps the deterministic 64-byte slicer
-    for hermetic plumbing tests."""
+    chunk_audio).  `on_error="skip"/"null"` tolerates corrupt
+    containers (both drop them — an exploding op has no null row
+    shape); default "raise" keeps strict semantics.  The fake path
+    keeps the deterministic 64-byte slicer for hermetic plumbing
+    tests."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -179,16 +215,24 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
                 for _, row in pdf.iterrows():
                     if row["content"] is None:
                         continue
-                    w, h, _fps, frames = _codecs.decode_avi(
-                        bytes(row["content"])
-                    )
+                    try:
+                        w, h, _fps, frames = _codecs.decode_avi(
+                            bytes(row["content"])
+                        )
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        continue
                     for idx in range(0, len(frames), every_n):
                         out["media_id"].append(row["media_id"])
                         out["frame_idx"].append(idx)
                         out["frame_bytes"].append(
                             _codecs.encode_png(w, h, 3, frames[idx])
                         )
-                yield pd.DataFrame(out)
+                if out["media_id"]:
+                    # empty frames infer numpy dtypes Arrow cannot map
+                    # to binary columns — yield nothing instead
+                    yield pd.DataFrame(out)
                 continue
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
@@ -229,7 +273,8 @@ RESIZE_DDL = (
 
 
 def resize_images(
-    df: DataFrame, width: int, height: int, fake: bool = False
+    df: DataFrame, width: int, height: int, fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """image binary -> resized image binary with updated metadata, the
     standard pre-training normalization step.  Real path (default):
@@ -239,7 +284,10 @@ def resize_images(
     width*height//8 bytes so downstream size accounting is exercised
     without a codec.  Output keeps the MEDIA_SCHEMA column shapes
     (content + meta) so resize composes with decode_image_features /
-    the media table unchanged."""
+    the media table unchanged.  `on_error="null"` emits a corrupt input
+    as a null-content row (same shape as null input), `"skip"` drops
+    it; default "raise"."""
+    _check_on_error(on_error)
 
     target_bytes = max(width * height // 8, 1)
 
@@ -249,24 +297,34 @@ def resize_images(
         for pdf in batches:
             if not fake:
                 out = {"media_id": [], "content": [], "meta": []}
+                def null_out(row):
+                    m = row["meta"]
+                    out["media_id"].append(row["media_id"])
+                    out["content"].append(None)
+                    out["meta"].append(
+                        {
+                            "mime": m["mime"] if m else None,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": m["duration_ms"] if m else None,
+                        }
+                    )
+
                 for _, row in pdf.iterrows():
                     if row["content"] is None:
                         # null content passes through as null (r6
                         # advice) — there are no pixels to resample
-                        m = row["meta"]
-                        out["media_id"].append(row["media_id"])
-                        out["content"].append(None)
-                        out["meta"].append(
-                            {
-                                "mime": m["mime"] if m else None,
-                                "width": width,
-                                "height": height,
-                                "duration_ms": m["duration_ms"] if m else None,
-                            }
-                        )
+                        null_out(row)
                         continue
                     content = bytes(row["content"])
-                    w, h, ch, pixels = _decode_image(content)
+                    try:
+                        w, h, ch, pixels = _decode_image(content)
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        if on_error == "null":
+                            null_out(row)
+                        continue
                     resized = _codecs.nearest_resize(
                         w, h, ch, pixels, width, height
                     )
@@ -283,7 +341,10 @@ def resize_images(
                             "duration_ms": m["duration_ms"] if m else None,
                         }
                     )
-                yield pd.DataFrame(out)
+                if out["media_id"]:
+                    # empty meta lists infer float64, not struct — yield
+                    # nothing for an all-skipped batch
+                    yield pd.DataFrame(out)
                 continue
 
             def shrink(c):
@@ -318,7 +379,8 @@ AUDIO_CHUNK_DDL = "media_id long, chunk_idx int, chunk_bytes binary, duration_ms
 
 
 def chunk_audio(
-    df: DataFrame, chunk_ms: int = 1000, fake: bool = False
+    df: DataFrame, chunk_ms: int = 1000, fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """audio binary -> fixed-duration chunks (1 row per chunk), the audio
     sibling of sample_frames: the shape a speech/ASR feature pipeline
@@ -328,7 +390,9 @@ def chunk_audio(
     remain independently decodable downstream) with its true duration.
     The fake path treats the payload as 8 kB/s PCM-ish bytes and slices
     deterministically — schema, batching and partitioning are the real
-    plumbing either way."""
+    plumbing either way.  `on_error="skip"/"null"` drops corrupt
+    containers (exploding op — no null row shape); default "raise"."""
+    _check_on_error(on_error)
 
     bytes_per_ms = 8  # fake codec's fixed "sample rate"
 
@@ -346,7 +410,12 @@ def chunk_audio(
                         # the WAV parser and abort the job)
                         continue
                     content = bytes(row["content"])
-                    rate, n_ch, width, frames = _codecs.decode_wav(content)
+                    try:
+                        rate, n_ch, width, frames = _codecs.decode_wav(content)
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        continue
                     frame_bytes = n_ch * width
                     frames_per_chunk = max(rate * chunk_ms // 1000, 1)
                     step = frames_per_chunk * frame_bytes
@@ -361,7 +430,8 @@ def chunk_audio(
                         out["duration_ms"].append(
                             len(piece) * 1000 // (rate * frame_bytes)
                         )
-                yield pd.DataFrame(out)
+                if out["media_id"]:
+                    yield pd.DataFrame(out)
                 continue
             step = chunk_ms * bytes_per_ms
             for _, row in pdf.iterrows():
@@ -379,14 +449,17 @@ def chunk_audio(
 
 
 def image_feature_vectors(
-    df: DataFrame, out_dim: int = 16, fake: bool = False
+    df: DataFrame, out_dim: int = 16, fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Image media rows -> (vec_id, embedding) in the exact shape the
     embedding operators consume (dedup.cosine_*, similarity.*,
     streaming vector curation): decode_image_features' luminance
     histogram re-labeled as an embedding column.  The glue that makes
     images a first-class DEDUP modality — see image_neardup_pairs."""
-    feats = decode_image_features(df, fake=fake, out_dim=out_dim)
+    feats = decode_image_features(
+        df, fake=fake, out_dim=out_dim, on_error=on_error
+    )
     return feats.where(F.col("features").isNotNull()).select(
         F.col("media_id").alias("vec_id"),
         F.col("features").alias("embedding"),
@@ -400,6 +473,7 @@ def image_neardup_pairs(
     bits: int = 8,
     seed: int = 42,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs: decode -> fixed-size feature vector ->
     hyperplane-LSH bucketing -> exact cosine within buckets
@@ -415,7 +489,9 @@ def image_neardup_pairs(
     bucket-local, nothing corpus-sized shuffles."""
     from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
 
-    vecs = image_feature_vectors(df, out_dim=out_dim, fake=fake)
+    vecs = image_feature_vectors(
+        df, out_dim=out_dim, fake=fake, on_error=on_error
+    )
     return _dedup.cosine_neardup_pairs_lsh(
         vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
     )
@@ -467,12 +543,16 @@ def _audio_features(content: bytes, out_dim: int) -> tuple[int, int, list]:
 
 
 def audio_feature_vectors(
-    df: DataFrame, out_dim: int = 16, fake: bool = False
+    df: DataFrame, out_dim: int = 16, fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Audio media rows -> (vec_id, embedding), the dedup-modality glue
     for audio (mirror of image_feature_vectors): WAV bytes -> normalized
     log-band spectrum via mapInPandas.  Null content yields no row.
-    `fake=True` keeps the byte-hash stand-in."""
+    `fake=True` keeps the byte-hash stand-in; `on_error="skip"/"null"`
+    drops corrupt blobs instead of aborting (vectors have no null
+    shape); default "raise"."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -489,7 +569,12 @@ def audio_feature_vectors(
                         content, out_dim
                     )
                 else:
-                    sr, n, feats = _audio_features(content, out_dim)
+                    try:
+                        sr, n, feats = _audio_features(content, out_dim)
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        continue
                 out["media_id"].append(row["media_id"])
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
@@ -516,6 +601,7 @@ def audio_neardup_pairs(
     bits: int = 8,
     seed: int = 42,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs — the acoustic twin of
     image_neardup_pairs: spectral-band embedding -> hyperplane-LSH ->
@@ -524,7 +610,9 @@ def audio_neardup_pairs(
     machinery is unchanged."""
     from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
 
-    vecs = audio_feature_vectors(df, out_dim=out_dim, fake=fake)
+    vecs = audio_feature_vectors(
+        df, out_dim=out_dim, fake=fake, on_error=on_error
+    )
     return _dedup.cosine_neardup_pairs_lsh(
         vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
     )

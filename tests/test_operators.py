@@ -2405,3 +2405,141 @@ def test_jpeg_fill_bytes_and_odd_dim_subsampling():
         b"\xff\xc0", b"\xff\xff\xc0", 1
     )
     assert codecs.decode_jpeg(stuffed)[3] == codecs.decode_jpeg(base)[3]
+
+
+def test_media_on_error_policies_tolerate_corrupt_blobs(spark):
+    """At corpus scale some blobs WILL be truncated/mislabeled; the
+    on_error policy decides row fate instead of killing the job:
+    "null" quarantines (image ops with a null row shape), "skip"
+    drops (exploding/vector ops), default "raise" keeps strict
+    semantics."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    img = np.full((8, 8, 3), 200, np.uint8)
+    good_png = codecs.encode_png(8, 8, 3, img.tobytes())
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\xde\xad\xbe\xef" * 8  # bad chunks
+    rows = [
+        (1, "image", bytearray(good_png), None),
+        (2, "image", bytearray(corrupt), None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    # default: strict — the job surfaces the codec error (wrapped by
+    # the Spark worker machinery; match on the codec's message)
+    with _pytest.raises(Exception, match="PNG"):
+        multimodal.decode_image_features(media).collect()
+    # null: corrupt row quarantined with its byte count, good row decoded
+    got = {r["media_id"]: r for r in
+           multimodal.decode_image_features(media, on_error="null").collect()}
+    assert got[1]["width"] == 8 and got[2]["features"] is None
+    assert got[2]["n_bytes"] == len(corrupt)
+    # skip: only the good row
+    assert [r["media_id"] for r in
+            multimodal.decode_image_features(media, on_error="skip").collect()
+            ] == [1]
+    # resize: null policy emits null content, skip drops
+    rz = {r["media_id"]: r for r in
+          multimodal.resize_images(media, 4, 4, on_error="null").collect()}
+    assert rz[1]["content"] is not None and rz[2]["content"] is None
+    assert [r["media_id"] for r in
+            multimodal.resize_images(media, 4, 4, on_error="skip").collect()
+            ] == [1]
+
+    # audio + video exploding ops: corrupt containers drop under skip
+    sr = 8000
+    pcm = (np.sin(np.arange(sr) / 20) * 30000).astype(np.int16)
+    good_wav = codecs.encode_wav(sr, 1, 2, pcm.tobytes())
+    aud = spark.createDataFrame(
+        [(1, "audio", bytearray(good_wav), None),
+         (2, "audio", bytearray(b"RIFFjunkWAVEjunk"), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    assert {r["media_id"] for r in
+            multimodal.chunk_audio(aud, on_error="skip").collect()} == {1}
+    assert {r["vec_id"] for r in
+            multimodal.audio_feature_vectors(aud, on_error="skip").collect()
+            } == {1}
+    frames = [bytes(6 * 4 * 3) for _ in range(3)]
+    good_avi = codecs.encode_avi(6, 4, 10.0, frames)
+    vid = spark.createDataFrame(
+        [(1, "video", bytearray(good_avi), None),
+         (2, "video", bytearray(b"RIFF\x00\x00\x00\x00AVI junk"), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    assert {r["media_id"] for r in
+            multimodal.sample_frames(vid, every_n=1, on_error="skip").collect()
+            } == {1}
+    with _pytest.raises(ValueError):
+        multimodal.decode_image_features(media, on_error="quarantine")
+
+
+def test_codec_fuzz_corrupt_bytes_raise_cleanly():
+    """Property: the codec floor never hangs or silently returns
+    garbage on corrupt input — random bytes behind valid magic, and
+    random single-byte corruptions of valid files, either decode to a
+    plausible result or raise an ordinary exception promptly.  This is
+    the contract the on_error policies rely on."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    ok_errors = (
+        ValueError, NotImplementedError, KeyError, IndexError,
+        EOFError, OverflowError, MemoryError, _struct.error, _zlib.error,
+    )
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    base_jpg = codecs.encode_jpeg(8, 8, 3, img.tobytes(), quality=85)
+    base_png = codecs.encode_png(8, 8, 3, img.tobytes())
+    base_wav = codecs.encode_wav(8000, 1, 2, bytes(1600))
+    base_avi = codecs.encode_avi(8, 8, 10.0, [img.tobytes()])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(min_size=0, max_size=200), st.sampled_from([0, 1, 2, 3]))
+    def random_tail(tail, which):
+        base, dec = [
+            (b"\xff\xd8", codecs.decode_jpeg),
+            (b"\x89PNG\r\n\x1a\n", codecs.decode_png),
+            (b"RIFF\x10\x00\x00\x00WAVE", codecs.decode_wav),
+            (b"RIFF\x10\x00\x00\x00AVI ", codecs.decode_avi),
+        ][which]
+        try:
+            dec(base + tail)
+        except ok_errors:
+            pass
+        except Exception as e:
+            # wave/chunk stdlib modules raise their own Error/RuntimeError
+            assert type(e).__name__ in ("Error", "RuntimeError"), e
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def flip_byte(data):
+        which = data.draw(st.sampled_from([0, 1, 2, 3]))
+        base, dec = [
+            (base_jpg, codecs.decode_jpeg),
+            (base_png, codecs.decode_png),
+            (base_wav, codecs.decode_wav),
+            (base_avi, codecs.decode_avi),
+        ][which]
+        pos = data.draw(st.integers(0, len(base) - 1))
+        val = data.draw(st.integers(0, 255))
+        mut = bytearray(base)
+        mut[pos] = val
+        try:
+            out = dec(bytes(mut))
+            # decoded despite the flip: result must still be shaped sanely
+            assert isinstance(out, tuple) and len(out) == 4
+        except ok_errors:
+            pass
+        except Exception as e:
+            assert type(e).__name__ in ("Error", "RuntimeError"), e
+
+    random_tail()
+    flip_byte()
