@@ -616,3 +616,59 @@ def audio_neardup_pairs(
     return _dedup.cosine_neardup_pairs_lsh(
         vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
     )
+
+
+MEDIA_ERRORS_DDL = (
+    "media_id long, kind string, n_bytes long, error string, detail string"
+)
+
+
+def media_decode_errors(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Quarantine report: one row per media blob the floor codecs CANNOT
+    decode — (media_id, kind, n_bytes, error type, message).  The
+    actionable side of on_error="null"/"skip": operators drop or
+    null-out corrupt blobs to keep the job alive, and this report tells
+    the pipeline owner exactly what to re-ingest or transcode.  Null
+    content is reported as error="NullContent" (distinct from corrupt).
+
+    Scale shape: one mapInPandas pass, decode attempts only (pixels/
+    samples are discarded immediately — no feature work); healthy blobs
+    emit nothing, so output is proportional to the problem, not the
+    corpus."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "n_bytes": [],
+                   "error": [], "detail": []}
+
+            def report(row, nb, err, detail):
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["n_bytes"].append(nb)
+                out["error"].append(err)
+                out["detail"].append(detail[:200])
+
+            for _, row in pdf.iterrows():
+                if row["content"] is None:
+                    report(row, 0, "NullContent", "")
+                    continue
+                content = bytes(row["content"])
+                if fake:
+                    continue  # the fake decoders accept anything
+                try:
+                    if row["kind"] == "image":
+                        _decode_image(content)
+                    elif row["kind"] == "audio":
+                        _codecs.decode_wav(content)
+                    elif row["kind"] == "video":
+                        _codecs.decode_avi(content)
+                    else:
+                        report(row, len(content), "UnknownKind", row["kind"])
+                except Exception as e:
+                    report(row, len(content), type(e).__name__, str(e))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, MEDIA_ERRORS_DDL)

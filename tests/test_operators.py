@@ -2543,3 +2543,34 @@ def test_codec_fuzz_corrupt_bytes_raise_cleanly():
 
     random_tail()
     flip_byte()
+
+
+def test_media_decode_errors_quarantine_report(spark):
+    """The quarantine report names exactly the undecodable blobs with
+    their error class: healthy rows emit nothing, corrupt rows carry
+    the codec's error type, honest boundaries (progressive JPEG) are
+    distinguishable from garbage, null content is its own class."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    img = np.full((8, 8, 3), 100, np.uint8)
+    good_png = codecs.encode_png(8, 8, 3, img.tobytes())
+    prog = bytearray(codecs.encode_jpeg(8, 8, 3, img.tobytes()))
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive: honest boundary
+    rows = [
+        (1, "image", bytearray(good_png), None),
+        (2, "image", bytearray(b"\x89PNG\r\n\x1a\njunk"), None),
+        (3, "image", bytearray(bytes(prog)), None),
+        (4, "audio", None, None),
+        (5, "video", bytearray(b"RIFF\x00\x00\x00\x00AVI junk"), None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    rep = {r["media_id"]: r for r in
+           multimodal.media_decode_errors(media).collect()}
+    assert set(rep) == {2, 3, 4, 5}  # healthy row 1 absent
+    assert rep[2]["error"] == "ValueError"
+    assert rep[3]["error"] == "NotImplementedError"
+    assert "progressive" in rep[3]["detail"]
+    assert rep[4]["error"] == "NullContent"
+    assert rep[5]["error"] == "ValueError"
