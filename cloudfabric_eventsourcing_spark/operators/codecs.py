@@ -48,7 +48,10 @@ def is_png(data: bytes) -> bool:
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG bytes -> (width, height, channels, raw row-major pixels).
     Palette images are expanded to RGB; gray+alpha / RGBA keep their
-    alpha channel.  8-bit, non-interlaced only (see module docstring)."""
+    alpha channel.  8-bit natively; 16-bit samples unfilter at their
+    true byte width (the filters are byte-wise with bpp = channels x 2)
+    and downscale to 8 via the high byte — the standard 16->8 mapping.
+    Sub-8-bit and Adam7 interlace raise (see module docstring)."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -64,8 +67,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             w, h, bit, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
-            if bit != 8:
-                raise NotImplementedError(f"PNG bit depth {bit} (only 8)")
+            if bit not in (8, 16) or (bit == 16 and color == 3):
+                raise NotImplementedError(f"PNG bit depth {bit}")
             if interlace:
                 raise NotImplementedError("Adam7-interlaced PNG")
             if color not in _CHANNELS:
@@ -80,13 +83,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG missing IHDR")
     channels = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    bps = bit // 8  # bytes per sample
+    stride = w * channels * bps
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = bytearray(h * stride)
     prev = bytearray(stride)
     rpos = 0
-    bpp = channels  # bytes per pixel at 8-bit depth
+    bpp = channels * bps  # filter distance is in BYTES per pixel
     for y in range(h):
         f = raw[rpos]
         line = bytearray(raw[rpos + 1:rpos + 1 + stride])
@@ -114,6 +118,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG scanline filter {f}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
+    if bps == 2:
+        # 16-bit samples are big-endian; the high byte IS round(v/257)
+        # within 1 lsb — the standard 16->8 downscale
+        out = out[0::2]
     if color == 3:  # palette -> RGB
         if not palette:
             raise ValueError("palette PNG missing PLTE")

@@ -196,10 +196,12 @@ def test_png_codec_decodes_all_scanline_filters():
         crc = _z.crc32(ctype + payload) & 0xFFFFFFFF
         return _s.pack(">I", len(payload)) + ctype + payload + _s.pack(">I", crc)
 
+    # sub-8-bit depths still raise (16-bit decodes since r8 —
+    # test_png_16bit_decodes_to_8bit)
     deep = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
-        + chunk(b"IDAT", _z.compress(b"\x00" * 7))
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 2))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="bit depth"):
@@ -2574,3 +2576,46 @@ def test_media_decode_errors_quarantine_report(spark):
     assert "progressive" in rep[3]["detail"]
     assert rep[4]["error"] == "NullContent"
     assert rep[5]["error"] == "ValueError"
+
+
+def test_png_16bit_decodes_to_8bit():
+    """16-bit PNG (common in scientific / scanner corpora): the byte-wise
+    scanline filters run at bpp = channels x 2 and samples downscale via
+    the high byte.  Hand-built file with an Up-filtered second row so the
+    2-byte filter distance is actually exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    w, h, ch = 3, 2, 3
+    px16 = np.array(
+        [[[65535, 0, 32768], [0, 65535, 257], [10000, 20000, 30000]],
+         [[65535, 0, 32768], [514, 65535, 257], [10000, 20000, 30000]]],
+        dtype=">u2",
+    )
+    row0 = px16[0].tobytes()
+    cur = np.frombuffer(px16[1].tobytes(), np.uint8).astype(int)
+    prv = np.frombuffer(row0, np.uint8).astype(int)
+    raw = (
+        b"\x00" + row0
+        + b"\x02" + ((cur - prv) % 256).astype(np.uint8).tobytes()
+    )
+
+    def chunk(t, p):
+        return (
+            struct.pack(">I", len(p)) + t + p
+            + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    ww, hh, cc, out = codecs.decode_png(png)
+    assert (ww, hh, cc) == (3, 2, 3)
+    want = (px16.astype(np.uint32) >> 8).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(out, np.uint8).reshape(h, w, ch), want)
