@@ -11,10 +11,11 @@ corpora are decodable from the spec with stdlib + numpy:
     non-interlaced, all five scanline filters (None/Sub/Up/Average/
     Paeth).  That covers everything a standard encoder with default
     settings emits.  16-bit and Adam7 interlace raise cleanly.
-  * JPEG: baseline sequential JFIF (ITU-T T.81 SOF0/SOF1) — Huffman
-    decode, dequantize, IDCT, chroma upsampling, YCbCr->RGB; restart
-    intervals honored; progressive/arithmetic/12-bit raise cleanly
-    (see the JPEG section below).
+  * JPEG: Huffman-coded JFIF — baseline/extended sequential (SOF0/1,
+    single- or multi-scan) AND progressive (SOF2: spectral selection +
+    successive approximation, T.81 Annex G); restart intervals
+    honored; arithmetic-coded/lossless/12-bit raise cleanly (see the
+    JPEG section below).
   * WAV: RIFF PCM via the stdlib `wave` module.
 
 Production swap-in: `multimodal._decode_image` prefers PIL when it IS
@@ -417,15 +418,17 @@ def encode_avi(
 # JPEG (baseline JFIF) — the lossy-image floor
 #
 # Real image corpora are overwhelmingly JPEG, so a PNG-only floor leaves
-# the dominant format undecodable wherever PIL is not installed.  Baseline
-# sequential JPEG (ITU-T T.81 SOF0: 8-bit, Huffman-coded, interleaved
-# single scan) is decodable from the spec with struct + numpy, same
-# status as the PNG/WAV/AVI decoders above: entropy decoding is a
-# per-block Python loop (this is the hermetic floor, not the fast path —
-# PIL is preferred when importable), while dequantization, the 2-D IDCT,
-# chroma upsampling, and the YCbCr->RGB transform are batched numpy over
-# all blocks at once.  Progressive (SOF2), arithmetic-coded (SOF9+),
-# lossless, hierarchical, and 12-bit variants raise cleanly.
+# the dominant format undecodable wherever PIL is not installed.  The
+# Huffman-coded profiles — baseline/extended sequential (SOF0/1) and
+# progressive (SOF2, T.81 Annex G: spectral selection + successive
+# approximation) — are decodable from the spec with struct + numpy, same
+# status as the PNG/WAV/AVI decoders above: every scan folds entropy-
+# decoded coefficients into per-component accumulators (a per-block
+# Python loop — this is the hermetic floor, not the fast path; PIL is
+# preferred when importable), and ONE batched numpy pass at EOI runs
+# dequantization, the 2-D IDCT, chroma upsampling, and YCbCr->RGB over
+# all blocks at once.  Arithmetic-coded (SOF9+), lossless,
+# hierarchical, and 12-bit variants raise cleanly.
 # ---------------------------------------------------------------------------
 
 # zigzag index i -> natural (row-major) index within the 8x8 block
@@ -452,9 +455,9 @@ def _dct_basis() -> "np.ndarray":
 
 _DCT_A = _dct_basis()
 
-# unsupported SOF markers -> honest failure text
+# unsupported SOF markers -> honest failure text (SOF2 progressive is
+# SUPPORTED since r8)
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG (SOF2)",
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -546,13 +549,194 @@ def _build_huff(bits: list, vals: list) -> dict:
     return table
 
 
+def _block_sequential(reader, dc_t, ac_t, coef, preds, ci) -> None:
+    """One full baseline block (DC diff + run-length AC) into `coef`
+    (length-64 natural-order array)."""
+    s = _huff_decode(reader, dc_t)
+    preds[ci] += _extend(reader.bits(s), s) if s else 0
+    coef[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overrun")
+        coef[_ZIGZAG[k]] = _extend(reader.bits(s), s)
+        k += 1
+
+
+def _block_ac_first(reader, ac_t, coef, ss, se, al, eobrun) -> None:
+    """Progressive AC first scan (T.81 G.1.2.2): run-length symbols with
+    EOBn end-of-band runs; values land shifted by the scan's Al."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun[0] = (1 << r) - 1 + (reader.bits(r) if r else 0)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC band overrun")
+        coef[_ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(reader, coef, z, p1) -> None:
+    """One correction bit for an already-nonzero coefficient: append the
+    magnitude bit if it is not set (values are multiples of p1, so the
+    two's-complement test on the signed int equals the magnitude
+    test)."""
+    if reader.bit() and (abs(coef[z]) & p1) == 0:
+        coef[z] += p1 if coef[z] >= 0 else -p1
+
+
+def _block_ac_refine(reader, ac_t, coef, ss, se, al, eobrun) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3, the libjpeg
+    jdphuff structure): new ±1<<Al coefficients interleave with
+    correction bits for every nonzero-history coefficient passed over;
+    EOBn covers whole blocks whose remaining nonzeros still receive
+    correction bits."""
+    p1 = 1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = (1 << r) + (reader.bits(r) if r else 0)
+                    break
+                # r == 15 (ZRL): advance over 16 zero-HISTORY coeffs
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refine symbol must have s=1")
+                val = p1 if reader.bit() else -p1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    _refine_nonzero(reader, coef, z, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if coef[z] != 0:
+                _refine_nonzero(reader, coef, z, p1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_jpeg_scan(
+    data, pos, comps, scan, huff, restart, coefs,
+    progressive, ss, se, ah, al, mcux, mcuy, hmax, vmax, w, h,
+) -> int:
+    """Decode ONE scan's entropy data into the coefficient arrays;
+    returns the byte position of the next marker.  Handles interleaved
+    (MCU-ordered) and single-component (raster-ordered over the
+    component's own block grid) scans, sequential and progressive."""
+    ci_by_cid = {c[0]: i for i, c in enumerate(comps)}
+    scan_cis = [ci_by_cid[cid] for cid, _, _ in scan]
+    tables = {ci_by_cid[cid]: (dc, ac) for cid, dc, ac in scan}
+    reader = _JpegBitReader(data, pos)
+    preds = [0] * len(comps)
+    eobrun = [0]
+    rst_idx = 0
+    units = 0
+
+    def decode_block(ci, by, bx) -> None:
+        coef = coefs[ci][by, bx]
+        dc_id, ac_id = tables[ci]
+        if not progressive:
+            _block_sequential(
+                reader, huff[(0, dc_id)], huff[(1, ac_id)], coef, preds, ci
+            )
+        elif ss == 0:
+            if ah == 0:  # DC first: diff coded in the >>Al domain
+                s = _huff_decode(reader, huff[(0, dc_id)])
+                preds[ci] += _extend(reader.bits(s), s) if s else 0
+                coef[0] = preds[ci] << al
+            elif reader.bit():  # DC refinement: one appended bit
+                coef[0] |= 1 << al
+        elif ah == 0:
+            _block_ac_first(reader, huff[(1, ac_id)], coef, ss, se, al, eobrun)
+        else:
+            _block_ac_refine(reader, huff[(1, ac_id)], coef, ss, se, al, eobrun)
+
+    def maybe_restart() -> None:
+        nonlocal rst_idx, preds
+        if restart and units and units % restart == 0:
+            reader.align_and_expect_rst(rst_idx)
+            rst_idx += 1
+            preds = [0] * len(comps)
+            eobrun[0] = 0
+
+    if len(scan) > 1:
+        # interleaved: MCU geometry over the full frame grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci in scan_cis:
+                    _, hi, vi, _ = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            decode_block(ci, my * vi + by, mx * hi + bx)
+                units += 1
+    else:
+        # single component: raster over ITS ceil-divided block grid
+        # (T.81 A.2.2 — NOT the MCU-padded grid the interleaved path uses)
+        ci = scan_cis[0]
+        _, hi, vi, _ = comps[ci]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                decode_block(ci, by, bx)
+                units += 1
+    # resync to the next marker (skip entropy padding and any RSTs)
+    pos = reader.p
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            break
+        pos += 1
+    return pos
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline JFIF bytes -> (width, height, channels, raw row-major
-    pixels).  3-component scans decode as YCbCr -> RGB (BT.601 / JFIF
-    constants); 1-component as grayscale.  Subsampling supported for
-    any integer-ratio factors (4:4:4, 4:2:2, 4:2:0, 4:1:1) via
-    replication upsampling.  Restart intervals honored.  Progressive /
-    arithmetic / 12-bit raise NotImplementedError (see module note)."""
+    """JFIF bytes -> (width, height, channels, raw row-major pixels).
+
+    Huffman-coded sequential (SOF0/SOF1, single- or multi-scan) AND
+    progressive (SOF2: spectral selection + successive approximation,
+    T.81 Annex G) profiles.  3-component scans decode as YCbCr -> RGB
+    (BT.601 / JFIF constants); 1-component as grayscale.  Subsampling
+    supported for any integer-ratio factors (4:4:4, 4:2:2, 4:2:0,
+    4:1:1) via replication upsampling.  Restart intervals honored.
+    Arithmetic-coded / lossless / hierarchical / 12-bit variants raise
+    NotImplementedError (see module note)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, "np.ndarray"] = {}
@@ -561,7 +745,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     w = h = None
     restart = 0
     pos = 2
-    scan = None
+    progressive = False
+    coefs: list = []
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -593,7 +780,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 for zz, natidx in enumerate(_ZIGZAG):
                     nat[natidx] = vals[zz]
                 qt[tq_id] = nat.reshape(8, 8)
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
+            progressive = m == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG (only 8)")
@@ -603,6 +791,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(n):
                 cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hi, vi, _ in comps:
+                if hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        f"non-integer chroma sampling ratio {hi}x{vi} "
+                        f"vs {hmax}x{vmax}"
+                    )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # per-component coefficient accumulators over the MCU-padded
+            # block grid; every scan folds into these, IDCT runs once at
+            # the end (this is what makes multi-scan/progressive a pure
+            # extension of the baseline path)
+            coefs = [
+                np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
+                for _, hi, vi, _ in comps
+            ]
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 _SOF_UNSUPPORTED[m] + " needs a full codec stack"
@@ -618,85 +824,48 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + nv
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
-        elif m == 0xDA:  # SOS — header, then entropy data
+        elif m == 0xDA:  # SOS header + entropy data
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
                 scan.append((cid, tt >> 4, tt & 0x0F))
-            break
-    if comps is None or scan is None or w is None:
-        raise ValueError("JPEG missing SOF/SOS")
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _, hi, vi, _ in comps:
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"non-integer chroma sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if progressive:
+                # T.81 G.1: DC scans cover exactly band 0; AC scans
+                # cover a band inside 1..63 for ONE component
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError(
+                        "progressive AC scan must be single-component "
+                        "with 1 <= Ss <= Se <= 63"
+                    )
+            pos = _decode_jpeg_scan(
+                data, pos, comps, scan, huff, restart, coefs,
+                progressive, ss, se, ah, al, mcux, mcuy, hmax, vmax, w, h,
             )
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan}
-    # per component: coefficient planes (block grid), filled by the scan
-    planes = []
-    for cid, hi, vi, tq_id in comps:
-        planes.append(
-            np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
-        )
-    reader = _JpegBitReader(data, pos)
-    preds = [0] * len(comps)
-    blocks_per_comp: list[list] = [[] for _ in comps]  # (by, bx, coeff64)
-    mcu_count = 0
-    rst_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                reader.align_and_expect_rst(rst_idx)
-                rst_idx += 1
-                preds = [0] * len(comps)
-            for ci, (cid, hi, vi, tq_id) in enumerate(comps):
-                dc_t = huff[(0, scan_by_cid[cid][0])]
-                ac_t = huff[(1, scan_by_cid[cid][1])]
-                for by in range(vi):
-                    for bx in range(hi):
-                        coeff = [0] * 64
-                        s = _huff_decode(reader, dc_t)
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        coeff[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_t)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overrun")
-                            coeff[_ZIGZAG[k]] = _extend(reader.bits(s), s)
-                            k += 1
-                        blocks_per_comp[ci].append(
-                            (my * vi + by, mx * hi + bx, coeff)
-                        )
-            mcu_count += 1
-    # batched dequantize + IDCT per component
+            saw_scan = True
+    if comps is None or not saw_scan or w is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    # batched dequantize + IDCT per component over the accumulated grids
     out_planes = []
     for ci, (cid, hi, vi, tq_id) in enumerate(comps):
-        blocks = blocks_per_comp[ci]
-        coeffs = np.array(
-            [b[2] for b in blocks], np.float64
-        ).reshape(-1, 8, 8) * qt[tq_id]
+        grid = coefs[ci]
+        nby, nbx = grid.shape[0], grid.shape[1]
+        blocks = grid.reshape(-1, 8, 8).astype(np.float64) * qt[tq_id]
         spatial = np.einsum(
-            "ui,nuv,vj->nij", _DCT_A, coeffs, _DCT_A, optimize=True
+            "ui,nuv,vj->nij", _DCT_A, blocks, _DCT_A, optimize=True
         ) + 128.0
-        plane = planes[ci]
-        for (by, bx, _), blk in zip(blocks, spatial):
-            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+        plane = (
+            spatial.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
         # crop to the component's true resolution, then replicate up
         cw = -(-w * hi // hmax)
         ch = -(-h * vi // vmax)

@@ -2295,11 +2295,17 @@ def test_jpeg_codec_round_trips_and_honest_boundaries():
     assert maxerr(np.frombuffer(px, np.uint8).reshape(8, 32), gray2) <= 2
 
     base = codecs.encode_jpeg(20, 16, 3, rgb.tobytes())
-    for marker, msg in ((0xC2, "progressive"), (0xC9, "arithmetic")):
-        bad = bytearray(base)
-        bad[bad.find(b"\xff\xc0") + 1] = marker
-        with _pytest.raises(NotImplementedError, match=msg):
-            codecs.decode_jpeg(bytes(bad))
+    # arithmetic coding is still an honest boundary; a baseline stream
+    # RELABELED progressive is malformed (its interleaved full-band SOS
+    # is illegal under T.81 G.1) and fails loudly, not silently
+    bad = bytearray(base)
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        codecs.decode_jpeg(bytes(bad))
+    bad = bytearray(base)
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(bad))
     with _pytest.raises(ValueError, match="SOI"):
         codecs.decode_jpeg(b"\x00\x01\x02")
 
@@ -2558,12 +2564,13 @@ def test_media_decode_errors_quarantine_report(spark):
 
     img = np.full((8, 8, 3), 100, np.uint8)
     good_png = codecs.encode_png(8, 8, 3, img.tobytes())
-    prog = bytearray(codecs.encode_jpeg(8, 8, 3, img.tobytes()))
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive: honest boundary
+    arith = bytearray(codecs.encode_jpeg(8, 8, 3, img.tobytes()))
+    # arithmetic coding: honest boundary (progressive DECODES since r8)
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9
     rows = [
         (1, "image", bytearray(good_png), None),
         (2, "image", bytearray(b"\x89PNG\r\n\x1a\njunk"), None),
-        (3, "image", bytearray(bytes(prog)), None),
+        (3, "image", bytearray(bytes(arith)), None),
         (4, "audio", None, None),
         (5, "video", bytearray(b"RIFF\x00\x00\x00\x00AVI junk"), None),
     ]
@@ -2573,7 +2580,7 @@ def test_media_decode_errors_quarantine_report(spark):
     assert set(rep) == {2, 3, 4, 5}  # healthy row 1 absent
     assert rep[2]["error"] == "ValueError"
     assert rep[3]["error"] == "NotImplementedError"
-    assert "progressive" in rep[3]["detail"]
+    assert "arithmetic" in rep[3]["detail"]
     assert rep[4]["error"] == "NullContent"
     assert rep[5]["error"] == "ValueError"
 
@@ -2619,3 +2626,100 @@ def test_png_16bit_decodes_to_8bit():
     assert (ww, hh, cc) == (3, 2, 3)
     want = (px16.astype(np.uint32) >> 8).astype(np.uint8)
     assert np.array_equal(np.frombuffer(out, np.uint8).reshape(h, w, ch), want)
+
+
+def test_jpeg_progressive_hand_packed_spec_bytes():
+    """Progressive JPEG (T.81 Annex G) validated against streams packed
+    BY HAND from the spec — successive approximation (DC first at Al=1,
+    DC refinement bit, AC first shifted, AC refinement with correction
+    bits) and spectral selection (interleaved DC scan + per-component
+    AC scans), plus multi-block EOBRUN with appended run bits."""
+    import struct
+
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    def seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    DC_L, AC_L = codecs._HUFF_DC_LUMA, codecs._HUFF_AC_LUMA
+    dqt = seg(0xDB, bytes([0]) + bytes([16]) * 64)
+    sof2 = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # A: flat 160 — DC first (Al=1, cat4 '101'+'1000' = B1), DC refine
+    # (bit 0 = 7F), AC first (EOB '1010' = AF)
+    jpg = (b"\xff\xd8" + dqt + sof2 + dht(0, 0, DC_L) + dht(1, 0, AC_L)
+           + sos(0, 0, 0, 1) + bytes([0xB1])
+           + sos(0, 0, 1, 0) + bytes([0x7F])
+           + sos(1, 63, 0, 0) + bytes([0xAF])
+           + b"\xff\xd9")
+    w, h, ch, px = codecs.decode_jpeg(jpg)
+    assert (w, h, ch, set(px)) == (8, 8, 1, {160})
+
+    # B: AC successive approximation — true coeff 3 at zigzag 1 arrives
+    # as 1<<1 in the first AC scan ('00'+'1'+EOB = 35) and gains its low
+    # bit via an EOB-covered correction bit in the refinement (AF)
+    jpg = (b"\xff\xd8" + dqt + sof2 + dht(0, 0, DC_L) + dht(1, 0, AC_L)
+           + sos(0, 0, 0, 1) + bytes([0x3F])
+           + sos(0, 0, 1, 0) + bytes([0x7F])
+           + sos(1, 63, 0, 1) + bytes([0x35])
+           + sos(1, 63, 1, 0) + bytes([0xAF])
+           + b"\xff\xd9")
+    w, h, ch, px = codecs.decode_jpeg(jpg)
+    C = np.zeros((8, 8))
+    C[0, 1] = 48.0  # 3 * q16, natural position (0,1)
+    want = np.clip(
+        np.round(codecs._DCT_A.T @ C @ codecs._DCT_A + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(8, 8), want)
+
+    # C: spectral selection, 3 components — interleaved DC scan
+    # (Y cat5+bits, chroma cat0s = D0 0F), then one AC scan per
+    # component (EOBs); Y=160 Cb=Cr=128 -> gray RGB 160
+    DC_C, AC_C = codecs._HUFF_DC_CHROMA, codecs._HUFF_AC_CHROMA
+    sof2c = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
+                + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dqt2 = seg(0xDB, bytes([1]) + bytes([16]) * 64)
+    sos_dc3 = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x00]))
+
+    def sos1(cid, table_id):
+        return seg(0xDA, bytes([1, cid, table_id, 1, 63, 0x00]))
+
+    jpg = (b"\xff\xd8" + dqt + dqt2 + sof2c
+           + dht(0, 0, DC_L) + dht(1, 0, AC_L)
+           + dht(0, 1, DC_C) + dht(1, 1, AC_C)
+           + sos_dc3 + bytes([0xD0, 0x0F])
+           + sos1(1, 0x00) + bytes([0xAF])
+           + sos1(2, 0x01) + bytes([0x3F])
+           + sos1(3, 0x01) + bytes([0x3F])
+           + b"\xff\xd9")
+    w, h, ch, px = codecs.decode_jpeg(jpg)
+    assert (w, h, ch) == (8, 8, 3)
+    assert set(np.frombuffer(px, np.uint8)) == {160}
+
+    # D: multi-block EOBRUN — 16x8 (2 blocks in raster), AC scan covered
+    # by one EOB1 with an appended run bit; needs an EOBn-capable custom
+    # table (the baseline Annex K tables only carry EOB0)
+    sof2w = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 16)
+                + bytes([1, 1, 0x11, 0]))
+    ac_eob = ([0, 2, 1] + [0] * 13, [0x00, 0x10, 0x01])  # 00,01 / 100
+    # DC first raster: block1 diff 16 (110+10000), block2 diff 0 (00)
+    # -> 1101 0000 00 + 6 pad = D0 3F; AC: EOB1 '01' + run bit '0' = 5F
+    jpg = (b"\xff\xd8" + dqt + sof2w + dht(0, 0, DC_L) + dht(1, 0, ac_eob)
+           + sos(0, 0, 0, 0) + bytes([0xD0, 0x3F])
+           + sos(1, 63, 0, 0) + bytes([0x5F])
+           + b"\xff\xd9")
+    w, h, ch, px = codecs.decode_jpeg(jpg)
+    assert (w, h, ch, set(px)) == (16, 8, 1, {160})
