@@ -10,7 +10,8 @@ corpora are decodable from the spec with stdlib + numpy:
     here: 8-bit grayscale / gray+alpha / RGB / RGBA / palette,
     non-interlaced, all five scanline filters (None/Sub/Up/Average/
     Paeth).  That covers everything a standard encoder with default
-    settings emits.  16-bit and Adam7 interlace raise cleanly.
+    settings emits; 16-bit decodes via high-byte downscale.  Sub-8-bit
+    depths and Adam7 interlace raise cleanly.
   * JPEG: Huffman-coded JFIF — baseline/extended sequential (SOF0/1,
     single- or multi-scan) AND progressive (SOF2: spectral selection +
     successive approximation, T.81 Annex G); restart intervals
