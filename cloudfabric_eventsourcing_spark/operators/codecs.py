@@ -286,8 +286,16 @@ def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
                 stream_no += 1
                 if data[p:p + 4] == b"vids" and vid_stream is None:
                     vid_stream = stream_no
-            elif fourcc == b"strf" and (
-                stream_no == vid_stream and width is None
+            elif fourcc == b"strf" and width is None and (
+                stream_no == vid_stream
+                # structurally minimal AVIs omit strh entirely; a strf
+                # seen before ANY strh can only be the video format
+                # (there is no audio stream it could belong to), so the
+                # pre-r8 first-strf behavior is kept for that case (r8
+                # advice).  Once a strh has appeared, only the declared
+                # 'vids' stream's strf is trusted — a WAVEFORMATEX after
+                # an 'auds' strh must never parse as a BITMAPINFOHEADER.
+                or (vid_stream is None and stream_no == -1)
             ):
                 # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes,
                 # biBitCount, biCompression, ...

@@ -427,6 +427,23 @@ def _read_minhash_meta(spark, path: str) -> tuple[int, int, int]:
     return (int(row["num_perm"]), int(row["bands"]), int(row["n"]))
 
 
+def _read_index_table(spark, path: str, fallback_schema) -> DataFrame:
+    """Read a persisted index dataset with schema INFERENCE whenever it
+    has data files — the STORED types win, so an index saved with (say)
+    array<double> embeddings probed by an array<float> batch keeps
+    working through the expressions' explicit casts, as it did before
+    r8.  The caller's schema applies only to the cold-start case where
+    an empty partitionBy write left no files to infer from (r8 advice:
+    forcing the batch schema onto populated files broke cross-type
+    probes at the parquet reader)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.read.schema(fallback_schema).parquet(path)
+
+
 def dedup_against_index(
     new_df: DataFrame,
     path: str,
@@ -476,11 +493,7 @@ def dedup_against_index(
         new_df, num_perm, bands, n, text_col, id_col
     )
     q_banded = F.broadcast(new_banded) if broadcast else new_banded
-    # explicit schema (identical banding -> identical schema): a cold-start
-    # index built from an EMPTY corpus has a bands dir with no data files
-    # (empty partitionBy writes nothing), where schema inference fails —
-    # with the schema given, Spark reads it as a legal empty relation
-    idx_banded = spark.read.schema(new_banded.schema).parquet(f"{path}/bands")
+    idx_banded = _read_index_table(spark, f"{path}/bands", new_banded.schema)
     bucket_match = (F.col("i.bi") == F.col("q.bi")) & (
         F.col("i.bh") == F.col("q.bh")
     )
@@ -495,7 +508,7 @@ def dedup_against_index(
         .dropDuplicates(["new_id", "index_id"])
     )
     ga = new_grams.select(F.col("id").alias("new_id"), F.col("g").alias("ga"))
-    gb = spark.read.schema(new_grams.schema).parquet(f"{path}/grams").select(
+    gb = _read_index_table(spark, f"{path}/grams", new_grams.schema).select(
         F.col("id").alias("index_id"), F.col("g").alias("gb")
     )
     if broadcast:
@@ -764,14 +777,11 @@ def cosine_dedup_against_index(
     buckets = [
         r["bucket"] for r in probes_df.select("bucket").distinct().collect()
     ]
-    # explicit schema (identical bucketing -> identical schema): an index
-    # cold-started from an EMPTY corpus has a vectors dir with no data
-    # files (empty partitionBy writes nothing) where inference fails
-    stored_schema = qb.select(
+    fallback_schema = qb.select(
         F.col("new_id").alias(id_col), F.col("qv").alias(vec_col), "bucket"
     ).schema
     idx = (
-        spark.read.schema(stored_schema).parquet(f"{path}/vectors")
+        _read_index_table(spark, f"{path}/vectors", fallback_schema)
         .where(F.col("bucket").isin(buckets))
         .select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket")
     )

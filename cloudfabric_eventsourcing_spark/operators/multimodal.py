@@ -6,10 +6,11 @@ audio codec step:
 
   * images: PIL when importable (WebP/whatever the deployment
     installs), falling back to the dependency-free pure-Python decoders
-    in operators/codecs.py — PNG (8-bit gray/RGB/RGBA/palette, all five
-    scanline filters) and baseline JPEG (T.81 SOF0/1, restart
-    intervals, 4:2:0) — so real PNG/JPEG bytes decode, resize, and
-    featurize hermetically in this container;
+    in operators/codecs.py — PNG (8/16-bit gray/RGB/RGBA/palette, all
+    five scanline filters) and JPEG (T.81 baseline SOF0/1 AND
+    progressive SOF2, restart intervals, 4:2:0) — so real PNG/JPEG
+    bytes decode, resize, and featurize hermetically in this container
+    (arithmetic-coded, lossless, and 12-bit JPEG still raise);
   * audio: RIFF/PCM WAV via the stdlib wave module (codecs.decode_wav);
   * video: RIFF/AVI demux for uncompressed-RGB and Motion-JPEG streams
     (codecs.decode_avi); inter-frame codecs (H.264...) genuinely need
@@ -42,9 +43,10 @@ from cloudfabric_eventsourcing_spark.operators import codecs as _codecs
 
 def _decode_image(content: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, raw pixels) via PIL when available,
-    else the pure-Python decoders (PNG; baseline JPEG).  Raises
-    ValueError / NotImplementedError for formats neither path can
-    handle (progressive JPEG, WebP, ... without PIL)."""
+    else the pure-Python decoders (8/16-bit PNG; baseline + progressive
+    JPEG).  Raises ValueError / NotImplementedError for formats neither
+    path can handle (WebP/TIFF/... without PIL; arithmetic-coded,
+    lossless, or 12-bit JPEG always)."""
     try:
         import io
 

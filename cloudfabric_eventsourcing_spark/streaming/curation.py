@@ -322,6 +322,8 @@ def curate_stream(
     available_now: bool = True,
     compact_every: Optional[int] = None,
     clusters_path: Optional[str] = None,
+    quarantine_path: Optional[str] = None,
+    quarantine_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
 ):
     """Run the streaming curation pipeline; returns the started query.
 
@@ -358,7 +360,14 @@ def curate_stream(
     is not probed and cannot merge two families on its own — families
     connect through accepted (indexed) members, which is the curation
     loop's provenance question, not a full all-pairs closure (the
-    offline `close_rejected_families` pass fills that gap on demand)."""
+    offline `close_rejected_families` pass fills that gap on demand).
+
+    `quarantine_path` + `quarantine_transform`: per-batch side channel
+    for rows the `batch_transform` silently drops (media compositions
+    with on_error="skip" — see curate_image_stream).  The transform runs
+    on the RAW batch and its output is written run/epoch-keyed under
+    `quarantine_path` — see _run_curation_stream for the delivery
+    semantics."""
     # appends must band exactly like the existing index: read its pinned
     # parameters once, up front (also fails fast on a missing index)
     num_perm, bands, n = _dedup._read_minhash_meta(
@@ -383,7 +392,8 @@ def curate_stream(
     return _run_curation_stream(
         stream, index_path, corpus_path, checkpoint, id_col,
         probe, append, batch_transform, available_now,
-        compact_every, clusters_path,
+        compact_every, clusters_path, quarantine_path,
+        quarantine_transform,
     )
 
 
@@ -399,6 +409,8 @@ def _run_curation_stream(
     available_now: bool,
     compact_every: Optional[int],
     clusters_path: Optional[str],
+    quarantine_path: Optional[str] = None,
+    quarantine_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
 ):
     """Modality-independent streaming-curation skeleton shared by the
     text (MinHash) and embedding (cosine-LSH) loops: per micro-batch,
@@ -408,7 +420,21 @@ def _run_curation_stream(
     cadence.  All delivery/crash reasoning in the module docstring
     applies to any (probe, append) pair whose probe is content-keyed
     idempotent (include_same_id) and whose append only ever ADDS
-    index rows."""
+    index rows.
+
+    Quarantine side channel (r8 verdict): when both `quarantine_path`
+    and `quarantine_transform` are given, the transform runs on each
+    RAW batch (before `batch_transform`) and any rows it returns are
+    written to ``{quarantine_path}/run=<id>/epoch=<n>`` with overwrite.
+    Idempotence is structural: the report derives deterministically
+    from the batch's content, so a replayed epoch overwrites its own
+    subdirectory with identical rows, and a fresh-checkpoint redelivery
+    lands under a new run segment — same lineage semantics as the
+    corpus.  The write happens FIRST so a crash later in the batch
+    still leaves the report for the operator to act on.  Cost: one
+    extra decode attempt per blob per batch (batch-bounded, not
+    corpus-bounded); pipelines that cannot afford it pass
+    quarantine_path=None and run media_decode_errors offline."""
     # refuse a legacy flat-layout corpus before the first batch runs
     _check_corpus_layout(stream.sparkSession, corpus_path)
     accepted_batches = [0]
@@ -427,6 +453,13 @@ def _run_curation_stream(
         return run_id[0]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
+        if quarantine_path is not None and quarantine_transform is not None:
+            bad = quarantine_transform(batch)
+            if not bad.isEmpty():
+                bad.write.mode("overwrite").parquet(
+                    f"{quarantine_path}/run={_run_id(batch.sparkSession)}"
+                    f"/epoch={epoch_id}"
+                )
         if batch_transform is not None:
             batch = batch_transform(batch)
         result = probe(batch, clusters_path is not None)
@@ -564,6 +597,8 @@ def curate_vector_stream(
     available_now: bool = True,
     compact_every: Optional[int] = None,
     clusters_path: Optional[str] = None,
+    quarantine_path: Optional[str] = None,
+    quarantine_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
 ):
     """Streaming curation for the EMBEDDING modality — the cosine-LSH
     twin of curate_stream, sharing its skeleton and its entire
@@ -608,7 +643,96 @@ def curate_vector_stream(
     return _run_curation_stream(
         stream, index_path, corpus_path, checkpoint, id_col,
         probe, append, batch_transform, available_now,
-        compact_every, clusters_path,
+        compact_every, clusters_path, quarantine_path,
+        quarantine_transform,
+    )
+
+
+def curate_image_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.995,
+    out_dim: int = 16,
+    fake: bool = False,
+    quarantine_path: Optional[str] = None,
+    available_now: bool = True,
+    compact_every: Optional[int] = None,
+    clusters_path: Optional[str] = None,
+):
+    """Streaming near-dup curation of IMAGE media rows (MEDIA_SCHEMA
+    shape): curate_vector_stream with batch_transform =
+    multimodal.image_feature_vectors — and, critically, with the
+    corrupt-media policy a production ingest needs (r8 verdict): the
+    feature step runs ``on_error="skip"``, so one truncated JPEG in a
+    batch can never raise inside foreachBatch and kill the whole
+    streaming query.  Undecodable blobs are not silently lost: with
+    `quarantine_path` given, each batch's decode failures are written
+    run/epoch-keyed via media_decode_errors (one row per bad blob —
+    error class, message, byte count) for re-ingest/transcode triage.
+
+    The composition contract is unchanged from the pinned end-to-end
+    test: a JPEG re-encode of an already-accepted PNG arriving in a
+    later batch is rejected by the cosine index; the index must be
+    cold-started with dims=out_dim.  A deployment with a real vision
+    encoder swaps the feature step (pass its own batch_transform to
+    curate_vector_stream directly) and keeps this loop's machinery."""
+    from cloudfabric_eventsourcing_spark.operators import multimodal as _mm
+
+    def features(batch: DataFrame) -> DataFrame:
+        return _mm.image_feature_vectors(
+            batch, out_dim=out_dim, fake=fake, on_error="skip"
+        )
+
+    def bad_rows(batch: DataFrame) -> DataFrame:
+        return _mm.media_decode_errors(
+            batch.where(F.col("kind") == "image"), fake=fake
+        )
+
+    return curate_vector_stream(
+        stream, index_path, corpus_path, checkpoint,
+        threshold=threshold, batch_transform=features,
+        available_now=available_now, compact_every=compact_every,
+        clusters_path=clusters_path, quarantine_path=quarantine_path,
+        quarantine_transform=bad_rows if quarantine_path else None,
+    )
+
+
+def curate_audio_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.995,
+    out_dim: int = 16,
+    fake: bool = False,
+    quarantine_path: Optional[str] = None,
+    available_now: bool = True,
+    compact_every: Optional[int] = None,
+    clusters_path: Optional[str] = None,
+):
+    """Acoustic twin of curate_image_stream: audio_feature_vectors with
+    on_error="skip" + run/epoch-keyed quarantine of undecodable WAVs.
+    Same contract, same swap-in point for a real audio encoder."""
+    from cloudfabric_eventsourcing_spark.operators import multimodal as _mm
+
+    def features(batch: DataFrame) -> DataFrame:
+        return _mm.audio_feature_vectors(
+            batch, out_dim=out_dim, fake=fake, on_error="skip"
+        )
+
+    def bad_rows(batch: DataFrame) -> DataFrame:
+        return _mm.media_decode_errors(
+            batch.where(F.col("kind") == "audio"), fake=fake
+        )
+
+    return curate_vector_stream(
+        stream, index_path, corpus_path, checkpoint,
+        threshold=threshold, batch_transform=features,
+        available_now=available_now, compact_every=compact_every,
+        clusters_path=clusters_path, quarantine_path=quarantine_path,
+        quarantine_transform=bad_rows if quarantine_path else None,
     )
 
 
@@ -617,11 +741,18 @@ def vector_index_corpus_divergence(
     index_path: str,
     corpus_path: str,
     id_col: str = "vec_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """Embedding twin of index_corpus_divergence: ids present in the
     cosine index but absent from the corpus (the externally-lost-epoch
     detector).  One column-pruned scan of the index's id column, one of
-    the corpus id column, a distinct per side, one anti-join."""
+    the corpus id column, a distinct per side, one anti-join.
+
+    The cold-index empty frame is typed from the CORPUS's id column when
+    the corpus is readable, else from `id_type` (default long, matching
+    the populated branch in every pipeline here) — r8 advice: a
+    hardcoded string type made the two branches union-incompatible for
+    callers with non-string ids."""
     try:
         index_ids = (
             spark.read.parquet(f"{index_path}/vectors")
@@ -634,9 +765,12 @@ def vector_index_corpus_divergence(
         # stranded.  (The text twin never hits this: its grams table is
         # unpartitioned, and an empty write still leaves a
         # schema-bearing file.)
-        return spark.createDataFrame([], f"{id_col} string").select(
-            F.col(id_col)
-        )
+        try:
+            corpus_schema = spark.read.parquet(corpus_path).schema
+            id_type = corpus_schema[id_col].dataType.simpleString()
+        except (AnalysisException, KeyError):
+            pass
+        return spark.createDataFrame([], f"{id_col} {id_type}")
     try:
         corpus_ids = (
             spark.read.parquet(corpus_path).select(id_col).distinct()

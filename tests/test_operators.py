@@ -2047,6 +2047,41 @@ def test_avi_codec_audio_stream_first_and_top_down_dib():
     )
 
 
+def test_avi_codec_minimal_no_strh_falls_back_to_first_strf():
+    """r8 advice pin: a structurally minimal AVI that carries strf (and
+    frames) but omits strh entirely must still decode via the pre-r8
+    first-strf behavior — before any strh appears there is no audio
+    stream a strf could belong to, so the fallback cannot misparse a
+    WAVEFORMATEX.  After an strh HAS appeared the stricter vids-only
+    rule stands (previous test)."""
+    import struct
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    # bottom-up 2x2 padded BGR DIB: display rows [RED, GREEN]/[BLUE, WHITE]
+    dib = bytes([255, 0, 0, 255, 255, 255]) + b"\0\0" + bytes(
+        [0, 0, 255, 0, 255, 0]
+    ) + b"\0\0"
+
+    def ck(fcc, payload):
+        return (
+            fcc + struct.pack("<I", len(payload)) + payload
+            + (b"\0" if len(payload) & 1 else b"")
+        )
+
+    strf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(dib), 0, 0, 0, 0)
+    hdrl = ck(b"LIST", b"hdrl" + ck(b"LIST", b"strl" + ck(b"strf", strf)))
+    movi = ck(b"LIST", b"movi" + ck(b"00db", dib))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w, h, fps, frames = codecs.decode_avi(avi)
+    assert (w, h) == (2, 2) and fps == 0.0  # no avih: fps unknown
+    assert frames[0] == bytes([255, 0, 0, 0, 255, 0]) + bytes(
+        [0, 0, 255, 255, 255, 255]
+    )
+
+
 def test_multimodal_real_video_frame_pipeline(spark):
     """Real video path end-to-end: uncompressed AVI -> every-n-th frame
     as standalone PNG -> image features on the sampled frames.  Nulls

@@ -231,6 +231,46 @@ def test_vector_index_corpus_divergence_detects_stranded(spark, tmp_path):
     )
 
 
+def test_vector_divergence_cold_index_id_type_matches(spark, tmp_path):
+    """r8 advice pin: the cold-index branch's empty frame must carry the
+    SAME id type the populated branch would (long here, via the corpus
+    schema) so callers can union/join the two branches; with no corpus
+    either, the id_type parameter (default long) applies."""
+    index_path = str(tmp_path / "cidx")
+    corpus_path = str(tmp_path / "corpus")
+    dedup.save_cosine_index(
+        _mk(spark, []), index_path, dims=DIMS, bits=BITS
+    )
+    cold = vector_index_corpus_divergence(spark, index_path, corpus_path)
+    assert cold.schema["vec_id"].dataType.simpleString() == "bigint"
+    assert cold.count() == 0
+    # with a readable corpus, its id type wins outright
+    _mk(spark, [(1, E1)]).write.parquet(f"{corpus_path}/run=r1/epoch=0")
+    typed = vector_index_corpus_divergence(spark, index_path, corpus_path)
+    assert typed.schema["vec_id"].dataType.simpleString() == "bigint"
+    # the two branches union cleanly (the advice's failing case)
+    assert typed.unionByName(cold).count() == 0
+
+
+def test_cosine_index_cross_type_probe_uses_stored_schema(spark, tmp_path):
+    """r8 advice pin: an index persisted with array<double> embeddings
+    probed by an array<float> batch must keep working — stored types win
+    via schema inference whenever data files exist (the expressions cast
+    to double anyway); the explicit batch schema is only the cold-start
+    fallback."""
+    index_path = str(tmp_path / "cidx")
+    stored = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    dedup.save_cosine_index(stored, index_path, dims=DIMS, bits=BITS)
+    hits = dedup.cosine_dedup_against_index(
+        _mk(spark, [(10, E1_SCALED)]), index_path, 0.95
+    ).collect()
+    assert [(r["new_id"], r["index_id"], r["cosine"]) for r in hits] == [
+        (10, 1, 1.0)
+    ]
+
+
 def test_vector_batch_probe_plan_partition_prunes(spark, tmp_path):
     """Scale pin: the batch probe's corpus scan is pruned to the probed
     bucket partitions (PartitionFilters at the file listing), and the
@@ -428,16 +468,16 @@ def test_image_neardup_pairs_across_reencodes(spark):
 
 
 def test_image_stream_curation_composes_with_vector_loop(spark, tmp_path):
-    """End-to-end multimodal curation: a STREAM of image bytes is
-    curated by perceptual near-dup — batch_transform decodes features
-    (image_feature_vectors), then the standard vector loop probes and
-    grows the persisted cosine index.  A JPEG re-encode of an
+    """End-to-end multimodal curation via curate_image_stream (the
+    production composition — on_error="skip", NOT the job-killing raise
+    default): a STREAM of image bytes is curated by perceptual near-dup,
+    growing the persisted cosine index.  A JPEG re-encode of an
     already-accepted PNG arriving in a LATER batch is rejected."""
     import numpy as np
 
     from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
     from cloudfabric_eventsourcing_spark.streaming.curation import (
-        curate_vector_stream,
+        curate_image_stream,
     )
 
     img_a = np.zeros((32, 48, 3), np.uint8)
@@ -468,10 +508,9 @@ def test_image_stream_curation_composes_with_vector_loop(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    q = curate_vector_stream(
+    q = curate_image_stream(
         stream, index_path, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
         threshold=0.995,
-        batch_transform=multimodal.image_feature_vectors,
     )
     q.awaitTermination(120)
     accepted = sorted(
@@ -479,6 +518,142 @@ def test_image_stream_curation_composes_with_vector_loop(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     )
     assert accepted == [10, 12]
+
+
+def test_image_stream_corrupt_blob_skipped_and_quarantined(spark, tmp_path):
+    """r8 verdict #1 closed: a corrupt JPEG in the MIDDLE batch of an
+    image curation stream must not kill the streaming query — the batch
+    completes, its good images are accepted, and the quarantine dir
+    holds exactly the bad blob's row (run/epoch-keyed).  A replay under
+    the same checkpoint overwrites the same quarantine epoch (no
+    duplicate report rows)."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_image_stream,
+    )
+
+    img_a = np.zeros((32, 48, 3), np.uint8)
+    img_a[...] = (np.arange(48)[None, :, None] * 255) // 47
+    img_b = np.full((32, 48, 3), 30, np.uint8)
+    img_b[8:16, 8:24] = 55
+    png_a = codecs.encode_png(48, 32, 3, img_a.tobytes())
+    png_b = codecs.encode_png(48, 32, 3, img_b.tobytes())
+    corrupt = codecs.encode_jpeg(48, 32, 3, img_a.tobytes())[:40]  # truncated
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "image", bytearray(png_a), None)], multimodal.MEDIA_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "a"))
+    # middle batch: one corrupt blob + one good novel image
+    spark.createDataFrame(
+        [(11, "image", bytearray(corrupt), None),
+         (12, "image", bytearray(png_b), None)],
+        multimodal.MEDIA_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    index_path = str(tmp_path / "cidx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    dedup.save_cosine_index(empty, index_path, dims=16, bits=8)
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_image_stream(
+            stream, index_path, corpus, ckpt,
+            threshold=0.995, quarantine_path=quarantine,
+        )
+        q.awaitTermination(120)
+
+    run()
+    accepted = sorted(
+        r["vec_id"] for r in spark.read.parquet(corpus).collect()
+    )
+    assert accepted == [10, 12]  # query survived; good images accepted
+    bad = spark.read.parquet(quarantine).collect()
+    assert len(bad) == 1
+    assert (bad[0]["media_id"], bad[0]["kind"]) == (11, "image")
+    assert bad[0]["error"] and bad[0]["n_bytes"] == 40
+
+    # replay the corrupt epoch under the SAME checkpoint: the report is
+    # overwritten in place, not duplicated
+    os.unlink(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    run()
+    assert spark.read.parquet(quarantine).count() == 1
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [10, 12]
+
+
+def test_audio_stream_curation_skips_and_quarantines(spark, tmp_path):
+    """curate_audio_stream end-to-end: a later-batch gain-change
+    re-encode of an accepted WAV is rejected by the cosine index, a
+    corrupt WAV in the same batch is skipped (query survives) and
+    quarantined, and the novel signal is accepted."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_audio_stream,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig_a = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(
+        2 * np.pi * 1320 * t
+    )
+    sig_b = 0.5 * np.sin(2 * np.pi * 3000 * t) + 0.4 * np.sin(
+        2 * np.pi * 200 * t
+    )
+
+    def wav16(sig, gain=1.0):
+        pcm = np.clip(sig * gain * 32000, -32768, 32767).astype(np.int16)
+        return codecs.encode_wav(sr, 1, 2, pcm.tobytes())
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "audio", bytearray(wav16(sig_a)), None)], multimodal.MEDIA_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(2, "audio", bytearray(wav16(sig_a, 0.4)), None),  # re-encode: reject
+         (3, "audio", bytearray(wav16(sig_b)), None),       # novel: accept
+         (4, "audio", bytearray(b"RIFFnope"), None)],       # corrupt: skip
+        multimodal.MEDIA_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    index_path = str(tmp_path / "cidx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    dedup.save_cosine_index(empty, index_path, dims=16, bits=8)
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+
+    stream = (
+        spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_audio_stream(
+        stream, index_path, corpus, str(tmp_path / "ckpt"),
+        threshold=0.99, quarantine_path=quarantine,
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3]
+    bad = spark.read.parquet(quarantine).collect()
+    assert [(r["media_id"], r["kind"]) for r in bad] == [(4, "audio")]
 
 
 def test_audio_neardup_pairs_across_reencodes(spark):
