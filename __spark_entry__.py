@@ -2509,6 +2509,67 @@ def m01_multimodal(spark, sf_dir):
 
 
 @q(
+    "m02_image_neardup",
+    # planted-truth oracle (p06 style) through the REAL codec path: each
+    # doc with doc_id < 300 becomes a constant-gray 16x16 PNG at the bin
+    # center v = (doc_id % 16)*16 + 8; docs < 25 additionally get a JPEG
+    # re-encode twin at media_id + 10^7.  Constant-gray survives the
+    # JPEG round-trip exactly (DC-only blocks; verified per-bin in
+    # test_m02_gray_levels_survive_jpeg), so the decoded luminance
+    # histograms are one-hot: every same-bin pair — and ONLY those —
+    # lands at cosine exactly 1.0 (cross-bin cosine is 0, far below the
+    # 0.995 threshold; identical vectors always share an LSH bucket, so
+    # the banded pass is exhaustive here).  The oracle enumerates the
+    # same-bin pairs from doc_id arithmetic alone — any PNG/JPEG decode
+    # or featurize drift moves a bin and breaks the hash match.
+    "WITH m AS (SELECT doc_id AS id, doc_id % 16 AS bin FROM documents "
+    "WHERE doc_id < 300 UNION ALL SELECT doc_id + 10000000, doc_id % 16 "
+    "FROM documents WHERE doc_id < 25) "
+    "SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS cosine "
+    "FROM m a JOIN m b ON a.bin = b.bin AND a.id < b.id",
+)
+def m02_image_neardup(spark, sf_dir):
+    # image near-dup as a first-class CORRECTNESS row (r8 verdict ask
+    # #2): real PNG/JPEG encode -> decode -> luminance-histogram
+    # embedding -> hyperplane-LSH -> exact cosine within buckets.
+    # Scale shape: the image-generation and decode both ride mapInPandas
+    # beside the scan; candidates are bucket-local (operators/dedup).
+    from cloudfabric_eventsourcing_spark.operators import (
+        codecs as _codecs,
+        multimodal as _mm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = (did % 16) * 16 + 8
+                px = bytes([v]) * (16 * 16 * 3)
+                out["media_id"].append(did)
+                out["kind"].append("image")
+                out["content"].append(_codecs.encode_png(16, 16, 3, px))
+                out["meta"].append(None)
+                if did < 25:
+                    out["media_id"].append(did + 10_000_000)
+                    out["kind"].append("image")
+                    out["content"].append(
+                        _codecs.encode_jpeg(16, 16, 3, px, quality=95)
+                    )
+                    out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, _mm.MEDIA_SCHEMA)
+    return _mm.image_neardup_pairs(media, threshold=0.995)
+
+
+@q(
     "h9_order_priority_check",
     "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
     "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
@@ -2872,66 +2933,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # row went green 50/50 and rotates out).  Four of the safest aged
 # translator filters (f04/f06/f08/f09 — pinned by the 54-test
 # case-sensitivity matrix AND the full-registry sf0.01 sweep) are held
-# just outside at positions 51-54 and lead r09.  No queries() entries
-# were added in round 8 (the round's new operators are streaming-only:
-# vector curation, closure passes — pytest-pinned), so no day-one slots
-# are needed.
+# just outside at positions 51-54 and lead r09.
+# Round-9 rotation: every r08-window row went green 50/50 and rotates
+# out.  The window is the 54 entries whose last driver check predates
+# r08 — led by f04/f06/f08/f09 as r8 prescribed, with the round's ONE
+# new entry (m02_image_neardup, the image-modality codec->feature->LSH
+# slot the r8 verdict asked for) taking its day-one slot at position 5 —
+# minus the five safest aged entries displaced to positions 51-55
+# (h8/s03/k01/p07/p09: each pinned by family pytest + the full-registry
+# sweep); they lead r10.
 _VERIFY_FIRST = [
-    "h26_brand_supplier_counts",
-    "f01_eq",
-    "h13_cube_revenue",
-    "w01_tumbling_window",
-    "f03_ts_range",
-    "f12_array_exists",
-    "f10_bool_tree",
-    "f11_nested_path",
-    "f13_search_text",
-    "f17_search_scored",
-    "t04_pii_redaction",
-    "f16_search_tokenized",
-    "f23_search_match_analyzer",
-    "f14_partition_key",
-    "o1_multi_sort_limit",
-    "o3_array_element_filtered_sort",
-    "o4_pagination",
-    "a1_total_count",
-    "a2_max_stream_version",
-    "a3_store_statistics",
-    "a6_facet_counts",
-    "a6_facet_ranges",
-    "a4_projection_fold_counts",
-    "a5_projection_fold_sum",
-    "j3_in_list",
-    "h1_pricing_summary",
-    "h2_revenue_by_nation",
-    "h3_top_customers",
-    "p01_exact_dedup",
-    "p02_fingerprint_dedup",
-    "p10_decontaminate",
-    "p12_pack_offsets",
-    "p03_ngram_jaccard_pairs",
-    "p04_minhash_lsh_pairs",
-    "p05_cosine_neardup_pairs",
-    "s01_ann_brute_force_topk",
-    "t01_language_id",
-    "t03_token_counts",
-    "h4_semi_join_high_value_orders",
-    "h5_anti_join_customers_without_p_orders",
-    "h6_window_top3_orders_per_customer",
-    "x01_asof_join",
-    "h20_brand_size_quantity_revenue",
-    "h28_late_priority_lines",
-    "h29_dominant_suppliers",
-    "t08_fluency_scores",
-    "x05_retention_cohorts",
-    "p14_train_shuffle",
-    "p08_stratified_sample",
-    "w02_sliding_window",
-    # -- driver window ends here (position 50) --
     "f04_starts_with",
     "f06_contains_case_sensitive",
     "f08_contains_ignore_case",
     "f09_array_contains",
+    "m02_image_neardup",
+    "f02_ne_null",
+    "f03_range",
+    "f05_ends_with",
+    "f07_starts_ignore_case",
+    "f19_search_scored_boosted",
+    "f20_search_highlights",
+    "f21_search_fuzzy",
+    "t05_rarity_weighted_scores",
+    "t06_repetition_stats",
+    "f18_search_phrase_prefix",
+    "f24_search_phrase_slop",
+    "f22_search_synonyms",
+    "o2_nested_sort",
+    "p11_boilerplate_lines",
+    "p06_cosine_neardup_lsh",
+    "s02_ann_lsh_topk",
+    "t02_quality_score",
+    "x02_sessionization",
+    "w03_session_window",
+    "h7_rollup_revenue",
+    "a7_exact_median",
+    "h14_distinct_customers_per_nation",
+    "h15_nation_volume_shipping",
+    "h16_priority_status_matrix",
+    "h17_top_supplier_revenue",
+    "h18_small_quantity_revenue",
+    "h19_forecast_discount_revenue",
+    "h21_major_revenue_nations",
+    "h22_min_price_supplier",
+    "h23_market_share",
+    "h24_product_profit",
+    "h25_customer_distribution",
+    "h27_waiting_suppliers",
+    "p13_duplicate_clusters",
+    "p15_incremental_clusters",
+    "t07_vocab_topk",
+    "u01_set_ops",
+    "f15_suggestions",
+    "x03_range_join",
+    "x04_funnel_conversion",
+    "m01_multimodal_features",
+    "h9_order_priority_check",
+    "h10_promo_revenue_share",
+    "h11_large_volume_customers",
+    "h12_rich_idle_customers",
+    # -- driver window ends here (position 50) --
+    "h8_shipping_priority",
+    "s03_ann_ivf_topk",
+    "k01_salted_join",
+    "p07_simhash_neardup",
+    "p09_weighted_mix",
 ]
 
 

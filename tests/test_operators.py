@@ -2047,6 +2047,27 @@ def test_avi_codec_audio_stream_first_and_top_down_dib():
     )
 
 
+def test_m02_gray_levels_survive_jpeg():
+    """Pin for m02_image_neardup's oracle premise: every bin-center gray
+    level v = bin*16 + 8 round-trips PNG exactly AND JPEG(quality=95)
+    back to a one-hot luminance histogram in the SAME bin — so the
+    planted same-bin pairs are exactly the threshold pairs."""
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    for b in range(16):
+        v = b * 16 + 8
+        px = bytes([v]) * (16 * 16 * 3)
+        _, _, _, dec_png = codecs.decode_png(codecs.encode_png(16, 16, 3, px))
+        assert dec_png == px
+        _, _, ch, dec_jpg = codecs.decode_jpeg(
+            codecs.encode_jpeg(16, 16, 3, px, quality=95)
+        )
+        f_png = codecs.image_features(16, 16, 3, dec_png, 16)
+        f_jpg = codecs.image_features(16, 16, ch, dec_jpg, 16)
+        assert f_png == f_jpg
+        assert f_png[b] == 1.0
+
+
 def test_avi_codec_minimal_no_strh_falls_back_to_first_strf():
     """r8 advice pin: a structurally minimal AVI that carries strf (and
     frames) but omits strh entirely must still decode via the pre-r8
