@@ -1530,32 +1530,47 @@ def h14_distinct_customers(spark, sf_dir):
     "GROUP BY supp_nation, cust_nation, l_year",
 )
 def h15_nation_volume(spark, sf_dir):
+    # Plan (r8 verdict ask #3, the classic Q7 move): filter supplier and
+    # customer to the TWO nations BEFORE any fact join — 2/25 of each dim
+    # — and broadcast the filtered dims into the fact scans.  The
+    # lineitem side then shrinks ~92% before the fact-fact join, and
+    # because broadcast joins preserve the probe side's partitioning,
+    # lineitem⋈orders still rides the bucketed orderkey co-location
+    # (no new Exchange).  The direction-pair predicate reduces to a
+    # cheap residual on the two survivors.  At a scale where even the
+    # filtered dims outgrow broadcast (sf≳10k), drop the hints and AQE
+    # picks shuffle joins on the pre-filtered 8%-sized inputs — the
+    # filter-below-the-join shape is the part that matters at 100x.
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.where(F.col("n_name").isin(pair)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nation.select(
+    n2 = nation.where(F.col("n_name").isin(pair)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    joined = (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .where(
-            (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
-            )
+    supp2 = supp.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust2 = cust.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    li2 = li.join(F.broadcast(supp2), li.l_suppkey == F.col("s_suppkey"))
+    ord2 = orders.join(
+        F.broadcast(cust2), orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    joined = li2.join(ord2, li2.l_orderkey == F.col("o_orderkey")).where(
+        (
+            (F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")
+        )
+        | (
+            (F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1")
         )
     )
     rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))

@@ -14,7 +14,11 @@ audio codec step:
   * audio: RIFF/PCM WAV via the stdlib wave module (codecs.decode_wav);
   * video: RIFF/AVI demux for uncompressed-RGB and Motion-JPEG streams
     (codecs.decode_avi); inter-frame codecs (H.264...) genuinely need
-    av/ffmpeg and raise the honest boundary.
+    av/ffmpeg and raise the honest boundary — which every operator's
+    ``decoder=`` injection point closes without a fork: pass a callable
+    (bytes -> the codec tuple) and it runs FIRST, declining a blob by
+    raising NotImplementedError to fall through to the built-in
+    dispatch (contract at _decode_image).
 
 `fake=True` remains on every operator as the hermetic stand-in (byte-hash
 features, deterministic slicing) with identical output schemas — useful
@@ -41,12 +45,27 @@ from pyspark.sql import types as T
 from cloudfabric_eventsourcing_spark.operators import codecs as _codecs
 
 
-def _decode_image(content: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, raw pixels) via PIL when available,
-    else the pure-Python decoders (8/16-bit PNG; baseline + progressive
-    JPEG).  Raises ValueError / NotImplementedError for formats neither
-    path can handle (WebP/TIFF/... without PIL; arithmetic-coded,
-    lossless, or 12-bit JPEG always)."""
+def _decode_image(content: bytes, decoder=None) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raw pixels) via an INJECTED decoder
+    first when one is given, then PIL when available, then the
+    pure-Python decoders (8/16-bit PNG; baseline + progressive JPEG).
+    Raises ValueError / NotImplementedError for formats no path can
+    handle (WebP/TIFF/... without PIL; arithmetic-coded, lossless, or
+    12-bit JPEG always).
+
+    Decoder-injection contract (shared by every media operator's
+    ``decoder=``): the callable takes the raw bytes and returns the
+    codec tuple.  It runs FIRST — a deployment injects one precisely to
+    handle formats the built-in floor can't, so its intent outranks
+    auto-detection — and declines a blob by raising NotImplementedError,
+    which falls through to the built-in dispatch.  Any OTHER exception
+    is a decode failure and flows into the operator's `on_error`
+    policy, exactly like a built-in decoder's."""
+    if decoder is not None:
+        try:
+            return decoder(content)
+        except NotImplementedError:
+            pass  # decoder declined this blob: built-in dispatch below
     try:
         import io
 
@@ -60,6 +79,32 @@ def _decode_image(content: bytes) -> tuple[int, int, int, bytes]:
     if _codecs.is_jpeg(content):
         return _codecs.decode_jpeg(content)
     return _codecs.decode_png(content)
+
+
+def _decode_video(content: bytes, decoder=None) -> tuple[int, int, float, list]:
+    """(width, height, fps, [top-down RGB frames]) — injected decoder
+    first (NotImplementedError falls through, the _decode_image
+    contract), then the AVI floor (uncompressed RGB / MJPEG).  This is
+    THE injection point that closes the inter-frame boundary: a
+    deployment with PyAV/ffmpeg passes ``decoder=`` and H.264/VP9 bytes
+    decode without forking the operators."""
+    if decoder is not None:
+        try:
+            return decoder(content)
+        except NotImplementedError:
+            pass
+    return _codecs.decode_avi(content)
+
+
+def _decode_audio(content: bytes, decoder=None) -> tuple[int, int, int, bytes]:
+    """(sample_rate, n_channels, sample_width_bytes, frames) — injected
+    decoder first (same contract), then the RIFF/PCM WAV floor."""
+    if decoder is not None:
+        try:
+            return decoder(content)
+        except NotImplementedError:
+            pass
+    return _codecs.decode_wav(content)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -106,7 +151,7 @@ def _check_on_error(on_error: str) -> None:
 
 def decode_image_features(
     df: DataFrame, fake: bool = False, out_dim: int = 16,
-    on_error: str = "raise",
+    on_error: str = "raise", decoder=None,
 ) -> DataFrame:
     """binary content -> fixed-size feature vector via mapInPandas.
 
@@ -163,7 +208,7 @@ def decode_image_features(
                     continue
                 content = bytes(row["content"])
                 try:
-                    w, h, ch, pixels = _decode_image(content)
+                    w, h, ch, pixels = _decode_image(content, decoder)
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -188,7 +233,7 @@ def decode_image_features(
 
 def sample_frames(
     df: DataFrame, every_n: int = 10, fake: bool = False,
-    on_error: str = "raise",
+    on_error: str = "raise", decoder=None,
 ) -> DataFrame:
     """video binary -> sampled frame bytes (1 row per sampled frame).
 
@@ -218,8 +263,8 @@ def sample_frames(
                     if row["content"] is None:
                         continue
                     try:
-                        w, h, _fps, frames = _codecs.decode_avi(
-                            bytes(row["content"])
+                        w, h, _fps, frames = _decode_video(
+                            bytes(row["content"]), decoder
                         )
                     except Exception:
                         if on_error == "raise":
@@ -276,7 +321,7 @@ RESIZE_DDL = (
 
 def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = False,
-    on_error: str = "raise",
+    on_error: str = "raise", decoder=None,
 ) -> DataFrame:
     """image binary -> resized image binary with updated metadata, the
     standard pre-training normalization step.  Real path (default):
@@ -320,7 +365,7 @@ def resize_images(
                         continue
                     content = bytes(row["content"])
                     try:
-                        w, h, ch, pixels = _decode_image(content)
+                        w, h, ch, pixels = _decode_image(content, decoder)
                     except Exception:
                         if on_error == "raise":
                             raise
@@ -382,7 +427,7 @@ AUDIO_CHUNK_DDL = "media_id long, chunk_idx int, chunk_bytes binary, duration_ms
 
 def chunk_audio(
     df: DataFrame, chunk_ms: int = 1000, fake: bool = False,
-    on_error: str = "raise",
+    on_error: str = "raise", decoder=None,
 ) -> DataFrame:
     """audio binary -> fixed-duration chunks (1 row per chunk), the audio
     sibling of sample_frames: the shape a speech/ASR feature pipeline
@@ -413,7 +458,9 @@ def chunk_audio(
                         continue
                     content = bytes(row["content"])
                     try:
-                        rate, n_ch, width, frames = _codecs.decode_wav(content)
+                        rate, n_ch, width, frames = _decode_audio(
+                            content, decoder
+                        )
                     except Exception:
                         if on_error == "raise":
                             raise
@@ -452,7 +499,7 @@ def chunk_audio(
 
 def image_feature_vectors(
     df: DataFrame, out_dim: int = 16, fake: bool = False,
-    on_error: str = "raise",
+    on_error: str = "raise", decoder=None,
 ) -> DataFrame:
     """Image media rows -> (vec_id, embedding) in the exact shape the
     embedding operators consume (dedup.cosine_*, similarity.*,
@@ -460,7 +507,7 @@ def image_feature_vectors(
     histogram re-labeled as an embedding column.  The glue that makes
     images a first-class DEDUP modality — see image_neardup_pairs."""
     feats = decode_image_features(
-        df, fake=fake, out_dim=out_dim, on_error=on_error
+        df, fake=fake, out_dim=out_dim, on_error=on_error, decoder=decoder
     )
     return feats.where(F.col("features").isNotNull()).select(
         F.col("media_id").alias("vec_id"),
@@ -476,6 +523,7 @@ def image_neardup_pairs(
     seed: int = 42,
     fake: bool = False,
     on_error: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs: decode -> fixed-size feature vector ->
     hyperplane-LSH bucketing -> exact cosine within buckets
@@ -492,7 +540,7 @@ def image_neardup_pairs(
     from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
 
     vecs = image_feature_vectors(
-        df, out_dim=out_dim, fake=fake, on_error=on_error
+        df, out_dim=out_dim, fake=fake, on_error=on_error, decoder=decoder
     )
     return _dedup.cosine_neardup_pairs_lsh(
         vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
@@ -504,14 +552,16 @@ AUDIO_FEATURES_DDL = (
 )
 
 
-def _audio_features(content: bytes, out_dim: int) -> tuple[int, int, list]:
+def _audio_features(
+    content: bytes, out_dim: int, decoder=None
+) -> tuple[int, int, list]:
     """(sample_rate, n_samples, out_dim spectral-band energies) from WAV
     bytes: mono-mix, magnitude spectrum (numpy rfft), log-spaced band
     pooling, L1 normalization.  Gain scaling and sample-width
     re-encodes of the same signal land ~identical vectors; time shifts
     and different signals do not — a real (if floor-grade) acoustic
     fingerprint, same status as the image histogram."""
-    sr, nch, width, frames = _codecs.decode_wav(content)
+    sr, nch, width, frames = _decode_audio(content, decoder)
     import numpy as np
 
     if width == 2:
@@ -546,7 +596,7 @@ def _audio_features(content: bytes, out_dim: int) -> tuple[int, int, list]:
 
 def audio_feature_vectors(
     df: DataFrame, out_dim: int = 16, fake: bool = False,
-    on_error: str = "raise",
+    on_error: str = "raise", decoder=None,
 ) -> DataFrame:
     """Audio media rows -> (vec_id, embedding), the dedup-modality glue
     for audio (mirror of image_feature_vectors): WAV bytes -> normalized
@@ -572,7 +622,9 @@ def audio_feature_vectors(
                     )
                 else:
                     try:
-                        sr, n, feats = _audio_features(content, out_dim)
+                        sr, n, feats = _audio_features(
+                            content, out_dim, decoder
+                        )
                     except Exception:
                         if on_error == "raise":
                             raise
@@ -604,6 +656,7 @@ def audio_neardup_pairs(
     seed: int = 42,
     fake: bool = False,
     on_error: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs — the acoustic twin of
     image_neardup_pairs: spectral-band embedding -> hyperplane-LSH ->
@@ -613,7 +666,7 @@ def audio_neardup_pairs(
     from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
 
     vecs = audio_feature_vectors(
-        df, out_dim=out_dim, fake=fake, on_error=on_error
+        df, out_dim=out_dim, fake=fake, on_error=on_error, decoder=decoder
     )
     return _dedup.cosine_neardup_pairs_lsh(
         vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
@@ -625,13 +678,19 @@ MEDIA_ERRORS_DDL = (
 )
 
 
-def media_decode_errors(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Quarantine report: one row per media blob the floor codecs CANNOT
+def media_decode_errors(
+    df: DataFrame, fake: bool = False,
+    image_decoder=None, audio_decoder=None, video_decoder=None,
+) -> DataFrame:
+    """Quarantine report: one row per media blob the decoders CANNOT
     decode — (media_id, kind, n_bytes, error type, message).  The
     actionable side of on_error="null"/"skip": operators drop or
     null-out corrupt blobs to keep the job alive, and this report tells
     the pipeline owner exactly what to re-ingest or transcode.  Null
     content is reported as error="NullContent" (distinct from corrupt).
+    Per-kind ``*_decoder=`` injections mirror the operators' ``decoder=``
+    so the report judges blobs with the SAME decoder stack the pipeline
+    runs (a PyAV deployment's H.264 files must not show up here).
 
     Scale shape: one mapInPandas pass, decode attempts only (pixels/
     samples are discarded immediately — no feature work); healthy blobs
@@ -661,11 +720,11 @@ def media_decode_errors(df: DataFrame, fake: bool = False) -> DataFrame:
                     continue  # the fake decoders accept anything
                 try:
                     if row["kind"] == "image":
-                        _decode_image(content)
+                        _decode_image(content, image_decoder)
                     elif row["kind"] == "audio":
-                        _codecs.decode_wav(content)
+                        _decode_audio(content, audio_decoder)
                     elif row["kind"] == "video":
-                        _codecs.decode_avi(content)
+                        _decode_video(content, video_decoder)
                     else:
                         report(row, len(content), "UnknownKind", row["kind"])
                 except Exception as e:

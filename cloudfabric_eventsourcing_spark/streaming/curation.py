@@ -660,6 +660,7 @@ def curate_image_stream(
     available_now: bool = True,
     compact_every: Optional[int] = None,
     clusters_path: Optional[str] = None,
+    decoder=None,
 ):
     """Streaming near-dup curation of IMAGE media rows (MEDIA_SCHEMA
     shape): curate_vector_stream with batch_transform =
@@ -682,12 +683,14 @@ def curate_image_stream(
 
     def features(batch: DataFrame) -> DataFrame:
         return _mm.image_feature_vectors(
-            batch, out_dim=out_dim, fake=fake, on_error="skip"
+            batch, out_dim=out_dim, fake=fake, on_error="skip",
+            decoder=decoder,
         )
 
     def bad_rows(batch: DataFrame) -> DataFrame:
         return _mm.media_decode_errors(
-            batch.where(F.col("kind") == "image"), fake=fake
+            batch.where(F.col("kind") == "image"), fake=fake,
+            image_decoder=decoder,
         )
 
     return curate_vector_stream(
@@ -711,6 +714,7 @@ def curate_audio_stream(
     available_now: bool = True,
     compact_every: Optional[int] = None,
     clusters_path: Optional[str] = None,
+    decoder=None,
 ):
     """Acoustic twin of curate_image_stream: audio_feature_vectors with
     on_error="skip" + run/epoch-keyed quarantine of undecodable WAVs.
@@ -719,12 +723,14 @@ def curate_audio_stream(
 
     def features(batch: DataFrame) -> DataFrame:
         return _mm.audio_feature_vectors(
-            batch, out_dim=out_dim, fake=fake, on_error="skip"
+            batch, out_dim=out_dim, fake=fake, on_error="skip",
+            decoder=decoder,
         )
 
     def bad_rows(batch: DataFrame) -> DataFrame:
         return _mm.media_decode_errors(
-            batch.where(F.col("kind") == "audio"), fake=fake
+            batch.where(F.col("kind") == "audio"), fake=fake,
+            audio_decoder=decoder,
         )
 
     return curate_vector_stream(

@@ -249,6 +249,102 @@ def test_multimodal_real_png_decode_resize_pipeline(spark):
     assert pixels == bytes([30, 60, 90]) * 16  # constant color preserved
 
 
+def test_multimodal_decoder_injection_and_fallback_precedence(spark):
+    """r8 verdict ask #6: every media operator takes ``decoder=`` — the
+    injected callable runs FIRST (deployment intent beats auto-detect),
+    declines a blob with NotImplementedError to fall through to the
+    built-in dispatch, and its OTHER exceptions flow into on_error like
+    a built-in decode failure.  This is the hook that lets a PyAV
+    deployment decode inter-frame video without forking the operators."""
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    real_png = codecs.encode_png(4, 3, 3, bytes([10, 20, 30]) * 12)
+
+    def stub_image(content: bytes):
+        if content[:4] != b"STUB":
+            raise NotImplementedError  # decline: PNG must fall through
+        return 2, 2, 3, bytes([200, 0, 0]) * 4
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"STUBxxxx"), None),
+         (2, "image", bytearray(real_png), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in multimodal.decode_image_features(
+        media, decoder=stub_image
+    ).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (2, 2)  # injected won
+    assert (feats[2]["width"], feats[2]["height"]) == (4, 3)  # fell through
+
+    # the injected decoder outranks the built-ins even on bytes they CAN
+    # decode: a decoder that claims everything sees the PNG first
+    def stub_all(content: bytes):
+        return 1, 1, 3, bytes([5, 5, 5])
+
+    feats2 = {r["media_id"]: r for r in multimodal.decode_image_features(
+        media, decoder=stub_all
+    ).collect()}
+    assert (feats2[2]["width"], feats2[2]["height"]) == (1, 1)
+
+    # non-NotImplementedError exceptions are decode failures: on_error
+    # applies (skip drops the blob instead of killing the job)
+    def stub_raising(content: bytes):
+        if content[:4] == b"STUB":
+            raise ValueError("corrupt")
+        raise NotImplementedError
+
+    kept = multimodal.decode_image_features(
+        media, decoder=stub_raising, on_error="skip"
+    ).collect()
+    assert [r["media_id"] for r in kept] == [2]
+
+    # video: a stub "H.264" decoder makes non-AVI bytes demux through
+    # sample_frames; real AVIs in the same frame fall through to the floor
+    avi = codecs.encode_avi(2, 2, 10.0, [bytes(range(12))])
+
+    def stub_video(content: bytes):
+        if content[:4] != b"H264":
+            raise NotImplementedError
+        return 2, 2, 30.0, [bytes([9] * 12), bytes([8] * 12)]
+
+    vmedia = spark.createDataFrame(
+        [(10, "video", bytearray(b"H264" + b"\0" * 16), None),
+         (11, "video", bytearray(avi), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.sample_frames(
+        vmedia, every_n=1, decoder=stub_video
+    ).collect()
+    got = {(r["media_id"], r["frame_idx"]) for r in frames}
+    assert got == {(10, 0), (10, 1), (11, 0)}
+
+    # audio: stub decoder for non-WAV bytes; WAV falls through
+    wav = codecs.encode_wav(8000, 1, 2, bytes(1600))
+
+    def stub_audio(content: bytes):
+        if content[:4] != b"OPUS":
+            raise NotImplementedError
+        return 8000, 1, 2, bytes(3200)
+
+    amedia = spark.createDataFrame(
+        [(20, "audio", bytearray(b"OPUS" + b"\0" * 8), None),
+         (21, "audio", bytearray(wav), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    chunks = multimodal.chunk_audio(
+        amedia, chunk_ms=100, decoder=stub_audio
+    ).collect()
+    by_id = {}
+    for r in chunks:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[20]) == 2 and len(by_id[21]) == 1
+    # injected-decoded chunks re-encode as standalone WAVs like the floor's
+    rate, nch, width, frames_b = codecs.decode_wav(
+        bytes(by_id[20][0]["chunk_bytes"])
+    )
+    assert (rate, nch, width) == (8000, 1, 2)
+
+
 def test_multimodal_real_paths_tolerate_null_content(spark):
     """content is nullable in MEDIA_SCHEMA and the fake paths handle
     None — the real (default) paths must too: one null-content row
