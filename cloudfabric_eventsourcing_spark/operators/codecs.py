@@ -1205,3 +1205,285 @@ def encode_jpeg(
     out += entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12) — container demux for Motion-JPEG tracks
+#
+# Real corpora carry video in MP4/MOV containers far more often than in
+# RIFF/AVI.  The box structure is simple length-prefixed nesting, so the
+# demux side is hermetically parseable: walk moov ▸ trak ▸ mdia ▸ minf ▸
+# stbl, take the first VIDEO track whose sample entry is a JPEG family
+# fourcc ('jpeg'/'mjpa'/'mjpb', the QuickTime Motion-JPEG forms), locate
+# every sample via the stsz/stsc/stco(co64) tables, and decode each
+# sample with decode_jpeg.  Inter-frame sample entries (avc1/hvc1/vp09/av01)
+# raise the same honest boundary as AVI — that is what the operators'
+# decoder= injection point is for.
+# ---------------------------------------------------------------------------
+
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) walking a box body."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        fourcc = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize follows the fourcc
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """First box at the given nesting path; (payload_start, payload_end)
+    or None."""
+    if not path:
+        return start, end
+    for fourcc, b, e in _mp4_boxes(data, start, end):
+        if fourcc == path[0]:
+            return _mp4_find(data, b, e, path[1:])
+    return None
+
+
+_MP4_JPEG_ENTRIES = (b"jpeg", b"mjpa", b"mjpb")
+
+
+def decode_mp4(data: bytes) -> tuple[int, int, float, list[bytes]]:
+    """MP4/MOV bytes -> (width, height, fps, [top-down RGB frames]) for
+    Motion-JPEG tracks.  Sample offsets come from the stsz/stsc/stco
+    (or co64) tables — mdat is never assumed contiguous or in track
+    order.  fps is timescale/delta from mdhd+stts (0.0 when stts is
+    empty).  Raises ValueError for non-JPEG sample entries (inter-frame
+    codecs need a real decoder stack — use the operators' decoder=
+    injection) and for structurally broken files."""
+    if not is_mp4(data):
+        raise ValueError("not an MP4/ISO-BMFF file")
+    moov = _mp4_find(data, 0, len(data), [b"moov"])
+    if moov is None:
+        raise ValueError("no moov box in MP4")
+
+    chosen = None  # (stbl span, mdhd span, entry fourcc, width, height)
+    rejected_entries = []
+    for fourcc, tb, te in _mp4_boxes(data, *moov):
+        if fourcc != b"trak":
+            continue
+        mdia = _mp4_find(data, tb, te, [b"mdia"])
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(data, *mdia, [b"hdlr"])
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _mp4_find(data, *mdia, [b"minf", b"stbl"])
+        stsd = stbl and _mp4_find(data, *stbl, [b"stsd"])
+        if not stsd:
+            continue
+        # stsd payload: version/flags (4) + entry_count (4), then sample
+        # entries, each a box whose fourcc is the codec
+        entry_start = stsd[0] + 8
+        (esize,) = struct.unpack(">I", data[entry_start:entry_start + 4])
+        entry_fcc = data[entry_start + 4:entry_start + 8]
+        if entry_fcc not in _MP4_JPEG_ENTRIES:
+            rejected_entries.append(entry_fcc.decode("latin1"))
+            continue
+        # VisualSampleEntry: 6 reserved + 2 data_reference_index + 16
+        # pre_defined/reserved, then width/height (16-bit each)
+        geo = entry_start + 8 + 6 + 2 + 16
+        w, h = struct.unpack(">HH", data[geo:geo + 4])
+        mdhd = _mp4_find(data, *mdia, [b"mdhd"])
+        chosen = (stbl, mdhd, entry_fcc, w, h)
+        break
+    if chosen is None:
+        if rejected_entries:
+            raise ValueError(
+                f"unsupported MP4 video codec(s) {rejected_entries}; only "
+                "Motion-JPEG tracks (jpeg/mjpa/mjpb) decode without a codec "
+                "library — inject decoder= for inter-frame formats"
+            )
+        raise ValueError("no video track found in MP4")
+    stbl, mdhd, _fcc, width, height = chosen
+
+    def full_box(name: bytes):
+        span = _mp4_find(data, *stbl, [name])
+        return span
+
+    # sample sizes
+    stsz = full_box(b"stsz")
+    if stsz is None:
+        raise ValueError("MP4 video track has no stsz box")
+    uniform, count = struct.unpack(">II", data[stsz[0] + 4:stsz[0] + 12])
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack(
+            f">{count}I", data[stsz[0] + 12:stsz[0] + 12 + 4 * count]
+        ))
+
+    # chunk offsets (stco 32-bit or co64 64-bit)
+    stco = full_box(b"stco")
+    if stco is not None:
+        (n_chunks,) = struct.unpack(">I", data[stco[0] + 4:stco[0] + 8])
+        offsets = list(struct.unpack(
+            f">{n_chunks}I", data[stco[0] + 8:stco[0] + 8 + 4 * n_chunks]
+        ))
+    else:
+        co64 = full_box(b"co64")
+        if co64 is None:
+            raise ValueError("MP4 video track has no stco/co64 box")
+        (n_chunks,) = struct.unpack(">I", data[co64[0] + 4:co64[0] + 8])
+        offsets = list(struct.unpack(
+            f">{n_chunks}Q", data[co64[0] + 8:co64[0] + 8 + 8 * n_chunks]
+        ))
+
+    # sample-to-chunk runs: (first_chunk, samples_per_chunk, desc_index)
+    stsc = full_box(b"stsc")
+    if stsc is None:
+        raise ValueError("MP4 video track has no stsc box")
+    (n_runs,) = struct.unpack(">I", data[stsc[0] + 4:stsc[0] + 8])
+    runs = [
+        struct.unpack(">III", data[stsc[0] + 8 + 12 * i:stsc[0] + 20 + 12 * i])
+        for i in range(n_runs)
+    ]
+
+    # expand runs -> samples-per-chunk for each chunk, then walk chunks
+    # accumulating intra-chunk offsets (samples are contiguous in chunk)
+    spc = []
+    for i, (first, per, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
+        spc.extend([per] * (last - first + 1))
+    sample_spans = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        pos = chunk_off
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= len(sizes):
+                break
+            sample_spans.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    if si < len(sizes):
+        raise ValueError("MP4 sample tables inconsistent (stsc/stco short)")
+
+    # fps: mdhd timescale over the (assumed-constant) stts delta
+    fps = 0.0
+    if mdhd is not None:
+        version = data[mdhd[0]]
+        ts_off = mdhd[0] + (20 if version == 1 else 12)
+        (timescale,) = struct.unpack(">I", data[ts_off:ts_off + 4])
+        stts = full_box(b"stts")
+        if stts is not None:
+            (n_stts,) = struct.unpack(">I", data[stts[0] + 4:stts[0] + 8])
+            if n_stts >= 1:
+                _cnt, delta = struct.unpack(
+                    ">II", data[stts[0] + 8:stts[0] + 16]
+                )
+                if delta:
+                    fps = timescale / delta
+
+    frames = []
+    for off, size in sample_spans:
+        fw, fh, fch, px = decode_jpeg(data[off:off + size])
+        if (fw, fh) != (width, height):
+            raise ValueError(
+                f"MJPEG sample {fw}x{fh} mismatches track {width}x{height}"
+            )
+        if fch == 1:
+            arr = np.frombuffer(px, np.uint8)
+            px = np.repeat(arr, 3).tobytes()
+        frames.append(px)
+    return width, height, fps, frames
+
+
+def encode_mp4(
+    width: int, height: int, fps: float, frames: list[bytes],
+    quality: int = 85,
+) -> bytes:
+    """Inverse of decode_mp4 — fixture builder: top-down RGB frames ->
+    a minimal ISO-BMFF file with one 'jpeg' video track (each sample an
+    encode_jpeg baseline JPEG), ftyp + mdat + moov with the full
+    stsd/stts/stsc/stsz/stco chain.  Samples are split across TWO mdat
+    chunks when there are >=2 frames, so decoders that shortcut the
+    chunk tables fail loudly."""
+    samples = [encode_jpeg(width, height, 3, f, quality=quality) for f in frames]
+
+    def box(fourcc: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # split samples into two chunks (second chunk = last sample)
+    split = max(len(samples) - 1, 1)
+    chunk1, chunk2 = samples[:split], samples[split:]
+    mdat1 = box(b"mdat", b"".join(chunk1))
+    mdat2 = box(b"mdat", b"".join(chunk2)) if chunk2 else b""
+    chunk1_off = len(ftyp) + 8
+    chunk2_off = len(ftyp) + len(mdat1) + 8
+
+    timescale = 1000
+    delta = int(round(timescale / fps)) if fps else 0
+    duration = delta * len(samples)
+
+    def full(fourcc: bytes, version_flags: int, payload: bytes) -> bytes:
+        return box(fourcc, struct.pack(">I", version_flags) + payload)
+
+    entry = (
+        struct.pack(">I", 86) + b"jpeg"
+        + b"\x00" * 6 + struct.pack(">H", 1)       # reserved + dref index
+        + b"\x00" * 16                              # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frame_count
+        + b"\x05MJPEG" + b"\x00" * 26               # compressor name (32)
+        + struct.pack(">Hh", 24, -1)                # depth, color table id
+    )
+    stsd = full(b"stsd", 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, struct.pack(">III", 1, len(samples), delta or 1))
+    if chunk2:
+        stsc = full(
+            b"stsc", 0,
+            struct.pack(">I", 2)
+            + struct.pack(">III", 1, len(chunk1), 1)
+            + struct.pack(">III", 2, len(chunk2), 1),
+        )
+        stco = full(b"stco", 0, struct.pack(">III", 2, chunk1_off, chunk2_off))
+    else:
+        stsc = full(b"stsc", 0, struct.pack(">I", 1)
+                    + struct.pack(">III", 1, len(chunk1), 1))
+        stco = full(b"stco", 0, struct.pack(">II", 1, chunk1_off))
+    stsz = full(
+        b"stsz", 0,
+        struct.pack(">II", 0, len(samples))
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = full(b"url ", 1, b"")  # flag 1: data in this file
+    dref = full(b"dref", 0, struct.pack(">I", 1) + url)
+    dinf = box(b"dinf", dref)
+    vmhd = full(b"vmhd", 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = full(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
+                + b"\x00" * 12 + b"Video\x00")
+    mdhd = full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, timescale,
+                                        duration, 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", 7, struct.pack(">IIII", 0, 0, 1, 0)
+                + struct.pack(">IQ", 0, 0)
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + struct.pack(">II", width << 16, height << 16))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat1 + mdat2 + moov

@@ -13,8 +13,10 @@ audio codec step:
     (arithmetic-coded, lossless, and 12-bit JPEG still raise);
   * audio: RIFF/PCM WAV via the stdlib wave module (codecs.decode_wav);
   * video: RIFF/AVI demux for uncompressed-RGB and Motion-JPEG streams
-    (codecs.decode_avi); inter-frame codecs (H.264...) genuinely need
-    av/ffmpeg and raise the honest boundary — which every operator's
+    (codecs.decode_avi) AND MP4/ISO-BMFF demux for Motion-JPEG tracks
+    (codecs.decode_mp4, full stsz/stsc/stco sample tables); inter-frame
+    codecs (H.264...) genuinely need av/ffmpeg and raise the honest
+    boundary — which every operator's
     ``decoder=`` injection point closes without a fork: pass a callable
     (bytes -> the codec tuple) and it runs FIRST, declining a blob by
     raising NotImplementedError to fall through to the built-in
@@ -84,15 +86,18 @@ def _decode_image(content: bytes, decoder=None) -> tuple[int, int, int, bytes]:
 def _decode_video(content: bytes, decoder=None) -> tuple[int, int, float, list]:
     """(width, height, fps, [top-down RGB frames]) — injected decoder
     first (NotImplementedError falls through, the _decode_image
-    contract), then the AVI floor (uncompressed RGB / MJPEG).  This is
-    THE injection point that closes the inter-frame boundary: a
-    deployment with PyAV/ffmpeg passes ``decoder=`` and H.264/VP9 bytes
-    decode without forking the operators."""
+    contract), then the container floor: RIFF/AVI (uncompressed RGB /
+    MJPEG) or MP4/ISO-BMFF (Motion-JPEG tracks).  The injection point
+    is what closes the inter-frame boundary: a deployment with
+    PyAV/ffmpeg passes ``decoder=`` and H.264/VP9 bytes decode without
+    forking the operators."""
     if decoder is not None:
         try:
             return decoder(content)
         except NotImplementedError:
             pass
+    if _codecs.is_mp4(content):
+        return _codecs.decode_mp4(content)
     return _codecs.decode_avi(content)
 
 
@@ -237,14 +242,16 @@ def sample_frames(
 ) -> DataFrame:
     """video binary -> sampled frame bytes (1 row per sampled frame).
 
-    Real path (default): demux RIFF/AVI containers — uncompressed RGB
-    or Motion JPEG (codecs.decode_avi; same dependency-free floor as
-    PNG/JPEG/WAV) — take every ``every_n``-th frame, and emit each as a
-    standalone PNG so the sampled frames compose directly with
-    decode_image_features / resize_images.  INTER-FRAME video (H.264
-    etc.) raises cleanly — motion-compensated codecs genuinely need
-    av/ffmpeg, which deployments install on the executors; AVI
-    RGB/MJPEG is the hermetic floor, not a ceiling.
+    Real path (default): demux RIFF/AVI (uncompressed RGB / Motion
+    JPEG, codecs.decode_avi) or MP4/ISO-BMFF (Motion-JPEG tracks,
+    codecs.decode_mp4 — the container real corpora actually use; same
+    dependency-free floor as PNG/JPEG/WAV) — take every ``every_n``-th
+    frame, and emit each as a standalone PNG so the sampled frames
+    compose directly with decode_image_features / resize_images.
+    INTER-FRAME video (H.264 etc.) raises cleanly — motion-compensated
+    codecs genuinely need av/ffmpeg, which deployments install on the
+    executors and inject via ``decoder=``; the container floor is a
+    floor, not a ceiling.
     Null content yields zero frames (exploding op, same contract as
     chunk_audio).  `on_error="skip"/"null"` tolerates corrupt
     containers (both drop them — an exploding op has no null row

@@ -2143,6 +2143,125 @@ def test_avi_codec_audio_stream_first_and_top_down_dib():
     )
 
 
+def test_mp4_hand_packed_spec_bytes_decode():
+    """decode_mp4 validated against a container packed BY HAND from the
+    ISO 14496-12 box layout (independent of encode_mp4, so a shared
+    layout bug cannot self-validate): one 'jpeg' video track, TWO mdat
+    chunks in non-track order, stsz/stsc/stco driving the sample walk.
+    A decoder that assumes mdat-contiguous samples fails this."""
+    import struct
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    # two distinct constant-color 16x16 frames as baseline JPEGs
+    f0 = codecs.encode_jpeg(16, 16, 3, bytes([40]) * 768, quality=95)
+    f1 = codecs.encode_jpeg(16, 16, 3, bytes([200]) * 768, quality=95)
+
+    def box(fcc, payload):
+        return struct.pack(">I", 8 + len(payload)) + fcc + payload
+
+    def full(fcc, vf, payload):
+        return box(fcc, struct.pack(">I", vf) + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"mp41")
+    # frame ORDER inverted on disk: mdat A holds f1, mdat B holds f0 —
+    # stco must bring them back in sample order (f0 then f1)
+    mdatA = box(b"mdat", f1)
+    mdatB = box(b"mdat", f0)
+    offA = len(ftyp) + 8            # payload offset of f1
+    offB = len(ftyp) + len(mdatA) + 8  # payload offset of f0
+    entry = (
+        struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", 16, 16)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = full(b"stsd", 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, struct.pack(">III", 1, 2, 100))  # 10 fps @ ts 1000
+    stsc = full(b"stsc", 0, struct.pack(">I", 2)
+                + struct.pack(">III", 1, 1, 1) + struct.pack(">III", 2, 1, 1))
+    stsz = full(b"stsz", 0, struct.pack(">II", 0, 2)
+                + struct.pack(">II", len(f0), len(f1)))
+    stco = full(b"stco", 0, struct.pack(">III", 2, offB, offA))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    hdlr = full(b"hdlr", 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    mdhd = full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, 1000, 200, 0, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    mp4 = ftyp + mdatA + mdatB + moov
+
+    w, h, fps, frames = codecs.decode_mp4(mp4)
+    assert (w, h) == (16, 16) and abs(fps - 10.0) < 1e-9
+    assert len(frames) == 2
+    assert frames[0] == bytes([40]) * 768      # sample order restored
+    assert frames[1] == bytes([200]) * 768
+
+
+def test_mp4_codec_round_trip_and_boundaries():
+    """encode_mp4 -> decode_mp4 round trip (multi-frame, two-chunk
+    layout), plus the honest boundaries: an avc1 sample entry names the
+    codec in the error and points at decoder= injection; junk raises."""
+    import struct
+
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    frames = [bytes([(i * 37 + j) % 256 for j in range(12 * 12 * 3)])
+              for i in range(4)]
+    mp4 = codecs.encode_mp4(12, 12, 25.0, frames, quality=95)
+    w, h, fps, out = codecs.decode_mp4(mp4)
+    assert (w, h, len(out)) == (12, 12, 4) and abs(fps - 25.0) < 1e-6
+    # lossy but close: mean abs error small on smooth content
+    err = sum(abs(a - b) for a, b in zip(out[0], frames[0])) / len(out[0])
+    assert err < 8
+
+    # inter-frame sample entry -> named, injectable error
+    avc = mp4.replace(b"jpeg", b"avc1", 1)
+    with _pytest.raises(ValueError, match="avc1"):
+        codecs.decode_mp4(avc)
+    with _pytest.raises(ValueError):
+        codecs.decode_mp4(b"\x00" * 32)
+    with _pytest.raises(ValueError):  # ftyp but no moov
+        codecs.decode_mp4(
+            struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+        )
+
+
+def test_multimodal_mp4_frame_pipeline(spark):
+    """MP4 end-to-end through sample_frames: Motion-JPEG samples demux
+    via the stsz/stsc/stco walk, every-n-th frame re-encodes as PNG, and
+    the sampled frames compose with decode_image_features — the same
+    contract the AVI path pins."""
+    from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
+
+    frames = [bytes([v]) * (16 * 16 * 3) for v in (8, 72, 136, 200)]
+    mp4 = codecs.encode_mp4(16, 16, 10.0, frames, quality=95)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), None)], multimodal.MEDIA_SCHEMA
+    )
+    sampled = multimodal.sample_frames(media, every_n=2).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in sampled] == [
+        (1, 0), (1, 2)
+    ]
+    # constant-color MJPEG frames round-trip exactly -> PNG decodes back
+    w, h, ch, px = codecs.decode_png(bytes(sampled[0]["frame_bytes"]))
+    assert (w, h) == (16, 16) and px == bytes([8]) * 768
+    feats = multimodal.decode_image_features(
+        spark.createDataFrame(
+            [(int(r["media_id"] * 10 + r["frame_idx"]), "image",
+              bytearray(bytes(r["frame_bytes"])), None) for r in sampled],
+            multimodal.MEDIA_SCHEMA,
+        )
+    ).collect()
+    assert sorted(r["media_id"] for r in feats) == [10, 12]
+    for r in feats:
+        assert max(r["features"]) == 1.0  # one-hot: constant-color frames
+
+
 def test_m02_gray_levels_survive_jpeg():
     """Pin for m02_image_neardup's oracle premise: every bin-center gray
     level v = bin*16 + 8 round-trips PNG exactly AND JPEG(quality=95)
