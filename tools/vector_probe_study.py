@@ -19,11 +19,21 @@ batch is a fixed 500 vectors at every scale: ~2% exact copies of
 corpus vectors (true near-dups the probe must find), the rest
 perturbed out of near-dup range.
 
-Expectation: probe wall ~flat from 100k to 500k vectors; one-shot wall
-grows with the corpus it re-buckets.
+Expectation — and the study's actual finding: flatness is CONDITIONAL
+on bucket cardinality.  At bits=8 (256 buckets) a 500-vector multiprobe
+batch touches every bucket, partition pruning prunes nothing, and the
+probe degrades to a corpus scan + occupancy-sized candidate join — NOT
+flat.  At bits sized for the corpus (2^bits >> batch x (bits+1) probes,
+occupancy bounded) the probed-partition listing and the candidate count
+are both batch-bounded and the probe is ~flat from 100k to 500k while
+the one-shot grows.  Operationally: pick bits ~ log2(corpus/target
+occupancy) at index creation, and re-bucket (blue/green, the
+similarity.retrain path) when the corpus outgrows it — the (dims,
+bits, seed) pin makes outgrowing DETECTABLE, not silent.
 
 Usage:  python tools/vector_probe_study.py [sizes...]
-        (default 100000 500000; prints one JSON line)
+        (default 100000 500000, each at bits=8 and bits=16;
+         prints one JSON line)
 """
 
 from __future__ import annotations
@@ -46,7 +56,8 @@ WORK = "/tmp/spark_graft_vector_probe_study"
 BASE = "/root/testdata/sf0.1"
 BATCH_OFFSET = 900_000_000
 REPLICA_STRIDE = 1_000_000
-DIMS, BITS = 64, 8
+DIMS = 64
+BITS_ARMS = (8, 16)
 
 
 def _perturbed(df, replica_col, scale):
@@ -91,11 +102,6 @@ def main() -> None:
     for n in sizes:
         corpus = _corpus(spark, n).localCheckpoint(eager=True)
         n_corpus = corpus.count()
-        idx = os.path.join(WORK, f"n{n}")
-        shutil.rmtree(idx, ignore_errors=True)
-        t0 = time.perf_counter()
-        dedup.save_cosine_index(corpus, idx, dims=DIMS, bits=BITS)
-        build_s = round(time.perf_counter() - t0, 2)
 
         # fixed 500-vector batch: 10 exact copies of corpus vectors
         # (true dups), 490 perturbed well out of near-dup range
@@ -109,34 +115,44 @@ def main() -> None:
             ).alias("embedding"),
         ).localCheckpoint(eager=True)
 
-        t0 = time.perf_counter()
-        hits = dedup.cosine_dedup_against_index(
-            batch, idx, threshold=0.999
-        ).count()
-        probe_s = round(time.perf_counter() - t0, 2)
+        for bits in BITS_ARMS:
+            idx = os.path.join(WORK, f"n{n}b{bits}")
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            dedup.save_cosine_index(corpus, idx, dims=DIMS, bits=bits)
+            build_s = round(time.perf_counter() - t0, 2)
 
-        t0 = time.perf_counter()
-        union = corpus.unionByName(batch)
-        pairs = dedup.cosine_neardup_pairs_lsh(
-            union, threshold=0.999, dims=DIMS, bits=BITS
-        )
-        oneshot_hits = pairs.where(
-            (F.col("id_b") >= BATCH_OFFSET) & (F.col("id_a") < BATCH_OFFSET)
-        ).count()
-        oneshot_s = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            hits = dedup.cosine_dedup_against_index(
+                batch, idx, threshold=0.999
+            ).count()
+            probe_s = round(time.perf_counter() - t0, 2)
 
-        results[n] = {
-            "corpus_vectors": n_corpus,
-            "index_build_s": build_s,
-            "probe_s": probe_s,
-            "probe_batch_hits": hits,
-            "oneshot_s": oneshot_s,
-            "oneshot_batch_hits": oneshot_hits,
-            "speedup": round(oneshot_s / probe_s, 1) if probe_s else None,
-        }
-        print(f"-- n={n}: probe {probe_s}s ({hits} hits) vs "
-              f"one-shot {oneshot_s}s ({oneshot_hits})", file=sys.stderr)
-    print(json.dumps({"batch_vectors": 500, "dims": DIMS, "bits": BITS,
+            t0 = time.perf_counter()
+            union = corpus.unionByName(batch)
+            pairs = dedup.cosine_neardup_pairs_lsh(
+                union, threshold=0.999, dims=DIMS, bits=bits
+            )
+            oneshot_hits = pairs.where(
+                (F.col("id_b") >= BATCH_OFFSET)
+                & (F.col("id_a") < BATCH_OFFSET)
+            ).count()
+            oneshot_s = round(time.perf_counter() - t0, 2)
+
+            results[f"n{n}_bits{bits}"] = {
+                "corpus_vectors": n_corpus,
+                "bits": bits,
+                "index_build_s": build_s,
+                "probe_s": probe_s,
+                "probe_batch_hits": hits,
+                "oneshot_s": oneshot_s,
+                "oneshot_batch_hits": oneshot_hits,
+                "speedup": round(oneshot_s / probe_s, 1) if probe_s else None,
+            }
+            print(f"-- n={n} bits={bits}: probe {probe_s}s ({hits} hits) "
+                  f"vs one-shot {oneshot_s}s ({oneshot_hits})",
+                  file=sys.stderr)
+    print(json.dumps({"batch_vectors": 500, "dims": DIMS,
                       "corpora": results}))
 
 
