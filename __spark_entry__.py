@@ -1894,9 +1894,11 @@ def h22_min_price_supplier(spark, sf_dir):
 def h23_market_share(spark, sf_dir):
     # Q8's shape: a 6-dim star join reduced to one conditional-sum ratio.
     # part filters FIRST and broadcast-semi-joins the lineitem scan (the
-    # biggest row-count cut), orders is the one fact-fact shuffle,
-    # customer/supplier/nation/region all broadcast; the share is
-    # CASE-sum / sum in a single aggregate pass (no second join).
+    # biggest row-count cut); the EUROPE customer predicate pre-filters
+    # ORDERS below the fact-fact join (the h15/Q7 move, measured 1.51x
+    # at sf10 in tools/star_plan_variants_study.py — 4/5 of orders never
+    # reach the join); supplier/nation/region all broadcast; the share
+    # is CASE-sum / sum in a single aggregate pass (no second join).
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     orders = load_table(spark, sf_dir, "orders")
@@ -1904,20 +1906,24 @@ def h23_market_share(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    cust_nations = (
+    eu_keys = (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("r_name") == "EUROPE")
         .select(F.col("n_nationkey").alias("cn_key"))
     )
+    eu_cust = cust.join(
+        F.broadcast(eu_keys), cust.c_nationkey == F.col("cn_key")
+    ).select("c_custkey")
     supp_nations = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
+    ord2 = orders.join(
+        F.broadcast(eu_cust), orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     base = (
         li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(ord2, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nations), F.col("s_nationkey") == F.col("sn_key"))
     )

@@ -660,6 +660,11 @@ def cosine_neardup_pairs_lsh(
     )
 
 
+# partition-dir cap for the cosine index layout: dirs = 2^min(bits, 10)
+# (see save_cosine_index docstring for the measured motivation)
+_COSINE_PARTITION_BITS = 10
+
+
 def save_cosine_index(
     df: DataFrame,
     path: str,
@@ -678,8 +683,22 @@ def save_cosine_index(
     The embedding sibling of save_minhash_index (text) and
     save_ivf_index (ANN): the probe filters on the NEW batch's bucket
     set before scanning, so at 100 TB a batch touching B of the 2^bits
-    buckets reads B/2^bits of the corpus — enforced at the file
-    listing, not post-scan."""
+    buckets reads only those buckets' data — enforced at the file
+    listing for the partition prefix, at parquet row-group min/max for
+    the full bucket value.
+
+    Layout (r9, measured in tools/vector_probe_study.py): partitioning
+    by the FULL bucket value explodes into 2^bits directories — at
+    bits=16 a 500-vector multiprobe batch touched ~8.5k tiny-file
+    partitions and the probe spent 22s listing/opening them, slower
+    than the corpus-scan pathology it was meant to fix.  The vectors
+    dataset is therefore partitioned by ``pbucket``, the HIGH
+    `_COSINE_PARTITION_BITS` bits of the bucket (dir count capped at
+    1024), with the full bucket stored as an in-file column and rows
+    sorted by it (row-group pruning finishes the job).  High bits
+    deliberately: a 1-bit multiprobe flip of any LOW bit stays in the
+    SAME directory, so the probe fan-out touches at most
+    1 + min(bits, 10) dirs per query instead of 1 + bits."""
     from cloudfabric_eventsourcing_spark.operators.similarity import lsh_bucket
 
     spark = df.sparkSession
@@ -696,12 +715,15 @@ def save_cosine_index(
         spark.createDataFrame(
             [(dims, bits, seed)], "dims int, bits int, seed int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    bucketed = lsh_bucket(
-        df, dims=dims, bits=bits, seed=seed, vec_col=vec_col
-    ).select(id_col, vec_col, "bucket")
-    bucketed.write.mode(mode).partitionBy("bucket").parquet(
-        f"{path}/vectors"
+    shift = max(bits - _COSINE_PARTITION_BITS, 0)
+    bucketed = (
+        lsh_bucket(df, dims=dims, bits=bits, seed=seed, vec_col=vec_col)
+        .select(id_col, vec_col, "bucket")
+        .withColumn("pbucket", F.shiftright("bucket", shift))
     )
+    bucketed.sortWithinPartitions("pbucket", "bucket").write.mode(
+        mode
+    ).partitionBy("pbucket").parquet(f"{path}/vectors")
     if mode != "append":
         _stamp_marker(spark, path)
 
@@ -726,8 +748,10 @@ def cosine_dedup_against_index(
     cosine index: (new_id, index_id, cosine >= threshold).
 
     Scale shape: the batch's bucket SET (bounded by batch size × probe
-    count) is collected driver-side and pushed as a partition filter —
-    the corpus scan reads only touched bucket directories — then the
+    count) is collected driver-side and pushed as TWO pruning levels
+    against the prefix-partitioned layout (save_cosine_index): the
+    bucket's high bits prune the file listing (≤ 2^10 dirs), the full
+    bucket value prunes parquet row groups within them — then the
     batch's bucketed rows broadcast into the join and exact cosine
     verifies within buckets.
 
@@ -777,12 +801,22 @@ def cosine_dedup_against_index(
     buckets = [
         r["bucket"] for r in probes_df.select("bucket").distinct().collect()
     ]
-    fallback_schema = qb.select(
-        F.col("new_id").alias(id_col), F.col("qv").alias(vec_col), "bucket"
-    ).schema
+    # two-level pruning against the prefix-partitioned layout (see
+    # save_cosine_index): pbucket prunes the file LISTING to at most
+    # 2^_COSINE_PARTITION_BITS dirs (high bits — low-bit multiprobe
+    # flips stay in-dir), bucket prunes row groups within them
+    shift = max(bits - _COSINE_PARTITION_BITS, 0)
+    prefixes = sorted({b >> shift for b in buckets})
+    fallback_schema = (
+        qb.select(
+            F.col("new_id").alias(id_col), F.col("qv").alias(vec_col), "bucket"
+        )
+        .withColumn("pbucket", F.shiftright("bucket", shift))
+        .schema
+    )
     idx = (
         _read_index_table(spark, f"{path}/vectors", fallback_schema)
-        .where(F.col("bucket").isin(buckets))
+        .where(F.col("pbucket").isin(prefixes) & F.col("bucket").isin(buckets))
         .select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket")
     )
     join_cond = idx.bucket == probes_df.bucket

@@ -618,10 +618,17 @@ def curate_vector_stream(
     layout's `vectors/bucket=` dirs are a first-class dataset there.
 
     Scale shape per batch: the corpus is touched only at the probed
-    bucket partitions (batch-bounded file listing), the batch side
-    broadcasts, and the append writes only the accepted rows — nothing
-    corpus-sized ever shuffles, so batch cost is flat in corpus size
-    (the property measured for the text loop in PLANS.md)."""
+    bucket prefixes (≤2^10 partition dirs; the full bucket value prunes
+    row groups inside them — save_cosine_index's r9 layout), the batch
+    side broadcasts, and the append writes only the accepted rows —
+    nothing corpus-sized ever shuffles.  Batch cost measured ~flat
+    100k→500k vectors at bits=16 (tools/vector_probe_study.py; PLANS.md
+    Round-9).  Flatness is CONDITIONAL on bucket cardinality: at bits
+    too low for the corpus (2^bits ≲ batch × (bits+1) probes) the probe
+    degrades toward a corpus scan — pick bits ≈ log2(corpus /
+    target-occupancy) at index creation, and blue/green re-bucket when
+    the corpus outgrows it (the pinned meta makes that detectable, not
+    silent)."""
     dims, bits, seed = _dedup._read_cosine_meta(
         stream.sparkSession, index_path
     )

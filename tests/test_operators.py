@@ -615,9 +615,9 @@ def test_cosine_index_incremental_dedup(spark, emb, tmp_path):
     assert {r["vec_id"] for r in copies.collect()} == hit_new
     assert all(r["cosine"] >= 0.999 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [bucket" in plan.replace(
-        "PartitionFilters: [b", "PartitionFilters: [b"
-    )
+    assert "PartitionFilters: [pbucket" in plan
+    # the full bucket value prunes ROW GROUPS inside the prefix dirs
+    assert "PushedFilters: [In(bucket" in plan
     assert "BroadcastHashJoin" in plan
     # mismatched parameters refused on append
     with pytest.raises(ValueError):

@@ -148,7 +148,7 @@ def test_vector_curation_partial_index_commit_never_shrinks_epoch(
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(vec_dir)
-    kept.write.partitionBy("bucket").parquet(vec_dir)
+    kept.write.partitionBy("pbucket").parquet(vec_dir)
 
     # force the committed epoch to replay under the SAME checkpoint
     os.unlink(os.path.join(ckpt, "commits", "0"))
@@ -283,7 +283,7 @@ def test_vector_batch_probe_plan_partition_prunes(spark, tmp_path):
         batch, index_path, threshold=0.95
     )
     plan = accepted._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [bucket" in plan
+    assert "PartitionFilters: [pbucket" in plan
     assert "BroadcastHashJoin" in plan
 
 
