@@ -2591,6 +2591,79 @@ def m02_image_neardup(spark, sf_dir):
 
 
 @q(
+    "m03_audio_neardup",
+    # planted-truth oracle through the REAL audio path (acoustic twin of
+    # m02): each doc < 300 becomes a 0.25 s integer-period sine tone at
+    # the CENTER BIN of spectral band doc_id % 16 (16-bit mono 8 kHz
+    # WAV).  Same-class docs have byte-identical WAVs -> identical
+    # log-band embeddings -> cosine exactly 1.0; cross-class tones land
+    # in different bands (worst cross cosine ~1e-4, pinned in
+    # test_m03_tone_classes_are_separable), so the same-class pairs are
+    # exactly the threshold pairs.  Any WAV decode / FFT featurize drift
+    # moves a band and breaks the hash.
+    "WITH m AS (SELECT doc_id AS id, doc_id % 16 AS cls FROM documents "
+    "WHERE doc_id < 300) "
+    "SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS cosine "
+    "FROM m a JOIN m b ON a.cls = b.cls AND a.id < b.id",
+)
+def m03_audio_neardup(spark, sf_dir):
+    # audio near-dup as a CORRECTNESS row: real WAV encode -> decode ->
+    # spectral-band embedding -> cosine-LSH.  Scale shape: tone
+    # generation and decode ride mapInPandas beside the scan; candidates
+    # are bucket-local (operators/dedup).
+    from cloudfabric_eventsourcing_spark.operators import (
+        codecs as _codecs,
+        multimodal as _mm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        sr, n = 8000, 2000  # 0.25 s; rfft -> 1001 bins at 4 Hz/bin
+        mag_size = n // 2 + 1
+        # replicate _audio_features' log-band edges to place one tone at
+        # each band's center bin (integer periods -> no leakage)
+        edges = np.unique(
+            np.round(np.logspace(0, np.log10(mag_size - 1), 17)).astype(int)
+        )
+        while edges.size < 17:
+            edges = np.unique(np.append(edges, edges[-1] + 1))
+        centers = [
+            max((edges[i] + max(edges[i + 1], edges[i] + 1)) // 2, 1)
+            for i in range(16)
+        ]
+        t = np.arange(n) / sr
+        wavs = {}
+        for c in range(16):
+            freq = centers[c] * sr / n
+            # COSINE, not sine: band 15's center is the Nyquist bin,
+            # where a sampled sine is identically zero (sin(pi*k) = 0) —
+            # a silent WAV and a zero embedding; cos(pi*k) alternates
+            # +-1 at full amplitude
+            pcm = np.clip(
+                np.cos(2 * np.pi * freq * t) * 30000, -32768, 32767
+            ).astype(np.int16)
+            wavs[c] = _codecs.encode_wav(sr, 1, 2, pcm.tobytes())
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                out["media_id"].append(did)
+                out["kind"].append("audio")
+                out["content"].append(wavs[did % 16])
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, _mm.MEDIA_SCHEMA)
+    return _mm.audio_neardup_pairs(media, threshold=0.995)
+
+
+@q(
     "h9_order_priority_check",
     "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
     "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
@@ -2957,18 +3030,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # just outside at positions 51-54 and lead r09.
 # Round-9 rotation: every r08-window row went green 50/50 and rotates
 # out.  The window is the 54 entries whose last driver check predates
-# r08 — led by f04/f06/f08/f09 as r8 prescribed, with the round's ONE
-# new entry (m02_image_neardup, the image-modality codec->feature->LSH
-# slot the r8 verdict asked for) taking its day-one slot at position 5 —
-# minus the five safest aged entries displaced to positions 51-55
-# (h8/s03/k01/p07/p09: each pinned by family pytest + the full-registry
-# sweep); they lead r10.
+# r08 — led by f04/f06/f08/f09 as r8 prescribed, with the round's TWO
+# new entries (m02_image_neardup and m03_audio_neardup, the image/audio
+# codec->feature->LSH rows the r8 verdict asked for) taking day-one
+# slots at positions 5-6 — minus the six safest aged entries displaced
+# to positions 51-56 (h12/h8/s03/k01/p07/p09: each pinned by family
+# pytest + the full-registry sweep); they lead r10.
 _VERIFY_FIRST = [
     "f04_starts_with",
     "f06_contains_case_sensitive",
     "f08_contains_ignore_case",
     "f09_array_contains",
     "m02_image_neardup",
+    "m03_audio_neardup",
     "f02_ne_null",
     "f03_range",
     "f05_ends_with",
@@ -3013,8 +3087,8 @@ _VERIFY_FIRST = [
     "h9_order_priority_check",
     "h10_promo_revenue_share",
     "h11_large_volume_customers",
-    "h12_rich_idle_customers",
     # -- driver window ends here (position 50) --
+    "h12_rich_idle_customers",
     "h8_shipping_priority",
     "s03_ann_ivf_topk",
     "k01_salted_join",

@@ -2283,6 +2283,50 @@ def test_m02_gray_levels_survive_jpeg():
         assert f_png[b] == 1.0
 
 
+def test_m03_tone_classes_are_separable():
+    """Pin for m03_audio_neardup's oracle premise: the 16 band-center
+    tones produce embeddings with worst CROSS-class cosine far below
+    the 0.995 threshold, and same-class WAVs are byte-identical so
+    same-class cosine is exactly 1.0 after rounding."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+    from cloudfabric_eventsourcing_spark.operators.multimodal import (
+        _audio_features,
+    )
+
+    sr, n = 8000, 2000
+    mag_size = n // 2 + 1
+    edges = np.unique(
+        np.round(np.logspace(0, np.log10(mag_size - 1), 17)).astype(int)
+    )
+    while edges.size < 17:
+        edges = np.unique(np.append(edges, edges[-1] + 1))
+    centers = [
+        max((edges[i] + max(edges[i + 1], edges[i] + 1)) // 2, 1)
+        for i in range(16)
+    ]
+    t = np.arange(n) / sr
+    feats = []
+    for c in range(16):
+        freq = centers[c] * sr / n
+        pcm = np.clip(
+            np.cos(2 * np.pi * freq * t) * 30000, -32768, 32767
+        ).astype(np.int16)
+        wav = codecs.encode_wav(sr, 1, 2, pcm.tobytes())
+        feats.append(np.array(_audio_features(wav, 16)[2]))
+    # no class may be silent (a sine at the Nyquist center bin IS —
+    # that is why m03 uses cosine tones); a zero vector would make the
+    # cosine comparison below silently nan
+    norms = [float(np.linalg.norm(f)) for f in feats]
+    assert min(norms) > 0.5, norms
+    worst = max(
+        float(feats[a] @ feats[b] / (norms[a] * norms[b]))
+        for a in range(16) for b in range(a + 1, 16)
+    )
+    assert worst < 0.5, worst  # measured ~1e-4; threshold is 0.995
+
+
 def test_avi_codec_minimal_no_strh_falls_back_to_first_strf():
     """r8 advice pin: a structurally minimal AVI that carries strf (and
     frames) but omits strh entirely must still decode via the pre-r8
