@@ -936,19 +936,32 @@ def h1_pricing(spark, sf_dir):
     "GROUP BY n_name",
 )
 def h2_revenue(spark, sf_dir):
+    # Eager aggregation below the join (r9 study, 1.23x at sf10): with no
+    # selective predicate anywhere, the lever is shrinking what reaches the
+    # custkey exchange, not broadcasting dims (the unfiltered-1.5M-row
+    # broadcast arm measured 0.92x and is the classic cluster OOM trap).
+    # Revenue rolls up to l_orderkey first — exchange-free on the bucketed
+    # layout — so the orderkey join meets 15M rows instead of 60M, and the
+    # custkey shuffle carries one narrow partial aggregate per order.  The
+    # custkey rollup's output partitioning is then reused by the customer
+    # join.  Catalyst does not push aggregates below joins itself; exact
+    # integer-cents sums make the regrouping associative and loss-free.
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    # dims broadcast explicitly: nation is tiny, customer small at any SF
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-    )
     rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
-    return joined.groupBy("n_name").agg(
-        (F.sum(rev).cast("double") / 10000).alias("revenue")
+    li_agg = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev"))
+    ord_rev = li_agg.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li_agg.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", "rev")
+    cust_rev = ord_rev.groupBy("o_custkey").agg(F.sum("rev").alias("rev"))
+    return (
+        cust_rev.join(cust, cust_rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg((F.sum("rev").cast("double") / 10000).alias("revenue"))
     )
 
 
@@ -1496,18 +1509,25 @@ def h13_cube(spark, sf_dir):
     "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
 )
 def h14_distinct_customers(spark, sf_dir):
-    # DISTINCT aggregation (§2.5): two-phase partial dedup + final count in
-    # Spark (Expand + two HashAggregates); nation broadcast
+    # DISTINCT aggregation (§2.5) via eager pre-aggregation (r9 study,
+    # 1.30x at sf10): rolling orders up to (o_custkey, count) first makes
+    # the custkey the grain, so countDistinct degenerates to count(*) —
+    # deleting the Expand + double-shuffle distinct machinery — and the
+    # custkey exchange carries 1.5M partial rows instead of 15M pairs.
+    # The rollup's partitioning is reused by the customer join.
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cust_orders")
+    )
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.countDistinct("o_custkey").alias("n_cust"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cust_orders").alias("n_orders"),
         )
     )
 

@@ -20,6 +20,22 @@ Variants under test (one lever each, results asserted equal first):
                  BEFORE the fact-fact join (the h15 move) instead of
                  filtering above it.
 
+Second wave (after h2_slimdim/h14_slimdim were rejected — broadcasting
+an UNFILTERED 1.5M-row dim loses; the right lever for a no-predicate
+star aggregate is EAGER AGGREGATION below the join instead):
+
+  h2_eageragg  : revenue rolled up to l_orderkey first (exchange-free —
+                 lineitem is bucketed by orderkey), joined to co-located
+                 orders, rolled up again to o_custkey (ONE narrow 15M-row
+                 shuffle with map-side combine) and only the 1.5M-row
+                 custkey aggregate meets customer — replacing the 60M-row
+                 custkey exchange of the joined fact stream.
+  h14_eageragg : orders rolled up to (o_custkey, n_orders) first — the
+                 per-custkey aggregate makes countDistinct a plain
+                 count(*), deleting the Expand + double-shuffle distinct
+                 machinery; the custkey exchange carries 1.5M partial
+                 rows instead of 15M pairs.
+
 Method: r6 interleaved order-alternating warm A/B, one session, both
 arms per rep (old first on even reps).  Usage:
     python tools/star_plan_variants_study.py [sf_dir] [reps]
@@ -157,11 +173,48 @@ def h23_ordfilter(spark, sf_dir):
     )
 
 
+def h2_eageragg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    # orderkey rollup rides the bucketed layout: no exchange, 60M -> 15M
+    li_agg = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev"))
+    ord_rev = li_agg.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li_agg.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", "rev")
+    cust_rev = ord_rev.groupBy("o_custkey").agg(F.sum("rev").alias("rev"))
+    return (
+        cust_rev.join(cust, cust_rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg((F.sum("rev").cast("double") / 10000).alias("revenue"))
+    )
+
+
+def h14_eageragg(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cust_orders")
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cust_orders").alias("n_orders"),
+        )
+    )
+
+
 VARIANTS = {
-    "h2_revenue_by_nation": h2_slimdim,
-    "h14_distinct_customers_per_nation": h14_slimdim,
-    "h27_waiting_suppliers": h27_norepart,
-    "h23_market_share": h23_ordfilter,
+    "h2_revenue_by_nation": h2_eageragg,
+    "h14_distinct_customers_per_nation": h14_eageragg,
 }
 
 
