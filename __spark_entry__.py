@@ -2684,6 +2684,72 @@ def m03_audio_neardup(spark, sf_dir):
 
 
 @q(
+    "m04_video_neardup",
+    # planted-truth oracle through the REAL video path (container twin
+    # of m02/m03): each doc < 200 becomes a 3-frame 16x16 Motion-JPEG
+    # MP4 whose frames are constant gray at the bin center
+    # v = (doc_id % 16)*16 + 8; docs < 20 additionally get an AVI
+    # (mjpeg) twin of the SAME frames at media_id + 10^7.  Constant
+    # gray survives the JPEG round-trip exactly (m02's pinned premise),
+    # both containers demux to the same pixels
+    # (test_m04_containers_agree), and mean-pooling identical one-hot
+    # frame histograms is exact — so same-bin pairs, and only those,
+    # land at cosine exactly 1.0 regardless of container.  Any MP4/AVI
+    # demux, JPEG decode, featurize, or mean-pool drift breaks the
+    # hash.
+    "WITH m AS (SELECT doc_id AS id, doc_id % 16 AS bin FROM documents "
+    "WHERE doc_id < 200 UNION ALL SELECT doc_id + 10000000, doc_id % 16 "
+    "FROM documents WHERE doc_id < 20) "
+    "SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS cosine "
+    "FROM m a JOIN m b ON a.bin = b.bin AND a.id < b.id",
+)
+def m04_video_neardup(spark, sf_dir):
+    # video near-dup as a CORRECTNESS row: real MP4/AVI mux -> demux ->
+    # per-frame JPEG decode -> mean-pooled histogram embedding ->
+    # cosine-LSH.  Exercises the round-9 ISO-BMFF sample-table walk and
+    # the MJPEG-AVI path in one driver-visible differential.  Scale
+    # shape: generation and demux ride mapInPandas beside the scan; the
+    # per-video mean is the only exchange (frame-count bounded);
+    # candidates are bucket-local (operators/dedup).
+    from cloudfabric_eventsourcing_spark.operators import (
+        codecs as _codecs,
+        multimodal as _mm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        mp4s, avis = {}, {}
+        for c in range(16):
+            px = bytes([c * 16 + 8]) * (16 * 16 * 3)
+            mp4s[c] = _codecs.encode_mp4(16, 16, 10.0, [px] * 3, quality=95)
+            avis[c] = _codecs.encode_avi(
+                16, 16, 10.0, [px] * 3, codec="mjpeg", quality=95
+            )
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                out["media_id"].append(did)
+                out["kind"].append("video")
+                out["content"].append(mp4s[did % 16])
+                out["meta"].append(None)
+                if did < 20:
+                    out["media_id"].append(did + 10_000_000)
+                    out["kind"].append("video")
+                    out["content"].append(avis[did % 16])
+                    out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, _mm.MEDIA_SCHEMA)
+    return _mm.video_neardup_pairs(media, threshold=0.995)
+
+
+@q(
     "h9_order_priority_check",
     "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
     "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
@@ -3053,9 +3119,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # r08 — led by f04/f06/f08/f09 as r8 prescribed, with the round's TWO
 # new entries (m02_image_neardup and m03_audio_neardup, the image/audio
 # codec->feature->LSH rows the r8 verdict asked for) taking day-one
-# slots at positions 5-6 — minus the six safest aged entries displaced
-# to positions 51-56 (h12/h8/s03/k01/p07/p09: each pinned by family
-# pytest + the full-registry sweep); they lead r10.
+# slots at positions 5-6, and m04_video_neardup (the second-half video
+# modality riding the round's MP4/AVI demux) at position 7 — minus the
+# seven safest aged entries displaced to positions 51-57
+# (h11/h12/h8/s03/k01/p07/p09: each pinned by family pytest + the
+# full-registry sweep, h11 additionally by the sf10 close-out); they
+# lead r10.
 _VERIFY_FIRST = [
     "f04_starts_with",
     "f06_contains_case_sensitive",
@@ -3063,6 +3132,7 @@ _VERIFY_FIRST = [
     "f09_array_contains",
     "m02_image_neardup",
     "m03_audio_neardup",
+    "m04_video_neardup",
     "f02_ne_null",
     "f03_range",
     "f05_ends_with",
@@ -3106,8 +3176,8 @@ _VERIFY_FIRST = [
     "m01_multimodal_features",
     "h9_order_priority_check",
     "h10_promo_revenue_share",
-    "h11_large_volume_customers",
     # -- driver window ends here (position 50) --
+    "h11_large_volume_customers",
     "h12_rich_idle_customers",
     "h8_shipping_priority",
     "s03_ann_ivf_topk",

@@ -680,6 +680,89 @@ def audio_neardup_pairs(
     )
 
 
+def video_feature_vectors(
+    df: DataFrame, out_dim: int = 16, every_n: int = 1, fake: bool = False,
+    on_error: str = "raise", decoder=None,
+) -> DataFrame:
+    """Video media rows -> (vec_id, embedding), the dedup-modality glue
+    for video (third modality beside image_feature_vectors /
+    audio_feature_vectors): demux + decode every ``every_n``-th frame
+    (sample_frames — AVI and MP4 Motion-JPEG, uncompressed AVI, or an
+    injected ``decoder=`` for inter-frame codecs), featurize each frame
+    through the image histogram floor, and mean-pool the per-frame
+    vectors into one embedding per video.
+
+    Scale shape: demux/decode ride mapInPandas beside the scan; the
+    only exchange is the per-video mean (one groupBy on media_id whose
+    values are out_dim-float arrays — frame-count bounded, never
+    pixel-sized).  Mean pooling is frame-order-insensitive by
+    construction, so collect_list's nondeterministic order cannot
+    change the embedding beyond FP addition reordering (identical
+    frames sum exactly).  A deployment with a real video encoder swaps
+    this feature step and keeps the LSH/verify/curation machinery
+    unchanged — the output is just (vec_id, embedding)."""
+    frames = sample_frames(
+        df, every_n=every_n, fake=fake, on_error=on_error, decoder=decoder
+    )
+    # sampled frames are standalone PNGs re-encoded by sample_frames
+    # itself (or 64-byte slices on the fake path), so the image step
+    # uses the built-in dispatch — an injected VIDEO decoder must not
+    # see PNG bytes
+    as_images = frames.select(
+        F.col("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame_bytes").alias("content"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:int>")
+        .alias("meta"),
+    )
+    feats = decode_image_features(
+        as_images, fake=fake, out_dim=out_dim, on_error=on_error
+    )
+    agg = (
+        feats.where(F.col("features").isNotNull())
+        .groupBy("media_id")
+        .agg(F.collect_list("features").alias("fs"))
+    )
+    zero = F.array(*[F.lit(0.0) for _ in range(out_dim)])
+    summed = F.aggregate(
+        "fs", zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    mean = F.transform(summed, lambda v: v / F.size("fs"))
+    return agg.select(
+        F.col("media_id").alias("vec_id"), mean.alias("embedding")
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.995,
+    out_dim: int = 16,
+    bits: int = 8,
+    seed: int = 42,
+    every_n: int = 1,
+    fake: bool = False,
+    on_error: str = "raise",
+    decoder=None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs — the third modality twin of
+    image_neardup_pairs / audio_neardup_pairs: frame-sampled mean-pooled
+    histogram embedding -> hyperplane-LSH -> exact cosine within
+    buckets.  Container-invariant at the floor: the same frames in an
+    AVI and an MP4 decode to the same pixels, hence the same embedding
+    (pinned by the m04 oracle row).  Same swap-in contract as the other
+    modalities: replace the feature step, keep the machinery."""
+    from cloudfabric_eventsourcing_spark.operators import dedup as _dedup
+
+    vecs = video_feature_vectors(
+        df, out_dim=out_dim, every_n=every_n, fake=fake,
+        on_error=on_error, decoder=decoder,
+    )
+    return _dedup.cosine_neardup_pairs_lsh(
+        vecs, threshold=threshold, dims=out_dim, bits=bits, seed=seed,
+    )
+
+
 MEDIA_ERRORS_DDL = (
     "media_id long, kind string, n_bytes long, error string, detail string"
 )

@@ -2327,6 +2327,70 @@ def test_m03_tone_classes_are_separable():
     assert worst < 0.5, worst  # measured ~1e-4; threshold is 0.995
 
 
+def test_m04_containers_agree():
+    """Pin for m04_video_neardup's oracle premise: the SAME constant-gray
+    frames muxed as Motion-JPEG MP4 and as Motion-JPEG AVI demux to
+    identical pixel payloads (same frame count, same bytes per frame),
+    so the two containers produce identical embeddings and every
+    same-bin pair lands at cosine exactly 1.0 regardless of container."""
+    from cloudfabric_eventsourcing_spark.operators import codecs
+    from cloudfabric_eventsourcing_spark.operators.multimodal import (
+        _decode_video,
+    )
+
+    for b in (0, 7, 15):
+        px = bytes([b * 16 + 8]) * (16 * 16 * 3)
+        frames = [px] * 3
+        mp4 = codecs.encode_mp4(16, 16, 10.0, frames, quality=95)
+        avi = codecs.encode_avi(16, 16, 10.0, frames, codec="mjpeg",
+                                quality=95)
+        w1, h1, _, f1 = _decode_video(mp4)
+        w2, h2, _, f2 = _decode_video(avi)
+        assert (w1, h1) == (w2, h2) == (16, 16)
+        assert len(f1) == len(f2) == 3
+        assert f1 == f2
+        # and the decoded gray stays in its bin (m02's premise holds
+        # through the video mux too)
+        feats = codecs.image_features(16, 16, 3, f1[0], 16)
+        assert feats[b] == 1.0
+
+
+def test_video_feature_vectors_mean_pool(spark):
+    """video_feature_vectors: a 3-frame constant-gray MP4 mean-pools to
+    the exact one-hot histogram; two different-bin videos land in
+    different bins; video_neardup_pairs finds exactly the same-bin
+    pair."""
+    from cloudfabric_eventsourcing_spark.operators import (
+        codecs,
+        multimodal,
+    )
+
+    def vid(b):
+        px = bytes([b * 16 + 8]) * (16 * 16 * 3)
+        return codecs.encode_mp4(16, 16, 10.0, [px] * 3, quality=95)
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(vid(3)), None),
+            (2, "video", bytearray(vid(3)), None),
+            (3, "video", bytearray(vid(9)), None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in multimodal.video_feature_vectors(media).collect()
+    }
+    assert set(vecs) == {1, 2, 3}
+    assert vecs[1][3] == 1.0 and sum(vecs[1]) == 1.0
+    assert vecs[3][9] == 1.0
+    assert vecs[1] == vecs[2] != vecs[3]
+    pairs = multimodal.video_neardup_pairs(media, threshold=0.995).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in pairs] == [
+        (1, 2, 1.0)
+    ]
+
+
 def test_avi_codec_minimal_no_strh_falls_back_to_first_strf():
     """r8 advice pin: a structurally minimal AVI that carries strf (and
     frames) but omits strh entirely must still decode via the pre-r8
