@@ -55,8 +55,10 @@ class AggregateBase:
 
     @staticmethod
     def hash_string_to_guid(value: str) -> str:
-        """Natural-key -> deterministic uuid (AggregateBase.cs:70-80);
-        algorithm is sha256-derived, see functions.hash_string_to_uuid."""
+        """Natural-key -> deterministic uuid (AggregateBase.cs:70-80):
+        XXH3-128 of the UTF-8 bytes with .NET Guid byte order, matching
+        the reference bit-for-bit — see functions.hash_string_to_uuid
+        for the validation scope and the sha256 legacy opt-in."""
         return str(hash_string_to_uuid(value))
 
     # -- event plumbing ----------------------------------------------------

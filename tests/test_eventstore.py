@@ -207,6 +207,106 @@ def test_natural_key_hash_stable():
     assert a == b and a != c and len(a) == 36
 
 
+def test_natural_key_hash_is_dotnet_xxh3_guid():
+    """The reference derivation (AggregateBase.cs:70-80) is
+    new Guid(XxHash128(utf8)): canonical XXH3-128 digest read through
+    .NET's little-endian-first-three-fields Guid ctor.  Pin the empty
+    input end-to-end: the canonical digest is the published
+    99aa06d3014798d86001c324468d497f, and the Guid byte order is
+    computable by hand from it."""
+    from cloudfabric_eventsourcing_spark.functions import (
+        hash_string_to_uuid,
+    )
+
+    assert (
+        str(hash_string_to_uuid("")) == "d306aa99-4701-d898-6001-c324468d497f"
+    )
+    # legacy opt-in keeps the pre-round-9 ids resolvable
+    legacy = hash_string_to_uuid("john@gmail.com", algorithm="sha256")
+    assert legacy != hash_string_to_uuid("john@gmail.com")
+    import hashlib
+    import uuid
+
+    assert legacy == uuid.UUID(
+        bytes=hashlib.sha256(b"john@gmail.com").digest()[:16]
+    )
+
+
+def test_xxh3_128_canonical_vectors_and_length_classes():
+    """XXH3-128 pins: the canonical empty-input digest (validates the
+    192-byte kSecret + len-0 + avalanche chain) and one regression pin
+    per length-class branch (1to3/4to8/9to16/17to128/129to240/long
+    incl. the multi-block and partial-stripe boundaries).  The
+    length-class constants are self-generated pins — stability, not
+    external correctness; the module docstring states the honest
+    validation scope."""
+    from cloudfabric_eventsourcing_spark.functions.xxh3 import (
+        xxh3_128,
+        xxh3_128_canonical,
+    )
+
+    assert xxh3_128_canonical(b"").hex() == (
+        "99aa06d3014798d86001c324468d497f"
+    )
+    pins = {
+        1: "a6cd5e9392000f6ac44bdff4074eecdb",
+        3: "e3b55f57945a17cf5f4299fc161c9cbb",
+        4: "eb70bf5fc779e9e6a6111d53e80a3db5",
+        8: "e1e4432a62217fe4cfd50c61c8bb98c1",
+        9: "16c769d83e4aebce907931979dca3746",
+        16: "72950631827607e2842812cc870dcae2",
+        17: "685bc458b37d057fc06e233df7729217",
+        128: "14792fc3af88dc6c05321a0b64d67b41",
+        129: "dd5e74ac6b45f54ebc30b63382b09a3b",
+        240: "65b5be86da5540e7c92b68e16f83bbb6",
+        241: "1da1cb61bcb8a2a102e8cd95421c6d02",
+        1023: "4325711b0ed4d742d3d91d80ac495685",
+        1024: "d0ac1f7b93bf57b9e5d78bafa45b2aa5",
+        1025: "2882ebca04ec915ce95c42288f28186e",
+        2500: "7652685591d4127c76ebae7c9d5cdc5c",
+    }
+    for ln, want in pins.items():
+        data = bytes(i % 251 for i in range(ln))
+        assert xxh3_128_canonical(data).hex() == want, ln
+    # digest halves must differ (catches a copy-paste low==high bug)
+    lo, hi = xxh3_128(b"migrate-me@example.com")
+    assert lo != hi
+
+
+def test_xxh64_matches_the_jvm(spark):
+    """The pure-Python XXH64 must agree with Spark's INDEPENDENT JVM
+    xxhash64 (seed 42) across every branch of the algorithm — this is
+    the in-container oracle that pins the helper layer (LE reads,
+    wrap-around mul/add, rotations, avalanches) XXH3-128 is built
+    from.  Known-answer pins for seed 0 guard the seed path the JVM
+    check can't reach."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.functions.xxh3 import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    rng = random.Random(7)
+    rows = [
+        bytes(rng.randrange(256) for _ in range(ln))
+        for ln in list(range(0, 40)) + [63, 64, 65, 100, 128, 255, 300]
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(rows)], "id int, data binary"
+    )
+    jvm = {
+        r["id"]: r["h"]
+        for r in df.select("id", F.xxhash64("data").alias("h")).collect()
+    }
+    for i, b in enumerate(rows):
+        mine = xxh64(b, seed=42)
+        if mine >= 1 << 63:
+            mine -= 1 << 64  # JVM longs are signed
+        assert mine == jvm[i], f"len {len(b)}"
+
+
 def test_parquet_store_spark_view(spark, tmp_path):
     store = ParquetEventStore(str(tmp_path / "events"))
     store.initialize()
