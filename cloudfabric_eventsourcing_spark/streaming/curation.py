@@ -749,6 +749,53 @@ def curate_audio_stream(
     )
 
 
+def curate_video_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.995,
+    out_dim: int = 16,
+    every_n: int = 1,
+    fake: bool = False,
+    quarantine_path: Optional[str] = None,
+    available_now: bool = True,
+    compact_every: Optional[int] = None,
+    clusters_path: Optional[str] = None,
+    decoder=None,
+):
+    """Video twin of curate_image_stream, completing the modality
+    triangle: video_feature_vectors (demux AVI/MP4 Motion-JPEG or an
+    injected ``decoder=``, per-frame histograms mean-pooled per video)
+    with on_error="skip" + run/epoch-keyed quarantine of undemuxable
+    containers.  Same contract, same swap-in point for a real video
+    encoder.  Note the skip policy covers BOTH failure points: a
+    corrupt container drops at demux, a corrupt embedded frame drops at
+    the image step — either way the batch survives and the quarantine
+    report names the container."""
+    from cloudfabric_eventsourcing_spark.operators import multimodal as _mm
+
+    def features(batch: DataFrame) -> DataFrame:
+        return _mm.video_feature_vectors(
+            batch, out_dim=out_dim, every_n=every_n, fake=fake,
+            on_error="skip", decoder=decoder,
+        )
+
+    def bad_rows(batch: DataFrame) -> DataFrame:
+        return _mm.media_decode_errors(
+            batch.where(F.col("kind") == "video"), fake=fake,
+            video_decoder=decoder,
+        )
+
+    return curate_vector_stream(
+        stream, index_path, corpus_path, checkpoint,
+        threshold=threshold, batch_transform=features,
+        available_now=available_now, compact_every=compact_every,
+        clusters_path=clusters_path, quarantine_path=quarantine_path,
+        quarantine_transform=bad_rows if quarantine_path else None,
+    )
+
+
 def vector_index_corpus_divergence(
     spark,
     index_path: str,

@@ -656,6 +656,62 @@ def test_audio_stream_curation_skips_and_quarantines(spark, tmp_path):
     assert [(r["media_id"], r["kind"]) for r in bad] == [(4, "audio")]
 
 
+def test_video_stream_curation_rejects_container_swap(spark, tmp_path):
+    """curate_video_stream end-to-end (the modality triangle's third
+    side): a later-batch AVI re-mux of an accepted MP4's frames is
+    rejected by the cosine index (container-invariant dedup), a corrupt
+    container in the same batch is skipped (the query survives) and
+    quarantined, and a novel video is accepted."""
+    from cloudfabric_eventsourcing_spark.operators import codecs, multimodal
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_video_stream,
+    )
+
+    def frames(v):
+        return [bytes([v]) * (16 * 16 * 3)] * 3
+
+    mp4_a = codecs.encode_mp4(16, 16, 10.0, frames(40), quality=95)
+    avi_a = codecs.encode_avi(
+        16, 16, 10.0, frames(40), codec="mjpeg", quality=95
+    )
+    mp4_b = codecs.encode_mp4(16, 16, 10.0, frames(200), quality=95)
+    corrupt = mp4_a[:30]  # truncated mid-ftyp
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(20, "video", bytearray(mp4_a), None)], multimodal.MEDIA_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(21, "video", bytearray(corrupt), None),  # corrupt: skip
+         (22, "video", bytearray(avi_a), None),    # container swap: reject
+         (23, "video", bytearray(mp4_b), None)],   # novel: accept
+        multimodal.MEDIA_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    index_path = str(tmp_path / "cidx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    dedup.save_cosine_index(empty, index_path, dims=16, bits=8)
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+
+    stream = (
+        spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_video_stream(
+        stream, index_path, corpus, str(tmp_path / "ckpt"),
+        threshold=0.995, quarantine_path=quarantine,
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [20, 23]
+    bad = spark.read.parquet(quarantine).collect()
+    assert [(r["media_id"], r["kind"]) for r in bad] == [(21, "video")]
+
+
 def test_audio_neardup_pairs_across_reencodes(spark):
     """Audio as a dedup modality: the same signal re-encoded (16-bit vs
     8-bit PCM, different gain) pairs up via the spectral-band embedding;
