@@ -975,14 +975,26 @@ def h2_revenue(spark, sf_dir):
     "ORDER BY total_spent DESC, c_custkey ASC LIMIT 100",
 )
 def h3_top_customers(spark, sf_dir):
+    # Eager aggregation below the join (r9 study, 1.99x at sf10): orders
+    # roll up per custkey BEFORE meeting customer, so the custkey
+    # exchange carries 1.5M narrow partials (map-side combined) instead
+    # of 15M joined rows dragging c_name strings, and the rollup's
+    # partitioning is reused by the join.  c_custkey is a key, so
+    # grouping by it alone is equivalent to (c_custkey, c_name); the
+    # top-100 is a TakeOrdered, never a full sort.
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("spent_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total_spent"),
-            F.count(F.lit(1)).alias("n_orders"),
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("spent_cents").cast("double") / 100).alias("total_spent"),
+            "n_orders",
         )
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(100)

@@ -212,9 +212,30 @@ def h14_eageragg(spark, sf_dir):
     )
 
 
+def h3_eageragg(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("spent_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("spent_cents").cast("double") / 100).alias("total_spent"),
+            "n_orders",
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(100)
+    )
+
+
+# h2/h14's eager arms were ADOPTED into __spark_entry__ — re-running
+# them would compare the plan against itself; only open arms stay live
 VARIANTS = {
-    "h2_revenue_by_nation": h2_eageragg,
-    "h14_distinct_customers_per_nation": h14_eageragg,
+    "h3_top_customers": h3_eageragg,
 }
 
 
