@@ -1145,6 +1145,44 @@ def p03_ngram_jaccard(spark, sf_dir):
     )
 
 
+@q(
+    "p16_winnowing_overlap",
+    # Exact-parity oracle via cross-engine MD5: both engines hash the
+    # SAME token 3-gram strings with standard MD5 and pick the SAME
+    # lexicographic window minima, so fingerprint selection — the part
+    # a hash-agnostic oracle could never reproduce — is itself under
+    # the differential.  range(a, b) is end-exclusive; list slices are
+    # 1-based inclusive (verified against DuckDB semantics).
+    "WITH toks AS (SELECT doc_id, "
+    f"{_TOKS_SQL} AS t FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE [] END AS grams FROM toks), "
+    "f AS (SELECT doc_id, CASE WHEN len(grams) >= 4 THEN "
+    "list_distinct(list_transform(range(1, len(grams)-2), i -> list_min(grams[i:i+3]))) "
+    "WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END AS fps FROM g), "
+    "e AS (SELECT doc_id, unnest(fps) AS fp FROM f) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared "
+    "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2",
+)
+def p16_winnowing_overlap(spark, sf_dir):
+    # Winnowing (MOSS) positional-overlap pairs — the partial-copy /
+    # quotation detector the whole-document fingerprint family can't
+    # be: any shared token run of >= window+k-1 = 6 tokens guarantees a
+    # shared fingerprint.  Scale shape: per-row Column exprs (linear
+    # zip-of-shifted-slices), then the inverted-index self-join — same
+    # bucket-local shape as LSH, with max_postings as the skew valve in
+    # production (not set here so the oracle matches exactly).
+    return _text.winnowing_overlap_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        window=4,
+        min_shared=2,
+        hash="md5",
+    )
+
+
 @q("p04_minhash_lsh_pairs", _JACCARD_ORACLE)
 def p04_minhash_lsh(spark, sf_dir):
     # LSH candidates + exact verification; at (128 perms, 32 bands) the
@@ -3131,12 +3169,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # r08 — led by f04/f06/f08/f09 as r8 prescribed, with the round's TWO
 # new entries (m02_image_neardup and m03_audio_neardup, the image/audio
 # codec->feature->LSH rows the r8 verdict asked for) taking day-one
-# slots at positions 5-6, and m04_video_neardup (the second-half video
-# modality riding the round's MP4/AVI demux) at position 7 — minus the
-# seven safest aged entries displaced to positions 51-57
-# (h11/h12/h8/s03/k01/p07/p09: each pinned by family pytest + the
-# full-registry sweep, h11 additionally by the sf10 close-out); they
-# lead r10.
+# slots at positions 5-6, m04_video_neardup (the second-half video
+# modality riding the round's MP4/AVI demux) at position 7, and
+# p16_winnowing_overlap (MOSS positional-overlap pairs, cross-engine
+# MD5 selection) at position 8 — minus the eight safest aged entries
+# displaced to positions 51-58 (h10/h11/h12/h8/s03/k01/p07/p09: each
+# pinned by family pytest + the full-registry sweep, h10/h11
+# additionally by the sf10 close-out); they lead r10.
 _VERIFY_FIRST = [
     "f04_starts_with",
     "f06_contains_case_sensitive",
@@ -3145,6 +3184,7 @@ _VERIFY_FIRST = [
     "m02_image_neardup",
     "m03_audio_neardup",
     "m04_video_neardup",
+    "p16_winnowing_overlap",
     "f02_ne_null",
     "f03_range",
     "f05_ends_with",
@@ -3187,8 +3227,8 @@ _VERIFY_FIRST = [
     "x04_funnel_conversion",
     "m01_multimodal_features",
     "h9_order_priority_check",
-    "h10_promo_revenue_share",
     # -- driver window ends here (position 50) --
+    "h10_promo_revenue_share",
     "h11_large_volume_customers",
     "h12_rich_idle_customers",
     "h8_shipping_priority",

@@ -232,6 +232,115 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("rolling_fp", rolling_hash_fingerprint(F.col(text_col)))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxh64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every token k-gram, slide a width-`window`
+    window over the gram hashes, keep each window's minimum, distinct
+    the selections.  The guarantee: two documents sharing any token run
+    of length >= window + k - 1 share at least one fingerprint — the
+    POSITIONAL-overlap detector (plagiarism, quotation, partial copies)
+    that the whole-document fingerprint_tokens cannot be.
+
+    `hash="xxh64"` (default) is the fast JVM path; `hash="md5"` is
+    bit-identical across engines (Spark and DuckDB both implement
+    standard MD5 over the same gram strings), making fingerprint
+    selection — and therefore overlap pairs — exactly reproducible
+    outside Spark; the p16 oracle row runs on it.
+
+    Plan shape: both the gram hashing and the window minimum use the
+    t06 linear zip-of-shifted-slices form (never transform(sequence)
+    whose nested re-evaluation goes quadratic); everything is per-row
+    Column expressions — no shuffle, no UDF, embarrassingly parallel.
+    Documents shorter than k tokens yield an empty fingerprint set;
+    with fewer than `window` grams the single minimum is kept (the
+    standard short-document degeneration)."""
+    if hash not in ("xxh64", "md5"):
+        raise ValueError("hash must be 'xxh64' or 'md5'")
+    toks = tokens_column(F.col(text_col))
+    m = F.size(toks)
+    gspan = m - (k - 1)
+    gz = F.arrays_zip(*[F.slice(toks, i + 1, gspan) for i in range(k)])
+    if hash == "md5":
+        grams = F.transform(
+            gz,
+            lambda s: F.md5(
+                F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+            ),
+        )
+        empty = F.array().cast("array<string>")
+    else:
+        grams = F.transform(
+            gz, lambda s: F.xxhash64(*[s[str(i)] for i in range(k)])
+        )
+        empty = F.array().cast("array<bigint>")
+    wspan = gspan - (window - 1)
+    wz = F.arrays_zip(*[F.slice(grams, i + 1, wspan) for i in range(window)])
+    mins = F.transform(
+        wz, lambda s: F.least(*[s[str(i)] for i in range(window)])
+    )
+    fps = (
+        F.when(gspan >= window, F.array_distinct(mins))
+        .when(gspan > 0, F.array(F.array_min(grams)))
+        .otherwise(empty)
+    )
+    return df.select(F.col(id_col), fps.alias("fingerprints"))
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_postings: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xxh64",
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    (id_a, id_b, n_shared), id_a < id_b.  The inverted-index pattern:
+    explode fingerprints, self-join posting lists per fingerprint,
+    count per pair.  Exactly the LSH-band shape, so the same skew story
+    applies: a fingerprint minted by corpus-wide boilerplate has a
+    posting list of the whole corpus and goes quadratic — at scale set
+    `max_postings` to drop fingerprints with more than that many
+    postings (they carry no discriminating signal, the same trade as
+    minhash's max_bucket_size valve; dropped fingerprints reduce
+    n_shared, never invent pairs)."""
+    fps = winnowing_fingerprints(
+        df, k=k, window=window, text_col=text_col, id_col=id_col, hash=hash
+    ).select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    if max_postings is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_postings)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (training-data scrub)
 # ---------------------------------------------------------------------------

@@ -894,6 +894,61 @@ def test_rarity_weighted_scores(spark, docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_winnowing_guarantee_and_edges(spark):
+    """Winnowing's defining guarantee (Schleimer et al.): two documents
+    sharing a token run of length >= window + k - 1 share at least one
+    fingerprint — regardless of hash choice.  Plus the edges: short
+    documents (< k tokens -> empty set; < window grams -> single min),
+    unrelated text yields no pair, the max_postings valve drops
+    corpus-wide fingerprints, and the plan has no UDF."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " closing remarks"),
+            (2, "completely different opening " + shared),
+            (3, "nothing in common with anything else at all whatsoever"),
+            (4, "tiny doc"),              # < k tokens: empty set
+            (5, "exactly three tokens"),  # one 3-gram: single-min path
+        ],
+        "doc_id long, text string",
+    )
+    for h in ("xxh64", "md5"):
+        fps = {
+            r["doc_id"]: list(r["fingerprints"])
+            for r in winnowing_fingerprints(
+                docs, k=3, window=4, hash=h
+            ).collect()
+        }
+        assert fps[4] == []
+        assert len(fps[5]) == 1
+        assert set(fps[1]) & set(fps[2])  # the guarantee (10 >= 4+3-1)
+        pairs = winnowing_overlap_pairs(
+            docs, k=3, window=4, min_shared=1, hash=h
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+        assert pairs[0]["n_shared"] >= 1
+    # the valve: every fingerprint of 1&2's shared run appears twice, so
+    # max_postings=1 kills the pair (and never invents one)
+    assert (
+        winnowing_overlap_pairs(
+            docs, k=3, window=4, min_shared=1, max_postings=1
+        ).count()
+        == 0
+    )
+    plan = (
+        winnowing_overlap_pairs(docs, k=3, window=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
