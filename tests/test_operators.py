@@ -914,6 +914,8 @@ def test_winnowing_guarantee_and_edges(spark):
             (3, "nothing in common with anything else at all whatsoever"),
             (4, "tiny doc"),              # < k tokens: empty set
             (5, "exactly three tokens"),  # one 3-gram: single-min path
+            (6, ""),                      # empty: negative gspan guarded
+            (7, None),                    # null text: empty set, no error
         ],
         "doc_id long, text string",
     )
@@ -924,7 +926,7 @@ def test_winnowing_guarantee_and_edges(spark):
                 docs, k=3, window=4, hash=h
             ).collect()
         }
-        assert fps[4] == []
+        assert fps[4] == [] and fps[6] == [] and fps[7] == []
         assert len(fps[5]) == 1
         assert set(fps[1]) & set(fps[2])  # the guarantee (10 >= 4+3-1)
         pairs = winnowing_overlap_pairs(
