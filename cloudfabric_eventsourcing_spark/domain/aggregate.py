@@ -53,13 +53,24 @@ class AggregateBase:
     def partition_key(self) -> str:
         raise NotImplementedError
 
-    @staticmethod
-    def hash_string_to_guid(value: str) -> str:
+    #: natural-key hash algorithm — "xxh3" matches the reference
+    #: bit-for-bit (r9 default); a deployment whose data was keyed by a
+    #: pre-r9 version of THIS repo sets id_hash_algorithm = "sha256" on
+    #: its aggregate classes (or passes algorithm=) so existing ids
+    #: keep resolving instead of silently re-keying on upgrade
+    id_hash_algorithm = "xxh3"
+
+    @classmethod
+    def hash_string_to_guid(cls, value: str, algorithm: str | None = None) -> str:
         """Natural-key -> deterministic uuid (AggregateBase.cs:70-80):
         XXH3-128 of the UTF-8 bytes with .NET Guid byte order, matching
         the reference bit-for-bit — see functions.hash_string_to_uuid
-        for the validation scope and the sha256 legacy opt-in."""
-        return str(hash_string_to_uuid(value))
+        for the validation scope.  `algorithm` (or the class attribute
+        `id_hash_algorithm`) selects "sha256" for data keyed by pre-r9
+        versions of this repo."""
+        return str(
+            hash_string_to_uuid(value, algorithm or cls.id_hash_algorithm)
+        )
 
     # -- event plumbing ----------------------------------------------------
     def apply(self, event: Event) -> None:

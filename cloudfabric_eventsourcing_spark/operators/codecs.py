@@ -1233,6 +1233,8 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         fourcc = data[pos + 4:pos + 8]
         body = pos + 8
         if size == 1:  # 64-bit largesize follows the fourcc
+            if pos + 16 > end:
+                raise ValueError("malformed MP4 box (truncated largesize)")
             (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
             body = pos + 16
         elif size == 0:  # box extends to end of enclosing scope
@@ -1264,9 +1266,19 @@ def decode_mp4(data: bytes) -> tuple[int, int, float, list[bytes]]:
     order.  fps is timescale/delta from mdhd+stts (0.0 when stts is
     empty).  Raises ValueError for non-JPEG sample entries (inter-frame
     codecs need a real decoder stack — use the operators' decoder=
-    injection) and for structurally broken files."""
+    injection) and for structurally broken files — including truncated
+    ones: struct-level underruns are rewrapped so the documented
+    except-ValueError contract (and every on_error policy built on it)
+    holds for arbitrary corrupt bytes."""
     if not is_mp4(data):
         raise ValueError("not an MP4/ISO-BMFF file")
+    try:
+        return _decode_mp4_body(data)
+    except struct.error as exc:
+        raise ValueError(f"truncated MP4 structure: {exc}") from exc
+
+
+def _decode_mp4_body(data: bytes) -> tuple[int, int, float, list[bytes]]:
     moov = _mp4_find(data, 0, len(data), [b"moov"])
     if moov is None:
         raise ValueError("no moov box in MP4")
@@ -1315,14 +1327,26 @@ def decode_mp4(data: bytes) -> tuple[int, int, float, list[bytes]]:
         span = _mp4_find(data, *stbl, [name])
         return span
 
-    # sample sizes
+    # sample sizes — every count is validated against the BOX (and the
+    # file) before a list is materialized: a corrupt stsz header can
+    # carry count=0xFFFFFFFF, and '[uniform] * count' would allocate
+    # tens of GB before any consistency check, OOM-killing the executor
+    # (an OS kill that on_error="skip" cannot catch)
     stsz = full_box(b"stsz")
     if stsz is None:
         raise ValueError("MP4 video track has no stsz box")
     uniform, count = struct.unpack(">II", data[stsz[0] + 4:stsz[0] + 12])
     if uniform:
+        if uniform * count > len(data):
+            raise ValueError(
+                "MP4 stsz sizes exceed the file (corrupt sample table)"
+            )
         sizes = [uniform] * count
     else:
+        if stsz[0] + 12 + 4 * count > stsz[1]:
+            raise ValueError(
+                "MP4 stsz count exceeds its box (corrupt sample table)"
+            )
         sizes = list(struct.unpack(
             f">{count}I", data[stsz[0] + 12:stsz[0] + 12 + 4 * count]
         ))
@@ -1331,6 +1355,10 @@ def decode_mp4(data: bytes) -> tuple[int, int, float, list[bytes]]:
     stco = full_box(b"stco")
     if stco is not None:
         (n_chunks,) = struct.unpack(">I", data[stco[0] + 4:stco[0] + 8])
+        if stco[0] + 8 + 4 * n_chunks > stco[1]:
+            raise ValueError(
+                "MP4 stco count exceeds its box (corrupt sample table)"
+            )
         offsets = list(struct.unpack(
             f">{n_chunks}I", data[stco[0] + 8:stco[0] + 8 + 4 * n_chunks]
         ))
@@ -1339,6 +1367,10 @@ def decode_mp4(data: bytes) -> tuple[int, int, float, list[bytes]]:
         if co64 is None:
             raise ValueError("MP4 video track has no stco/co64 box")
         (n_chunks,) = struct.unpack(">I", data[co64[0] + 4:co64[0] + 8])
+        if co64[0] + 8 + 8 * n_chunks > co64[1]:
+            raise ValueError(
+                "MP4 co64 count exceeds its box (corrupt sample table)"
+            )
         offsets = list(struct.unpack(
             f">{n_chunks}Q", data[co64[0] + 8:co64[0] + 8 + 8 * n_chunks]
         ))
@@ -1348,10 +1380,30 @@ def decode_mp4(data: bytes) -> tuple[int, int, float, list[bytes]]:
     if stsc is None:
         raise ValueError("MP4 video track has no stsc box")
     (n_runs,) = struct.unpack(">I", data[stsc[0] + 4:stsc[0] + 8])
+    if stsc[0] + 8 + 12 * n_runs > stsc[1]:
+        raise ValueError(
+            "MP4 stsc count exceeds its box (corrupt sample table)"
+        )
     runs = [
         struct.unpack(">III", data[stsc[0] + 8 + 12 * i:stsc[0] + 20 + 12 * i])
         for i in range(n_runs)
     ]
+    # ISO 14496-12: the first run starts at chunk 1 and first_chunk is
+    # strictly increasing.  Expanding a non-conformant table would
+    # silently assign samples-per-chunk to the WRONG chunks — walking
+    # wrong offsets yields misleading 'corrupt sample' errors at best
+    # and wrong pixels (hence a wrong dedup embedding) at worst.
+    if runs and runs[0][0] != 1:
+        raise ValueError(
+            "MP4 sample tables inconsistent (stsc first run does not "
+            "start at chunk 1)"
+        )
+    for i in range(1, len(runs)):
+        if runs[i][0] <= runs[i - 1][0]:
+            raise ValueError(
+                "MP4 sample tables inconsistent (stsc first_chunk not "
+                "increasing)"
+            )
 
     # expand runs -> samples-per-chunk for each chunk, then walk chunks
     # accumulating intra-chunk offsets (samples are contiguous in chunk)
@@ -1366,6 +1418,11 @@ def decode_mp4(data: bytes) -> tuple[int, int, float, list[bytes]]:
         for _ in range(spc[ci] if ci < len(spc) else 0):
             if si >= len(sizes):
                 break
+            if pos + sizes[si] > len(data):
+                raise ValueError(
+                    "MP4 sample extends past end of file (corrupt "
+                    "sample table)"
+                )
             sample_spans.append((pos, sizes[si]))
             pos += sizes[si]
             si += 1

@@ -710,6 +710,17 @@ def save_cosine_index(
                 f"{meta}; appending with {(dims, bits, seed)} would "
                 "bucket inconsistently"
             )
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = spark.read.parquet(f"{path}/vectors").columns
+        except AnalysisException:
+            existing = None  # cold dir / no data files: nothing to clash
+        if existing is not None:
+            # appending pbucket=*/ dirs beside a legacy bucket=*/ layout
+            # corrupts the dataset (conflicting partition columns on
+            # every later read) — refuse before writing anything
+            _check_cosine_layout(existing, path)
     else:
         _clear_marker(spark, path)
         spark.createDataFrame(
@@ -726,6 +737,23 @@ def save_cosine_index(
     ).partitionBy("pbucket").parquet(f"{path}/vectors")
     if mode != "append":
         _stamp_marker(spark, path)
+
+
+def _check_cosine_layout(columns, path: str) -> None:
+    """Fail fast on a vectors dataset written by the pre-pbucket layout
+    (partitionBy('bucket'), r8 and earlier).  Without this, a probe
+    dies mid-stream on an unresolved `pbucket` column, and an append
+    writes pbucket=*/ dirs NEXT TO the legacy bucket=*/ dirs — after
+    which every read fails on conflicting partition columns and the
+    index needs manual cleanup.  Same fail-before-first-batch contract
+    as the curation loop's _check_corpus_layout."""
+    if "pbucket" not in columns:
+        raise ValueError(
+            f"cosine index at {path} uses the legacy bucket-partitioned "
+            "layout; rebuild it with save_cosine_index(mode='overwrite') "
+            "(the r9 layout partitions by the bucket's high bits — see "
+            "save_cosine_index) before probing or appending"
+        )
 
 
 def _read_cosine_meta(spark, path: str) -> tuple[int, int, int]:
@@ -814,10 +842,12 @@ def cosine_dedup_against_index(
         .withColumn("pbucket", F.shiftright("bucket", shift))
         .schema
     )
-    idx = (
-        _read_index_table(spark, f"{path}/vectors", fallback_schema)
-        .where(F.col("pbucket").isin(prefixes) & F.col("bucket").isin(buckets))
-        .select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket")
+    idx_raw = _read_index_table(spark, f"{path}/vectors", fallback_schema)
+    _check_cosine_layout(idx_raw.columns, path)
+    idx = idx_raw.where(
+        F.col("pbucket").isin(prefixes) & F.col("bucket").isin(buckets)
+    ).select(
+        F.col(id_col).alias("index_id"), F.col(vec_col).alias("iv"), "bucket"
     )
     join_cond = idx.bucket == probes_df.bucket
     if not include_same_id:

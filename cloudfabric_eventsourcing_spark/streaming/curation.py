@@ -454,7 +454,11 @@ def _run_curation_stream(
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if quarantine_path is not None and quarantine_transform is not None:
-            bad = quarantine_transform(batch)
+            # materialize once (same pattern as `accepted` below): the
+            # report plan re-attempts every blob's decode, so probing
+            # emptiness and then writing the unmaterialized plan would
+            # run that decode pass twice per batch
+            bad = quarantine_transform(batch).localCheckpoint(eager=True)
             if not bad.isEmpty():
                 bad.write.mode("overwrite").parquet(
                     f"{quarantine_path}/run={_run_id(batch.sparkSession)}"

@@ -230,6 +230,17 @@ def test_natural_key_hash_is_dotnet_xxh3_guid():
     assert legacy == uuid.UUID(
         bytes=hashlib.sha256(b"john@gmail.com").digest()[:16]
     )
+    # ...and the switch is reachable from the AGGREGATE surface too —
+    # per-call or per-class — so upgrading deployments keep old ids
+    # without forking (r9 self-review)
+    assert Order.hash_string_to_guid(
+        "john@gmail.com", algorithm="sha256"
+    ) == str(legacy)
+
+    class LegacyOrder(Order):
+        id_hash_algorithm = "sha256"
+
+    assert LegacyOrder.hash_string_to_guid("john@gmail.com") == str(legacy)
 
 
 def test_xxh3_128_canonical_vectors_and_length_classes():

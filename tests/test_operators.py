@@ -2288,6 +2288,83 @@ def test_mp4_codec_round_trip_and_boundaries():
         )
 
 
+def test_mp4_hostile_and_truncated_bytes_raise_valueerror():
+    """Corrupt-input hardening (r9 self-review): (1) a hostile stsz
+    claiming ~2^40 bytes of samples must raise instead of materializing
+    a multi-GB list (an OOM kill is the one failure on_error='skip'
+    cannot catch); (2) a non-conformant stsc whose first run does not
+    start at chunk 1 is rejected loudly instead of silently walking
+    wrong chunk offsets into wrong pixels; (3) EVERY truncation of a
+    valid file raises ValueError, never struct.error — the documented
+    contract all on_error policies are built on."""
+    import struct
+
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import codecs
+
+    frames = [bytes([v]) * (12 * 12 * 3) for v in (10, 90, 170)]
+    mp4 = codecs.encode_mp4(12, 12, 10.0, frames, quality=95)
+
+    # (1) hostile stsz: uniform size and count both huge
+    i = mp4.index(b"stsz")
+    evil = bytearray(mp4)
+    evil[i + 8:i + 16] = struct.pack(">II", 1 << 20, 1 << 20)
+    with _pytest.raises(ValueError, match="sample table|stsz"):
+        codecs.decode_mp4(bytes(evil))
+
+    # (2) stsc first run anchored at chunk 1.  Box layout from the
+    # fourcc: +4 version/flags, +8 entry_count, +12 first run's
+    # first_chunk.
+    j = mp4.index(b"stsc")
+    evil2 = bytearray(mp4)
+    evil2[j + 12:j + 16] = struct.pack(">I", 2)  # first_chunk 1 -> 2
+    with _pytest.raises(ValueError, match="chunk 1|inconsistent"):
+        codecs.decode_mp4(bytes(evil2))
+
+    # (3) truncation sweep: ValueError (or clean no-op parse) only
+    for cut in range(9, len(mp4), 23):
+        try:
+            codecs.decode_mp4(mp4[:cut])
+        except ValueError:
+            pass  # the contract
+        except struct.error as exc:  # pragma: no cover
+            raise AssertionError(f"struct.error leaked at cut={cut}: {exc}")
+
+
+def test_cosine_index_legacy_layout_refused(spark, tmp_path):
+    """r9 self-review: an index persisted by the pre-pbucket layout
+    (partitionBy('bucket'), r8 and earlier) must be refused LOUDLY by
+    both the probe and append — probing would die on an unresolved
+    pbucket column mid-stream, and appending would write pbucket=*/
+    dirs beside the legacy bucket=*/ dirs, corrupting every later
+    read."""
+    import shutil
+
+    import pytest as _pytest
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "cidx")
+    dedup.save_cosine_index(vecs, path, dims=4, bits=8)
+    # rewrite the vectors dataset in the legacy layout
+    legacy = spark.read.parquet(f"{path}/vectors").select(
+        "vec_id", "embedding", "bucket"
+    )
+    rows = legacy.collect()
+    shutil.rmtree(f"{path}/vectors")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, bucket int"
+    ).write.partitionBy("bucket").parquet(f"{path}/vectors")
+
+    with _pytest.raises(ValueError, match="legacy"):
+        dedup.cosine_dedup_against_index(vecs, path, threshold=0.9)
+    with _pytest.raises(ValueError, match="legacy"):
+        dedup.save_cosine_index(vecs, path, dims=4, bits=8, mode="append")
+
+
 def test_multimodal_mp4_frame_pipeline(spark):
     """MP4 end-to-end through sample_frames: Motion-JPEG samples demux
     via the stsz/stsc/stco walk, every-n-th frame re-encodes as PNG, and
