@@ -1183,6 +1183,41 @@ def p16_winnowing_overlap(spark, sf_dir):
     )
 
 
+@q(
+    "p17_duplicated_spans",
+    # Same gaps-and-islands construction in SQL: position every token
+    # 8-gram, keep grams occurring >= 2 times corpus-wide (within-doc
+    # repeats count), merge overlapping/adjacent duplicated-gram starts
+    # (gap <= k) per document.  range(a, b) is end-exclusive; the LAG
+    # null on each doc's first position falls to the ELSE (new island).
+    "WITH toks AS (SELECT doc_id, "
+    f"{_TOKS_SQL} AS t FROM documents), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    + " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+    + " AS gram FROM toks, UNNEST(range(1, len(t)-6)) AS u(i)), "
+    "c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2), "
+    "d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM c)), "
+    "i AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM d), "
+    "s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM i) "
+    "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end, "
+    "COUNT(*) AS n_grams FROM s GROUP BY doc_id, island",
+)
+def p17_duplicated_spans(spark, sf_dir):
+    # Exact-substring duplicate spans (Lee et al. ACL 2022, ExactSubstr)
+    # as the distributed k-gram reformulation: maximal token spans
+    # covered by 8-grams occurring >= 2 times corpus-wide, 1-based
+    # inclusive indices.  Unlike the pair-listing family nothing is
+    # quadratic in posting length (positions are semi-join-marked, never
+    # paired), so no skew valve exists or is needed; the production
+    # flag hash_grams=True shuffles 8-byte keys, off here so gram
+    # selection itself is under the cross-engine differential.
+    return _dedup.duplicated_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_count=2
+    )
+
+
 @q("p04_minhash_lsh_pairs", _JACCARD_ORACLE)
 def p04_minhash_lsh(spark, sf_dir):
     # LSH candidates + exact verification; at (128 perms, 32 bands) the
@@ -3172,10 +3207,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots at positions 5-6, m04_video_neardup (the second-half video
 # modality riding the round's MP4/AVI demux) at position 7, and
 # p16_winnowing_overlap (MOSS positional-overlap pairs, cross-engine
-# MD5 selection) at position 8 — minus the eight safest aged entries
-# displaced to positions 51-58 (h10/h11/h12/h8/s03/k01/p07/p09: each
-# pinned by family pytest + the full-registry sweep, h10/h11
-# additionally by the sf10 close-out); they lead r10.
+# MD5 selection) at position 8, and p17_duplicated_spans (the
+# second-half ExactSubstr span operator) at position 9 — minus the
+# nine safest aged entries displaced to positions 51-59
+# (h9/h10/h11/h12/h8/s03/k01/p07/p09: each pinned by family pytest +
+# the full-registry sweep, h9 by five prior green driver rows,
+# h10/h11 additionally by the sf10 close-out); they lead r10.
 _VERIFY_FIRST = [
     "f04_starts_with",
     "f06_contains_case_sensitive",
@@ -3185,6 +3222,7 @@ _VERIFY_FIRST = [
     "m03_audio_neardup",
     "m04_video_neardup",
     "p16_winnowing_overlap",
+    "p17_duplicated_spans",
     "f02_ne_null",
     "f03_range",
     "f05_ends_with",
@@ -3226,8 +3264,8 @@ _VERIFY_FIRST = [
     "x03_range_join",
     "x04_funnel_conversion",
     "m01_multimodal_features",
-    "h9_order_priority_check",
     # -- driver window ends here (position 50) --
+    "h9_order_priority_check",
     "h10_promo_revenue_share",
     "h11_large_volume_customers",
     "h12_rich_idle_customers",

@@ -1016,3 +1016,148 @@ def ngram_overlap_stats(
             ).alias("overlap_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicated-span) dedup — Lee et al., ACL 2022
+# ---------------------------------------------------------------------------
+
+def _positioned_grams(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, gram): every token k-gram with its 1-based start
+    position.  Linear zip-of-shifted-slices (the t06/p16 form — never
+    transform(sequence), whose nested re-evaluation goes quadratic);
+    docs shorter than k tokens yield no rows."""
+    toks = tokens_column(F.col(text_col))
+    # clamp: docs shorter than k tokens (incl. empty/null text, where
+    # size() is 0 or -1) must yield an empty gram array, not a negative
+    # slice length
+    gspan = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gz = F.arrays_zip(*[F.slice(toks, i + 1, gspan) for i in range(k)])
+    grams = F.transform(
+        gz, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).select(
+        "id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "gram"
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the ExactSubstr operator of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): maximal token spans covered by k-grams that
+    occur >= min_count times ANYWHERE in the corpus (including repeats
+    within one document).  Returns (doc_id, span_start, span_end,
+    n_grams) with 1-based inclusive token indices — the span report a
+    pipeline thresholds before cutting (remove_duplicated_spans).
+
+    Where the suffix-array construction of the paper is a single-node
+    algorithm, this is its distributed k-gram reformulation: any
+    duplicated substring of >= k tokens is covered by duplicated
+    k-grams, so merging overlapping/adjacent duplicated-gram starts
+    (gaps-and-islands per document) recovers exactly the maximal
+    duplicated spans at k-token resolution.
+
+    Scale shape: the explode is ~one row per corpus token (the same
+    cost every ExactSubstr implementation pays to look at every
+    position); the count is a map-side-combinable groupBy on the gram
+    key; the span merge is a per-document window (partitioned by id —
+    no global window).  Corpus-wide boilerplate grams have huge counts
+    but — unlike pair-listing operators (p16/minhash bands) — nothing
+    here is quadratic in posting length: positions are marked by a
+    semi-join, never paired, so no skew valve is needed.  At 100 TB
+    set hash_grams=True to shuffle 8-byte xxhash64 keys instead of
+    k-token strings (2^-64 collision odds per gram pair); the default
+    keeps raw grams so the selection is engine-reproducible (the p17
+    oracle row)."""
+    from pyspark.sql import Window
+
+    g = _positioned_grams(df, k, text_col, id_col)
+    if hash_grams:
+        g = g.select("id", "pos", F.xxhash64("gram").alias("gram"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("gram")
+    )
+    marked = g.join(dup, "gram", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    islands = marked.select(
+        "id", "pos", F.sum(brk).over(w).alias("__island")
+    )
+    return (
+        islands.groupBy("id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_grams"
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: Optional[DataFrame] = None,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean",
+) -> DataFrame:
+    """Cut every duplicated span out of the text (whitespace-normalized
+    reconstruction of the surviving tokens, original casing kept).
+    Removes EVERY occurrence — the Lee et al. ExactSubstr policy; a
+    keep-one-canonical variant would need a corpus-wide choice of
+    "the" original among overlapping cross-document spans, which the
+    paper itself declines.  Pass a precomputed `spans` frame (from
+    duplicated_spans, possibly filtered to e.g. n_grams >= t) to
+    decouple thresholding from cutting; otherwise one is computed with
+    (k, min_count).
+
+    The cut is a per-row filter over token positions against the doc's
+    own (typically tiny) span list — the only shuffle is the span
+    join on id."""
+    if spans is None:
+        spans = duplicated_spans(
+            df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    orig = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        orig,
+        lambda x, i: ~F.exists(
+            sp,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        *[c for c in df.columns], F.concat_ws(" ", kept).alias(out_col)
+    )

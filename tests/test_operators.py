@@ -951,6 +951,112 @@ def test_winnowing_guarantee_and_edges(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_duplicated_spans_and_removal(spark):
+    """ExactSubstr spans (Lee et al. 2022, k-gram reformulation): the
+    span boundaries are exact, within-doc repeats count toward
+    min_count, the island merge uses gap <= k (adjacent spans fuse,
+    k+1-separated ones don't), short/empty/null docs yield nothing,
+    hash_grams changes only the shuffle key, and removal cuts every
+    covered token while preserving original casing elsewhere."""
+    from cloudfabric_eventsourcing_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    run = "alpha beta gamma delta"  # 4 tokens, shared verbatim
+    docs = spark.createDataFrame(
+        [
+            (1, "One two three " + run + " four five six"),
+            (2, run + " other closing words here"),
+            (3, "self repeat pair self repeat pair tail words"),  # within-doc
+            (4, "too short"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in duplicated_spans(docs, k=4, min_count=2).collect()
+    }
+    # doc 1: run occupies tokens 4-7 (1-based); doc 2: tokens 1-4
+    assert (1, 4, 7) in spans and (2, 1, 4) in spans
+    assert spans[(1, 4, 7)] == 1 and spans[(2, 1, 4)] == 1
+    # doc 3: "self repeat pair self" ... the repeated 3-token phrase makes
+    # 4-grams "self repeat pair self" etc. appear... only grams repeated
+    # >= 2 times count; here every 4-gram is unique, so no span
+    assert not any(k[0] == 3 for k in spans)
+    assert not any(k[0] in (4, 5, 6) for k in spans)
+    # within-doc repeats DO count when the k-gram itself repeats
+    rep = spark.createDataFrame(
+        [(9, "x1 x2 x3 x4 filler1 filler2 x1 x2 x3 x4 trailer")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(rep, k=4, min_count=2).collect()
+    )
+    assert got == [(1, 4), (7, 10)]
+    # island merge boundary: duplicated-gram starts at pos p and p+k
+    # fuse into one span; p and p+k+1 stay separate.  Build two docs
+    # sharing two 4-gram runs placed at controlled gaps in doc A.
+    r1 = "a1 a2 a3 a4"
+    r2 = "b1 b2 b3 b4"
+    fuse = spark.createDataFrame(
+        [
+            (1, r1 + " " + r2 + " pad1 pad2"),      # starts 1 and 5 = 1+k
+            (2, r1 + " z9 " + r2 + " pad3"),        # starts 1 and 6 = 1+k+1
+            (3, r1 + " end filler " + r2),          # supplies the dup grams
+        ],
+        "doc_id long, text string",
+    )
+    sp = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicated_spans(fuse, k=4, min_count=2)
+        .groupBy("doc_id")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .collect()
+    }
+    one = duplicated_spans(fuse, k=4, min_count=2)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in one.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_doc[1] == 1 and sp[1][:2] == (1, 8)   # fused
+    assert per_doc[2] == 2                            # split
+    # hash_grams parity
+    a = sorted(map(tuple, duplicated_spans(docs, k=4, min_count=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicated_spans(docs, k=4, min_count=2, hash_grams=True).collect(),
+        )
+    )
+    assert a == b
+    # removal: every covered token cut, casing preserved, untouched docs
+    # only whitespace-normalized
+    clean = {
+        r["doc_id"]: r["clean"]
+        for r in remove_duplicated_spans(docs, k=4, min_count=2).collect()
+    }
+    assert clean[1] == "One two three four five six"
+    assert clean[2] == "other closing words here"
+    assert clean[3] == "self repeat pair self repeat pair tail words"
+    assert clean[5] == "" and clean[6] == ""
+    # plan: span detection is UDF-free
+    plan = (
+        duplicated_spans(docs, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
