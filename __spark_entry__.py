@@ -1250,6 +1250,47 @@ def p05_cosine_neardup(spark, sf_dir):
 
 
 @q(
+    "p18_semdedup",
+    # Deterministic-centroid SemDeDup: the 8 lowest-id corpus vectors
+    # are the centroids, assignment is argmax cosine with ties (after
+    # the p05 4-decimal round) to the lowest cid, and a vector is
+    # removed when a lower-id same-cluster neighbor clears the
+    # threshold.  Every cosine uses p05's exact double-accumulation
+    # form, so assignment AND pruning are both under the differential.
+    "WITH n AS (SELECT vec_id, embedding, "
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm "
+    "FROM embeddings), "
+    "cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM n WHERE vec_id < 8), "
+    "cos AS (SELECT v.vec_id, c.cid, "
+    "round(list_sum(list_transform(list_zip(v.embedding, c.ce), "
+    "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (v.nrm*c.cnrm), 4) AS cs "
+    "FROM n v CROSS JOIN cents c), "
+    "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn FROM cos) "
+    "WHERE rn = 1), "
+    "rem AS (SELECT DISTINCT b.vec_id AS rid "
+    "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+    "JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id "
+    "WHERE round(list_sum(list_transform(list_zip(na.embedding, nb.embedding), "
+    "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (na.nrm*nb.nrm), 4) >= 0.35) "
+    "SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, "
+    "vec_id NOT IN (SELECT rid FROM rem) AS kept FROM asg",
+)
+def p18_semdedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): IVF-style centroid partitioning
+    # reused for pruning — broadcast-centroid argmax assignment, then
+    # the near-dup join bounded by cluster size instead of all-pairs.
+    # Deterministic centroids (8 lowest-id vectors) here so both
+    # engines cluster identically; production trains them with
+    # similarity.ivf_centroids_from_sample.
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return _dedup.semantic_dedup(emb, cents, threshold=0.35)
+
+
+@q(
     "p06_cosine_neardup_lsh",
     # planted-truth containment oracle: 25 exact duplicate vectors are
     # planted (vec_id + 10^7); identical vectors ALWAYS share a hyperplane
@@ -3207,12 +3248,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots at positions 5-6, m04_video_neardup (the second-half video
 # modality riding the round's MP4/AVI demux) at position 7, and
 # p16_winnowing_overlap (MOSS positional-overlap pairs, cross-engine
-# MD5 selection) at position 8, and p17_duplicated_spans (the
-# second-half ExactSubstr span operator) at position 9 — minus the
-# nine safest aged entries displaced to positions 51-59
-# (h9/h10/h11/h12/h8/s03/k01/p07/p09: each pinned by family pytest +
-# the full-registry sweep, h9 by five prior green driver rows,
-# h10/h11 additionally by the sf10 close-out); they lead r10.
+# MD5 selection) at position 8, p17_duplicated_spans (the second-half
+# ExactSubstr span operator) at position 9, and p18_semdedup (the
+# second-half SemDeDup row) at position 10 — minus the ten safest
+# aged entries displaced to positions 51-60 (m01/h9/h10/h11/h12/h8/
+# s03/k01/p07/p09: each pinned by family pytest + the full-registry
+# sweep, m01 green in the r08 driver window itself, h9 by five prior
+# green driver rows, h10/h11 additionally by the sf10 close-out);
+# they lead r10.
 _VERIFY_FIRST = [
     "f04_starts_with",
     "f06_contains_case_sensitive",
@@ -3223,6 +3266,7 @@ _VERIFY_FIRST = [
     "m04_video_neardup",
     "p16_winnowing_overlap",
     "p17_duplicated_spans",
+    "p18_semdedup",
     "f02_ne_null",
     "f03_range",
     "f05_ends_with",
@@ -3263,8 +3307,8 @@ _VERIFY_FIRST = [
     "f15_suggestions",
     "x03_range_join",
     "x04_funnel_conversion",
-    "m01_multimodal_features",
     # -- driver window ends here (position 50) --
+    "m01_multimodal_features",
     "h9_order_priority_check",
     "h10_promo_revenue_share",
     "h11_large_volume_customers",

@@ -1161,3 +1161,128 @@ def remove_duplicated_spans(
     return joined.select(
         *[c for c in df.columns], F.concat_ws(" ", kept).alias(out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup — SemDeDup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _normed(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+
+
+def _cos(av, anrm, bv, bnrm) -> Column:
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot / (anrm * bnrm), 4)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): assign every vector
+    to its nearest centroid by cosine, then WITHIN each cluster mark as
+    duplicate any vector that has a lower-id neighbor at cosine >=
+    threshold.  Returns (id_col, cluster_id, kept) — the per-item
+    verdict a pipeline filters on (`WHERE kept`) or audits.
+
+    Centroids come in as a (cid, vector) frame: the output of
+    similarity.ivf_centroids_from_sample in production (SemDeDup is
+    exactly the IVF partitioning reused for pruning instead of search),
+    or any deterministic choice when reproducibility across engines
+    matters (the p18 oracle row uses the C lowest-id corpus vectors).
+
+    Deterministic tie rules, stated because they ARE the semantics:
+    assignment breaks cosine ties (after the 4-decimal round) toward
+    the lowest cid; the survivor of a near-duplicate pair is always the
+    lowest id — the same min-id rule as lsh_dedup_representatives, and
+    deliberately NOT transitive closure (A~B, B~C with A<B<C removes
+    both B and C even if cos(A,C) < threshold; the paper's per-pair
+    pruning has the same property).
+
+    Scale shape: the centroid table is tiny (k clusters) and
+    broadcast, so assignment is a map-only cross join + per-id argmax
+    — no shuffle of the corpus beyond the cluster self-join, which is
+    bounded by cluster sizes the way LSH buckets bound the near-dup
+    join.  Pick k ~ sqrt(N) (the paper's regime) so expected cluster
+    cost is ~N^1.5/k = N; a runaway cluster means the centroids no
+    longer span the corpus — retrain (ivf_index_report's occupancy
+    histogram is the detector), don't valve."""
+    from pyspark.sql import Window
+
+    n = _normed(df, vec_col, id_col)
+    c = _normed(
+        centroids.select(
+            F.col(centroid_id_col).alias("cid"),
+            F.col(centroid_vec_col).alias("cv"),
+        ),
+        "cv",
+        "cid",
+    ).select(
+        F.col("id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = n.crossJoin(F.broadcast(c)).select(
+        "id",
+        "v",
+        "nrm",
+        "cid",
+        _cos(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm")).alias(
+            "cs"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cs").desc(), F.col("cid").asc()
+    )
+    asg = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "v", "nrm", "cid")
+    )
+    a = asg.alias("a")
+    b = asg.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(
+            _cos(
+                F.col("a.v"), F.col("a.nrm"), F.col("b.v"), F.col("b.nrm")
+            )
+            >= threshold
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        asg.join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )

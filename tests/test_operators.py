@@ -1057,6 +1057,61 @@ def test_duplicated_spans_and_removal(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semantic_dedup_semantics(spark):
+    """SemDeDup pins: broadcast-centroid argmax assignment, min-id
+    survivor within a cluster, NO transitive closure (the documented
+    per-pair property), cross-cluster near-dups untouched, and the
+    assignment tie rule (equal cosine -> lowest cid)."""
+    from cloudfabric_eventsourcing_spark.operators.dedup import semantic_dedup
+
+    # axis-aligned clusters: cluster 0 along +x, cluster 1 along +y.
+    # ids 10,11 identical (cos 1.0); 12 near 10 (cos ~0.995); 13 is
+    # y-cluster; 14 near-y but closer to x than any x-member is to it.
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0]),          # dup of 10 -> removed
+        (12, [0.995, 0.0999, 0.0]),     # near 10 -> removed at tau=.99
+        (13, [0.0, 1.0, 0.0]),          # other cluster, kept
+        (14, [0.1, 0.995, 0.0]),        # y-cluster; far from 13? cos(13,14)~.995 -> removed
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cid long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(emb, cents, threshold=0.99).collect()
+    }
+    assert out[10] == (0, True) and out[11] == (0, False)
+    assert out[12] == (0, False)
+    assert out[13] == (1, True) and out[14] == (1, False)
+    # non-transitivity: A~B and B~C above tau, cos(A,C) below tau ->
+    # BOTH B and C removed (B by A, C by B) even though C !~ A; and a
+    # chain member beyond anyone's reach survives
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    th = math.acos(0.992)  # pairwise neighbors at cos .992 > tau
+    chain = spark.createDataFrame(
+        [(20, unit(0.0)), (21, unit(th)), (22, unit(2 * th)), (23, unit(9 * th))],
+        "vec_id long, embedding array<float>",
+    )
+    out2 = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(chain, cents, threshold=0.99).collect()
+    }
+    assert out2[20] and not out2[21] and not out2[22] and out2[23]
+    # tie rule: a vector equidistant from both centroids lands in cid 0
+    tie = spark.createDataFrame(
+        [(30, [0.5, 0.5, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = semantic_dedup(tie, cents, threshold=0.99).collect()[0]
+    assert r["cluster_id"] == 0 and r["kept"]
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
