@@ -1076,11 +1076,17 @@ def duplicated_spans(
     no global window).  Corpus-wide boilerplate grams have huge counts
     but — unlike pair-listing operators (p16/minhash bands) — nothing
     here is quadratic in posting length: positions are marked by a
-    semi-join, never paired, so no skew valve is needed.  At 100 TB
-    set hash_grams=True to shuffle 8-byte xxhash64 keys instead of
-    k-token strings (2^-64 collision odds per gram pair); the default
-    keeps raw grams so the selection is engine-reproducible (the p17
-    oracle row)."""
+    semi-join, never paired, so no skew valve is needed.
+
+    hash_grams=True shuffles 8-byte xxhash64 keys instead of k-token
+    strings (2^-64 collision odds per gram pair) — a win only when the
+    shuffle is the bottleneck: over a real network with long grams
+    (large k, long words) the narrower key pays; measured on local[32]
+    at sf10 (500k docs, ~27M grams of ~40 bytes) it LOSES — 39.5 s vs
+    26 s raw, interleaved A/B — because the extra 54M-row hash
+    projection costs more than a local-disk shuffle saves.  The
+    default keeps raw grams, which also makes the selection
+    engine-reproducible (the p17 oracle row)."""
     from pyspark.sql import Window
 
     g = _positioned_grams(df, k, text_col, id_col)
