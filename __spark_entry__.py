@@ -1291,6 +1291,45 @@ def p18_semdedup(spark, sf_dir):
 
 
 @q(
+    "p19_dsir_weights",
+    # DSIR with target = the corpus's English docs.  md5-prefix feature
+    # hashing (engine-portable, the p16 lesson) and INTEGER micro-unit
+    # log-ratio accumulation: 6-decimal-rounded doubles summed per doc
+    # land exactly ON 4-decimal rounding boundaries (lattice sums), so
+    # the naive sum-then-round formulation mismatches between engines
+    # SYSTEMATICALLY — BIGINT micro-units make the reduction exact and
+    # order-independent in both.
+    "WITH toks AS (SELECT doc_id, lang, "
+    f"{_TOKS_SQL} AS t FROM documents), "
+    "g AS (SELECT doc_id, lang, unnest(list_concat(t, "
+    "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE [] END)) AS gram FROM toks), "
+    "bk AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS b FROM g), "
+    "tc AS (SELECT b, COUNT(*) AS tc FROM bk WHERE lang = 'en' GROUP BY b), "
+    "rc AS (SELECT b, COUNT(*) AS rc FROM bk GROUP BY b), "
+    "tot AS (SELECT (SELECT SUM(tc) FROM tc) AS tt, (SELECT SUM(rc) FROM rc) AS tr), "
+    "lw AS (SELECT COALESCE(tc.b, rc.b) AS b, "
+    "CAST(round((ln((COALESCE(tc.tc, 0) + 1.0) / (tot.tt + 4096.0)) "
+    "- ln((COALESCE(rc.rc, 0) + 1.0) / (tot.tr + 4096.0))) * 1e6, 0) AS BIGINT) AS lw_micro "
+    "FROM tc FULL JOIN rc ON tc.b = rc.b CROSS JOIN tot) "
+    "SELECT d.doc_id, COUNT(x.b) AS n_grams, "
+    "CAST(COALESCE(SUM(x.lw_micro), 0) AS DOUBLE) / 1e6 AS log_weight "
+    "FROM documents d LEFT JOIN (SELECT bk.doc_id, bk.b, lw.lw_micro "
+    "FROM bk JOIN lw USING (b)) x ON d.doc_id = x.doc_id GROUP BY d.doc_id",
+)
+def p19_dsir_weights(spark, sf_dir):
+    # DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    # bag-of-features log-likelihood ratio, target distribution = the
+    # English slice of the corpus.  Mean weight separates en from
+    # de/fr/es/zh on this synthetic corpus (-6.2 vs -9.5..-10.7) — the
+    # selection signal the paper resamples on.
+    from cloudfabric_eventsourcing_spark.operators import sampling as _samp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _samp.dsir_log_weights(docs, docs.where("lang = 'en'"))
+
+
+@q(
     "p06_cosine_neardup_lsh",
     # planted-truth containment oracle: 25 exact duplicate vectors are
     # planted (vec_id + 10^7); identical vectors ALWAYS share a hyperplane
@@ -3249,13 +3288,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # modality riding the round's MP4/AVI demux) at position 7, and
 # p16_winnowing_overlap (MOSS positional-overlap pairs, cross-engine
 # MD5 selection) at position 8, p17_duplicated_spans (the second-half
-# ExactSubstr span operator) at position 9, and p18_semdedup (the
-# second-half SemDeDup row) at position 10 — minus the ten safest
-# aged entries displaced to positions 51-60 (m01/h9/h10/h11/h12/h8/
-# s03/k01/p07/p09: each pinned by family pytest + the full-registry
-# sweep, m01 green in the r08 driver window itself, h9 by five prior
-# green driver rows, h10/h11 additionally by the sf10 close-out);
-# they lead r10.
+# ExactSubstr span operator) at position 9, p18_semdedup (the
+# second-half SemDeDup row) at position 10, and p19_dsir_weights
+# (DSIR importance weights) at position 11 — minus the eleven safest
+# aged entries displaced to positions 51-61 (x04/m01/h9/h10/h11/h12/
+# h8/s03/k01/p07/p09: each pinned by family pytest + an in-session
+# full-registry 110/110 sf0.01 sweep on this exact tree, m01 green in
+# the r08 driver window itself, h9 by five prior green driver rows,
+# h10/h11 additionally by the sf10 close-out); they lead r10.
 _VERIFY_FIRST = [
     "f04_starts_with",
     "f06_contains_case_sensitive",
@@ -3267,6 +3307,7 @@ _VERIFY_FIRST = [
     "p16_winnowing_overlap",
     "p17_duplicated_spans",
     "p18_semdedup",
+    "p19_dsir_weights",
     "f02_ne_null",
     "f03_range",
     "f05_ends_with",
@@ -3306,8 +3347,8 @@ _VERIFY_FIRST = [
     "u01_set_ops",
     "f15_suggestions",
     "x03_range_join",
-    "x04_funnel_conversion",
     # -- driver window ends here (position 50) --
+    "x04_funnel_conversion",
     "m01_multimodal_features",
     "h9_order_priority_check",
     "h10_promo_revenue_share",

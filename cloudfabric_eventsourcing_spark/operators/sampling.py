@@ -155,3 +155,140 @@ def deterministic_shuffle(
         .withColumn(out, F.col("__off") + F.row_number().over(within) - 1)
         .drop("__h", "__b", "__off")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — importance weighting for data selection (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _hashed_gram_buckets(text_col: str, bucket_hex: int, bigrams: bool):
+    """Array of hashed n-gram feature buckets for one document: word
+    unigrams (+ bigrams) mapped to a `bucket_hex`-character md5 prefix
+    (16^bucket_hex buckets).  md5 keeps the bucketing engine-portable —
+    the p16 lesson — so the p19 oracle reproduces feature hashing
+    exactly."""
+    from cloudfabric_eventsourcing_spark.operators.text import tokens_column
+
+    toks = tokens_column(F.col(text_col))
+    grams = toks
+    if bigrams:
+        span = F.greatest(F.size(toks) - 1, F.lit(0))
+        bi = F.zip_with(
+            F.slice(toks, 1, span),
+            F.slice(toks, 2, span),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        grams = F.concat(toks, bi)
+    return F.transform(grams, lambda g: F.substring(F.md5(g), 1, bucket_hex))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    bucket_hex: int = 3,
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per raw document, the
+    log-likelihood ratio of its hashed n-gram features under the
+    TARGET distribution vs the RAW distribution —
+    (doc_id, n_grams, log_weight), log_weight rounded to 4.  Select
+    with dsir_top_k (deterministic) or feed the weights to Gumbel
+    resampling for the paper's sampled variant.
+
+    Both bag-of-hashed-gram multinomials are Laplace-smoothed with
+    `alpha` over the FIXED bucket space B = 16^bucket_hex, so buckets
+    unseen in either corpus still have finite probability and every
+    weight is defined.  Cross-engine determinism is load-bearing and
+    subtle: per-bucket log-ratios are quantized to INTEGER micro-units
+    (round(lw * 1e6)) and the per-doc reduction sums BIGINTs — exact
+    and order-independent — with one final double division.  The naive
+    alternative (sum doubles, round the sum) fails systematically, not
+    rarely: 6-decimal-rounded terms are lattice points whose sums land
+    exactly ON 4-decimal rounding boundaries, where summation order
+    decides the last digit (observed on the first sf0.01 run, doc 461:
+    -11.8044 vs -11.8045).
+
+    Scale shape: the target fit is one map-side-combinable groupBy into
+    <= B buckets; the raw fit likewise (one extra pass over the raw
+    corpus — at 100 TB this is the cheapest possible full-scan shape,
+    a count into 4096 cells).  The per-doc scoring pass joins each
+    exploded gram to the B-row weight table, which is broadcast — the
+    corpus itself is never shuffled; the only wide exchange is the
+    final per-doc sum keyed by id.  Empty documents weigh 0."""
+    buckets = _hashed_gram_buckets(text_col, bucket_hex, bigrams)
+    n_buckets = 16 ** bucket_hex
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(buckets).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    tc = counts(target, "tc")
+    rc = counts(raw, "rc")
+    tot = tc.agg(F.sum("tc").alias("tt")).crossJoin(
+        rc.agg(F.sum("rc").alias("tr"))
+    )
+    lw = (
+        tc.join(rc, "b", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + alpha)
+                        / (
+                            F.coalesce(F.col("tt"), F.lit(0))
+                            + alpha * n_buckets
+                        )
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("rc"), F.lit(0)) + alpha)
+                        / (
+                            F.coalesce(F.col("tr"), F.lit(0))
+                            + alpha * n_buckets
+                        )
+                    )
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("lw_micro"),
+        )
+    )
+    per_gram = raw.select(
+        F.col(id_col).alias("id"), F.explode_outer(buckets).alias("b")
+    )
+    return (
+        per_gram.join(F.broadcast(lw), "b", "left")
+        .groupBy("id")
+        .agg(
+            F.count("b").alias("n_grams"),
+            (
+                F.coalesce(F.sum("lw_micro"), F.lit(0)).cast("double")
+                / 1e6
+            ).alias("log_weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "log_weight")
+    )
+
+
+def dsir_top_k(
+    weights: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic DSIR selection: the k raw documents with the
+    highest log_weight, ties to the lowest id.  The paper resamples
+    with Gumbel noise instead; this is the reproducible variant an
+    audited pipeline wants (the same trade stratified_sample_exact
+    makes against df.sample)."""
+    return (
+        weights.orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -67,3 +67,48 @@ def test_fraction_sample_guards_high_cardinality_strata(spark, sf_dir):
         docs, ["lang"], fractions={}, default_fraction=0.5, max_strata=10
     )
     assert 0 < out.count() < docs.count()
+
+
+def test_dsir_weights_semantics(spark):
+    """DSIR pins: documents matching the target's vocabulary outweigh
+    off-target ones, empty/short docs weigh 0 with 0 grams, n_grams
+    counts unigrams + bigrams, weights are identical across runs and
+    partitionings (the integer micro-unit reduction), and top-k
+    selection is deterministic with ties to the lowest id."""
+    target_text = "solar panel energy grid storage battery inverter"
+    rows = [
+        (1, "solar panel energy storage battery grid output"),   # on-target
+        (2, "medieval castle siege trebuchet knight armor moat"), # off
+        (3, "solar energy battery"),                              # short, on
+        (4, ""),                                                  # empty
+        (5, None),                                                # null
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, target_text) for i in range(4)],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in sampling.dsir_log_weights(raw, target).collect()
+    }
+    assert len(w) == 5
+    # 7 tokens -> 7 unigrams + 6 bigrams
+    assert w[1][0] == 13 and w[3][0] == 5 and w[4] == (0, 0.0) and w[5] == (0, 0.0)
+    assert w[1][1] > w[2][1]          # on-target beats off-target
+    assert w[3][1] > w[2][1]          # even the short on-target doc does
+    # run-to-run determinism across a repartition (order-independent sum)
+    w2 = {
+        r["doc_id"]: r["log_weight"]
+        for r in sampling.dsir_log_weights(
+            raw.repartition(7), target.repartition(3)
+        ).collect()
+    }
+    assert w2 == {k: v[1] for k, v in w.items()}
+    # top-k: deterministic, ties broken by lowest id
+    weights = spark.createDataFrame(
+        [(1, 5, 2.0), (2, 5, 2.0), (3, 5, 1.0)],
+        "doc_id long, n_grams long, log_weight double",
+    )
+    top = sampling.dsir_top_k(weights, 2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
