@@ -292,3 +292,37 @@ def dsir_top_k(
         weights.orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """The paper's actual selection step — sampling WITHOUT replacement
+    proportional to exp(log_weight) — via the Gumbel top-k trick, with
+    the Gumbel noise derived from md5(id || salt) instead of an RNG:
+    argtop-k(log_weight + Gumbel) is distributed exactly as weighted
+    sampling without replacement (Vieira 2014), and hash-derived noise
+    makes the draw bit-reproducible across runs, engines and
+    partitionings — the same determinism trade every sampler in this
+    module makes.  Different `salt` values give independent draws.
+
+    The uniform is (h + 0.5) / 2^48 from the md5 top 48 bits — never 0
+    or 1, so the double log is always finite.  Selection is a global
+    top-k (TakeOrderedAndProject — no full sort), ties broken by id."""
+    h48 = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(id_col), F.lit(salt))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h48.cast("double") + 0.5) / float(1 << 48)
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.withColumn("__key", F.col(weight_col) + gumbel)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key")
+    )

@@ -1110,6 +1110,15 @@ def test_semantic_dedup_semantics(spark):
     )
     r = semantic_dedup(tie, cents, threshold=0.99).collect()[0]
     assert r["cluster_id"] == 0 and r["kept"]
+    # plan: centroid assignment is a broadcast join, everything JVM-side
+    plan = (
+        semantic_dedup(emb, cents, threshold=0.99)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_repetition_stats(spark):

@@ -112,3 +112,40 @@ def test_dsir_weights_semantics(spark):
     )
     top = sampling.dsir_top_k(weights, 2).collect()
     assert [r["doc_id"] for r in top] == [1, 2]
+    # plan: the B-row scoring table broadcasts (the corpus side never
+    # shuffles for the join) and nothing drops into Python
+    plan = (
+        sampling.dsir_log_weights(raw, target)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_resample_gumbel(spark):
+    """Hash-Gumbel resampling: deterministic across runs/partitionings,
+    different salts give different draws, high-weight docs dominate
+    selection frequency across salts, and the output keeps the full
+    weight row."""
+    # near-flat weights: the draw is noise-driven, so salts must differ
+    flat = spark.createDataFrame(
+        [(i, 10, 0.01 * (i % 3)) for i in range(200)],
+        "doc_id long, n_grams long, log_weight double",
+    )
+    s1 = sorted(r["doc_id"] for r in sampling.dsir_resample(flat, 10, salt="a").collect())
+    s1b = sorted(r["doc_id"] for r in sampling.dsir_resample(flat.repartition(13), 10, salt="a").collect())
+    assert s1 == s1b
+    s2 = sorted(r["doc_id"] for r in sampling.dsir_resample(flat, 10, salt="b").collect())
+    assert s1 != s2
+    # a 10-nat gap: the heavy docs win regardless of salt
+    gap = spark.createDataFrame(
+        [(i, 10, (5.0 if i < 10 else -5.0)) for i in range(200)],
+        "doc_id long, n_grams long, log_weight double",
+    )
+    heavy = set(range(10))
+    for salt in ("a", "b", "c"):
+        sel = {r["doc_id"] for r in sampling.dsir_resample(gap, 10, salt=salt).collect()}
+        assert len(heavy & sel) >= 9
+    assert set(sampling.dsir_resample(gap, 10).columns) == {"doc_id", "n_grams", "log_weight"}
