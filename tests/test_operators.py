@@ -1121,6 +1121,71 @@ def test_semantic_dedup_semantics(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_duplicated_spans_matches_naive_reference(spark):
+    """Randomized differential: Spark's distributed gaps-and-islands
+    construction vs an obviously-correct O(corpus) Python reference,
+    across (k, min_count) configs, on a seeded corpus with planted
+    shared runs, within-doc repeats, tiny vocab (hash-collision-free
+    by construction) and short/empty docs mixed in."""
+    import random
+    import re
+
+    rng = random.Random(1789)
+    vocab = [f"w{i}" for i in range(12)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9))) for _ in range(5)]
+    docs = []
+    for d in range(120):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        text = " ".join(words)
+        if rng.random() < 0.5:
+            ins = rng.choice(shared)
+            cut = rng.randint(0, len(words))
+            text = " ".join(words[:cut] + [ins] + words[cut:])
+        if rng.random() < 0.1:
+            text = text + " " + text  # within-doc repeat
+        docs.append((d, text if rng.random() > 0.05 else None))
+
+    def naive(k, min_count):
+        toks = {
+            d: ([w for w in re.split(r"\s+", t.lower()) if w] if t else [])
+            for d, t in docs
+        }
+        from collections import Counter
+
+        counts = Counter()
+        for ts in toks.values():
+            for i in range(len(ts) - k + 1):
+                counts[" ".join(ts[i : i + k])] += 1
+        out = set()
+        for d, ts in toks.items():
+            dup = [
+                i + 1
+                for i in range(len(ts) - k + 1)
+                if counts[" ".join(ts[i : i + k])] >= min_count
+            ]
+            run = []
+            for pos in dup:
+                if run and pos - run[-1] <= k:
+                    run.append(pos)
+                else:
+                    if run:
+                        out.add((d, run[0], run[-1] + k - 1, len(run)))
+                    run = [pos]
+            if run:
+                out.add((d, run[0], run[-1] + k - 1, len(run)))
+        return out
+
+    from cloudfabric_eventsourcing_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k, mc in ((2, 2), (3, 3), (5, 2)):
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+            for r in duplicated_spans(df, k=k, min_count=mc).collect()
+        }
+        assert got == naive(k, mc), f"mismatch at k={k}, min_count={mc}"
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
