@@ -1186,6 +1186,82 @@ def test_duplicated_spans_matches_naive_reference(spark):
         assert got == naive(k, mc), f"mismatch at k={k}, min_count={mc}"
 
 
+def test_quality_classifier_and_pareto_filter(spark):
+    """Quality-classifier pins: the boundary separates planted clean vs
+    junk vocab on held-out docs, scoring preserves all input columns,
+    the Pareto filter is deterministic per salt / varies across salts /
+    retains high-quality docs at a far higher rate, and the scoring
+    plan stays JVM-side (no Python eval nodes)."""
+    import random
+
+    from cloudfabric_eventsourcing_spark.operators.classify import (
+        pareto_quality_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(42)
+    clean = [f"c{i}" for i in range(40)]
+    junk = [f"j{i}" for i in range(40)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))
+
+    pos = spark.createDataFrame(
+        [(i, doc(clean)) for i in range(60)], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, doc(junk)) for i in range(60)], "doc_id long, text string"
+    )
+    model = train_quality_classifier(pos, neg, num_features=1 << 12)
+    held = spark.createDataFrame(
+        [(200 + i, doc(clean)) for i in range(25)]
+        + [(300 + i, doc(junk)) for i in range(25)],
+        "doc_id long, text string",
+    )
+    scored = score_quality(held, model)
+    assert set(scored.columns) == {"doc_id", "text", "quality_prob"}
+    probs = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    assert min(p for d, p in probs.items() if d < 300) > 0.9
+    assert max(p for d, p in probs.items() if d >= 300) < 0.1
+    # pareto filter: deterministic per salt, high-quality survives more
+    kept_a = {r["doc_id"] for r in pareto_quality_filter(scored, salt="a").collect()}
+    kept_a2 = {
+        r["doc_id"]
+        for r in pareto_quality_filter(scored.repartition(7), salt="a").collect()
+    }
+    assert kept_a == kept_a2
+    hi = {d for d in probs if d < 300}
+    lo = {d for d in probs if d >= 300}
+    assert len(kept_a & hi) == len(hi)       # alpha=9: clean all survive
+    assert len(kept_a & lo) < len(lo) / 2    # junk mostly dropped
+    # salt independence is only visible at mid-range scores (at prob
+    # ~1 every salt keeps, at ~0 every salt drops): a 0.5-prob frame
+    # must produce different draws under different salts
+    mid = spark.createDataFrame(
+        [(i, 0.5) for i in range(300)], "doc_id long, quality_prob double"
+    )
+    salts = [
+        frozenset(
+            r["doc_id"] for r in pareto_quality_filter(mid, salt=s).collect()
+        )
+        for s in ("a", "b", "c")
+    ]
+    assert len(set(salts)) == 3
+    # and the alpha=9 Pareto keep-rate at score 0.5 is P(draw > 0.5) =
+    # 1.5^-9 ~ 2.6% — loose band
+    rates = [len(x) / 300 for x in salts]
+    assert all(0.0 < r < 0.15 for r in rates)
+    # plan: scoring + filter never drop into Python
+    plan = (
+        pareto_quality_filter(scored)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
