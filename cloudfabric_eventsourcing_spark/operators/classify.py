@@ -85,9 +85,14 @@ def train_quality_classifier(
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
 
+    # null-tolerant like every text operator here: RegexTokenizer NPEs
+    # on null input, so nulls train (and score) as empty documents
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     train = positive.select(
-        F.col(text_col), F.lit(1.0).alias("__label")
-    ).unionByName(negative.select(F.col(text_col), F.lit(0.0).alias("__label")))
+        txt.alias(text_col), F.lit(1.0).alias("__label")
+    ).unionByName(
+        negative.select(txt.alias(text_col), F.lit(0.0).alias("__label"))
+    )
     feats = _feature_pipeline(text_col, num_features, bigrams)
     lr = LogisticRegression(
         featuresCol="__features",
@@ -105,12 +110,27 @@ def score_quality(
     out_col: str = QUALITY_COL,
 ) -> DataFrame:
     """Append P(high quality) for every row — one map-only pass, all
-    original columns preserved."""
+    original columns (and their original values, nulls included)
+    preserved.  `text_col` names the column of THIS frame to score; it
+    is fed to the model under whatever column name the model was fit
+    on (read back from the fitted tokenizer), so a frame with a
+    different text column name — or an unrelated column that happens
+    to collide with the fit name — scores correctly."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(df)
-    return scored.select(
-        *[c for c in df.columns],
+    fit_col = model.stages[0].stages[0].getInputCol()
+    orig = df.columns
+    prep = df.select(
+        *[F.col(c).alias(f"__orig_{i}") for i, c in enumerate(orig)]
+    ).withColumn(
+        fit_col,
+        F.coalesce(
+            F.col(f"__orig_{orig.index(text_col)}").cast("string"),
+            F.lit(""),
+        ),
+    )
+    return model.transform(prep).select(
+        *[F.col(f"__orig_{i}").alias(c) for i, c in enumerate(orig)],
         vector_to_array(F.col("probability"))[1].alias(out_col),
     )
 
@@ -131,13 +151,8 @@ def pareto_quality_filter(
     bit-reproducible across runs, engines and partitionings — the same
     hash-randomness trade as dsir_resample and every sampler here.
     Different `salt` values draw independent filters."""
-    h48 = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col(id_col), F.lit(salt))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h48.cast("double") + 0.5) / float(1 << 48)
+    from cloudfabric_eventsourcing_spark.operators.sampling import hash_uniform
+
+    u = hash_uniform(id_col, salt)
     draw = F.pow(1.0 - u, F.lit(-1.0 / alpha)) - 1.0
     return scored.where(draw > (1.0 - F.col(quality_col)))

@@ -1227,15 +1227,19 @@ def semantic_dedup(
     pruning has the same property).
 
     Scale shape: the centroid table is tiny (k clusters) and
-    broadcast, so assignment is a map-only cross join + per-id argmax
-    — no shuffle of the corpus beyond the cluster self-join, which is
-    bounded by cluster sizes the way LSH buckets bound the near-dup
-    join.  Pick k ~ sqrt(N) (the paper's regime) so expected cluster
-    cost is ~N^1.5/k = N; a runaway cluster means the centroids no
-    longer span the corpus — retrain (ivf_index_report's occupancy
-    histogram is the detector), don't valve."""
-    from pyspark.sql import Window
-
+    broadcast; the per-id argmax is a max_by aggregation, which
+    partial-aggregates map-side — each task reduces its N*k scored
+    rows to one candidate per vector BEFORE the exchange, so the
+    assignment shuffle is ~N rows, not N*k.  (The first cut used a
+    row_number window, whose exchange carries every scored row with
+    its embedding payload — at k ~ sqrt(N) an N^1.5-row vector
+    shuffle; the self-review caught the docstring claiming otherwise.)
+    The cluster self-join is bounded by cluster sizes the way LSH
+    buckets bound the near-dup join.  Pick k ~ sqrt(N) (the paper's
+    regime) so expected cluster cost is ~N^1.5/k = N; a runaway
+    cluster means the centroids no longer span the corpus — retrain
+    (ivf_index_report's occupancy histogram is the detector), don't
+    valve."""
     n = _normed(df, vec_col, id_col)
     c = _normed(
         centroids.select(
@@ -1258,13 +1262,24 @@ def semantic_dedup(
             "cs"
         ),
     )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cs").desc(), F.col("cid").asc()
-    )
+    # argmax over (cs desc, cid asc) as a map-side-combinable max_by:
+    # struct comparison is lexicographic, so (cs, -cid) max == highest
+    # cosine, ties to the LOWEST cid — identical to the oracle's
+    # ROW_NUMBER() ORDER BY cs DESC, cid ASC
     asg = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("id", "v", "nrm", "cid")
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "v", "nrm"),
+                F.struct(F.col("cs"), (-F.col("cid")).alias("nc")),
+            ).alias("__m")
+        )
+        .select(
+            "id",
+            F.col("__m.v").alias("v"),
+            F.col("__m.nrm").alias("nrm"),
+            F.col("__m.cid").alias("cid"),
+        )
     )
     a = asg.alias("a")
     b = asg.alias("b")

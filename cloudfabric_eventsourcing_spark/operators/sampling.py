@@ -195,7 +195,9 @@ def dsir_log_weights(
     Language Models via Importance Resampling"): per raw document, the
     log-likelihood ratio of its hashed n-gram features under the
     TARGET distribution vs the RAW distribution —
-    (doc_id, n_grams, log_weight), log_weight rounded to 4.  Select
+    (doc_id, n_grams, log_weight), log_weight exact on the 1e-6
+    lattice (the micro-unit sum divided back down — see below; it is
+    NOT re-rounded).  Select
     with dsir_top_k (deterministic) or feed the weights to Gumbel
     resampling for the paper's sampled variant.
 
@@ -294,6 +296,24 @@ def dsir_top_k(
     )
 
 
+def hash_uniform(id_col: str, salt: str):
+    """Uniform(0,1) Column derived from md5(id || '|' || salt) — the
+    shared randomness source for every hash-randomized sampler here
+    (dsir_resample's Gumbel, classify's Pareto draw): (top-48-bits +
+    0.5) / 2^48, never exactly 0 or 1 so downstream logs/powers stay
+    finite.  One definition on purpose — a change to the draw (width,
+    separator) must hit every sampler at once or their shared
+    "same contract" documentation becomes a lie."""
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col), F.lit(salt))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h48.cast("double") + 0.5) / float(1 << 48)
+
+
 def dsir_resample(
     weights: DataFrame,
     k: int,
@@ -313,13 +333,7 @@ def dsir_resample(
     The uniform is (h + 0.5) / 2^48 from the md5 top 48 bits — never 0
     or 1, so the double log is always finite.  Selection is a global
     top-k (TakeOrderedAndProject — no full sort), ties broken by id."""
-    h48 = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col(id_col), F.lit(salt))), 1, 12),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h48.cast("double") + 0.5) / float(1 << 48)
-    gumbel = -F.log(-F.log(u))
+    gumbel = -F.log(-F.log(hash_uniform(id_col, salt)))
     return (
         weights.withColumn("__key", F.col(weight_col) + gumbel)
         .orderBy(F.col("__key").desc(), F.col(id_col).asc())

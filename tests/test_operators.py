@@ -1252,6 +1252,19 @@ def test_quality_classifier_and_pareto_filter(spark):
     # 1.5^-9 ~ 2.6% — loose band
     rates = [len(x) / 300 for x in salts]
     assert all(0.0 < r < 0.15 for r in rates)
+    # null text scores as an empty doc (no NPE) and survives in the
+    # output untouched; a renamed text column is honored even when a
+    # decoy column carries the model's fit-time name
+    tricky = spark.createDataFrame(
+        [(1, doc(clean), "zz"), (2, None, "zz")],
+        "doc_id long, content string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in score_quality(tricky, model, text_col="content").collect()
+    }
+    assert out[1]["quality_prob"] > 0.9      # scored the content column
+    assert out[2]["text"] == "zz" and out[2]["content"] is None
     # plan: scoring + filter never drop into Python
     plan = (
         pareto_quality_filter(scored)
