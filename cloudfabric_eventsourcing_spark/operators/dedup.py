@@ -1120,6 +1120,62 @@ def duplicated_spans(
     )
 
 
+def duplicated_span_stats(
+    df: DataFrame,
+    spans: Optional[DataFrame] = None,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The thresholding report between detection and cutting:
+    (doc_id, n_tokens, dup_tokens, dup_ratio) for EVERY document —
+    dup_tokens is the union size of the doc's duplicated spans (spans
+    from duplicated_spans never overlap, so a plain sum is the union).
+    A pipeline reads the dup_ratio distribution to pick its policy
+    (drop >0.8 wholesale, cut spans in the 0.2-0.8 band, keep the
+    rest) before committing to remove_duplicated_spans — the same
+    report-first pattern as ngram_overlap_stats.
+
+    One aggregation over the span frame joined back to a token-count
+    projection; docs without spans report 0/0.0."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        token_count_whitespace,
+    )
+
+    if spans is None:
+        spans = duplicated_spans(
+            df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        )
+    )
+    counted = df.select(
+        F.col(id_col),
+        # null text counts as an empty doc (size(null) would propagate
+        # a null n_tokens into the ratio)
+        F.coalesce(
+            token_count_whitespace(F.col(text_col)).cast("bigint"),
+            F.lit(0),
+        ).alias("n_tokens"),
+    )
+    return (
+        counted.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     spans: Optional[DataFrame] = None,

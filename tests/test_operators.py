@@ -1047,6 +1047,20 @@ def test_duplicated_spans_and_removal(spark):
     assert clean[2] == "other closing words here"
     assert clean[3] == "self repeat pair self repeat pair tail words"
     assert clean[5] == "" and clean[6] == ""
+    # stats report: coverage union per doc, zero rows for clean docs
+    from cloudfabric_eventsourcing_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_ratio"])
+        for r in duplicated_span_stats(docs, k=4, min_count=2).collect()
+    }
+    assert len(stats) == 6                      # every doc reports
+    assert stats[1] == (10, 4, 0.4)             # run occupies 4 of 10
+    assert stats[2] == (8, 4, 0.5)
+    assert stats[4] == (2, 0, 0.0)
+    assert stats[5] == (0, 0, 0.0) and stats[6] == (0, 0, 0.0)
     # plan: span detection is UDF-free
     plan = (
         duplicated_spans(docs, k=4)
@@ -1273,6 +1287,134 @@ def test_quality_classifier_and_pareto_filter(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_matches_naive_reference(spark):
+    """Randomized differential: the distributed assignment+pruning vs
+    an obviously-correct O(N*k + sum cluster^2) Python reference with
+    the same tie rules and the same 4-decimal cosine rounding."""
+    import math
+    import random
+
+    rng = random.Random(4242)
+    dims = 8
+    vecs = []
+    for i in range(150):
+        base = [rng.gauss(0, 1) for _ in range(dims)]
+        vecs.append((i, [float(x) for x in base]))
+        if rng.random() < 0.3:  # planted near-dup: tiny perturbation
+            vecs.append(
+                (1000 + i, [float(x + rng.gauss(0, 0.01)) for x in base])
+            )
+    cents = [(c, v) for c, v in enumerate([e for _, e in vecs[:6]])]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    def naive():
+        asg = {}
+        for i, v in vecs:
+            best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))
+            asg[i] = best[0]
+        out = {}
+        by_c = {}
+        for i, v in vecs:
+            by_c.setdefault(asg[i], []).append((i, v))
+        for cid, members in by_c.items():
+            for i, v in members:
+                removed = any(
+                    j < i and cos(v, w) >= 0.9 for j, w in members
+                )
+                out[i] = (cid, not removed)
+        return out
+
+    from cloudfabric_eventsourcing_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "cid long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(emb, cdf, threshold=0.9).collect()
+    }
+    assert got == naive()
+
+
+def test_dsir_weights_match_naive_reference(spark):
+    """Randomized differential for DSIR: Spark's micro-unit reduction vs
+    a Python reference sharing the md5 bucketing, HALF_UP micro
+    rounding, and exact integer summation."""
+    import hashlib
+    import math
+    import random
+    import re
+
+    rng = random.Random(99)
+    vocab_a = [f"a{i}" for i in range(25)]
+    vocab_b = [f"b{i}" for i in range(25)]
+    raw_docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab_a if rng.random() < 0.5 else vocab_b)
+                for _ in range(rng.randint(0, 25))
+            )
+            if rng.random() > 0.05
+            else None,
+        )
+        for i in range(120)
+    ]
+    target_docs = [
+        (1000 + i, " ".join(rng.choice(vocab_a) for _ in range(15)))
+        for i in range(30)
+    ]
+
+    def grams(t):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w] if t else []
+        return toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:3]
+
+    def counts(docs):
+        c = {}
+        for _, t in docs:
+            for g in grams(t):
+                b = bucket(g)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    def half_up_micro(x):
+        return int(math.floor(x * 1e6 + 0.5))
+
+    def naive():
+        tc, rc = counts(target_docs), counts(raw_docs)
+        tt, tr = sum(tc.values()), sum(rc.values())
+        lw = {}
+        for b in set(tc) | set(rc):
+            diff = math.log((tc.get(b, 0) + 1.0) / (tt + 4096.0)) - math.log(
+                (rc.get(b, 0) + 1.0) / (tr + 4096.0)
+            )
+            lw[b] = half_up_micro(diff)
+        out = {}
+        for i, t in raw_docs:
+            gs = grams(t)
+            out[i] = (len(gs), sum(lw[bucket(g)] for g in gs) / 1e6)
+        return out
+
+    from cloudfabric_eventsourcing_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    raw = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    target = spark.createDataFrame(target_docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_log_weights(raw, target).collect()
+    }
+    assert got == naive()
 
 
 def test_repetition_stats(spark):
