@@ -1,0 +1,229 @@
+"""Byte-pair-encoding tokenizer training and encoding, Spark-first.
+
+The trainer follows Sennrich et al. 2016 ("Neural Machine Translation
+of Rare Words with Subword Units"), the algorithm GPT-2-style BPE
+vocabularies are built with: start from characters, repeatedly merge
+the most frequent adjacent symbol pair.  The classic implementation
+trains on the WORD-FREQUENCY TABLE, not the corpus — and that is what
+makes it distributable: a 100 TB corpus has a distinct-word table
+orders of magnitude smaller (Heaps' law), produced by one
+map-side-combinable groupBy.  Every training iteration is then
+
+  1. one aggregation over the word table: explode adjacent symbol
+     pairs, weight by word count, take the global max (ties broken
+     lexicographically so the vocabulary is deterministic), and
+  2. one map-only transform applying the winning merge to each word's
+     symbol array — a left-to-right greedy scan expressed as
+     F.aggregate over the array (JVM-side; no Python in the loop).
+
+The driver holds only the merge list (vocab_size strings); the word
+table stays distributed, is cached between iterations, and is
+localCheckpoint'ed on a cadence because 1000+ chained transforms would
+otherwise grow an unbounded lineage (the same lesson as the cluster
+journal's compact_every).
+
+ENCODING applies the full ranked merge list per document.  That is an
+inherently iterative per-token computation (apply merges in rank
+order, always the lowest-rank pair first), so it runs as an
+Arrow-batched pandas UDF over mapInPandas — the documented honest UDF
+boundary, like SimHash's bit-ops: embarrassingly parallel, no shuffle,
+scales with executors.
+
+No oracle rows: iterative training is not SQL-expressible.  Pinned by
+pytest instead — the Sennrich worked example, a naive-reference
+differential on a randomized corpus, and encode/merge-consistency
+properties.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (Sennrich's </w>): lets the encoder distinguish
+#: word-final subwords so detokenization is lossless
+EOW = "</w>"
+
+
+def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over the corpus — the one corpus-sized pass."""
+    from cloudfabric_eventsourcing_spark.operators.text import tokens_column
+
+    return (
+        df.select(F.explode(tokens_column(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merge(sym_col, a: str, b: str):
+    """Left-to-right greedy single-merge scan over a symbol array as a
+    pure Column expression: fold symbols into an accumulator, fusing
+    the pair (a, b) whenever the accumulator's tail is `a` (and not
+    itself just fused) and the next symbol is `b`."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a)
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 25,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus; returns the ranked
+    merge list (rank = list position), the artifact bpe_encode and
+    every standard BPE implementation consume.
+
+    Stops early when no adjacent pair reaches `min_pair_count`
+    (weighted by word frequency) — merging hapax pairs only memorizes
+    the tail.  Deterministic: the argmax tie-break is (count desc,
+    pair lexicographic asc), independent of partitioning.
+
+    Cost model at scale: the corpus is read ONCE (the word-table
+    groupBy); each of the n_merges iterations touches only the
+    distinct-word table (a groupBy into at most |pairs| cells plus a
+    map-only array transform).  The loop is driver-COORDINATED but not
+    driver-computed — the driver sees one (pair, count) row per
+    iteration."""
+    words = _word_table(df, text_col).select(
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit(EOW))
+        ).alias("syms"),
+        F.col("n"),
+    )
+    words = words.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    pending = None  # superseded cached table, unpersisted once its child materializes
+    for i in range(n_merges):
+        span = F.greatest(F.size("syms") - 1, F.lit(0))
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, span),
+                    F.slice(F.col("syms"), 2, span),
+                    lambda x, y: F.struct(
+                        x.alias("a"), y.alias("b")
+                    ),
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(
+                F.col("cnt").desc(),
+                F.col("p.a").asc(),
+                F.col("p.b").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        # the collect above materialized the current table, so the one
+        # it superseded can release its storage now
+        if pending is not None:
+            pending.unpersist(False)
+            pending = None
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        new_words = words.select(
+            _apply_merge(F.col("syms"), a, b).alias("syms"), "n"
+        )
+        # truncate lineage: n_merges chained aggregate() transforms
+        # would otherwise build an unbounded plan
+        if (i + 1) % checkpoint_every == 0:
+            new_words = new_words.localCheckpoint()  # eager: parent freeable now
+            words.unpersist(False)
+        else:
+            new_words = new_words.cache()
+            pending = words
+        words = new_words
+    words.unpersist(False)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode every document with the ranked merge list — appends
+    `out_col` (array<string> of subword tokens, each word terminated
+    by its EOW-bearing final subword).  Arrow-batched mapInPandas;
+    the rank table broadcasts inside the closure, rows never shuffle.
+
+    This IS the reference BPE encode (always fuse the lowest-rank
+    adjacent pair first) — not the training scan — so a pair learned
+    late never preempts an earlier merge, exactly as at train time."""
+    ranks = {tuple(m): r for r, m in enumerate(merges)}
+    from cloudfabric_eventsourcing_spark.operators.text import TOKEN_SPLIT_RE
+    import re
+
+    splitter = re.compile(TOKEN_SPLIT_RE)
+
+    def encode_word(word: str, cache: dict) -> list:
+        if word in cache:
+            return cache[word]
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        cache[word] = syms
+        return syms
+
+    schema = ", ".join(
+        f"{name} {dtype}"
+        for name, dtype in df.dtypes
+    ) + f", {out_col} array<string>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                if t is None or pd.isna(t):
+                    toks.append([])
+                    continue
+                out: list = []
+                for w in splitter.split(str(t).lower()):
+                    if w:
+                        out.extend(encode_word(w, cache))
+                toks.append(out)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def bpe_vocab(merges: Sequence[tuple[str, str]]) -> list[str]:
+    """The subword vocabulary implied by a merge list: every merge
+    product, in rank order (base characters are implicit — any symbol
+    not produced by a merge is a single character or char+EOW)."""
+    return [a + b for a, b in merges]

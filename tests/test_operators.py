@@ -1417,6 +1417,138 @@ def test_dsir_weights_match_naive_reference(spark):
     assert got == naive()
 
 
+def test_bpe_train_sennrich_example(spark):
+    """The worked example from Sennrich et al. 2016 §3.2 (the corpus
+    {low:5, lower:2, newest:6, widest:3}): the learned merges start
+    (e,s), (es,t), (est,</w>), (l,o), (lo,w) — any deviation means the
+    pair counting, weighting, or tie-break drifted.  Encoding then
+    splits the UNSEEN word 'lowest' into low + est</w>, the paper's
+    headline behavior."""
+    from cloudfabric_eventsourcing_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    rows, i = [], 0
+    for w, n in (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)):
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=10)
+    assert merges[:5] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+    enc = spark.createDataFrame(
+        [(99, "lowest newest"), (100, None), (101, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(enc, merges).collect()}
+    assert out[99][:2] == ["low", "est</w>"]
+    assert out[100] == [] and out[101] == []
+
+
+def test_bpe_matches_naive_reference(spark):
+    """Randomized differential: the distributed trainer (word-table
+    groupBy + F.aggregate merge scan) vs a pure-Python reference BPE
+    learner with the same weighting, tie-break, and single-pass greedy
+    merge application; then the encoder vs per-word reference encoding
+    under the learned ranks."""
+    import random
+    import re
+
+    rng = random.Random(2024)
+    alphabet = "abcdef"
+    vocab = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 7)))
+        for _ in range(40)
+    ]
+    docs = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))),
+        )
+        for i in range(150)
+    ]
+    EOW = "</w>"
+
+    def naive_train(n_merges, min_pair_count=2):
+        freq = {}
+        for _, t in docs:
+            for w in re.split(r"\s+", t.lower()):
+                if w:
+                    freq[w] = freq.get(w, 0) + 1
+        words = {tuple(list(w) + [EOW]): n for w, n in freq.items()}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, n in words.items():
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] = counts.get(pair, 0) + n
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_pair_count:
+                break
+            a, b = best[0]
+            merges.append((a, b))
+            new_words = {}
+            for syms, n in words.items():
+                out, j = [], 0
+                while j < len(syms):
+                    if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                key = tuple(out)
+                new_words[key] = new_words.get(key, 0) + n
+            words = new_words
+        return merges
+
+    def naive_encode(text, ranks):
+        out = []
+        for w in re.split(r"\s+", text.lower()):
+            if not w:
+                continue
+            syms = list(w) + [EOW]
+            while len(syms) > 1:
+                best, bi = None, -1
+                for j in range(len(syms) - 1):
+                    r = ranks.get((syms[j], syms[j + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bi = r, j
+                if best is None:
+                    break
+                syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+            out.extend(syms)
+        return out
+
+    from cloudfabric_eventsourcing_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = train_bpe(df, n_merges=40, checkpoint_every=7)
+    want = naive_train(40)
+    assert got == want
+    ranks = {m: r for r, m in enumerate(got)}
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, got).collect()}
+    for i, t in docs[:25]:
+        assert enc[i] == naive_encode(t, ranks), f"encode mismatch doc {i}"
+    # lossless detokenization: EOW marks word ends
+    joined = "".join(enc[0]).replace("</w>", " ").strip()
+    assert joined == " ".join(
+        w for w in re.split(r"\s+", docs[0][1].lower()) if w
+    )
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
