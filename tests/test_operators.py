@@ -1549,6 +1549,166 @@ def test_bpe_matches_naive_reference(spark):
     )
 
 
+def test_standard_curation_recipe(spark):
+    """End-to-end recipe integration: every planted artifact lands in
+    its intended stage, the report's drop accounting sums exactly, and
+    surgery stages (boilerplate, PII) edit text without dropping rows.
+    Two configs: (a) the filter chain without span cutting, (b) the
+    span stage alone — separated because corpus-level exact-substring
+    coverage deliberately overlaps near-dedup's territory."""
+    from cloudfabric_eventsourcing_spark.operators.classify import (
+        train_quality_classifier,
+    )
+    from cloudfabric_eventsourcing_spark.operators.recipes import (
+        CurationConfig,
+        standard_curation,
+    )
+
+    boiler = "subscribe to the newsletter for it"
+    good = [
+        (
+            i,
+            f"the quick article number {i} describes a method of building "
+            f"reliable data systems and it is written for engineers in the "
+            f"field topic{i} detail{i} extra{i}\n" + boiler,
+        )
+        for i in range(8)
+    ]
+    german = [
+        (20, "der hund ist nicht mit der katze und das ist ein problem"),
+        (21, "die sonne ist auf und der tag ist nicht zu ende"),
+    ]
+    junk = [(30, "the !!! ??? ;;; of ,,,"), (31, "the ::: !!! of ??? ;;;")]
+    pii = [
+        (
+            40,
+            "the contact address of the author is jane@example.com and it "
+            "is listed for questions about the method in the article here "
+            "with more detail text following",
+        )
+    ]
+    exact_pair = [
+        (50, "the same exact text of a document that is repeated verbatim "
+             "in the corpus for it and that is long enough to pass the "
+             "quality band easily one two three"),
+        (51, "the same exact text of a document that is repeated verbatim "
+             "in the corpus for it and that is long enough to pass the "
+             "quality band easily one two three"),
+    ]
+    base_words = [f"tok{j}" for j in range(40)]
+    near_a = "the of and is " + " ".join(base_words)
+    near_b_words = list(base_words)
+    near_b_words[0] = "changed0"
+    near_b = "the of and is " + " ".join(near_b_words)
+    near_pair = [(60, near_a), (61, near_b)]
+    contaminated = [
+        (
+            70,
+            "the answer to the benchmark question is alpha beta gamma "
+            "delta epsilon zeta eta theta and it is secret for the "
+            "evaluation of the held out suite",
+        )
+    ]
+    spam_vocab = [f"spam{j}" for j in range(30)]
+    import random
+
+    rng = random.Random(7)
+    spammy = [
+        (
+            80,
+            "the a of and is that it for in to "
+            + " ".join(rng.choice(spam_vocab) for _ in range(30)),
+        )
+    ]
+    docs = spark.createDataFrame(
+        good + german + junk + pii + exact_pair + near_pair + contaminated
+        + spammy,
+        "doc_id long, text string",
+    )
+    test_sets = spark.createDataFrame(
+        [
+            (
+                0,
+                "question is alpha beta gamma delta epsilon zeta eta theta "
+                "and it",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    # the positive seed must cover the style of everything that should
+    # SURVIVE to the classifier stage (a production seed is a broad
+    # curated corpus); a seed of only the 8 articles scores the
+    # pii/exact/near survivors as OOV-low and the stage over-drops
+    seed = good + [(910, pii[0][1]), (911, exact_pair[0][1]), (912, near_a)]
+    model = train_quality_classifier(
+        spark.createDataFrame(seed, "doc_id long, text string"),
+        spark.createDataFrame(
+            [
+                (900 + i, " ".join(rng.choice(spam_vocab) for _ in range(25)))
+                for i in range(30)
+            ],
+            "doc_id long, text string",
+        ),
+        num_features=1 << 12,
+    )
+    cfg = CurationConfig(
+        keep_langs=("en",),
+        min_quality=0.6,
+        boilerplate_min_docs=4,
+        dup_span_k=None,
+        minhash_threshold=0.9,
+        decontam_ngram=8,
+        quality_model=model,
+        quality_floor=0.5,
+    )
+    clean, report = standard_curation(docs, cfg, test_sets=test_sets)
+    assert report["input"] == 19   # 8 good + 2 de + 2 junk + 1 pii + 2 exact + 2 near + 1 contaminated + 1 spam
+    assert report["language_filter"] == 2          # the two German docs
+    assert report["quality_heuristic"] == 2        # the two punct floods
+    assert report["exact_dedup"] == 1              # doc 51
+    assert report["near_dedup"] == 1               # doc 61
+    assert report["decontamination"] == 1          # doc 70
+    assert report["quality_classifier"] == 1       # doc 80
+    drops = sum(
+        v for k, v in report.items() if k not in ("input", "survivors")
+    )
+    assert report["survivors"] == report["input"] - drops
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert set(rows) == {i for i, _ in good} | {40, 50, 60}
+    assert all(boiler not in t for t in rows.values())       # boilerplate cut
+    assert "jane@example.com" not in rows[40]                # PII redacted
+    assert "[EMAIL]" in rows[40] or "example.com" not in rows[40]
+
+    # (b) the span stage alone: a self-repeating doc drops wholesale, a
+    # cross-doc quote is cut from both carriers, clean docs untouched
+    quote = "one two three four five six seven eight nine ten eleven twelve"
+    span_docs = spark.createDataFrame(
+        [
+            (1, "unique opening words here then " + quote + " closing part"),
+            (2, quote + " with a different unique continuation afterwards"),
+            (3, ("repeat phrase alpha beta gamma delta epsilon zeta ") * 3),
+            (4, "completely independent document with its own vocabulary"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg_b = CurationConfig(
+        keep_langs=None,
+        min_quality=None,
+        boilerplate_min_docs=None,
+        dup_span_k=8,
+        dup_span_max_ratio=0.8,
+        redact_pii=False,
+        minhash_threshold=None,
+        decontam_ngram=None,
+    )
+    clean_b, report_b = standard_curation(span_docs, cfg_b)
+    assert report_b["duplicated_span_heavy"] == 1            # doc 3
+    rows_b = {r["doc_id"]: r["text"] for r in clean_b.collect()}
+    assert set(rows_b) == {1, 2, 4}
+    assert quote not in rows_b[1] and quote not in rows_b[2]
+    assert rows_b[4] == "completely independent document with its own vocabulary"
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
