@@ -11,6 +11,8 @@ as Arrow-batched Pandas UDFs.
 
 from cloudfabric_eventsourcing_spark.operators import (
     behavior,
+    bpe,
+    classify,
     curation,
     dedup,
     graph,
@@ -26,6 +28,8 @@ from cloudfabric_eventsourcing_spark.operators import (
 
 __all__ = [
     "behavior",
+    "bpe",
+    "classify",
     "curation",
     "dedup",
     "graph",

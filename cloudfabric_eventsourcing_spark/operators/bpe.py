@@ -157,6 +157,8 @@ def train_bpe(
             pending = words
         words = new_words
     words.unpersist(False)
+    if pending is not None:  # loop ended on the cache branch: release
+        pending.unpersist(False)
     return merges
 
 
@@ -164,7 +166,6 @@ def bpe_encode(
     df: DataFrame,
     merges: Sequence[tuple[str, str]],
     text_col: str = "text",
-    id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """Encode every document with the ranked merge list — appends
@@ -176,10 +177,16 @@ def bpe_encode(
     adjacent pair first) — not the training scan — so a pair learned
     late never preempts an earlier merge, exactly as at train time."""
     ranks = {tuple(m): r for r, m in enumerate(merges)}
-    from cloudfabric_eventsourcing_spark.operators.text import TOKEN_SPLIT_RE
     import re
 
-    splitter = re.compile(TOKEN_SPLIT_RE)
+    # IMPORTANT: must split words exactly like the TRAINER, which
+    # tokenizes JVM-side — and Java's \s is ASCII-only ([ \t\n\x0B\f\r])
+    # while Python's re \s matches all Unicode whitespace.  Compiling
+    # the Java class literally keeps a document with an NBSP producing
+    # the same words at encode time as at train time (self-review
+    # finding: the drifted form silently split words the trainer never
+    # saw).
+    splitter = re.compile("[ \t\n\x0b\f\r]+")
 
     def encode_word(word: str, cache: dict) -> list:
         if word in cache:

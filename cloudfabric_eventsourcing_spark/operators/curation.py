@@ -9,6 +9,16 @@ modules):
                           hashes text (boilerplate otherwise glues
                           near-dup clusters together and skews LSH
                           buckets)
+  1b. span policy       — optional exact-substring pass (span_k=):
+                          documents whose duplicated-k-gram coverage
+                          (dedup.duplicated_span_stats) exceeds
+                          span_max_ratio drop wholesale; survivors get
+                          their duplicated spans CUT
+                          (dedup.remove_duplicated_spans, the Lee et
+                          al. ExactSubstr policy).  Runs before the
+                          hash-based dedups for the same reason
+                          boilerplate does: cut text changes every
+                          downstream hash
   2. exact dedup        — collapse byte-identical texts first (one slim
                           hash shuffle; also the primary defense against
                           LSH bucket skew)
@@ -27,6 +37,12 @@ modules):
                           evaluation set
   7. fluency gate       — perplexity-proxy floor on mean corpus bigram
                           frequency (text.fluency_scores)
+  7b. learned gate      — optional classifier floor (quality_model=): a
+                          classify.train_quality_classifier model scores
+                          the survivors (map-only) and rows below
+                          quality_floor drop — the GPT-3 recipe's last
+                          filter, placed late so the most expensive
+                          signal sees the fewest rows
   8. sampling / mixing  — deterministic stratified sample to the target
                           budget (operators.sampling)
   9. training order     — deterministic global shuffle positions
@@ -58,6 +74,9 @@ def curate(
     id_col: str = "doc_id",
     exact: bool = True,
     boilerplate_min_docs: Optional[int] = None,
+    span_k: Optional[int] = None,
+    span_max_ratio: float = 0.8,
+    span_min_count: int = 2,
     neardup_threshold: Optional[float] = 0.9,
     dedup_index_path: Optional[str] = None,
     dedup_index_broadcast: bool = True,
@@ -69,6 +88,8 @@ def curate(
     decontaminate_against: Optional[DataFrame] = None,
     decontaminate_n: int = 8,
     min_fluency: Optional[float] = None,
+    quality_model: object = None,
+    quality_floor: float = 0.5,
     sample_per_stratum: Optional[int] = None,
     sample_strata: Optional[str] = None,
     sample_salt: str = "",
@@ -96,6 +117,30 @@ def curate(
         out = note(
             "boilerplate_stripped",
             stripped.withColumn(text_col, F.col("__clean")).drop("__clean"),
+        )
+
+    if span_k is not None:
+        spans = _dedup.duplicated_spans(
+            out, k=span_k, min_count=span_min_count,
+            text_col=text_col, id_col=id_col,
+        )
+        heavy = (
+            _dedup.duplicated_span_stats(
+                out, spans=spans, text_col=text_col, id_col=id_col
+            )
+            .where(F.col("dup_ratio") > span_max_ratio)
+            .select(id_col)
+        )
+        survivors = out.join(heavy, id_col, "left_anti")
+        cut = _dedup.remove_duplicated_spans(
+            survivors,
+            spans=spans.join(heavy, id_col, "left_anti"),
+            text_col=text_col,
+            id_col=id_col,
+        )
+        out = note(
+            "span_policy",
+            cut.withColumn(text_col, F.col("clean")).drop("clean"),
         )
 
     if exact:
@@ -194,6 +239,19 @@ def curate(
             .drop("fluency")
         )
         out = note("fluency_gate", gated.select(*out.columns))
+
+    if quality_model is not None:
+        from cloudfabric_eventsourcing_spark.operators.classify import (
+            score_quality,
+        )
+
+        scored = score_quality(
+            out, quality_model, text_col=text_col, out_col="__qprob"
+        )
+        out = note(
+            "learned_gate",
+            scored.where(F.col("__qprob") >= quality_floor).drop("__qprob"),
+        )
 
     if sample_per_stratum is not None:
         staged = out.withColumn(

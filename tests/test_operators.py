@@ -1549,20 +1549,22 @@ def test_bpe_matches_naive_reference(spark):
     )
 
 
-def test_standard_curation_recipe(spark):
-    """End-to-end recipe integration: every planted artifact lands in
-    its intended stage, the report's drop accounting sums exactly, and
-    surgery stages (boilerplate, PII) edit text without dropping rows.
-    Two configs: (a) the filter chain without span cutting, (b) the
-    span stage alone — separated because corpus-level exact-substring
-    coverage deliberately overlaps near-dedup's territory."""
+def test_curate_span_and_learned_gates(spark):
+    """Integration of the two curate stages added for the span/classifier
+    families: every planted artifact lands in its intended stage of the
+    ONE canonical pipeline (operators.curation.curate — the self-review
+    killed a parallel recipe module that had started to duplicate it),
+    stats record rows REMAINING per stage, and surgery stages edit text
+    without dropping rows.  Split into (a) the filter chain without the
+    span stage and (b) the span stage alone, because corpus-level
+    exact-substring coverage deliberately overlaps near-dedup's
+    territory."""
+    import random
+
     from cloudfabric_eventsourcing_spark.operators.classify import (
         train_quality_classifier,
     )
-    from cloudfabric_eventsourcing_spark.operators.recipes import (
-        CurationConfig,
-        standard_curation,
-    )
+    from cloudfabric_eventsourcing_spark.operators.curation import curate
 
     boiler = "subscribe to the newsletter for it"
     good = [
@@ -1610,8 +1612,6 @@ def test_standard_curation_recipe(spark):
         )
     ]
     spam_vocab = [f"spam{j}" for j in range(30)]
-    import random
-
     rng = random.Random(7)
     spammy = [
         (
@@ -1636,9 +1636,9 @@ def test_standard_curation_recipe(spark):
         "doc_id long, text string",
     )
     # the positive seed must cover the style of everything that should
-    # SURVIVE to the classifier stage (a production seed is a broad
-    # curated corpus); a seed of only the 8 articles scores the
-    # pii/exact/near survivors as OOV-low and the stage over-drops
+    # SURVIVE to the learned gate (a production seed is a broad curated
+    # corpus); a seed of only the 8 articles scores the pii/exact/near
+    # survivors as OOV-low and the gate over-drops
     seed = good + [(910, pii[0][1]), (911, exact_pair[0][1]), (912, near_a)]
     model = train_quality_classifier(
         spark.createDataFrame(seed, "doc_id long, text string"),
@@ -1651,33 +1651,29 @@ def test_standard_curation_recipe(spark):
         ),
         num_features=1 << 12,
     )
-    cfg = CurationConfig(
-        keep_langs=("en",),
-        min_quality=0.6,
+    clean, stats = curate(
+        docs,
         boilerplate_min_docs=4,
-        dup_span_k=None,
-        minhash_threshold=0.9,
-        decontam_ngram=8,
+        neardup_threshold=0.9,
+        languages=["en"],
+        min_quality=0.6,
+        decontaminate_against=test_sets,
         quality_model=model,
         quality_floor=0.5,
     )
-    clean, report = standard_curation(docs, cfg, test_sets=test_sets)
-    assert report["input"] == 19   # 8 good + 2 de + 2 junk + 1 pii + 2 exact + 2 near + 1 contaminated + 1 spam
-    assert report["language_filter"] == 2          # the two German docs
-    assert report["quality_heuristic"] == 2        # the two punct floods
-    assert report["exact_dedup"] == 1              # doc 51
-    assert report["near_dedup"] == 1               # doc 61
-    assert report["decontamination"] == 1          # doc 70
-    assert report["quality_classifier"] == 1       # doc 80
-    drops = sum(
-        v for k, v in report.items() if k not in ("input", "survivors")
-    )
-    assert report["survivors"] == report["input"] - drops
+    # stats are rows REMAINING after each stage
+    assert stats["input"] == 19       # 8 good + 2 de + 2 junk + 1 pii + 2 exact + 2 near + 1 contam + 1 spam
+    assert stats["boilerplate_stripped"] == 19   # surgery, no drop
+    assert stats["exact_dedup"] == 18            # doc 51
+    assert stats["neardup"] == 17                # doc 61
+    assert stats["quality_gate"] == 13           # 2 German + 2 punct floods
+    assert stats["decontaminated"] == 12         # doc 70
+    assert stats["learned_gate"] == 11           # doc 80
+    assert stats["output"] == 11
     rows = {r["doc_id"]: r["text"] for r in clean.collect()}
     assert set(rows) == {i for i, _ in good} | {40, 50, 60}
-    assert all(boiler not in t for t in rows.values())       # boilerplate cut
-    assert "jane@example.com" not in rows[40]                # PII redacted
-    assert "[EMAIL]" in rows[40] or "example.com" not in rows[40]
+    assert all(boiler not in t for t in rows.values())   # boilerplate cut
+    assert "jane@example.com" not in rows[40]            # PII redacted
 
     # (b) the span stage alone: a self-repeating doc drops wholesale, a
     # cross-doc quote is cut from both carriers, clean docs untouched
@@ -1691,18 +1687,15 @@ def test_standard_curation_recipe(spark):
         ],
         "doc_id long, text string",
     )
-    cfg_b = CurationConfig(
-        keep_langs=None,
-        min_quality=None,
-        boilerplate_min_docs=None,
-        dup_span_k=8,
-        dup_span_max_ratio=0.8,
-        redact_pii=False,
-        minhash_threshold=None,
-        decontam_ngram=None,
+    clean_b, stats_b = curate(
+        span_docs,
+        span_k=8,
+        span_max_ratio=0.8,
+        exact=False,
+        neardup_threshold=None,
+        scrub_pii=False,
     )
-    clean_b, report_b = standard_curation(span_docs, cfg_b)
-    assert report_b["duplicated_span_heavy"] == 1            # doc 3
+    assert stats_b["span_policy"] == 3           # doc 3 dropped wholesale
     rows_b = {r["doc_id"]: r["text"] for r in clean_b.collect()}
     assert set(rows_b) == {1, 2, 4}
     assert quote not in rows_b[1] and quote not in rows_b[2]
