@@ -1218,6 +1218,44 @@ def p17_duplicated_spans(spark, sf_dir):
     )
 
 
+@q(
+    "p20_dup_span_coverage",
+    # p17's span construction extended to the per-doc coverage report
+    # EVERY doc appears in (clean docs report 0/0.0).  The ratio is in
+    # exact integer ten-thousandths (design rule 5 / the quality_score
+    # lesson): round(dup/n, 4) sits exactly ON a .00005 boundary
+    # whenever n is a power of two, where the engines' half-rounding
+    # disagrees; (20000*dup + n) // (2n) is half-up computed exactly.
+    "WITH toks AS (SELECT doc_id, "
+    f"{_TOKS_SQL} AS t FROM documents), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    + " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+    + " AS gram FROM toks, UNNEST(range(1, len(t)-6)) AS u(i)), "
+    "c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2), "
+    "d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM c)), "
+    "i AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM d), "
+    "s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM i), "
+    "spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end "
+    "FROM s GROUP BY doc_id, island), "
+    "cov AS (SELECT doc_id, CAST(SUM(span_end - span_start + 1) AS BIGINT) "
+    "AS dup_tokens FROM spans GROUP BY doc_id) "
+    "SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, "
+    "COALESCE(cov.dup_tokens, 0) AS dup_tokens, "
+    "CAST((20000 * COALESCE(cov.dup_tokens, 0) + GREATEST(len(t.t), 1)) "
+    "// (2 * GREATEST(len(t.t), 1)) AS BIGINT) / 10000.0 AS dup_ratio "
+    "FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id",
+)
+def p20_dup_span_coverage(spark, sf_dir):
+    # The thresholding report between ExactSubstr detection and cutting
+    # (dedup.duplicated_span_stats): per-doc duplicated-token coverage,
+    # the number curate's span_max_ratio policy reads.
+    return _dedup.duplicated_span_stats(
+        load_table(spark, sf_dir, "documents"), k=8, min_count=2
+    )
+
+
 @q("p04_minhash_lsh_pairs", _JACCARD_ORACLE)
 def p04_minhash_lsh(spark, sf_dir):
     # LSH candidates + exact verification; at (128 perms, 32 bands) the
@@ -3290,12 +3328,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # MD5 selection) at position 8, p17_duplicated_spans (the second-half
 # ExactSubstr span operator) at position 9, p18_semdedup (the
 # second-half SemDeDup row) at position 10, and p19_dsir_weights
-# (DSIR importance weights) at position 11 — minus the eleven safest
-# aged entries displaced to positions 51-61 (x04/m01/h9/h10/h11/h12/
-# h8/s03/k01/p07/p09: each pinned by family pytest + an in-session
-# full-registry 110/110 sf0.01 sweep on this exact tree, m01 green in
-# the r08 driver window itself, h9 by five prior green driver rows,
-# h10/h11 additionally by the sf10 close-out); they lead r10.
+# (DSIR importance weights) at position 11, and p20_dup_span_coverage
+# (the span coverage report) at position 12 — minus the twelve safest
+# aged entries displaced to positions 51-62 (x03/x04/m01/h9/h10/h11/
+# h12/h8/s03/k01/p07/p09: each pinned by family pytest + an
+# in-session full-registry 111/111 sf0.01 sweep on the final tree,
+# m01 green in the r08 driver window itself, h9 by five prior green
+# driver rows, h10/h11 additionally by the sf10 close-out); they
+# lead r10.
 _VERIFY_FIRST = [
     "f04_starts_with",
     "f06_contains_case_sensitive",
@@ -3308,6 +3348,7 @@ _VERIFY_FIRST = [
     "p17_duplicated_spans",
     "p18_semdedup",
     "p19_dsir_weights",
+    "p20_dup_span_coverage",
     "f02_ne_null",
     "f03_range",
     "f05_ends_with",
@@ -3346,8 +3387,8 @@ _VERIFY_FIRST = [
     "t07_vocab_topk",
     "u01_set_ops",
     "f15_suggestions",
-    "x03_range_join",
     # -- driver window ends here (position 50) --
+    "x03_range_join",
     "x04_funnel_conversion",
     "m01_multimodal_features",
     "h9_order_priority_check",

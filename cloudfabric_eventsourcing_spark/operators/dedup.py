@@ -1161,17 +1161,22 @@ def duplicated_span_stats(
             F.lit(0),
         ).alias("n_tokens"),
     )
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0))
+    n = F.greatest(F.col("n_tokens"), F.lit(1))
+    # ratio in exact integer ten-thousandths (design rule 5, the
+    # quality_score lesson): round(dup/n, 4) lands exactly ON .00005
+    # boundaries whenever n is a power of two, where engines tie-break
+    # differently; floor((20000*dup + n) / (2n)) is half-up rounding
+    # computed exactly — the quotient's distance from any integer is 0
+    # or >= 1/(2n), far above double error
+    ratio4 = F.floor((20000 * dup + n) / (2 * n)).cast("long")
     return (
         counted.join(per_doc, id_col, "left")
         .select(
             id_col,
             "n_tokens",
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
-            F.round(
-                F.coalesce(F.col("dup_tokens"), F.lit(0))
-                / F.greatest(F.col("n_tokens"), F.lit(1)),
-                4,
-            ).alias("dup_ratio"),
+            dup.alias("dup_tokens"),
+            (ratio4 / 10000).cast("double").alias("dup_ratio"),
         )
     )
 
