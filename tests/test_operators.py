@@ -1702,6 +1702,71 @@ def test_curate_span_and_learned_gates(spark):
     assert rows_b[4] == "completely independent document with its own vocabulary"
 
 
+def test_winnowing_matches_naive_reference(spark):
+    """Randomized differential for p16's operator: Spark's
+    zip-of-shifted-slices winnowing (md5 arm, the engine-reproducible
+    one) vs a pure-Python reference implementing Schleimer et al.'s
+    window-minimum selection directly."""
+    import hashlib
+    import random
+    import re
+
+    rng = random.Random(321)
+    vocab = [f"w{i}" for i in range(15)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(6)) for _ in range(4)]
+    docs = []
+    for d in range(80):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        text = " ".join(words)
+        if rng.random() < 0.4:
+            text = text + " " + rng.choice(shared)
+        docs.append((d, text if rng.random() > 0.05 else None))
+    K, W = 3, 4
+
+    def naive_fps(t):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w] if t else []
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+            for i in range(len(toks) - K + 1)
+        ]
+        if not grams:
+            return set()
+        if len(grams) < W:
+            return {min(grams)}
+        return {min(grams[i : i + W]) for i in range(len(grams) - W + 1)}
+
+    def naive_pairs(min_shared):
+        fps = {d: naive_fps(t) for d, t in docs}
+        out = {}
+        ids = sorted(fps)
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    n = len(fps[x] & fps[y])
+                    if n >= min_shared:
+                        out[(x, y)] = n
+        return out
+
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnowing_fingerprints(df, k=K, window=W, hash="md5").collect()
+    }
+    assert got_fps == {d: naive_fps(t) for d, t in docs}
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(
+            df, k=K, window=W, min_shared=1, hash="md5"
+        ).collect()
+    }
+    assert got_pairs == naive_pairs(1)
+
+
 def test_repetition_stats(spark):
     from cloudfabric_eventsourcing_spark.operators.text import repetition_stats
 
