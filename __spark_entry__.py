@@ -1241,7 +1241,9 @@ def p17_duplicated_spans(spark, sf_dir):
     "FROM s GROUP BY doc_id, island), "
     "cov AS (SELECT doc_id, CAST(SUM(span_end - span_start + 1) AS BIGINT) "
     "AS dup_tokens FROM spans GROUP BY doc_id) "
-    "SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, "
+    # COALESCE: a null-text doc has len(t)=NULL in DuckDB but the
+    # operator coalesces n_tokens to 0 (post-final-sweep review find)
+    "SELECT t.doc_id, CAST(COALESCE(len(t.t), 0) AS BIGINT) AS n_tokens, "
     "COALESCE(cov.dup_tokens, 0) AS dup_tokens, "
     "CAST((20000 * COALESCE(cov.dup_tokens, 0) + GREATEST(len(t.t), 1)) "
     "// (2 * GREATEST(len(t.t), 1)) AS BIGINT) / 10000.0 AS dup_ratio "
@@ -3332,7 +3334,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the span coverage report) at position 12 — minus the twelve safest
 # aged entries displaced to positions 51-62 (x03/x04/m01/h9/h10/h11/
 # h12/h8/s03/k01/p07/p09: each pinned by family pytest + an
-# in-session full-registry 111/111 sf0.01 sweep on the final tree,
+# in-session full-registry 112/112 sf0.01 sweep on the final tree,
 # m01 green in the r08 driver window itself, h9 by five prior green
 # driver rows, h10/h11 additionally by the sf10 close-out); they
 # lead r10.
