@@ -1,0 +1,104 @@
+"""Scale study for the round-9 data-selection family: ExactSubstr
+spans, SemDeDup, DSIR, the learned quality classifier, and BPE
+training/encoding, measured against a (possibly scaled) sf directory.
+
+Reproduces the PLANS.md "Round-9 continuation" measurements:
+
+    python tools/make_scaled_sf.py 10 /tmp/spark_graft_sf1
+    python tools/selection_study.py /tmp/spark_graft_sf1
+
+Prints one JSON line per operator with wall seconds and the headline
+output cardinality, so a future round can re-check the scaling claims
+(span detection linear in corpus tokens; SemDeDup bounded by cluster
+sizes; DSIR two 4096-cell aggs + a broadcast join; classifier scoring
+map-only; BPE iterations touching only word TYPES) on the same data
+the claims were made on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cloudfabric_eventsourcing_spark.session import build_session  # noqa: E402
+from cloudfabric_eventsourcing_spark.operators.bpe import (  # noqa: E402
+    bpe_encode,
+    train_bpe,
+)
+from cloudfabric_eventsourcing_spark.operators.classify import (  # noqa: E402
+    pareto_quality_filter,
+    score_quality,
+    train_quality_classifier,
+)
+from cloudfabric_eventsourcing_spark.operators.dedup import (  # noqa: E402
+    duplicated_spans,
+    semantic_dedup,
+)
+from cloudfabric_eventsourcing_spark.operators.sampling import (  # noqa: E402
+    dsir_log_weights,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    spark = build_session(app_name="selection-study")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs, n_vecs = docs.count(), emb.count()
+
+    def report(name: str, t0: float, **extra) -> None:
+        print(
+            json.dumps(
+                {"op": name, "sec": round(time.time() - t0, 1), **extra}
+            ),
+            flush=True,
+        )
+
+    t = time.time()
+    spans = duplicated_spans(docs, k=8, min_count=2).count()
+    report("duplicated_spans", t, k=8, docs=n_docs, spans=spans)
+
+    # k ~ sqrt(N), deterministic lowest-id centroids (the p18 recipe)
+    k = max(8, int(n_vecs ** 0.5 / 31) * 31)
+    cents = emb.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    t = time.time()
+    kept = semantic_dedup(emb, cents, threshold=0.35).where("kept").count()
+    report("semantic_dedup", t, k=k, vecs=n_vecs, kept=kept)
+
+    t = time.time()
+    w = dsir_log_weights(docs, docs.where("lang = 'en'"))
+    rows = w.count()
+    report("dsir_log_weights", t, docs=rows)
+
+    pos = docs.where("lang = 'en'").limit(5000)
+    neg = docs.where("lang != 'en'").limit(5000)
+    t = time.time()
+    model = train_quality_classifier(pos, neg)
+    report("classifier_fit", t, sample=10_000)
+    t = time.time()
+    survived = pareto_quality_filter(score_quality(docs, model)).count()
+    report("classifier_score_filter", t, docs=n_docs, kept=survived)
+
+    t = time.time()
+    merges = train_bpe(docs, n_merges=60, checkpoint_every=10)
+    report("bpe_train", t, merges=len(merges))
+    t = time.time()
+    subwords = (
+        bpe_encode(docs, merges)
+        .selectExpr("sum(size(bpe_tokens)) s")
+        .collect()[0]["s"]
+    )
+    report("bpe_encode", t, docs=n_docs, subwords=subwords)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
