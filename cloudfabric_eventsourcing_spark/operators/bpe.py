@@ -42,6 +42,7 @@ from typing import Iterator, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: end-of-word marker (Sennrich's </w>): lets the encoder distinguish
 #: word-final subwords so detokenization is lossless
@@ -204,29 +205,43 @@ def bpe_encode(
         cache[word] = syms
         return syms
 
-    schema = ", ".join(
-        f"{name} {dtype}"
-        for name, dtype in df.dtypes
-    ) + f", {out_col} array<string>"
+    # case mapping MUST match the trainer, which lowercases JVM-side
+    # (F.lower): Python str.lower() disagrees with the JVM on some
+    # non-ASCII points ('İ', locale-sensitive Turkish dotless-i), so
+    # lowering is done with the SAME engine expression in a temp column
+    # and the Python side never calls .lower() (self-review finding,
+    # same class as the \s drift above).
+    lc_col = "__bpe_lc"
+    while lc_col in df.columns:
+        lc_col = "_" + lc_col
+    lowered = df.withColumn(lc_col, F.lower(F.col(text_col)))
+
+    # output schema built structurally from df.schema (NOT a DDL string
+    # join — names with spaces/hyphens/reserved chars would fail to
+    # parse); the temp column is dropped inside the UDF
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()), True)]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
             toks = []
-            for t in pdf[text_col]:
+            for t in pdf[lc_col]:
                 if t is None or pd.isna(t):
                     toks.append([])
                     continue
                 out: list = []
-                for w in splitter.split(str(t).lower()):
+                for w in splitter.split(str(t)):
                     if w:
                         out.extend(encode_word(w, cache))
                 toks.append(out)
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=[lc_col])
             pdf[out_col] = toks
             yield pdf
 
-    return df.mapInPandas(run, schema=schema)
+    return lowered.mapInPandas(run, schema=out_schema)
 
 
 def bpe_vocab(merges: Sequence[tuple[str, str]]) -> list[str]:

@@ -797,12 +797,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             h, w = struct.unpack(">HH", seg[1:5])
             n = seg[5]
             comps = []
+            if n < 1:
+                raise ValueError("corrupt JPEG: SOF declares 0 components")
             for c in range(n):
                 cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             for _, hi, vi, _ in comps:
+                # T.81 B.2.2: Hi/Vi are 1..4; a corrupt 0 would divide by
+                # zero in the ratio check and the MCU geometry below
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"corrupt JPEG: sampling factor {hi}x{vi} "
+                        "outside T.81 range 1..4"
+                    )
                 if hmax % hi or vmax % vi:
                     raise NotImplementedError(
                         f"non-integer chroma sampling ratio {hi}x{vi} "

@@ -303,10 +303,23 @@ def hash_uniform(id_col: str, salt: str):
     0.5) / 2^48, never exactly 0 or 1 so downstream logs/powers stay
     finite.  One definition on purpose — a change to the draw (width,
     separator) must hit every sampler at once or their shared
-    "same contract" documentation becomes a lie."""
+    "same contract" documentation becomes a lie.
+
+    A NULL id raises at evaluation time rather than drawing: concat_ws
+    silently skips nulls, so every null-id row would otherwise hash to
+    md5(salt) and share ONE draw — silently correlating the Gumbel
+    resample and Pareto filter decisions across all such rows
+    (advice-pinned)."""
+    id_str = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"hash_uniform: null {id_col} — null ids would collapse to "
+            "a single shared draw; filter or coalesce ids first"
+        )),
+    ).otherwise(F.col(id_col).cast("string"))
     h48 = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.col(id_col), F.lit(salt))), 1, 12
+            F.md5(F.concat_ws("|", id_str, F.lit(salt))), 1, 12
         ),
         16,
         10,

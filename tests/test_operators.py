@@ -3837,15 +3837,19 @@ def test_codec_fuzz_corrupt_bytes_raise_cleanly():
     base_png = codecs.encode_png(8, 8, 3, img.tobytes())
     base_wav = codecs.encode_wav(8000, 1, 2, bytes(1600))
     base_avi = codecs.encode_avi(8, 8, 10.0, [img.tobytes()])
+    base_mp4 = codecs.encode_mp4(8, 8, 10.0, [img.tobytes()])
 
-    @settings(max_examples=120, deadline=None)
-    @given(st.binary(min_size=0, max_size=200), st.sampled_from([0, 1, 2, 3]))
+    @settings(max_examples=500, deadline=None)
+    @given(st.binary(min_size=0, max_size=200),
+           st.sampled_from([0, 1, 2, 3, 4]))
     def random_tail(tail, which):
         base, dec = [
             (b"\xff\xd8", codecs.decode_jpeg),
             (b"\x89PNG\r\n\x1a\n", codecs.decode_png),
             (b"RIFF\x10\x00\x00\x00WAVE", codecs.decode_wav),
             (b"RIFF\x10\x00\x00\x00AVI ", codecs.decode_avi),
+            (b"\x00\x00\x00\x14ftypisom\x00\x00\x00\x00isom",
+             codecs.decode_mp4),
         ][which]
         try:
             dec(base + tail)
@@ -3855,15 +3859,16 @@ def test_codec_fuzz_corrupt_bytes_raise_cleanly():
             # wave/chunk stdlib modules raise their own Error/RuntimeError
             assert type(e).__name__ in ("Error", "RuntimeError"), e
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=500, deadline=None)
     @given(st.data())
     def flip_byte(data):
-        which = data.draw(st.sampled_from([0, 1, 2, 3]))
+        which = data.draw(st.sampled_from([0, 1, 2, 3, 4]))
         base, dec = [
             (base_jpg, codecs.decode_jpeg),
             (base_png, codecs.decode_png),
             (base_wav, codecs.decode_wav),
             (base_avi, codecs.decode_avi),
+            (base_mp4, codecs.decode_mp4),
         ][which]
         pos = data.draw(st.integers(0, len(base) - 1))
         val = data.draw(st.integers(0, 255))
@@ -4052,3 +4057,67 @@ def test_jpeg_progressive_hand_packed_spec_bytes():
            + b"\xff\xd9")
     w, h, ch, px = codecs.decode_jpeg(jpg)
     assert (w, h, ch, set(px)) == (16, 8, 1, {160})
+
+
+def test_bpe_encode_schema_and_case_parity(spark):
+    """Two advice pins on bpe_encode.  (a) Output schema is built
+    structurally, so input column names with spaces/hyphens survive
+    (the old DDL-string join failed to parse them).  (b) Case mapping
+    is the SAME engine expression as the trainer (F.lower in a temp
+    column) — so for non-ASCII uppercase ('İ', 'ẞ') the encoder's word
+    segmentation agrees byte-for-byte with the trainer's tokens_column
+    view of the corpus, whatever the JVM's case tables say."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cloudfabric_eventsourcing_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        train_bpe,
+    )
+    from cloudfabric_eventsourcing_spark.operators.text import tokens_column
+
+    # (a) hostile column names
+    schema = T.StructType([
+        T.StructField("doc id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source-file", T.StringType()),
+    ])
+    hostile = spark.createDataFrame(
+        [(1, "low lower lowest", "a.txt"), (2, "newest widest", "b-c.txt")],
+        schema,
+    )
+    merges = train_bpe(
+        spark.createDataFrame(
+            [(i, w) for i, w in enumerate(
+                ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+            )],
+            "doc_id long, text string",
+        ),
+        n_merges=10,
+    )
+    out = bpe_encode(hostile, merges)
+    assert out.columns == ["doc id", "text", "source-file", "bpe_tokens"]
+    rows = {r["doc id"]: r["bpe_tokens"] for r in out.collect()}
+    assert rows[1][:2] == ["low", EOW] or rows[1][0].startswith("low")
+
+    # (b) non-ASCII case parity: encoder words == trainer words
+    tricky = spark.createDataFrame(
+        [(1, "İSTANBUL Weiß STRASSE ẞHARP ΣΊΣΥΦΟΣ mixedCASE")],
+        "doc_id long, text string",
+    )
+    trainer_words = tricky.select(
+        F.explode(tokens_column(F.col("text"))).alias("w")
+    ).collect()
+    trainer_words = [r["w"] for r in trainer_words]
+    enc = bpe_encode(tricky, merges).collect()[0]["bpe_tokens"]
+    # reassemble encoder words by splitting the token stream at EOW
+    words, cur = [], ""
+    for t in enc:
+        if t.endswith(EOW):
+            words.append(cur + t[: -len(EOW)])
+            cur = ""
+        else:
+            cur += t
+    assert cur == ""
+    assert words == trainer_words

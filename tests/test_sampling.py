@@ -149,3 +149,32 @@ def test_dsir_resample_gumbel(spark):
         sel = {r["doc_id"] for r in sampling.dsir_resample(gap, 10, salt=salt).collect()}
         assert len(heavy & sel) >= 9
     assert set(sampling.dsir_resample(gap, 10).columns) == {"doc_id", "n_grams", "log_weight"}
+
+
+def test_hash_uniform_null_id_raises(spark):
+    """A null id must raise, not draw: concat_ws skips nulls, so every
+    null-id row would silently hash to md5(salt) and share ONE uniform
+    draw — correlating the Gumbel resample and Pareto filter decisions
+    across all such rows (advice-pinned)."""
+    import pytest
+
+    ok = spark.createDataFrame(
+        [(1, 0.5), (2, 0.7)], "doc_id long, log_weight double"
+    )
+    # healthy path unchanged: distinct ids -> distinct draws
+    draws = [
+        r["u"]
+        for r in ok.select(
+            sampling.hash_uniform("doc_id", "s").alias("u")
+        ).collect()
+    ]
+    assert len(set(draws)) == 2 and all(0.0 < u < 1.0 for u in draws)
+    bad = spark.createDataFrame(
+        [(1, 0.5), (None, 0.7), (None, 0.9)],
+        "doc_id long, log_weight double",
+    )
+    with pytest.raises(Exception, match="null doc_id"):
+        bad.select(sampling.hash_uniform("doc_id", "s").alias("u")).collect()
+    # and through the consumer everyone actually calls
+    with pytest.raises(Exception, match="null doc_id"):
+        sampling.dsir_resample(bad, 2, salt="a").collect()
