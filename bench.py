@@ -64,6 +64,14 @@ HEADLINE = [
     "h27_waiting_suppliers",
     "p13_duplicate_clusters",
     "t07_vocab_topk",
+    # r9 selection/media families, driver-tracked from r10 so their
+    # perf regressions are visible round-over-round (r9 verdict ask #2);
+    # oracle_sec records DuckDB where its SQL completes, null = DNF
+    "p16_winnowing_overlap",
+    "p17_duplicated_spans",
+    "p18_semdedup",
+    "p19_dsir_weights",
+    "m02_image_neardup",
 ]
 
 
