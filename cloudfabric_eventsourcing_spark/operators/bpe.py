@@ -33,6 +33,19 @@ No oracle rows: iterative training is not SQL-expressible.  Pinned by
 pytest instead — the Sennrich worked example, a naive-reference
 differential on a randomized corpus, and encode/merge-consistency
 properties.
+
+UNICODE BOUNDARY (stated, not hidden): both trainer and encoder
+lowercase with the engine's F.lower and word-tokenize on Java's
+ASCII-only \\s class ([ \\t\\n\\x0B\\f\\r]) — identical expressions on
+both paths, so they cannot drift — which means scripts that do not use
+ASCII whitespace as word boundaries (Chinese, Japanese, Thai) tokenize
+as whole-line "words" and learn poorly, exactly like any
+whitespace-pretokenized BPE.  The known upgrade path is byte-level BPE
+(GPT-2 style: pre-tokenize to UTF-8 bytes so every string is coverable
+without an unknown token); the trainer's word-table machinery is
+byte-level-ready (feed it byte-rendered words), but the shipped default
+stays character-level because its vocabulary is directly inspectable in
+tests and oracles.
 """
 
 from __future__ import annotations
@@ -242,6 +255,87 @@ def bpe_encode(
             yield pdf
 
     return lowered.mapInPandas(run, schema=out_schema)
+
+
+#: bump when the persisted layout or the tokenization contract changes;
+#: load_bpe refuses newer formats loudly instead of mis-encoding
+_BPE_FORMAT_VERSION = 1
+
+#: the Java \s class both trainer (text.TOKEN_SPLIT_RE under the JVM)
+#: and encoder (compiled literally in bpe_encode) split on — persisted
+#: so a future change to the tokenizer invalidates old artifacts loudly
+_SPLITTER_CLASS = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist a trained tokenizer as a versioned artifact: the ranked
+    merge list plus the full tokenization contract (EOW marker, the
+    whitespace class, the lowercase flag, format version).  A production
+    tokenizer is an artifact, not driver memory — training once on the
+    100 TB corpus and encoding forever is the whole point.
+
+    Same crash discipline as the persisted dedup/ANN indexes
+    (delete-marker-first / stamp-last): a crash between the meta and
+    merges writes leaves no marker, and load_bpe fails loudly instead
+    of encoding with half an artifact."""
+    from cloudfabric_eventsourcing_spark.operators.dedup import (
+        _clear_marker,
+        _stamp_marker,
+    )
+
+    _clear_marker(spark, path)
+    spark.createDataFrame(
+        [(_BPE_FORMAT_VERSION, EOW, _SPLITTER_CLASS, True, len(merges))],
+        "format_version int, eow string, splitter string, "
+        "lowercase boolean, n_merges int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    _stamp_marker(spark, path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a tokenizer saved by save_bpe, validating the tokenization
+    contract: a format from a future version, or an artifact whose
+    EOW/splitter/lowercase parameters disagree with what THIS module's
+    encoder implements, refuses loudly — silently encoding with a
+    different word segmentation than the artifact was trained with is
+    the exact drift class the r9 \\s fix closed."""
+    from cloudfabric_eventsourcing_spark.operators.dedup import (
+        _require_marker,
+    )
+
+    _require_marker(spark, path)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta["format_version"] > _BPE_FORMAT_VERSION:
+        raise ValueError(
+            f"BPE artifact at {path} is format v{meta['format_version']}; "
+            f"this build reads <= v{_BPE_FORMAT_VERSION}"
+        )
+    if (meta["eow"], meta["splitter"], meta["lowercase"]) != (
+        EOW, _SPLITTER_CLASS, True
+    ):
+        raise ValueError(
+            f"BPE artifact at {path} was trained under a different "
+            f"tokenization contract (eow={meta['eow']!r}, "
+            f"splitter={meta['splitter']!r}, "
+            f"lowercase={meta['lowercase']}); re-train or convert"
+        )
+    rows = spark.read.parquet(f"{path}/merges").collect()
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    if [r["rank"] for r in ranked] != list(range(len(ranked))):
+        raise ValueError(
+            f"BPE artifact at {path} has non-contiguous merge ranks — "
+            "corrupt or partially written"
+        )
+    if len(ranked) != meta["n_merges"]:
+        raise ValueError(
+            f"BPE artifact at {path} holds {len(ranked)} merges but its "
+            f"meta pins {meta['n_merges']} — corrupt or partially written"
+        )
+    return [(r["a"], r["b"]) for r in ranked]
 
 
 def bpe_vocab(merges: Sequence[tuple[str, str]]) -> list[str]:

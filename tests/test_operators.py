@@ -4121,3 +4121,71 @@ def test_bpe_encode_schema_and_case_parity(spark):
             cur += t
     assert cur == ""
     assert words == trainer_words
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """A production tokenizer is an artifact: train -> save -> load
+    returns the identical ranked merge list and encodes identically;
+    the artifact carries its tokenization contract and fails LOUDLY on
+    a missing consistency marker, a future format, a contract mismatch,
+    or corrupted merge ranks (same crash discipline as the persisted
+    dedup/ANN indexes)."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, n_merges=8)
+    path = str(tmp_path / "tok")
+    bpe.save_bpe(spark, merges, path)
+    loaded = bpe.load_bpe(spark, path)
+    assert loaded == merges
+    enc_a = {r["doc_id"]: r["bpe_tokens"]
+             for r in bpe.bpe_encode(docs, merges).collect()}
+    enc_b = {r["doc_id"]: r["bpe_tokens"]
+             for r in bpe.bpe_encode(docs, loaded).collect()}
+    assert enc_a == enc_b
+
+    # no marker (interrupted save) -> loud refusal
+    from cloudfabric_eventsourcing_spark.operators.dedup import _clear_marker
+    _clear_marker(spark, path)
+    with _pytest.raises(ValueError, match="consistency marker"):
+        bpe.load_bpe(spark, path)
+
+    # contract mismatch (different EOW) -> loud refusal
+    path2 = str(tmp_path / "tok2")
+    bpe.save_bpe(spark, merges, path2)
+    spark.createDataFrame(
+        [(1, "##", bpe._SPLITTER_CLASS, True, len(merges))],
+        "format_version int, eow string, splitter string, "
+        "lowercase boolean, n_merges int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path2}/meta")
+    with _pytest.raises(ValueError, match="tokenization contract"):
+        bpe.load_bpe(spark, path2)
+
+    # future format -> loud refusal
+    path3 = str(tmp_path / "tok3")
+    bpe.save_bpe(spark, merges, path3)
+    spark.createDataFrame(
+        [(99, bpe.EOW, bpe._SPLITTER_CLASS, True, len(merges))],
+        "format_version int, eow string, splitter string, "
+        "lowercase boolean, n_merges int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path3}/meta")
+    with _pytest.raises(ValueError, match="format v99"):
+        bpe.load_bpe(spark, path3)
+
+    # corrupt ranks (a dropped row) -> loud refusal
+    path4 = str(tmp_path / "tok4")
+    bpe.save_bpe(spark, merges, path4)
+    kept = spark.read.parquet(f"{path4}/merges").where("rank <> 3")
+    kept.coalesce(1).write.mode("overwrite").parquet(f"{path4}/merges_fix")
+    spark.read.parquet(f"{path4}/merges_fix").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path4}/merges")
+    with _pytest.raises(ValueError, match="non-contiguous|pins"):
+        bpe.load_bpe(spark, path4)

@@ -962,3 +962,122 @@ def test_index_corpus_divergence_detects_stranded_docs(spark, tmp_path):
         for r in index_corpus_divergence(spark, index_path, corpus_out).collect()
     }
     assert div == {1, 10, 11}
+
+
+def test_streaming_curation_with_learned_quality_gate(spark, tmp_path):
+    """Cookbook (r9 verdict ask #6): the r9 learned quality classifier
+    composed into the streaming curation loop the way the media
+    modalities are — train OFFLINE, gate each micro-batch with
+    score_quality + pareto_quality_filter via batch_transform, account
+    for gated-out rows via the quarantine side channel, and verify the
+    accepted corpus equals the same gate+dedup computed offline, plus
+    fresh-checkpoint replay idempotence."""
+    from cloudfabric_eventsourcing_spark.operators import classify, dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    fluent = [
+        "the training pipeline reads parquet shards and writes packed "
+        "token sequences for the next model run",
+        "catalyst pushes the filter below the join so the scan prunes "
+        "partitions before any shuffle happens",
+        "a broadcast hash join avoids shuffling the large fact table "
+        "when the dimension side is small",
+        "watermarks bound how long the engine waits for late events "
+        "before closing a window",
+        "the optimizer folds constants and prunes unused columns from "
+        "the physical scan",
+        "executors spill to disk when a partition no longer fits in "
+        "memory during aggregation",
+        "deterministic sampling keeps experiment runs reproducible "
+        "across cluster sizes",
+        "the scheduler assigns tasks to executors based on data "
+        "locality and available slots",
+    ]
+    gibberish = [
+        "zq zq zq vxk vxk pfff grmbl xxs",
+        "qqq www zzz qqq www zzz qqq www",
+        "kx jv qz wx bb nn mm kk jj hh",
+        "aaaa bbbb zzzz qqqq xxxx wwww",
+        "zzz kqx vvv jjj qqq xxx pppp",
+        "xz xz xz xz qv qv qv qv zz zz",
+        "grk grk blt blt zzz zzz qqx qqx",
+        "wqz wqz wqz nbv nbv nbv zzz zzz",
+    ]
+    model = classify.train_quality_classifier(
+        spark.createDataFrame([(t,) for t in fluent], "text string"),
+        spark.createDataFrame([(t,) for t in gibberish], "text string"),
+        num_features=1 << 12,
+    )
+
+    def gate(batch):
+        return classify.pareto_quality_filter(
+            classify.score_quality(batch, model),
+            id_col="doc_id", salt="gate",
+        ).drop(classify.QUALITY_COL)
+
+    corpus = spark.createDataFrame(
+        [(1, fluent[0] + " extra corpus tail")], ["doc_id", "text"]
+    )
+    index_path = str(tmp_path / "index")
+    corpus_out = str(tmp_path / "accepted")
+    quarantine = str(tmp_path / "gated_out")
+    dedup.save_minhash_index(corpus, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch_a = [
+        (10, fluent[1]),            # fluent, novel -> accept
+        (11, gibberish[0]),         # gibberish -> gate drop
+        (12, fluent[2]),            # fluent, novel -> accept
+    ]
+    batch_b = [
+        (13, fluent[1]),            # fluent but dup of accepted 10 -> reject
+        (14, fluent[3]),            # fluent, novel -> accept
+        (15, gibberish[1]),         # gibberish -> gate drop
+    ]
+    spark.createDataFrame(batch_a, ["doc_id", "text"]).coalesce(1)\
+        .write.parquet(str(src / "a"))
+    spark.createDataFrame(batch_b, ["doc_id", "text"]).coalesce(1)\
+        .write.parquet(str(src / "b"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_stream(
+            stream, index_path, corpus_out, str(tmp_path / ckpt),
+            batch_transform=gate,
+            quarantine_path=quarantine,
+            quarantine_transform=lambda raw: raw.join(
+                gate(raw).select("doc_id"), "doc_id", "left_anti"
+            ),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    }
+    # the offline expectation: which of the planted rows pass the SAME
+    # deterministic gate (hash-Pareto is bit-reproducible), then dedup
+    all_rows = spark.createDataFrame(
+        batch_a + batch_b, ["doc_id", "text"]
+    )
+    gate_pass = {r["doc_id"] for r in gate(all_rows).collect()}
+    assert gate_pass == {10, 12, 13, 14}      # fluent pass, gibberish drop
+    assert accepted == gate_pass - {13}       # 13 dups accepted 10
+    # drop accounting: exactly the gate's drops are quarantined (13 is
+    # dedup-rejected, a different channel — it passed the gate)
+    gated_out = {
+        r["doc_id"] for r in spark.read.parquet(quarantine).collect()
+    }
+    assert gated_out == {11, 15}
+    # replay with a FRESH checkpoint: every previously accepted doc is
+    # now in the index, so the corpus must not grow (idempotent re-run)
+    n_before = spark.read.parquet(corpus_out).count()
+    run("ckpt2")
+    assert spark.read.parquet(corpus_out).count() == n_before
