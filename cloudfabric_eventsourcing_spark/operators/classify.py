@@ -156,3 +156,111 @@ def pareto_quality_filter(
     u = hash_uniform(id_col, salt)
     draw = F.pow(1.0 - u, F.lit(-1.0 / alpha)) - 1.0
     return scored.where(draw > (1.0 - F.col(quality_col)))
+
+
+def train_language_id(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    num_features: int = 1 << 15,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+):
+    """Fit a fastText-style trained language identifier: multinomial
+    logistic regression over hashed character 2+3-grams — character
+    grams, not word grams, because orthography (letter sequences,
+    diacritics, script mix) is what separates languages, and they need
+    no word tokenizer so non-space-delimited scripts work too.  The
+    supervised upgrade to text.py's stopword/charset heuristic
+    (t01_language_id stays the oracle-able default; this is what real
+    pipelines swap in once they have labeled seed text).
+
+    All pyspark.ml, all JVM: RegexTokenizer in char mode (gaps=False,
+    pattern='.') -> two NGram stages -> HashingTF -> multinomial
+    LogisticRegression; labels are StringIndexer'd alphabetically so
+    the class order is data-independent.  Same scale shape as
+    train_quality_classifier: fit on a labeled SAMPLE (thousands of
+    docs), score the corpus map-only.
+
+    No oracle row — an iterative multinomial fit is not
+    SQL-expressible; pinned by a planted-corpus pytest with held-out
+    per-language precision (the L31 honesty boundary)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (
+        HashingTF,
+        NGram,
+        RegexTokenizer,
+        SQLTransformer,
+        StringIndexer,
+    )
+
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    train = labeled.select(txt.alias(text_col), F.col(label_col))
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="__chars",
+            pattern=".", gaps=False, toLowercase=True,
+        ),
+        NGram(n=2, inputCol="__chars", outputCol="__c2"),
+        NGram(n=3, inputCol="__chars", outputCol="__c3"),
+        SQLTransformer(
+            statement="SELECT *, concat(__c2, __c3) AS __grams FROM __THIS__"
+        ),
+        HashingTF(
+            inputCol="__grams", outputCol="__features",
+            numFeatures=num_features,
+        ),
+        StringIndexer(
+            inputCol=label_col, outputCol="__label",
+            stringOrderType="alphabetAsc",
+        ),
+        LogisticRegression(
+            featuresCol="__features", labelCol="__label",
+            family="multinomial", regParam=reg_param, maxIter=max_iter,
+        ),
+    ]
+    return Pipeline(stages=stages).fit(train)
+
+
+def predict_language(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Append the predicted language label for every row — one map-only
+    pass, original columns preserved, nulls predict from the empty
+    string (never crash the scoring pass; same contract as
+    score_quality).  The prediction index maps back to the label string
+    through the fitted StringIndexer's own labels (JVM array lookup,
+    no UDF)."""
+    from pyspark.ml.feature import StringIndexerModel
+
+    fit_col = model.stages[0].getInputCol()
+    labels = next(
+        s for s in model.stages if isinstance(s, StringIndexerModel)
+    ).labelsArray[0]
+    orig = df.columns
+    prep = df.select(
+        *[F.col(c).alias(f"__orig_{i}") for i, c in enumerate(orig)]
+    ).withColumn(
+        fit_col,
+        F.coalesce(
+            F.col(f"__orig_{orig.index(text_col)}").cast("string"),
+            F.lit(""),
+        ),
+    )
+    # StringIndexer would choke on the unseen label column at transform
+    # time if absent — it is a fit-only stage; give it a dummy so the
+    # pipeline transform runs, then drop everything but the prediction
+    scored = model.transform(
+        prep.withColumn(model.stages[-2].getInputCol(), F.lit(labels[0]))
+    )
+    label_arr = F.array(*[F.lit(str(l)) for l in labels])
+    return scored.select(
+        *[F.col(f"__orig_{i}").alias(c) for i, c in enumerate(orig)],
+        F.element_at(
+            label_arr, F.col("prediction").cast("int") + 1
+        ).alias(out_col),
+    )

@@ -4189,3 +4189,66 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     ).parquet(f"{path4}/merges")
     with _pytest.raises(ValueError, match="non-contiguous|pins"):
         bpe.load_bpe(spark, path4)
+
+
+def test_trained_language_id_precision(spark):
+    """The trained language identifier (r9 verdict ask #7): multinomial
+    LR over hashed character 2+3-grams, fit on a planted 4-language
+    corpus and scored on HELD-OUT synthetic docs — per-language
+    precision on the holdout must be >= 0.9, nulls/empties predict
+    without crashing, and the scoring plan stays UDF-free (the L31
+    honesty boundary: no oracle row, pytest pins the operator)."""
+    import random
+
+    from cloudfabric_eventsourcing_spark.operators import classify
+
+    vocab = {
+        "en": ("the quick brown fox jumps over lazy dogs while many "
+               "people watch the evening news and drink warm tea").split(),
+        "de": ("der schnelle braune Fuchs springt über faule Hunde "
+               "während viele Leute abends Nachrichten schauen und "
+               "warmen Tee trinken größe straße müde schön").split(),
+        "fr": ("le renard brun rapide saute par-dessus les chiens "
+               "paresseux pendant que beaucoup de gens regardent les "
+               "nouvelles du soir et boivent du thé chaud être déjà").split(),
+        "es": ("el zorro marrón rápido salta sobre los perros perezosos "
+               "mientras mucha gente mira las noticias de la noche y "
+               "bebe té caliente mañana niño señor además").split(),
+    }
+    rng = random.Random(7)
+
+    def doc(lang):
+        return " ".join(rng.choice(vocab[lang]) for _ in range(12))
+
+    train_rows = [(doc(l), l) for l in vocab for _ in range(40)]
+    hold_rows = [(i, doc(l), l)
+                 for i, (l, _) in enumerate(
+                     [(l, j) for l in vocab for j in range(15)])]
+    model = classify.train_language_id(
+        spark.createDataFrame(train_rows, "text string, lang string"),
+        num_features=1 << 13,
+    )
+    held = spark.createDataFrame(
+        hold_rows, "doc_id long, text string, lang string"
+    )
+    pred = classify.predict_language(held, model)
+    assert pred.columns == ["doc_id", "text", "lang", "lang_pred"]
+    rows = pred.collect()
+    for lang in vocab:
+        mine = [r for r in rows if r["lang_pred"] == lang]
+        correct = [r for r in mine if r["lang"] == lang]
+        assert mine, f"{lang}: never predicted"
+        prec = len(correct) / len(mine)
+        assert prec >= 0.9, f"{lang}: precision {prec:.2f}"
+    # recall sanity too: the planted corpus is separable
+    acc = sum(r["lang"] == r["lang_pred"] for r in rows) / len(rows)
+    assert acc >= 0.9
+    # nulls and empties never crash the scoring pass
+    weird = spark.createDataFrame(
+        [(1, None, "en"), (2, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert classify.predict_language(weird, model).count() == 2
+    # UDF-free plan: scoring is JVM-side end to end
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
