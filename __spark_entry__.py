@@ -1504,6 +1504,30 @@ def t03_token_counts(spark, sf_dir):
     return _text.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
 
 
+@q(
+    "t09_lexical_diversity",
+    # per-doc type/token/hapax profile (template & gibberish detection).
+    # LEFT JOIN keeps empty/null-text docs with zero counts, mirroring
+    # Spark's explode_outer; ratios are raw IEEE divisions (exact on
+    # both engines — no rounding ambiguity to paper over).
+    "WITH ptc AS (SELECT doc_id, tok, count(*) AS c FROM ("
+    f"SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents) "
+    "GROUP BY doc_id, tok), "
+    "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax "
+    "FROM ptc GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, "
+    "coalesce(n_types, 0) AS n_types, coalesce(n_hapax, 0) AS n_hapax, "
+    "CAST(coalesce(n_types, 0) AS DOUBLE) / greatest(coalesce(n_tokens, 0), 1) AS ttr, "
+    "CAST(coalesce(n_hapax, 0) AS DOUBLE) / greatest(coalesce(n_types, 0), 1) AS hapax_ratio "
+    "FROM documents d LEFT JOIN agg USING (doc_id)",
+)
+def t09_lexical_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.lexical_diversity(docs)
+
+
 # ---- h4-h6: semi/anti joins and window functions --------------------------
 
 @q(
@@ -3150,6 +3174,52 @@ def s03_ann_ivf(spark, sf_dir):
 
 
 @q(
+    "s04_embedding_quantize",
+    # int8 quantization differential, per-component (exploded scalars so
+    # the value hash sees every quantized integer): scale = max|x|,
+    # q = floor(x/scale*127 + 0.5).  Both engines evaluate the identical
+    # IEEE double expression over exactly-representable float32 inputs,
+    # so NO rounding is needed anywhere — the oracle certifies the
+    # quantization arithmetic itself.  Parallel unnests zip positionally
+    # (Postgres semantics), matching Spark's posexplode 0-based index.
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    "s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v), "
+    "qv AS (SELECT vec_id, scale, CASE WHEN scale = 0 THEN list_transform(e, x -> 0) "
+    "ELSE list_transform(e, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT)) END AS q FROM s) "
+    "SELECT vec_id, scale, unnest(range(len(q))) AS i, unnest(q) AS q "
+    "FROM qv",
+)
+def s04_embedding_quantize(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = _sim.quantize_embeddings(emb)
+    return qz.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("i", "q")
+    )
+
+
+@q(
+    "s05_quantized_topk",
+    # exact INTEGER top-k over the quantized vectors: per-element
+    # products <= 127^2 summed in BIGINT — bit-exact on any engine, the
+    # reproducibility float scores cannot give.  Query = vec 0's own
+    # quantization; ties to lowest id.
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    "s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v), "
+    "qv AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) "
+    "ELSE list_transform(e, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) END AS q FROM s), "
+    "qq AS (SELECT q AS query_q FROM qv WHERE vec_id = 0) "
+    "SELECT vec_id, CAST(list_sum(list_transform(list_zip(qv.q, qq.query_q), "
+    "p -> p[1] * p[2])) AS BIGINT) AS dot "
+    "FROM qv, qq ORDER BY dot DESC, vec_id ASC LIMIT 20",
+)
+def s05_quantized_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = _sim.quantize_embeddings(emb)
+    query_q = qz.where(F.col("vec_id") == 0).select("qvec").collect()[0][0]
+    return _sim.quantized_topk(qz, query_q, k=20)
+
+
+@q(
     "k01_salted_join",
     "SELECT e.event_id, d.type_count FROM events e JOIN "
     "(SELECT event_type, COUNT(*) AS type_count FROM events GROUP BY event_type) d "
@@ -3368,6 +3438,10 @@ _VERIFY_FIRST = [
     "k01_salted_join",
     "p07_simhash_neardup",
     "p09_weighted_mix",
+    # round-10 additions take day-one slots (test_registry_invariants):
+    "t09_lexical_diversity",
+    "s04_embedding_quantize",
+    "s05_quantized_topk",
     "f03_ts_range",
     "f12_array_exists",
     "f10_bool_tree",
@@ -3401,12 +3475,17 @@ _VERIFY_FIRST = [
     "h20_brand_size_quantity_revenue",
     "h28_late_priority_lines",
     "h29_dominant_suppliers",
-    "t08_fluency_scores",
     "x05_retention_cohorts",
     "p14_train_shuffle",
+    # -- driver window ends here (position 50) --
+    # displaced by the three day-one r10 rows (same safety class as the
+    # twelve below: r08-green + judge's 112/112 sweep; p08 shares the
+    # hash_uniform leaf with the in-window p14, w02 the window-bucket
+    # leaf with w01/w03's pytest family, t08's text leaves sit under
+    # the in-window t01):
+    "t08_fluency_scores",
     "p08_stratified_sample",
     "w02_sliding_window",
-    # -- driver window ends here (position 50) --
     "f01_eq",
     "f14_partition_key",
     "j3_in_list",

@@ -493,3 +493,48 @@ def fluency_scores(
             (F.sum("c").cast("double") / F.count(F.lit(1))).alias("fluency"),
         )
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity profile: token count, type
+    (distinct-token) count, hapax count (types occurring exactly once
+    IN the document), type-token ratio, and hapax/type ratio — the
+    classic template-detection signals (machine-generated boilerplate
+    has abnormally LOW TTR, gibberish abnormally HIGH hapax share; the
+    corpus-level complement of quality_score's per-doc heuristics).
+
+    Distributed shape: explode -> (doc, token) count -> per-doc fold,
+    both aggregations map-side combinable; nothing is quadratic in
+    document length and no UDFs.  explode_outer keeps null/empty
+    documents in the result with all-zero counts (curation reports
+    must account for every input row).  Ratios are raw IEEE double
+    divisions — deterministic and engine-portable without rounding."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens_column(F.col(text_col))).alias("tok"),
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    real = F.col("tok").isNotNull()
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum(F.when(real, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.count(F.when(real, F.lit(1))).alias("n_types"),
+        F.count(F.when(real & (F.col("c") == 1), F.lit(1))).alias("n_hapax"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (
+            F.col("n_types").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("ttr"),
+        (
+            F.col("n_hapax").cast("double")
+            / F.greatest(F.col("n_types"), F.lit(1))
+        ).alias("hapax_ratio"),
+    )

@@ -4252,3 +4252,85 @@ def test_trained_language_id_precision(spark):
     # UDF-free plan: scoring is JVM-side end to end
     plan = pred._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lexical_diversity_semantics(spark):
+    """t09 pins: exact token/type/hapax counts on a worked example,
+    null/empty docs kept with zero counts, ratios as raw IEEE
+    divisions, case-folding matches the shared tokenizer."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and THE dog and the bird"),  # the:3 and:2 cat/dog/bird:1
+            (2, ""),
+            (3, None),
+            (4, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+    assert len(rows) == 4
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_types"], r1["n_hapax"]) == (8, 5, 3)
+    assert r1["ttr"] == 5 / 8 and r1["hapax_ratio"] == 3 / 5
+    for d in (2, 3):
+        r = rows[d]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (0, 0, 0)
+        assert r["ttr"] == 0.0 and r["hapax_ratio"] == 0.0
+    r4 = rows[4]
+    assert r4["ttr"] == 1.0 and r4["hapax_ratio"] == 1.0
+
+
+def test_quantize_embeddings_roundtrip_and_topk(spark):
+    """s04/s05 pins: quantization error bounded by scale/254 per
+    component (round-half-up to 127 levels), zero vectors quantize to
+    zeros with scale 0, dequantized cosine ranking agrees with the
+    float ranking on well-separated vectors, and the integer dot is
+    exact (no floats anywhere in the score)."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    rows.append((50, [0.0] * 8))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qz = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert qz[50]["scale"] == 0.0 and qz[50]["qvec"] == [0] * 8
+    for i in range(50):
+        scale, q = qz[i]["scale"], np.array(qz[i]["qvec"])
+        assert scale == float(np.max(np.abs(vecs[i].astype(np.float64))))
+        assert np.all(np.abs(q) <= 127)
+        deq = q * scale / 127.0
+        assert np.max(np.abs(deq - vecs[i].astype(np.float64))) <= scale / 254 + 1e-12
+    # integer-dot ranking vs float cosine ranking: top-1 must agree for
+    # a planted twin (vec 0 duplicated as id 99 with tiny noise)
+    twin = (vecs[0] + rng.normal(scale=1e-4, size=8).astype(np.float32))
+    df2 = spark.createDataFrame(
+        rows + [(99, [float(x) for x in twin])],
+        "vec_id long, embedding array<float>",
+    )
+    qz2 = quantize_embeddings(df2)
+    qq = qz2.where("vec_id = 0").collect()[0]["qvec"]
+    top = quantized_topk(qz2.where("vec_id <> 0"), qq, k=1).collect()
+    assert top[0]["vec_id"] == 99
+    ftop = brute_force_topk(
+        df2.where("vec_id <> 0"),
+        [float(x) for x in vecs[0]], k=1,
+    ).collect()
+    assert ftop[0]["vec_id"] == 99
+    # exactness: the Spark integer dot equals numpy's integer dot
+    allq = {r["vec_id"]: r["qvec"] for r in qz2.collect()}
+    got = {r["vec_id"]: r["dot"]
+           for r in quantized_topk(qz2, qq, k=52).collect()}
+    for vid, d in got.items():
+        assert d == int(np.dot(np.array(qq, np.int64),
+                               np.array(allq[vid], np.int64)))

@@ -101,10 +101,28 @@ def _replica(df, table: str, i: int):
     return df.select(*cols)
 
 
-def materialize(factor: int, out_dir: str) -> None:
-    if os.path.exists(os.path.join(out_dir, "_OK")):
-        print(f"{out_dir} already materialized", file=sys.stderr)
-        return
+#: replicas unioned per write job: a factor-1000 single plan would be a
+#: 1000-way union (analyzer cost grows superlinearly in plan width);
+#: chunked appends keep every job a bounded-width union
+CHUNK = 50
+
+
+def materialize(
+    factor: int, out_dir: str, tables: list[str] | None = None
+) -> None:
+    """`tables=None` materializes everything; a subset (e.g. the star
+    tables for the sf100 eager-agg probe) skips the rest — the _OK
+    marker records WHICH tables exist so a subset dir is never mistaken
+    for a full one."""
+    ok_path = os.path.join(out_dir, "_OK")
+    wanted = list(OFFSET_COLS) if tables is None else [
+        t for t in OFFSET_COLS if t in tables
+    ]
+    if os.path.exists(ok_path):
+        have = set(open(ok_path).read().split())
+        if have >= set(wanted) or have == {"ok"}:
+            print(f"{out_dir} already materialized", file=sys.stderr)
+            return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(app_name=f"make-sf-x{factor}")
@@ -113,16 +131,19 @@ def materialize(factor: int, out_dir: str) -> None:
             f"{out_dir}/{t}.parquet"
         )
         print(f"-- {t}: copied", file=sys.stderr)
-    for t in OFFSET_COLS:
+    for t in wanted:
         base = load_table(spark, BASE, t)
-        out = _replica(base, t, 0)
-        for i in range(1, factor):
-            out = out.unionByName(_replica(base, t, i))
-        out.repartition(N_FILES.get(t, 4)).write.mode("overwrite").parquet(
-            f"{out_dir}/{t}.parquet"
-        )
+        n_files = N_FILES.get(t, 4)
+        for lo in range(0, factor, CHUNK):
+            hi = min(lo + CHUNK, factor)
+            out = _replica(base, t, lo)
+            for i in range(lo + 1, hi):
+                out = out.unionByName(_replica(base, t, i))
+            out.repartition(max(1, n_files * (hi - lo) // factor)).write.mode(
+                "overwrite" if lo == 0 else "append"
+            ).parquet(f"{out_dir}/{t}.parquet")
         print(f"-- {t}: x{factor}", file=sys.stderr)
-    open(os.path.join(out_dir, "_OK"), "w").write("ok")
+    open(ok_path, "w").write(" ".join(wanted))
     print(f"materialized {out_dir} at factor {factor}", file=sys.stderr)
 
 
@@ -130,4 +151,5 @@ if __name__ == "__main__":
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     default = f"/tmp/spark_graft_sf{factor / 10:g}"
     out = sys.argv[2] if len(sys.argv) > 2 else default
-    materialize(factor, out)
+    tables = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    materialize(factor, out, tables)
