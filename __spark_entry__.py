@@ -2727,6 +2727,36 @@ def x05_retention_cohorts(spark, sf_dir):
 
 
 @q(
+    "x06_last_touch_attribution",
+    # last-touch attribution report: each purchase's value to the
+    # channel of the user's latest non-purchase event strictly before
+    # it in (ts, event_id) order and within 1 hour, else 'direct'.
+    # The oracle's correlated in-window latest-touch subquery equals
+    # the Spark single-window form because if the LATEST preceding
+    # touch is out of window, every older one is too.  Revenue is
+    # exact integer cents summed, divided once.
+    "WITH p AS (SELECT event_id, user_id, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS cents "
+    "FROM events WHERE event_type = 'purchase'), "
+    "att AS (SELECT p.cents, coalesce(("
+    "SELECT c.event_type FROM events c "
+    "WHERE c.user_id = p.user_id AND c.event_type <> 'purchase' "
+    "AND (c.ts, c.event_id) < (p.ts, p.event_id) "
+    "AND c.ts >= p.ts - INTERVAL 1 HOUR "
+    "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 'direct') AS channel "
+    "FROM p) "
+    "SELECT channel, count(*) AS n_purchases, "
+    "CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value "
+    "FROM att GROUP BY channel",
+)
+def x06_last_touch(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import behavior as _behavior
+
+    events = load_table(spark, sf_dir, "events")
+    return _behavior.last_touch_attribution(events)
+
+
+@q(
     "p14_train_shuffle",
     # deterministic global training order: md5-rank positions must equal
     # the oracle's single global window row_number exactly — which is
@@ -3442,6 +3472,7 @@ _VERIFY_FIRST = [
     "t09_lexical_diversity",
     "s04_embedding_quantize",
     "s05_quantized_topk",
+    "x06_last_touch_attribution",
     "f03_ts_range",
     "f12_array_exists",
     "f10_bool_tree",
@@ -3476,14 +3507,14 @@ _VERIFY_FIRST = [
     "h28_late_priority_lines",
     "h29_dominant_suppliers",
     "x05_retention_cohorts",
-    "p14_train_shuffle",
     # -- driver window ends here (position 50) --
-    # displaced by the three day-one r10 rows (same safety class as the
-    # twelve below: r08-green + judge's 112/112 sweep; p08 shares the
-    # hash_uniform leaf with the in-window p14, w02 the window-bucket
-    # leaf with w01/w03's pytest family, t08's text leaves sit under
-    # the in-window t01):
+    # displaced by the four day-one r10 rows (same safety class as the
+    # twelve below: r08-green + judge's 112/112 sweep; p08/p14's
+    # hash-sampling leaves are pinned by test_sampling's determinism
+    # matrix, w02 shares the window-bucket leaf with w01/w03's pytest
+    # family, t08's text leaves sit under the in-window t01):
     "t08_fluency_scores",
+    "p14_train_shuffle",
     "p08_stratified_sample",
     "w02_sliding_window",
     "f01_eq",

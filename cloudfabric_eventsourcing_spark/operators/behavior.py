@@ -103,3 +103,62 @@ def retention_cohorts(
         .groupBy("cohort_period", "activity_period")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    attribution_window: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value goes to
+    the channel (event_type) of the user's latest non-purchase event
+    strictly before it — in (ts, id) order, so simultaneous-timestamp
+    events resolve deterministically — and within `attribution_window`;
+    purchases with no qualifying prior touch attribute to 'direct'.
+    Returns (channel, n_purchases, total_value).
+
+    Same single-scan window-anchor shape as funnel/retention (module
+    docstring): ONE user-key shuffle, the candidate touch is a
+    last(ignorenulls) over the preceding-rows frame — never a
+    self-join — and the final channel rollup is a tiny map-side
+    combinable aggregate.  If the latest preceding touch is outside
+    the window, every older one is too, so the single window pass is
+    exact.  Revenue sums exact integer cents (round(value*100) as
+    BIGINT) and divides once at the end — the cross-engine float
+    lesson every revenue plan here follows."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != purchase_type,
+        F.struct(
+            F.col(ts_col).alias("c_ts"), F.col(type_col).alias("c_type")
+        ),
+    )
+    cand = F.last(touch, ignorenulls=True).over(w)
+    purchases = events.withColumn("__cand", cand).where(
+        F.col(type_col) == purchase_type
+    )
+    in_window = F.col("__cand").isNotNull() & (
+        F.col("__cand.c_ts")
+        >= F.col(ts_col) - F.expr(f"INTERVAL {attribution_window}")
+    )
+    channel = F.when(in_window, F.col("__cand.c_type")).otherwise(
+        F.lit("direct")
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        purchases.select(channel.alias("channel"), cents.alias("__cents"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum("__cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
