@@ -2870,6 +2870,86 @@ def m02_image_neardup(spark, sf_dir):
 
 
 @q(
+    "m05_image_dhash_neardup",
+    # planted-truth oracle through the REAL perceptual-hash path: each
+    # doc < 300 renders a 9x8 PNG whose horizontal gradients encode a
+    # fixed per-class 64-bit pattern (class = doc_id % 16, patterns from
+    # md5(class) — pairwise Hamming ~32, pinned >= 20 in pytest); ODD
+    # docs flip the same 2 class-keyed bits, so same-class cross-parity
+    # pairs sit at Hamming exactly 2 and same-parity at 0; docs < 25 get
+    # a 2x nearest-upscale twin at id + 10^7 (dHash is resize-invariant
+    # by construction).  With max_hamming=2 the matching pairs — and
+    # their exact distances — derive from doc_id arithmetic alone; any
+    # decode / resize / gradient / banding drift breaks the hash.
+    "WITH m AS (SELECT doc_id AS id, doc_id % 16 AS cls, doc_id % 2 AS par "
+    "FROM documents WHERE doc_id < 300 "
+    "UNION ALL SELECT doc_id + 10000000, doc_id % 16, doc_id % 2 "
+    "FROM documents WHERE doc_id < 25) "
+    "SELECT a.id AS id_a, b.id AS id_b, "
+    "CAST(CASE WHEN a.par = b.par THEN 0 ELSE 2 END AS INT) AS hamming "
+    "FROM m a JOIN m b ON a.cls = b.cls AND a.id < b.id",
+)
+def m05_image_dhash_neardup(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import (
+        codecs as _codecs,
+        dedup as _dedup,
+        multimodal as _mm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def pattern(cls: int, odd: bool) -> int:
+            pat = int.from_bytes(
+                hashlib.md5(bytes([cls])).digest()[:8], "big"
+            )
+            if odd:
+                pat ^= (1 << ((cls * 7) % 64)) | (1 << ((cls * 7 + 29) % 64))
+            return pat
+
+        def render(pat: int, scale: int) -> bytes:
+            px = np.zeros((8, 9), np.uint8)
+            for r in range(8):
+                v = 128
+                px[r, 0] = v
+                for c in range(8):
+                    v += 8 if (pat >> (r * 8 + c)) & 1 else -8
+                    px[r, c + 1] = v
+            big = np.repeat(np.repeat(px, scale, 0), scale, 1)
+            rgb = np.repeat(big[..., None], 3, axis=2)
+            return _codecs.encode_png(9 * scale, 8 * scale, 3, rgb.tobytes())
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pat = pattern(did % 16, did % 2 == 1)
+                out["media_id"].append(did)
+                out["kind"].append("image")
+                out["content"].append(render(pat, 1))
+                out["meta"].append(None)
+                if did < 25:
+                    out["media_id"].append(did + 10_000_000)
+                    out["kind"].append("image")
+                    out["content"].append(render(pat, 2))
+                    out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, _mm.MEDIA_SCHEMA)
+    hashes = _mm.image_dhash(media)
+    return _dedup.hamming_neardup_pairs(
+        hashes, hash_col="dhash", id_col="media_id", max_hamming=2
+    )
+
+
+@q(
     "m03_audio_neardup",
     # planted-truth oracle through the REAL audio path (acoustic twin of
     # m02): each doc < 300 becomes a 0.25 s integer-period sine tone at
@@ -3473,6 +3553,7 @@ _VERIFY_FIRST = [
     "s04_embedding_quantize",
     "s05_quantized_topk",
     "x06_last_touch_attribution",
+    "m05_image_dhash_neardup",
     "f03_ts_range",
     "f12_array_exists",
     "f10_bool_tree",
@@ -3506,13 +3587,14 @@ _VERIFY_FIRST = [
     "h20_brand_size_quantity_revenue",
     "h28_late_priority_lines",
     "h29_dominant_suppliers",
-    "x05_retention_cohorts",
     # -- driver window ends here (position 50) --
-    # displaced by the four day-one r10 rows (same safety class as the
+    # displaced by the five day-one r10 rows (same safety class as the
     # twelve below: r08-green + judge's 112/112 sweep; p08/p14's
     # hash-sampling leaves are pinned by test_sampling's determinism
     # matrix, w02 shares the window-bucket leaf with w01/w03's pytest
-    # family, t08's text leaves sit under the in-window t01):
+    # family, t08's text leaves sit under the in-window t01, x05's
+    # window-anchor leaf under the in-window x01/x06 temporal family):
+    "x05_retention_cohorts",
     "t08_fluency_scores",
     "p14_train_shuffle",
     "p08_stratified_sample",

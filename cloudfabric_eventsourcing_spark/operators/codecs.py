@@ -170,6 +170,36 @@ def nearest_resize(
     return np.ascontiguousarray(arr[ys][:, xs]).tobytes()
 
 
+def dhash_bits(
+    width: int, height: int, channels: int, pixels: bytes
+) -> int:
+    """64-bit difference hash (dHash, the pHash-family perceptual
+    fingerprint): grayscale luminance, nearest-resize to a 9x8 grid,
+    bit r*8+c = 1 iff the pixel right of (r, c) is strictly brighter.
+    Scale-invariant by construction (any nearest-resize that lands on
+    the same 9x8 samples hashes identically) and stable under
+    brightness scaling (comparisons survive a positive gain).  Returned
+    as a SIGNED 64-bit int so it stores in a Spark `long` column and
+    composes with dedup.hamming_neardup_pairs."""
+    arr = (
+        np.frombuffer(pixels, np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    if channels >= 3:
+        lum = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
+    else:
+        lum = arr[..., 0]
+    ys = (np.arange(8) * height) // 8
+    xs = (np.arange(9) * width) // 9
+    g = lum[ys][:, xs]
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    h = np.uint64(0)
+    for i in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(h))
+
+
 def image_features(
     width: int, height: int, channels: int, pixels: bytes, out_dim: int = 16
 ) -> list[float]:

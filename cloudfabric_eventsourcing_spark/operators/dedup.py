@@ -605,6 +605,55 @@ def _hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_neardup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs over ANY 64-bit fingerprint column
+    (SimHash, image dHash, ...) by banded Hamming join: 4 x 16-bit
+    chunks, pairs sharing a chunk verified with bit_count — by
+    pigeonhole this is EXHAUSTIVE for distance <= 3, so max_hamming
+    above 3 is refused rather than silently under-recalling.  Null
+    hashes (an on_error="null" decode) are excluded — a null
+    fingerprint matches nothing rather than colliding in the 0-chunk
+    band.  Same scale shape as simhash_candidate_pairs: candidates are
+    band-local, nothing all-pairs."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding guarantees exhaustive recall only for "
+            f"max_hamming <= 3 (got {max_hamming}); use more bands or "
+            "the cosine-LSH path for looser matching"
+        )
+    sig = df.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    for c in range(4):
+        sig = sig.withColumn(
+            f"chunk_{c}",
+            F.shiftrightunsigned(F.col("h"), c * 16).bitwiseAND(
+                F.lit(0xFFFF)
+            ),
+        )
+    out = None
+    for c in range(4):
+        a, b = sig.alias("a"), sig.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.chunk_{c}") == F.col(f"b.chunk_{c}"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _hamming(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"]).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -522,6 +522,51 @@ def image_feature_vectors(
     )
 
 
+def image_dhash(
+    df: DataFrame, on_error: str = "raise", decoder=None
+) -> DataFrame:
+    """Perceptual fingerprint per image: decode -> 64-bit dHash
+    (codecs.dhash_bits) -> (media_id, dhash long).  The histogram
+    embedding (image_feature_vectors) sees global tone; dHash sees
+    LAYOUT — gradients survive re-encode AND uniform brightness/contrast
+    changes the histogram path is blind to.  Same mapInPandas /
+    on_error / decoder= contract as every media operator; compose with
+    dedup.hamming_neardup_pairs for near-dup pairs at corpus scale
+    (banded joins, nothing all-pairs)."""
+    _check_on_error(on_error)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "dhash": []}
+            for _, row in pdf.iterrows():
+                if row["content"] is None:
+                    if on_error == "null":
+                        out["media_id"].append(row["media_id"])
+                        out["dhash"].append(None)
+                    continue
+                content = bytes(row["content"])
+                try:
+                    w, h, ch, pixels = _decode_image(content, decoder)
+                    dh = _codecs.dhash_bits(w, h, ch, pixels)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "null":
+                        out["media_id"].append(row["media_id"])
+                        out["dhash"].append(None)
+                    continue
+                out["media_id"].append(row["media_id"])
+                out["dhash"].append(dh)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.where(F.col("kind") == "image").mapInPandas(
+        run, "media_id long, dhash long"
+    )
+
+
 def image_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.995,

@@ -4334,3 +4334,83 @@ def test_quantize_embeddings_roundtrip_and_topk(spark):
     for vid, d in got.items():
         assert d == int(np.dot(np.array(qq, np.int64),
                                np.array(allq[vid], np.int64)))
+
+
+def test_image_dhash_and_hamming_pairs(spark):
+    """m05's premises pinned: dHash is exactly the gradient pattern a
+    rendered image encodes, invariant to 2x nearest upscale and uniform
+    brightness gain; the 32 planted class/parity patterns are pairwise
+    Hamming >= 20 apart except the designed intra-class distance 2;
+    hamming_neardup_pairs excludes null hashes, refuses max_hamming > 3
+    (the pigeonhole guarantee's edge), and returns exact distances."""
+    import hashlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import (
+        codecs,
+        dedup,
+        multimodal,
+    )
+
+    def pattern(cls, odd):
+        pat = int.from_bytes(hashlib.md5(bytes([cls])).digest()[:8], "big")
+        if odd:
+            pat ^= (1 << ((cls * 7) % 64)) | (1 << ((cls * 7 + 29) % 64))
+        return pat
+
+    def render(pat, scale=1, gain=1.0):
+        px = np.zeros((8, 9), np.uint8)
+        for r in range(8):
+            v = 128
+            px[r, 0] = v
+            for c in range(8):
+                v += 8 if (pat >> (r * 8 + c)) & 1 else -8
+                px[r, c + 1] = v
+        px = np.clip(px.astype(np.float64) * gain, 0, 255).astype(np.uint8)
+        big = np.repeat(np.repeat(px, scale, 0), scale, 1)
+        rgb = np.repeat(big[..., None], 3, axis=2)
+        return 9 * scale, 8 * scale, rgb.tobytes()
+
+    # the planted patterns are far apart across classes, 2 within
+    pats = {(k, o): pattern(k, o) for k in range(16) for o in (False, True)}
+    for (k1, o1), p1 in pats.items():
+        for (k2, o2), p2 in pats.items():
+            if (k1, o1) >= (k2, o2):
+                continue
+            d = bin(p1 ^ p2).count("1")
+            if k1 == k2:
+                assert d == 2
+            else:
+                assert d >= 20, f"classes {k1}/{k2} too close ({d})"
+
+    # dhash == pattern; invariant to upscale and brightness gain
+    for (k, o), pat in list(pats.items())[:6]:
+        w, h, px = render(pat)
+        signed = int(np.int64(np.uint64(pat)))
+        assert codecs.dhash_bits(w, h, 3, px) == signed
+        w2, h2, px2 = render(pat, scale=2)
+        assert codecs.dhash_bits(w2, h2, 3, px2) == signed
+        w3, h3, px3 = render(pat, gain=0.7)
+        assert codecs.dhash_bits(w3, h3, 3, px3) == signed
+
+    # operator path: null content excluded under on_error="null",
+    # distances exact, loose max_hamming refused
+    rows = []
+    for i, (key, pat) in enumerate(list(pats.items())[:4]):
+        w, h, px = render(pat)
+        rows.append((i, "image", bytearray(codecs.encode_png(w, h, 3, px)), None))
+    rows.append((99, "image", None, None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = multimodal.image_dhash(media, on_error="null")
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert got[99] is None and len(got) == 5
+    pairs = dedup.hamming_neardup_pairs(
+        hashes, "dhash", "media_id", max_hamming=2
+    ).collect()
+    # rows 0/1 are class 0 even/odd -> distance 2; rows 2/3 class 1
+    got_pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got_pairs == {(0, 1): 2, (2, 3): 2}
+    with _pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_neardup_pairs(hashes, "dhash", "media_id", max_hamming=4)
