@@ -72,6 +72,12 @@ HEADLINE = [
     "p18_semdedup",
     "p19_dsir_weights",
     "m02_image_neardup",
+    # r10 rows, driver-tracked from day one
+    "t09_lexical_diversity",
+    "s04_embedding_quantize",
+    "s05_quantized_topk",
+    "x06_last_touch_attribution",
+    "m05_image_dhash_neardup",
 ]
 
 
