@@ -527,6 +527,110 @@ def dedup_against_index(
     )
 
 
+def _hamming_bands(df: DataFrame, hash_col: str, id_col: str) -> DataFrame:
+    """(id, h, bi, bh) banded rows for a 64-bit fingerprint column —
+    one row per 16-bit chunk, the persisted/probe shape shared by
+    save_hamming_index and its probe.  Null hashes drop (a null
+    fingerprint matches nothing)."""
+    sig = df.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    bands = None
+    for c in range(4):
+        b = sig.select(
+            "id", "h", F.lit(c).alias("bi"),
+            F.shiftrightunsigned(F.col("h"), c * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    return bands
+
+
+def save_hamming_index(
+    df: DataFrame,
+    path: str,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus side of fingerprint (SimHash / image
+    dHash) dedup: banded (id, h, bi, bh) rows partitioned by band id,
+    completing the persisted-index family (MinHash, cosine-LSH, IVF —
+    and now Hamming).  Build once, probe per batch: "does today's
+    image batch perceptually duplicate the existing corpus" never
+    re-bands the corpus.  Unlike MinHash, the full 64-bit hash rides in
+    every band row (8 bytes), so verification needs NO second table —
+    the probe is one bucket join plus a bit_count.  `mode="append"`
+    grows it incrementally under the shared marker discipline."""
+    spark = df.sparkSession
+    if mode != "append":
+        _clear_marker(spark, path)
+        spark.createDataFrame(
+            [(4, 16)], "bands int, chunk_bits int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    else:
+        _require_marker(spark, path)
+        row = spark.read.parquet(f"{path}/meta").collect()[0]
+        if (row["bands"], row["chunk_bits"]) != (4, 16):
+            raise ValueError(
+                f"index at {path} was banded {row['bands']}x"
+                f"{row['chunk_bits']}; this build writes 4x16"
+            )
+    _hamming_bands(df, hash_col, id_col).write.mode(mode).partitionBy(
+        "bi"
+    ).parquet(f"{path}/bands")
+    if mode != "append":
+        _stamp_marker(spark, path)
+
+
+def hamming_dedup_against_index(
+    new_df: DataFrame,
+    path: str,
+    max_hamming: int = 2,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    broadcast: bool = True,
+    include_same_id: bool = False,
+) -> DataFrame:
+    """Fingerprint near-duplicates between a NEW batch and a persisted
+    Hamming index: (new_id, index_id, hamming <= max_hamming).
+    Exhaustive for max_hamming <= 3 (pigeonhole over the 4x16 bands;
+    looser thresholds refused, same contract as hamming_neardup_pairs).
+
+    Scale shape mirrors dedup_against_index: with broadcast=True (the
+    daily-increment default) the batch's banded rows broadcast into a
+    hash join against the index's bands scan — zero Exchange over index
+    data, and the stored hash verifies inline (no second join at all).
+    broadcast=False is the corpus-sized-backfill fallback (shuffled
+    join on the slim band keys)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding guarantees exhaustive recall only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    spark = new_df.sparkSession
+    _require_marker(spark, path)
+    q = _hamming_bands(new_df, hash_col, id_col)
+    q_banded = F.broadcast(q) if broadcast else q
+    idx = _read_index_table(spark, f"{path}/bands", q.schema)
+    bucket_match = (F.col("i.bi") == F.col("q.bi")) & (
+        F.col("i.bh") == F.col("q.bh")
+    )
+    if not include_same_id:
+        bucket_match = bucket_match & (F.col("i.id") != F.col("q.id"))
+    return (
+        idx.alias("i")
+        .join(q_banded.alias("q"), bucket_match)
+        .select(
+            F.col("q.id").alias("new_id"),
+            F.col("i.id").alias("index_id"),
+            _hamming(F.col("q.h"), F.col("i.h")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "index_id"])
+    )
+
+
 def lsh_dedup_representatives(
     pairs: DataFrame, df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4414,3 +4414,58 @@ def test_image_dhash_and_hamming_pairs(spark):
     assert got_pairs == {(0, 1): 2, (2, 3): 2}
     with _pytest.raises(ValueError, match="max_hamming"):
         dedup.hamming_neardup_pairs(hashes, "dhash", "media_id", max_hamming=4)
+
+
+def test_hamming_index_probe_append_and_crash_discipline(spark, tmp_path):
+    """The persisted Hamming index completes the index family: probe
+    finds exactly the <= max_hamming corpus matches with exact
+    distances, appends grow it, include_same_id gives streaming's
+    content-keyed idempotence, a missing marker refuses loudly, a
+    mismatched banding append refuses, and the broadcast probe plan has
+    ZERO Exchange over index data (the daily-increment shape)."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+
+    path = str(tmp_path / "hidx")
+    corpus = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1010 ^ (1 << 40)), (3, -1), (4, None)],
+        "media_id long, dhash long",
+    )
+    dedup.save_hamming_index(corpus, path)
+    batch = spark.createDataFrame(
+        [(10, 0b1010), (11, (-1) ^ 0b11), (12, 1 << 63 - 1)],
+        "media_id long, dhash long",
+    )
+    probe = dedup.hamming_dedup_against_index(batch, path, max_hamming=2)
+    got = {(r["new_id"], r["index_id"]): r["hamming"] for r in probe.collect()}
+    # 10 matches 1 at 0 and 2 at 1; 11 matches 3 at 2; 12 matches nothing
+    assert got == {(10, 1): 0, (10, 2): 1, (11, 3): 2}
+    # the broadcast probe's only shuffle is the matched-pair dedup
+    # (output-proportional); index data streams through a broadcast
+    # hash join straight off the parquet scan
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+    # (the AQE plan string repeats under "Initial Plan" — dedupe)
+    exchanges = set(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
+    assert len(exchanges) == 1 and "new_id" in next(iter(exchanges)), plan
+    assert "BroadcastHashJoin" in plan and "FileScan parquet" in plan
+    # append grows the index; same-id redelivery visible with include_same_id
+    dedup.save_hamming_index(
+        spark.createDataFrame([(10, 0b1010)], "media_id long, dhash long"),
+        path, mode="append",
+    )
+    again = dedup.hamming_dedup_against_index(
+        batch, path, max_hamming=0, include_same_id=True
+    )
+    assert {(r["new_id"], r["index_id"]) for r in again.collect()} >= {(10, 10)}
+    # crash discipline: no marker -> loud refusal
+    dedup._clear_marker(spark, path)
+    with _pytest.raises(ValueError, match="consistency marker"):
+        dedup.hamming_dedup_against_index(batch, path).collect()
+    with _pytest.raises(ValueError, match="consistency marker"):
+        dedup.save_hamming_index(batch, path, mode="append")
+    # loose threshold refused
+    dedup._stamp_marker(spark, path)
+    with _pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_dedup_against_index(batch, path, max_hamming=4)
