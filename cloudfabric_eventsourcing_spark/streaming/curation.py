@@ -908,3 +908,131 @@ def close_rejected_vector_families(
     )
 
     return append_cluster_pairs(spark, clusters_path, edges)
+
+
+def curate_hamming_batch_against_index(
+    batch: DataFrame,
+    index_path: str,
+    max_hamming: int = 2,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    return_edges: bool = False,
+):
+    """Fingerprint twin of curate_vector_batch_against_index: one
+    micro-batch's surviving rows after intra-batch Hamming near-dup
+    collapse (dedup.hamming_neardup_pairs) and a probe of the persisted
+    Hamming index (dedup.save_hamming_index).  The probe runs
+    ``include_same_id=True`` for the same content-keyed idempotence:
+    a redelivered row bands identically, finds its own index row, and
+    rejects itself."""
+    pairs = _dedup.hamming_neardup_pairs(
+        batch, hash_col=hash_col, id_col=id_col, max_hamming=max_hamming
+    )
+    if return_edges:
+        pairs = pairs.localCheckpoint(eager=True)
+    kept = _dedup.lsh_dedup_representatives(pairs, batch, id_col=id_col)
+    cross = _dedup.hamming_dedup_against_index(
+        kept, index_path, max_hamming=max_hamming,
+        hash_col=hash_col, id_col=id_col, include_same_id=True,
+    )
+    if return_edges:
+        cross = cross.localCheckpoint(eager=True)
+    dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
+    accepted = kept.join(dup_ids, id_col, "left_anti")
+    if not return_edges:
+        return accepted
+    edges = pairs.select("id_a", "id_b").unionByName(
+        cross.where(F.col("new_id") != F.col("index_id")).select(
+            F.col("new_id").alias("id_a"), F.col("index_id").alias("id_b")
+        )
+    )
+    return accepted, edges
+
+
+def curate_hamming_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    max_hamming: int = 2,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    batch_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    available_now: bool = True,
+    compact_every: Optional[int] = None,
+    clusters_path: Optional[str] = None,
+    quarantine_path: Optional[str] = None,
+    quarantine_transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+):
+    """Streaming curation for the FINGERPRINT modality (64-bit SimHash
+    / image dHash) — the third leg beside curate_stream (MinHash) and
+    curate_vector_stream (cosine), sharing the skeleton and the entire
+    delivery/crash contract: intra-batch Hamming dedup → persisted
+    Hamming-index probe → run/epoch never-shrink corpus write → index
+    append → compaction cadence (the bands dirs are a first-class
+    compact_index dataset).
+
+    Scale shape per batch: the batch's banded rows broadcast into ONE
+    hash join against the index's band partitions; the append writes
+    only accepted rows' band rows; nothing corpus-sized shuffles.  The
+    8-byte-per-band payload makes this the cheapest probe of the three
+    — the right loop when a perceptual hash is the dedup signal and no
+    embedding model is in the path."""
+    _dedup._require_marker(stream.sparkSession, index_path)
+
+    def probe(batch: DataFrame, return_edges: bool):
+        return curate_hamming_batch_against_index(
+            batch, index_path, max_hamming=max_hamming,
+            hash_col=hash_col, id_col=id_col, return_edges=return_edges,
+        )
+
+    def append(accepted: DataFrame) -> None:
+        _dedup.save_hamming_index(
+            accepted.select(id_col, hash_col), index_path,
+            hash_col=hash_col, id_col=id_col, mode="append",
+        )
+
+    return _run_curation_stream(
+        stream, index_path, corpus_path, checkpoint, id_col,
+        probe, append, batch_transform, available_now,
+        compact_every, clusters_path, quarantine_path,
+        quarantine_transform,
+    )
+
+
+def curate_image_dhash_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    max_hamming: int = 2,
+    quarantine_path: Optional[str] = None,
+    available_now: bool = True,
+    compact_every: Optional[int] = None,
+    clusters_path: Optional[str] = None,
+    decoder=None,
+):
+    """Perceptual-hash image curation loop: curate_hamming_stream with
+    batch_transform = multimodal.image_dhash(on_error="skip") and the
+    same run/epoch-keyed quarantine of undecodable blobs as
+    curate_image_stream.  Complements the histogram/cosine image loop:
+    dHash catches layout twins under global tone shifts the histogram
+    path misses, at 8 bytes per image instead of a float vector."""
+    from cloudfabric_eventsourcing_spark.operators import multimodal as _mm
+
+    def hashes(batch: DataFrame) -> DataFrame:
+        return _mm.image_dhash(batch, on_error="skip", decoder=decoder)
+
+    def bad_rows(batch: DataFrame) -> DataFrame:
+        return _mm.media_decode_errors(
+            batch.where(F.col("kind") == "image"), image_decoder=decoder
+        )
+
+    return curate_hamming_stream(
+        stream, index_path, corpus_path, checkpoint,
+        max_hamming=max_hamming, hash_col="dhash", id_col="media_id",
+        batch_transform=hashes, available_now=available_now,
+        compact_every=compact_every, clusters_path=clusters_path,
+        quarantine_path=quarantine_path,
+        quarantine_transform=bad_rows if quarantine_path else None,
+    )

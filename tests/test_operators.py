@@ -4469,3 +4469,39 @@ def test_hamming_index_probe_append_and_crash_discipline(spark, tmp_path):
     dedup._stamp_marker(spark, path)
     with _pytest.raises(ValueError, match="max_hamming"):
         dedup.hamming_dedup_against_index(batch, path, max_hamming=4)
+
+
+def test_compact_hamming_index(spark, tmp_path):
+    """The Hamming index is a first-class compact_index dataset (its
+    bands dirs share the minhash layout): per-batch append fragments
+    fold to one file per band partition and the probe stays
+    byte-identical."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "hidx")
+    dedup.save_hamming_index(
+        spark.createDataFrame([(1, 100), (2, 200)], "media_id long, dhash long"),
+        path,
+    )
+    for i in range(3):
+        dedup.save_hamming_index(
+            spark.createDataFrame(
+                [(10 + i, 300 + i)], "media_id long, dhash long"
+            ),
+            path, mode="append",
+        )
+    batch = spark.createDataFrame(
+        [(50, 100), (51, 301)], "media_id long, dhash long"
+    )
+    before = sorted(
+        map(tuple, dedup.hamming_dedup_against_index(batch, path).collect())
+    )
+    report = compact_index(spark, path)
+    assert report["bands"]["files_after"] < report["bands"]["files_before"]
+    after = sorted(
+        map(tuple, dedup.hamming_dedup_against_index(batch, path).collect())
+    )
+    assert after == before and len(after) >= 2

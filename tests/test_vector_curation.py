@@ -752,3 +752,89 @@ def test_audio_neardup_pairs_across_reencodes(spark):
         for r in multimodal.audio_neardup_pairs(media, threshold=0.99).collect()
     }
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_image_dhash_stream_curation(spark, tmp_path):
+    """The perceptual-hash curation loop end-to-end: a 2x nearest
+    upscale of an accepted image arriving in a LATER batch is rejected
+    by the persisted Hamming index (resize-invariant dHash), a corrupt
+    blob is skipped and quarantined without killing the query, the
+    index cold-starts from an empty frame, and a fresh-checkpoint
+    replay adds nothing."""
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import codecs, dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_image_dhash_stream,
+    )
+
+    def render(pat, scale=1):
+        px = np.zeros((8, 9), np.uint8)
+        for r in range(8):
+            v = 128
+            px[r, 0] = v
+            for c in range(8):
+                v += 8 if (pat >> (r * 8 + c)) & 1 else -8
+                px[r, c + 1] = v
+        big = np.repeat(np.repeat(px, scale, 0), scale, 1)
+        rgb = np.repeat(big[..., None], 3, axis=2)
+        return codecs.encode_png(9 * scale, 8 * scale, 3, rgb.tobytes())
+
+    pat_a, pat_b, pat_c = 0x0123456789ABCDEF, 0xF0E1D2C3B4A59687, 0x5A5A5A5AA5A5A5A5
+
+    index_path = str(tmp_path / "hidx")
+    corpus_out = str(tmp_path / "accepted")
+    quarantine = str(tmp_path / "quarantine")
+    empty = spark.createDataFrame([], "media_id long, dhash long")
+    dedup.save_hamming_index(empty, index_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    from cloudfabric_eventsourcing_spark.operators import multimodal
+    spark.createDataFrame(
+        [
+            (1, "image", bytearray(render(pat_a)), None),
+            (2, "image", bytearray(b"\x89PNG\r\n\x1a\njunk"), None),
+            (3, "image", bytearray(render(pat_b)), None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [
+            (10, "image", bytearray(render(pat_a, scale=2)), None),  # dup of 1
+            (11, "image", bytearray(render(pat_c)), None),           # novel
+        ],
+        multimodal.MEDIA_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = curate_image_dhash_stream(
+            stream, index_path, corpus_out, str(tmp_path / ckpt),
+            quarantine_path=quarantine,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    accepted = {
+        r["media_id"] for r in spark.read.parquet(corpus_out).collect()
+    }
+    assert accepted == {1, 3, 11}  # 2 corrupt, 10 perceptual dup of 1
+    bad = spark.read.parquet(quarantine).collect()
+    assert {r["media_id"] for r in bad} == {2}
+    # the grown index rejects a re-probe of every accepted hash
+    probe = spark.createDataFrame(
+        [(99, int(np.int64(np.uint64(pat_c))))], "media_id long, dhash long"
+    )
+    hits = dedup.hamming_dedup_against_index(
+        probe, index_path, max_hamming=0
+    ).collect()
+    assert {r["index_id"] for r in hits} == {11}
+    # fresh-checkpoint replay: everything already indexed, corpus stable
+    n = spark.read.parquet(corpus_out).count()
+    run("ckpt2")
+    assert spark.read.parquet(corpus_out).count() == n
