@@ -1505,6 +1505,30 @@ def t03_token_counts(spark, sf_dir):
 
 
 @q(
+    "t10_unigram_surprisal",
+    # the CCNet/KenLM perplexity-filter floor: Laplace-smoothed unigram
+    # LM fit on the corpus itself, per-doc mean(-ln p(w)).  Determinism
+    # is the DSIR recipe verbatim: integer micro-unit surprisals,
+    # BIGINT per-doc sum, one double division chain (sum/n)/1e6 in the
+    # SAME order on both engines.  LEFT JOIN keeps empty docs at 0.
+    "WITH toks AS (SELECT doc_id, unnest("
+    f"{_TOKS_SQL}) AS w FROM documents), "
+    "cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w), "
+    "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM cnt), "
+    "lm AS (SELECT w, CAST(round(-ln((c + 1.0) / (n + 1.0 * (v + 1))) * 1e6, 0) AS BIGINT) "
+    "AS s_micro FROM cnt, tot), "
+    "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, "
+    "CAST(sum(s_micro) AS BIGINT) AS sm FROM toks JOIN lm USING (w) GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(n_toks, 0) AS n_tokens, "
+    "CAST(coalesce(sm, 0) AS DOUBLE) / greatest(coalesce(n_toks, 0), 1) / 1e6 "
+    "AS mean_surprisal FROM documents d LEFT JOIN agg USING (doc_id)",
+)
+def t10_unigram_surprisal(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.unigram_surprisal(docs)
+
+
+@q(
     "t09_lexical_diversity",
     # per-doc type/token/hapax profile (template & gibberish detection).
     # LEFT JOIN keeps empty/null-text docs with zero counts, mirroring
@@ -3554,6 +3578,7 @@ _VERIFY_FIRST = [
     "s05_quantized_topk",
     "x06_last_touch_attribution",
     "m05_image_dhash_neardup",
+    "t10_unigram_surprisal",
     "f03_ts_range",
     "f12_array_exists",
     "f10_bool_tree",
@@ -3586,14 +3611,15 @@ _VERIFY_FIRST = [
     "x01_asof_join",
     "h20_brand_size_quantity_revenue",
     "h28_late_priority_lines",
-    "h29_dominant_suppliers",
     # -- driver window ends here (position 50) --
-    # displaced by the five day-one r10 rows (same safety class as the
+    # displaced by the six day-one r10 rows (same safety class as the
     # twelve below: r08-green + judge's 112/112 sweep; p08/p14's
     # hash-sampling leaves are pinned by test_sampling's determinism
     # matrix, w02 shares the window-bucket leaf with w01/w03's pytest
     # family, t08's text leaves sit under the in-window t01, x05's
-    # window-anchor leaf under the in-window x01/x06 temporal family):
+    # window-anchor leaf under the in-window x01/x06 temporal family,
+    # h29's star-window leaf under the in-window h6/h27 shapes):
+    "h29_dominant_suppliers",
     "x05_retention_cohorts",
     "t08_fluency_scores",
     "p14_train_shuffle",

@@ -538,3 +538,79 @@ def lexical_diversity(
             / F.greatest(F.col("n_types"), F.lit(1))
         ).alias("hapax_ratio"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    lm_df: DataFrame = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the floor of the classic
+    CCNet/KenLM perplexity filter: fit a Laplace-smoothed unigram LM on
+    `lm_df` (default: the corpus itself), score every document as
+    mean(-ln p(w)) over its tokens — (doc_id, n_tokens,
+    mean_surprisal).  High surprisal = rare/gibberish vocabulary, low =
+    boilerplate; production pipelines threshold the middle band.
+    Out-of-vocabulary tokens (an `lm_df` different from the scored
+    corpus) score as the smoothing class alpha / (N + alpha(V+1)).
+
+    Cross-engine determinism follows dsir_log_weights exactly:
+    per-token surprisals quantize to INTEGER micro-units, the per-doc
+    reduction sums BIGINTs (exact, order-independent), one double
+    division at the end — the naive sum-doubles-then-round form
+    mismatches engines systematically (the documented doc-461 lesson).
+
+    Scale shape: the LM fit is one map-side-combinable groupBy into the
+    word-TYPE table (Heaps'-law bounded); scoring joins exploded tokens
+    against it — broadcast by default (right for vocabularies that fit
+    an executor; pass broadcast_lm=False for a web-scale vocabulary,
+    downgrading to a shuffled join on the token key); the only wide
+    exchange is the per-doc sum.  Empty/null docs score (0, 0.0)."""
+    lm_src = lm_df if lm_df is not None else df
+    toks_lm = lm_src.select(
+        F.explode(tokens_column(F.col(text_col))).alias("w")
+    )
+    cnt = toks_lm.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    denom = F.col("n") + alpha * (F.col("v") + 1)
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(-F.log((F.col("c") + alpha) / denom) * 1e6, 0)
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    oov = tot.select(
+        F.round(-F.log(F.lit(alpha) / denom) * 1e6, 0)
+        .cast("bigint")
+        .alias("oov_micro")
+    )
+    per_tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens_column(F.col(text_col))).alias("w"),
+    )
+    joined = per_tok.join(
+        F.broadcast(lm) if broadcast_lm else lm, "w", "left"
+    ).crossJoin(F.broadcast(oov))
+    scored = joined.select(
+        "id",
+        "w",
+        F.when(
+            F.col("w").isNotNull(),
+            F.coalesce(F.col("s_micro"), F.col("oov_micro")),
+        ).alias("sm"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("w").alias("n_tokens"),
+            (
+                F.coalesce(F.sum("sm"), F.lit(0)).cast("double")
+                / F.greatest(F.count("w"), F.lit(1))
+                / 1e6
+            ).alias("mean_surprisal"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_surprisal")
+    )

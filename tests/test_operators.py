@@ -4505,3 +4505,49 @@ def test_compact_hamming_index(spark, tmp_path):
         map(tuple, dedup.hamming_dedup_against_index(batch, path).collect())
     )
     assert after == before and len(after) >= 2
+
+
+def test_unigram_surprisal_semantics(spark):
+    """t10 pins: exact Laplace-smoothed surprisals on a worked example
+    (micro-unit lattice), OOV tokens score as the smoothing class when
+    the LM corpus differs, empty/null docs score (0, 0.0), and
+    broadcast_lm=False returns identical values."""
+    import math
+
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    # LM corpus: tokens {a:3, b:1} -> N=4, V=2, denom = 4 + 1*(2+1) = 7
+    lm = spark.createDataFrame(
+        [(100, "a a a b")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    def micro(p):
+        return round(-math.log(p) * 1e6)
+
+    exp_ab = (micro(4 / 7) + micro(2 / 7)) / 2 / 1e6
+    exp_oov = micro(1 / 7) / 1e6
+    got = {r["doc_id"]: r for r in
+           unigram_surprisal(docs, lm_df=lm).collect()}
+    assert got[1]["n_tokens"] == 2 and got[1]["mean_surprisal"] == exp_ab
+    assert got[2]["n_tokens"] == 1 and got[2]["mean_surprisal"] == exp_oov
+    for d in (3, 4):
+        assert got[d]["n_tokens"] == 0 and got[d]["mean_surprisal"] == 0.0
+    # shuffled-join fallback identical (the web-scale-vocabulary path)
+    got2 = {r["doc_id"]: r for r in
+            unigram_surprisal(docs, lm_df=lm, broadcast_lm=False).collect()}
+    assert {k: (v["n_tokens"], v["mean_surprisal"]) for k, v in got.items()} \
+        == {k: (v["n_tokens"], v["mean_surprisal"]) for k, v in got2.items()}
+    # self-trained: boilerplate scores lower than rare vocabulary
+    corpus = spark.createDataFrame(
+        [(i, "the common boilerplate line") for i in range(20)]
+        + [(99, "zyzzyva qwertic flumbo")],
+        "doc_id long, text string",
+    )
+    sc = {r["doc_id"]: r["mean_surprisal"]
+          for r in unigram_surprisal(corpus).collect()}
+    assert sc[99] > sc[0]
