@@ -78,6 +78,7 @@ HEADLINE = [
     "s05_quantized_topk",
     "x06_last_touch_attribution",
     "m05_image_dhash_neardup",
+    "t10_unigram_surprisal",
 ]
 
 
