@@ -97,6 +97,29 @@ def main() -> None:
         .collect()[0]["s"]
     )
     report("bpe_encode", t, docs=n_docs, subwords=subwords)
+
+    # round-10 additions: quantization (map-only — should scale with
+    # I/O alone), integer top-k (scan + TakeOrdered), unigram surprisal
+    # (word-type groupBy + broadcast join + per-doc sum)
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    t = time.time()
+    qz = quantize_embeddings(emb)
+    qz.write.format("noop").mode("overwrite").save()
+    report("quantize_embeddings", t, vecs=n_vecs)
+    query_q = qz.where("vec_id = 0").collect()[0]["qvec"]
+    t = time.time()
+    quantized_topk(qz, query_q, k=20).collect()
+    report("quantized_topk", t, vecs=n_vecs)
+    t = time.time()
+    unigram_surprisal(docs).write.format("noop").mode("overwrite").save()
+    report("unigram_surprisal", t, docs=n_docs)
     spark.stop()
 
 
