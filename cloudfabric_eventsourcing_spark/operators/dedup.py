@@ -664,7 +664,13 @@ def simhash_signatures(
                 continue
             arr = np.asarray(hs, dtype=np.uint64)
             bits_m = (arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = bits_m.sum(axis=0) * 2 - len(arr)
+            # the popcount is uint64: cast to SIGNED before `*2 - n`, or
+            # minority bits underflow to ~2^64 and read as positive
+            # votes — which silently set (almost) every signature bit
+            # and made every document look near-every-other (r10
+            # self-review find; the planted-exact-dup oracle and the
+            # determinism pins were all blind to it)
+            votes = bits_m.sum(axis=0).astype(np.int64) * 2 - len(arr)
             sig = np.uint64(0)
             for i in np.nonzero(votes > 0)[0]:
                 sig |= np.uint64(1) << np.uint64(i)

@@ -33,6 +33,20 @@ def test_simhash_deterministic_and_close_for_neardups(spark, docs):
     assert fp_pairs, "fixture should contain jaccard-1.0 pairs"
     for row in fp_pairs[:20]:
         assert sig1[row["id_a"]] == sig1[row["id_b"]]
+    # DISCRIMINATION (the r10 underflow regression pin): signatures must
+    # not degenerate toward all-ones/all-zeros — the uint64 vote
+    # arithmetic once underflowed and set ~every bit of every signature,
+    # which determinism and exact-dup checks were blind to.  Bit counts
+    # hover near 32 for real text, and distinct docs must actually
+    # differ in many bits.
+    counts = [bin(s & (2**64 - 1)).count("1") for s in sig1.values()]
+    assert all(8 <= c <= 56 for c in counts), sorted(set(counts))
+    import itertools
+    dists = [
+        bin((a ^ b) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(list(sig1.values())[:30], 2)
+    ]
+    assert max(dists) >= 10, "every doc looks near-every-other"
 
 
 def test_simhash_candidates_cover_low_hamming(spark, docs):

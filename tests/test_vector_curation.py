@@ -838,3 +838,71 @@ def test_image_dhash_stream_curation(spark, tmp_path):
     n = spark.read.parquet(corpus_out).count()
     run("ckpt2")
     assert spark.read.parquet(corpus_out).count() == n
+
+
+def test_simhash_stream_curation_via_hamming_loop(spark, tmp_path):
+    """The generic fingerprint loop covers TEXT too: curate_hamming_stream
+    with batch_transform = simhash_signatures dedups a document stream by
+    SimHash — a lightly-edited re-send of an accepted doc (Hamming <= 3
+    at 64 bits) is rejected cross-batch by the persisted index."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_hamming_stream,
+    )
+
+    # a 300-token doc: one appended token shifts each bit's vote by 1,
+    # flipping only near-tie positions (measured: 2 bits here, vs ~27
+    # for an unrelated doc — deterministic, xxhash64-keyed)
+    import random
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(400)]
+    base = " ".join(vocab[rng.randrange(400)] for _ in range(300))
+    near = base + " zq1"
+    far = " ".join(vocab[rng.randrange(400)] for _ in range(300))
+
+    index_path = str(tmp_path / "hidx")
+    corpus_out = str(tmp_path / "accepted")
+    empty = spark.createDataFrame([], "doc_id long, simhash long")
+    dedup.save_hamming_index(
+        empty, index_path, hash_col="simhash", id_col="doc_id"
+    )
+
+    # precondition: the edit really lands within Hamming 3
+    sigs = dedup.simhash_signatures(
+        spark.createDataFrame([(1, base), (2, near), (3, far)],
+                              "doc_id long, text string")
+    ).collect()
+    h = {r["id"]: r["simhash"] for r in sigs}
+    d_near = bin((h[1] ^ h[2]) & (2**64 - 1)).count("1")
+    d_far = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    assert d_near <= 3 < d_far, (d_near, d_far)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(2, near), (3, far)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def hashes(batch):
+        return dedup.simhash_signatures(batch).select(
+            F.col("id").alias("doc_id"), "simhash"
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = curate_hamming_stream(
+        stream, index_path, corpus_out, str(tmp_path / "ckpt"),
+        max_hamming=3, hash_col="simhash", id_col="doc_id",
+        batch_transform=hashes,
+    )
+    q.awaitTermination(120)
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(corpus_out).collect()
+    }
+    assert accepted == {1, 3}  # 2 is the near-dup re-send
