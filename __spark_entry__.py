@@ -777,6 +777,38 @@ def o4_pagination(spark, sf_dir):
 # ---- A1-A3, A6: aggregations ---------------------------------------------
 
 @q(
+    "o5_keyset_pagination",
+    # keyset (seek) pagination, the scale-correct deep-page shape: page
+    # boundaries are predicates, not discarded prefixes.  Mixed
+    # directions (value DESC, event_id ASC tiebreaker); the oracle uses
+    # the nested OR/AND expansion the operator builds — the exact
+    # desugaring of SQL row-value comparison under mixed directions.
+    # The anchor row is ITSELF selected by a deterministic subquery
+    # (the last row of "page one"), so the oracle is self-contained.
+    "WITH anchor AS (SELECT value AS av, event_id AS ai FROM events "
+    "ORDER BY value DESC, event_id ASC LIMIT 1 OFFSET 49) "
+    "SELECT event_id, value FROM events, anchor "
+    "WHERE value < av OR (value = av AND event_id > ai) "
+    "ORDER BY value DESC, event_id ASC LIMIT 50",
+)
+def o5_keyset_pagination(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.plans.translator import keyset_page
+
+    events = load_table(spark, sf_dir, "events")
+    order = [SortInfo("value", "desc"), SortInfo("event_id", "asc")]
+    # page one's last row is the anchor for page two — the production
+    # call passes the client's cursor; here it derives deterministically
+    page1 = keyset_page(
+        events, order, after=None, limit=50, schema=events_schema()
+    ).select("event_id", "value").collect()
+    last = page1[-1]
+    return keyset_page(
+        events, order, after=(last["value"], last["event_id"]),
+        limit=50, schema=events_schema(),
+    ).select("event_id", "value")
+
+
+@q(
     "a1_total_count",
     "SELECT COUNT(*) AS total FROM events WHERE value > 100",
 )
@@ -3579,6 +3611,7 @@ _VERIFY_FIRST = [
     "x06_last_touch_attribution",
     "m05_image_dhash_neardup",
     "t10_unigram_surprisal",
+    "o5_keyset_pagination",
     "f03_ts_range",
     "f12_array_exists",
     "f10_bool_tree",
@@ -3610,15 +3643,16 @@ _VERIFY_FIRST = [
     "h6_window_top3_orders_per_customer",
     "x01_asof_join",
     "h20_brand_size_quantity_revenue",
-    "h28_late_priority_lines",
     # -- driver window ends here (position 50) --
-    # displaced by the six day-one r10 rows (same safety class as the
+    # displaced by the seven day-one r10 rows (same safety class as the
     # twelve below: r08-green + judge's 112/112 sweep; p08/p14's
     # hash-sampling leaves are pinned by test_sampling's determinism
     # matrix, w02 shares the window-bucket leaf with w01/w03's pytest
     # family, t08's text leaves sit under the in-window t01, x05's
     # window-anchor leaf under the in-window x01/x06 temporal family,
-    # h29's star-window leaf under the in-window h6/h27 shapes):
+    # h29's star-window leaf under the in-window h6/h27 shapes, h28's
+    # date-filtered star scan under the whole in-window h-family):
+    "h28_late_priority_lines",
     "h29_dominant_suppliers",
     "x05_retention_cohorts",
     "t08_fluency_scores",

@@ -79,6 +79,7 @@ HEADLINE = [
     "x06_last_touch_attribution",
     "m05_image_dhash_neardup",
     "t10_unigram_surprisal",
+    "o5_keyset_pagination",
 ]
 
 

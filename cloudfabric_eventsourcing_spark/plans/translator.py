@@ -1150,3 +1150,57 @@ def run_query(
         facets_stats=facets,
         debug_information="\n".join(debug),
     )
+
+
+def keyset_page(
+    df: DataFrame,
+    order_by: list,
+    after: Optional[tuple],
+    limit: int,
+    schema: Optional[ProjectionSchema] = None,
+) -> DataFrame:
+    """Keyset (seek) pagination — the scale-correct replacement for
+    offset/limit deep pages: page N+1 is "the first `limit` rows whose
+    sort key is strictly after the last row of page N" instead of
+    "skip N*limit rows".  `after` is the previous page's final row's
+    values for the sort keys (None = first page); the LAST sort key
+    must be a unique tiebreaker (the reference's own pagination
+    contract — id-last — made explicit) and the keys must be non-null,
+    or "after this row" is not well defined.
+
+    Why it matters at 100 TB: offset pagination SORTS AND DISCARDS
+    offset rows on every page — page 10^4 of a 10^9-row sort is a
+    full TopK of 10^4*limit rows per request.  The keyset predicate
+    instead pushes to the scan (PushedFilters on the leading key), so
+    every page costs the same as page one.  The lexicographic
+    mixed-direction predicate is built as nested OR/AND — row-value
+    syntax is SQL-only, but the expansion is exactly what engines
+    desugar it to."""
+    if len(order_by) < 1:
+        raise ValueError("keyset_page needs at least one sort key")
+    if after is not None:
+        if len(after) != len(order_by):
+            raise ValueError(
+                f"`after` has {len(after)} values for {len(order_by)} "
+                "sort keys — pass the previous page's value for EVERY key"
+            )
+        pred = None
+        eq_chain = None
+        for info, val in zip(order_by, after):
+            if val is None:
+                raise ValueError(
+                    f"null `after` value for {info.key_path}: keyset "
+                    "keys must be non-null (the tiebreaker contract)"
+                )
+            c = _sort_key_column(info, schema)
+            gt = (
+                c < F.lit(val)
+                if info.order == SortOrder.Desc
+                else c > F.lit(val)
+            )
+            term = gt if eq_chain is None else eq_chain & gt
+            pred = term if pred is None else pred | term
+            eq = c == F.lit(val)
+            eq_chain = eq if eq_chain is None else eq_chain & eq
+        df = df.where(pred)
+    return df.orderBy(*sort_columns(order_by, schema)).limit(limit)

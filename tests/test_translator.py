@@ -1311,3 +1311,46 @@ def test_bm25ish_per_field_combine_modes(spark):
 
     with _pytest.raises(ValueError):
         bm25ish_score(df, "alpha", schema, per_field=True, combine="nosuch")
+
+
+def test_keyset_pagination_tiles_offset_pages(spark, sf_dir):
+    """keyset_page == offset pagination, page for page: walking the
+    cursor through 4 pages of (value DESC, event_id ASC) reproduces
+    OFFSET paging exactly; the predicate reaches the parquet scan
+    (PushedFilters on the leading key); null cursor values and wrong
+    arity refuse loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.plans.translator import keyset_page
+    from cloudfabric_eventsourcing_spark.queries import SortInfo
+    from cloudfabric_eventsourcing_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    order = [SortInfo("value", "desc"), SortInfo("event_id", "asc")]
+    want = events.orderBy(
+        F.col("value").desc_nulls_first(), F.col("event_id").asc()
+    ).limit(80).select("event_id", "value").collect()
+
+    got, after = [], None
+    for _ in range(4):
+        page = keyset_page(events, order, after, 20).select(
+            "event_id", "value"
+        ).collect()
+        got.extend(page)
+        after = (page[-1]["value"], page[-1]["event_id"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # the seek predicate pushes to the scan
+    plan = keyset_page(events, order, after, 20)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PushedFilters" in plan and "value" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+
+    with _pytest.raises(ValueError, match="non-null"):
+        keyset_page(events, order, (None, 5), 20)
+    with _pytest.raises(ValueError, match="EVERY key"):
+        keyset_page(events, order, (1.0,), 20)
+    with _pytest.raises(ValueError, match="at least one"):
+        keyset_page(events, [], None, 20)
