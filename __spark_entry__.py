@@ -809,6 +809,37 @@ def o5_keyset_pagination(spark, sf_dir):
 
 
 @q(
+    "o6_keyset_nulls",
+    # Keyset pagination across a NULL region (the r10 verdict's missing
+    # #2): the sort key is null for all but ~30 rows, so page one
+    # straddles the value→null boundary and page two (returned here)
+    # lives entirely inside the null region — reachable only because
+    # the cursor predicate carries the `c IS NULL` disjunct and a
+    # null-safe equality chain.  The oracle is the OFFSET-tiling
+    # equivalent under the same Postgres null order, which is the
+    # contract: keyset == offset, page for page, nulls included.
+    "SELECT event_id, k FROM (SELECT event_id, "
+    "CASE WHEN event_id <= 30 THEN event_type END AS k FROM events) "
+    "ORDER BY k ASC NULLS LAST, event_id ASC LIMIT 50 OFFSET 50",
+)
+def o6_keyset_nulls(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.plans.translator import keyset_page
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") <= 30, F.col("event_type")).alias("k"),
+    )
+    order = [SortInfo("k", "asc"), SortInfo("event_id", "asc")]
+    # page-one anchor derived like o5 (bounded 50-row collect is
+    # registry plumbing; the production API takes the client's cursor)
+    page1 = keyset_page(events, order, after=None, limit=50).collect()
+    last = page1[-1]
+    return keyset_page(
+        events, order, after=(last["k"], last["event_id"]), limit=50
+    )
+
+
+@q(
     "a1_total_count",
     "SELECT COUNT(*) AS total FROM events WHERE value > 100",
 )

@@ -1165,8 +1165,22 @@ def keyset_page(
     "skip N*limit rows".  `after` is the previous page's final row's
     values for the sort keys (None = first page); the LAST sort key
     must be a unique tiebreaker (the reference's own pagination
-    contract — id-last — made explicit) and the keys must be non-null,
-    or "after this row" is not well defined.
+    contract — id-last — made explicit).
+
+    Null DATA values are first-class (matching offset paging, which
+    never loses them): the sort order is Postgres semantics (ASC →
+    NULLS LAST, DESC → NULLS FIRST — `sort_columns` above), so the
+    cursor predicate mirrors it.  On an ASC key, null sorts after
+    every value, so "after non-null v" includes the null region
+    (`c > v OR c IS NULL`) and "after null" is empty on that key; on a
+    DESC key, null sorts first, so "after null" is `c IS NOT NULL` and
+    "after non-null v" is plain `c < v`.  The equality chain that
+    guards the next key is null-safe (`<=>`), so a cursor row with a
+    null key steps through the null region by tiebreaker exactly like
+    OFFSET tiling does.  Pass a cursor tuple element of None to mean
+    "the previous page ended on a null-keyed row" — it is only
+    ambiguous if the FULL key tuple is non-unique, which the
+    tiebreaker contract already forbids.
 
     Why it matters at 100 TB: offset pagination SORTS AND DISCARDS
     offset rows on every page — page 10^4 of a 10^9-row sort is a
@@ -1187,20 +1201,26 @@ def keyset_page(
         pred = None
         eq_chain = None
         for info, val in zip(order_by, after):
-            if val is None:
-                raise ValueError(
-                    f"null `after` value for {info.key_path}: keyset "
-                    "keys must be non-null (the tiebreaker contract)"
-                )
             c = _sort_key_column(info, schema)
-            gt = (
-                c < F.lit(val)
-                if info.order == SortOrder.Desc
-                else c > F.lit(val)
-            )
+            if info.order == SortOrder.Desc:
+                # DESC → NULLS FIRST: nulls precede every value, so
+                # "after null" = any non-null; "after v" excludes nulls.
+                gt = c.isNotNull() if val is None else c < F.lit(val)
+            else:
+                # ASC → NULLS LAST: nulls follow every value, so
+                # "after v" must include the null region; "after null"
+                # is empty on this key (null is maximal) — the
+                # tiebreaker term below still advances the cursor.
+                gt = (
+                    F.lit(False)
+                    if val is None
+                    else (c > F.lit(val)) | c.isNull()
+                )
             term = gt if eq_chain is None else eq_chain & gt
             pred = term if pred is None else pred | term
-            eq = c == F.lit(val)
+            # Null-safe equality so a null-keyed cursor row guards the
+            # next key exactly like OFFSET tiling's total order does.
+            eq = c.eqNullSafe(F.lit(val))
             eq_chain = eq if eq_chain is None else eq_chain & eq
         df = df.where(pred)
     return df.orderBy(*sort_columns(order_by, schema)).limit(limit)
