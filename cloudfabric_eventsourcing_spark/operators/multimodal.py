@@ -542,9 +542,14 @@ def image_dhash(
             out = {"media_id": [], "dhash": []}
             for _, row in pdf.iterrows():
                 if row["content"] is None:
-                    if on_error == "null":
-                        out["media_id"].append(row["media_id"])
-                        out["dhash"].append(None)
+                    # null content -> null fingerprint row under EVERY
+                    # on_error mode (the module's r6 contract, matching
+                    # decode_image_features): absent media is data, not
+                    # an error, and dropping the row would make dHash
+                    # curation reports unable to account for every
+                    # input (ADVICE r10).
+                    out["media_id"].append(row["media_id"])
+                    out["dhash"].append(None)
                     continue
                 content = bytes(row["content"])
                 try:

@@ -484,11 +484,22 @@ def quantize_embeddings(
     id_col: str = "vec_id",
     out_col: str = "qvec",
     scale_col: str = "scale",
+    on_nan: str = "raise",
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max(|x_i|),
     q_i = floor(x_i / scale * 127 + 0.5) (round-half-up, identical on
     every engine — no banker's-rounding ambiguity), all-zero vectors
     quantize to zeros with scale 0.  Dequantize: q_i * scale / 127.
+
+    NaN components would otherwise poison silently (scale -> NaN,
+    floor(NaN) casts to NULL ints, quantized_topk's dot goes NULL and
+    sorts unpredictably — ADVICE r10), so they are a loud boundary:
+    on_nan="raise" (default) fails the job naming the offending id;
+    on_nan="zero" quantizes NaN-bearing vectors to zeros with scale 0
+    (the zero-vector convention — they rank last, deterministically).
+    Spark's NaN ordering makes the check free: array_max returns NaN
+    iff any |x_i| is NaN, so one isnan() on the scale guards the whole
+    vector with no extra pass.
 
     Everything is JVM Column HOFs (transform/array_max) over doubles —
     float32 inputs are exactly representable in double, so the scale
@@ -496,8 +507,23 @@ def quantize_embeddings(
     what lets the s04 oracle differential the quantization itself.
     Map-only: no shuffle, no UDF; at 100 TB this is one pass that
     shrinks the ANN working set 4x."""
+    if on_nan not in ("raise", "zero"):
+        raise ValueError(f"on_nan must be 'raise' or 'zero', got {on_nan!r}")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale_raw = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    if on_nan == "raise":
+        nan_branch = F.raise_error(
+            F.concat(
+                F.lit(
+                    "quantize_embeddings: NaN component in vector "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" (pass on_nan='zero' to quantize these to zeros)"),
+            )
+        ).cast("double")
+    else:
+        nan_branch = F.lit(0.0)
+    scale = F.when(F.isnan(scale_raw), nan_branch).otherwise(scale_raw)
     q = F.when(
         scale == F.lit(0.0),
         F.transform(v, lambda x: F.lit(0)),

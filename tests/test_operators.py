@@ -4348,6 +4348,30 @@ def test_quantize_embeddings_roundtrip_and_topk(spark):
     for vid, d in got.items():
         assert d == int(np.dot(np.array(qq, np.int64),
                                np.array(allq[vid], np.int64)))
+    # NaN components are a loud boundary (ADVICE r10): default raises
+    # naming the vector; on_nan="zero" maps the vector to the
+    # zero-vector convention so quantized_topk never sees NULL dots
+    import pytest as _pytest
+    from pyspark.sql.utils import CapturedException
+
+    nan_df = spark.createDataFrame(
+        [(7, [0.5, float("nan")]), (8, [1.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(CapturedException, match="NaN component in vector 7"):
+        quantize_embeddings(nan_df).collect()
+    zrows = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(nan_df, on_nan="zero").collect()
+    }
+    assert zrows[7]["scale"] == 0.0 and zrows[7]["qvec"] == [0, 0]
+    assert zrows[8]["scale"] == 2.0 and zrows[8]["qvec"] == [64, -127]
+    dots = quantized_topk(
+        quantize_embeddings(nan_df, on_nan="zero"), [127, 127], k=2
+    ).collect()
+    assert [r["dot"] is not None for r in dots] == [True, True]
+    with _pytest.raises(ValueError, match="on_nan"):
+        quantize_embeddings(nan_df, on_nan="bogus")
 
 
 def test_image_dhash_and_hamming_pairs(spark):
@@ -4420,6 +4444,15 @@ def test_image_dhash_and_hamming_pairs(spark):
     hashes = multimodal.image_dhash(media, on_error="null")
     got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
     assert got[99] is None and len(got) == 5
+    # null content is DATA, not an error: the (media_id, null) row
+    # survives under every on_error mode (decode_image_features' r6
+    # contract — fingerprint tables account for every input row)
+    for mode in ("raise", "skip"):
+        per_mode = {
+            r["media_id"]: r["dhash"]
+            for r in multimodal.image_dhash(media, on_error=mode).collect()
+        }
+        assert per_mode[99] is None and len(per_mode) == 5, mode
     pairs = dedup.hamming_neardup_pairs(
         hashes, "dhash", "media_id", max_hamming=2
     ).collect()
