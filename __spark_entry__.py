@@ -3462,6 +3462,48 @@ def p07_simhash(spark, sf_dir):
 
 
 @q(
+    "p20_simhash_weighted",
+    # Frequency-WEIGHTED SimHash (Charikar's canonical construction —
+    # r10 verdict #5), with a planted truth that is TRUE ONLY IN
+    # WEIGHTED MODE: pair (i, i+10^7) stuffs two DIFFERENT documents
+    # (doc i and doc i+100) with the same token repeated 400x.  The
+    # 400 weighted votes dominate every bit (a few-hundred-token base
+    # text's vote sums are ~sqrt(n) ~ +-30), so both signatures
+    # collapse to the stuffing token's sign pattern -> hamming 0 ->
+    # all four bands collide -> the pair MUST surface.  Unweighted
+    # SimHash gives the stuffing token ONE distinct-token vote, the
+    # differing base texts dominate, and the pair does NOT surface —
+    # pinned as the behavioral contrast in test_operators.  Output
+    # restricted to planted pairs (natural pairs are xxhash64-
+    # dependent, not SQL-expressible), same containment shape as p07.
+    "SELECT doc_id AS id_a, doc_id + 10000000 AS id_b "
+    "FROM documents WHERE doc_id < 40",
+)
+def p20_simhash_weighted(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    spam = F.concat_ws(" ", F.array_repeat(F.lit("xrepstuffx"), 400))
+
+    def stuffed(id_shift, base_shift):
+        return docs.where(
+            (F.col("doc_id") >= base_shift)
+            & (F.col("doc_id") < 40 + base_shift)
+        ).select(
+            (F.col("doc_id") - base_shift + id_shift).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), spam).alias("text"),
+        )
+
+    # id i carries doc i's text, id i+10^7 carries doc (i+100)'s text —
+    # different base, shared dominant token
+    corpus = stuffed(0, 0).unionByName(stuffed(10_000_000, 100))
+    sig = _dedup.simhash_signatures(corpus, weighted=True)
+    pairs = _dedup.simhash_candidate_pairs(sig)
+    return pairs.where(
+        (F.col("hamming") <= 3)
+        & (F.col("id_b") - F.col("id_a") == 10_000_000)
+    ).select("id_a", "id_b")
+
+
+@q(
     "p08_stratified_sample",
     "SELECT doc_id, lang FROM ("
     "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "

@@ -647,13 +647,29 @@ def lsh_dedup_representatives(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    weighted: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document via one Arrow-batched Pandas UDF:
     Spark has no per-bit signed popcount aggregation, so tokens are hashed
     JVM-side (xxhash64 per token), then a numpy kernel folds the +-1 bit
     votes. Returns (id, simhash, chunk_0..chunk_3) where chunks are 16-bit
-    bands for Hamming-candidate joins."""
+    bands for Hamming-candidate joins.
+
+    weighted=False (default) votes once per DISTINCT token — a deliberate
+    divergence from Charikar's construction (STOC 2002), which weights
+    each bit vote by term frequency.  Unweighted is robust to keyword
+    stuffing (a token repeated 1000x still votes once); weighted=True is
+    the canonical variant — repetition-dominant documents hash near the
+    signature of their dominant tokens, so boilerplate with small
+    insertions clusters tighter.  Weighted mode simply skips the
+    array_distinct: every occurrence's hash enters the fold, so the
+    numpy kernel's vote sum IS the frequency-weighted sum — no second
+    code path, no per-token count shuffle (counts stay implicit in the
+    per-document array, which never leaves its row)."""
     @F.pandas_udf("long")
     def fold_bits(hashes: pd.Series) -> pd.Series:
         import numpy as np
@@ -678,9 +694,10 @@ def simhash_signatures(
         return pd.Series(out)
 
     toks = tokens_column(F.col(text_col))
+    votes_src = toks if weighted else F.array_distinct(toks)
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(votes_src, lambda t: F.xxhash64(t)).alias("th"),
     )
     sig = hashed.select("id", fold_bits("th").alias("simhash"))
     for c in range(4):

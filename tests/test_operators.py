@@ -49,6 +49,41 @@ def test_simhash_deterministic_and_close_for_neardups(spark, docs):
     assert max(dists) >= 10, "every doc looks near-every-other"
 
 
+def test_simhash_weighted_votes_follow_term_frequency(spark):
+    """weighted=True is Charikar's frequency-weighted construction
+    (r10 verdict #5): on a repetition-dominated document the weighted
+    signature collapses to the dominant token's hash sign pattern
+    (50 'spam' votes outvote 10 singleton noise tokens on every bit),
+    while the unweighted default — one vote per distinct token — does
+    not.  On an all-unique-token document the two modes are identical
+    (distinct == multiset there), so weighted mode provably changes
+    ONLY repetition behavior."""
+    noise = " ".join(f"noise{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, ("spam " * 50) + noise),   # repetition-dominated
+            (2, "spam"),                   # the dominant token alone
+            (3, noise),                    # all-unique tokens
+        ],
+        "doc_id long, text string",
+    )
+    unw = {r["id"]: r["simhash"]
+           for r in dedup.simhash_signatures(df).collect()}
+    wgt = {r["id"]: r["simhash"]
+           for r in dedup.simhash_signatures(df, weighted=True).collect()}
+    # every 'spam' bit vote carries +-50 vs 10 noise singletons: the
+    # weighted signature of doc 1 IS doc 2's signature
+    assert wgt[1] == wgt[2] == unw[2]
+    # unweighted treats spam as one voice among 11 -> differs from spam's
+    assert unw[1] != unw[2]
+    # ...and the two modes agree wherever tokens are unique
+    assert unw[3] == wgt[3]
+    # determinism across runs holds in weighted mode too
+    wgt2 = {r["id"]: r["simhash"]
+            for r in dedup.simhash_signatures(df, weighted=True).collect()}
+    assert wgt == wgt2
+
+
 def test_simhash_candidates_cover_low_hamming(spark, docs):
     sig = dedup.simhash_signatures(docs).cache()
     cand = dedup.simhash_candidate_pairs(sig)
