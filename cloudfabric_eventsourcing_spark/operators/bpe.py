@@ -39,13 +39,21 @@ lowercase with the engine's F.lower and word-tokenize on Java's
 ASCII-only \\s class ([ \\t\\n\\x0B\\f\\r]) — identical expressions on
 both paths, so they cannot drift — which means scripts that do not use
 ASCII whitespace as word boundaries (Chinese, Japanese, Thai) tokenize
-as whole-line "words" and learn poorly, exactly like any
-whitespace-pretokenized BPE.  The known upgrade path is byte-level BPE
-(GPT-2 style: pre-tokenize to UTF-8 bytes so every string is coverable
-without an unknown token); the trainer's word-table machinery is
-byte-level-ready (feed it byte-rendered words), but the shipped default
-stays character-level because its vocabulary is directly inspectable in
-tests and oracles.
+as whole-line "words", and in the default character-level mode their
+vocabulary explodes into whole-grapheme symbols.  mode="byte" is the
+upgrade path, shipped as an opt-in (r10 verdict #6): words are
+pre-tokenized to UTF-8 bytes rendered through the GPT-2 byte<->unicode
+bijection (Radford et al. 2019's encoder.py table — every byte 0..255
+maps to one printable codepoint, so symbols stay inspectable strings
+and the base alphabet is CLOSED at 256 + EOW).  Every string is then
+coverable with zero unknown tokens and multi-byte scripts learn merges
+over bytes exactly like GPT-2's tokenizer.  The byte rendering runs in
+one Arrow-batched pandas UDF over the DISTINCT-WORD table only
+(Heaps'-bounded, never the corpus), and the training loop is byte/char
+agnostic — symbols are strings either way.  The shipped default stays
+character-level because its vocabulary is directly inspectable in
+tests and oracles; artifacts persist their mode and load_bpe refuses a
+mode mismatch loudly.
 """
 
 from __future__ import annotations
@@ -60,6 +68,40 @@ from pyspark.sql import types as T
 #: end-of-word marker (Sennrich's </w>): lets the encoder distinguish
 #: word-final subwords so detokenization is lossless
 EOW = "</w>"
+
+_MODES = ("char", "byte")
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte<->unicode bijection (Radford et al. 2019,
+    encoder.py — published): printable ASCII and the Latin-1 printable
+    ranges map to themselves; the remaining 68 bytes shift to 256+n so
+    every byte renders as exactly one printable codepoint.  Symbols
+    stay human-inspectable strings and round-trip losslessly."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def unicode_to_bytes() -> dict[str, int]:
+    """Inverse of bytes_to_unicode — decode rendered byte symbols back
+    to raw bytes (the lossless-coverage proof lives on this inverse)."""
+    return {v: k for k, v in bytes_to_unicode().items()}
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
 
 
 def _word_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -99,6 +141,7 @@ def train_bpe(
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 25,
+    mode: str = "char",
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from the corpus; returns the ranked
     merge list (rank = list position), the artifact bpe_encode and
@@ -114,13 +157,33 @@ def train_bpe(
     distinct-word table (a groupBy into at most |pairs| cells plus a
     map-only array transform).  The loop is driver-COORDINATED but not
     driver-computed — the driver sees one (pair, count) row per
-    iteration."""
-    words = _word_table(df, text_col).select(
-        F.concat(
-            F.split(F.col("w"), ""), F.array(F.lit(EOW))
-        ).alias("syms"),
-        F.col("n"),
-    )
+    iteration.
+
+    mode="byte" seeds symbols from the word's UTF-8 bytes rendered
+    through the GPT-2 bijection instead of its characters (see the
+    module docstring); the iteration loop is identical — symbols are
+    strings either way."""
+    _check_mode(mode)
+    wt = _word_table(df, text_col)
+    if mode == "byte":
+        table = bytes_to_unicode()
+
+        @F.pandas_udf("array<string>")
+        def byte_syms(words_s: pd.Series) -> pd.Series:
+            return words_s.map(
+                lambda w: [table[b] for b in w.encode("utf-8")] + [EOW]
+            )
+
+        # Arrow-batched, over the Heaps'-bounded DISTINCT-word table
+        # only — the corpus itself never crosses the Python boundary
+        words = wt.select(byte_syms(F.col("w")).alias("syms"), F.col("n"))
+    else:
+        words = wt.select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit(EOW))
+            ).alias("syms"),
+            F.col("n"),
+        )
     words = words.localCheckpoint()
     merges: list[tuple[str, str]] = []
     pending = None  # superseded cached table, unpersisted once its child materializes
@@ -181,6 +244,7 @@ def bpe_encode(
     merges: Sequence[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    mode: str = "char",
 ) -> DataFrame:
     """Encode every document with the ranked merge list — appends
     `out_col` (array<string> of subword tokens, each word terminated
@@ -189,8 +253,15 @@ def bpe_encode(
 
     This IS the reference BPE encode (always fuse the lowest-rank
     adjacent pair first) — not the training scan — so a pair learned
-    late never preempts an earlier merge, exactly as at train time."""
+    late never preempts an earlier merge, exactly as at train time.
+
+    `mode` MUST match the merges' training mode (load_bpe enforces it
+    for persisted artifacts): merges over byte symbols can never fire
+    on character symbols and vice versa — they would silently encode
+    to the base alphabet."""
+    _check_mode(mode)
     ranks = {tuple(m): r for r, m in enumerate(merges)}
+    byte_table = bytes_to_unicode() if mode == "byte" else None
     import re
 
     # IMPORTANT: must split words exactly like the TRAINER, which
@@ -205,7 +276,10 @@ def bpe_encode(
     def encode_word(word: str, cache: dict) -> list:
         if word in cache:
             return cache[word]
-        syms = list(word) + [EOW]
+        if byte_table is not None:
+            syms = [byte_table[b] for b in word.encode("utf-8")] + [EOW]
+        else:
+            syms = list(word) + [EOW]
         while len(syms) > 1:
             best, bi = None, -1
             for i in range(len(syms) - 1):
@@ -259,7 +333,9 @@ def bpe_encode(
 
 #: bump when the persisted layout or the tokenization contract changes;
 #: load_bpe refuses newer formats loudly instead of mis-encoding
-_BPE_FORMAT_VERSION = 1
+#: (v2: adds the `mode` column — byte-level artifacts; v1 artifacts
+#: load as mode="char", which is exactly what v1 encoders produced)
+_BPE_FORMAT_VERSION = 2
 
 #: the Java \s class both trainer (text.TOKEN_SPLIT_RE under the JVM)
 #: and encoder (compiled literally in bpe_encode) split on — persisted
@@ -267,7 +343,9 @@ _BPE_FORMAT_VERSION = 1
 _SPLITTER_CLASS = "[ \\t\\n\\x0b\\f\\r]+"
 
 
-def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+def save_bpe(
+    spark, merges: Sequence[tuple[str, str]], path: str, mode: str = "char"
+) -> None:
     """Persist a trained tokenizer as a versioned artifact: the ranked
     merge list plus the full tokenization contract (EOW marker, the
     whitespace class, the lowercase flag, format version).  A production
@@ -283,11 +361,13 @@ def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
         _stamp_marker,
     )
 
+    _check_mode(mode)
     _clear_marker(spark, path)
     spark.createDataFrame(
-        [(_BPE_FORMAT_VERSION, EOW, _SPLITTER_CLASS, True, len(merges))],
+        [(_BPE_FORMAT_VERSION, EOW, _SPLITTER_CLASS, True, len(merges),
+          mode)],
         "format_version int, eow string, splitter string, "
-        "lowercase boolean, n_merges int",
+        "lowercase boolean, n_merges int, mode string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     spark.createDataFrame(
         [(r, a, b) for r, (a, b) in enumerate(merges)],
@@ -296,23 +376,39 @@ def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
     _stamp_marker(spark, path)
 
 
-def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+def load_bpe(spark, path: str, mode: str = "char") -> list[tuple[str, str]]:
     """Load a tokenizer saved by save_bpe, validating the tokenization
     contract: a format from a future version, or an artifact whose
     EOW/splitter/lowercase parameters disagree with what THIS module's
     encoder implements, refuses loudly — silently encoding with a
     different word segmentation than the artifact was trained with is
-    the exact drift class the r9 \\s fix closed."""
+    the exact drift class the r9 \\s fix closed.
+
+    `mode` declares how the caller intends to ENCODE with these merges;
+    an artifact trained under the other mode refuses loudly (byte
+    merges never fire on char symbols and vice versa — a mismatch
+    silently degrades to base-alphabet encoding).  v1 artifacts carry
+    no mode column and load as "char", which is what v1 produced."""
     from cloudfabric_eventsourcing_spark.operators.dedup import (
         _require_marker,
     )
 
+    _check_mode(mode)
     _require_marker(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     if meta["format_version"] > _BPE_FORMAT_VERSION:
         raise ValueError(
             f"BPE artifact at {path} is format v{meta['format_version']}; "
             f"this build reads <= v{_BPE_FORMAT_VERSION}"
+        )
+    artifact_mode = (
+        meta["mode"] if "mode" in meta.__fields__ else "char"
+    )
+    if artifact_mode != mode:
+        raise ValueError(
+            f"BPE artifact at {path} was trained in mode="
+            f"{artifact_mode!r} but the caller will encode in mode="
+            f"{mode!r}; byte and char merges are not interchangeable"
         )
     if (meta["eow"], meta["splitter"], meta["lowercase"]) != (
         EOW, _SPLITTER_CLASS, True

@@ -4240,6 +4240,73 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
         bpe.load_bpe(spark, path4)
 
 
+def test_bpe_byte_mode_covers_non_latin_and_roundtrips(spark, tmp_path):
+    """Byte-level BPE (r10 verdict #6): the GPT-2 byte<->unicode table
+    is a bijection over all 256 bytes; mode='byte' training on
+    non-Latin text learns multi-byte merges (the char-mode blind spot);
+    encoding is LOSSLESS for any input — mapping tokens back through
+    the inverse table reconstructs the exact UTF-8 bytes of every
+    lowercased word — and artifacts persist their mode, with a
+    char/byte mismatch refusing loudly in both directions."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import bpe
+
+    table = bpe.bytes_to_unicode()
+    inv = bpe.unicode_to_bytes()
+    assert len(table) == 256 and len(inv) == 256  # bijection
+    assert all(inv[v] == k for k, v in table.items())
+
+    # Japanese + German sharing the corpus: katakana repeats so byte
+    # merges MUST form inside the 3-byte-per-char script
+    ja = "テスト データ テスト データ モデル"
+    docs = spark.createDataFrame(
+        [(0, ja), (1, ja), (2, "größe straße größe")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, n_merges=12, mode="byte")
+    assert merges, "byte mode learned nothing"
+    # merges operate on rendered byte symbols: every merge side decodes
+    # through the inverse table (EOW excepted)
+    for a, b in merges:
+        for side in (a, b):
+            assert all(
+                ch in inv for ch in side.replace(bpe.EOW, "")
+            ), (a, b)
+
+    # lossless coverage: tokens -> bytes -> text reconstructs every
+    # lowercased word, including one the trainer NEVER saw (coverage
+    # needs no <unk> — the base alphabet is closed)
+    probe = spark.createDataFrame(
+        [(0, ja), (1, "日本語 Überraschung")], "doc_id long, text string"
+    )
+    enc = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe.bpe_encode(probe, merges, mode="byte").collect()}
+    for did, text in [(0, ja), (1, "日本語 überraschung")]:
+        toks = enc[did]
+        joined = "".join(toks)
+        words = joined.split(bpe.EOW)
+        assert words[-1] == ""
+        decoded = [
+            bytes(inv[ch] for ch in w).decode("utf-8")
+            for w in words[:-1]
+        ]
+        assert decoded == text.lower().split(), (did, decoded)
+
+    # artifact carries its mode; mismatch refuses in both directions
+    path = str(tmp_path / "btok")
+    bpe.save_bpe(spark, merges, path, mode="byte")
+    assert bpe.load_bpe(spark, path, mode="byte") == merges
+    with _pytest.raises(ValueError, match="not interchangeable"):
+        bpe.load_bpe(spark, path)  # default char
+    cpath = str(tmp_path / "ctok")
+    bpe.save_bpe(spark, bpe.train_bpe(docs, n_merges=4), cpath)
+    with _pytest.raises(ValueError, match="not interchangeable"):
+        bpe.load_bpe(spark, cpath, mode="byte")
+    with _pytest.raises(ValueError, match="mode must be"):
+        bpe.train_bpe(docs, n_merges=2, mode="bytes")
+
+
 def test_trained_language_id_precision(spark):
     """The trained language identifier (r9 verdict ask #7): multinomial
     LR over hashed character 2+3-grams, fit on a planted 4-language
