@@ -215,6 +215,9 @@ def main() -> None:
                 "reload_5k_per_sec": reload_plain,
                 "reload_5k_snapshot_per_sec": reload_snap,
                 **({} if skip_store else _bench_replay(spark, sf_dir)),
+                # streaming-curation legs (r10 verdict #7): full
+                # pipeline docs/sec, cold index, availableNow drain
+                **({} if skip_store else _bench_curation(spark, sf_dir)),
             }
     )
     print(json.dumps(payload))
@@ -594,6 +597,86 @@ def _bench_replay(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _bench_curation(spark, sf_dir: str) -> dict:
+    """Streaming-curation throughput (r10 verdict #7): drain the sf
+    documents table through two curate_*_stream legs with availableNow
+    — the text (MinHash) loop and the fingerprint (SimHash+Hamming)
+    loop — from a cold empty index, 4 micro-batches each, and report
+    end-to-end docs/sec.  This is the full per-batch pipeline the
+    loops run in production (gate → intra-batch dedup → index probe →
+    run/epoch corpus write → index append), so a regression in ANY
+    stage of either loop moves a driver-tracked number."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.sources import load_table
+    from cloudfabric_eventsourcing_spark.streaming.curation import (
+        curate_hamming_stream,
+        curate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    d = tempfile.mkdtemp(prefix="cfes-curation-")
+    out = {}
+    try:
+        # 4 source files -> 4 micro-batches (maxFilesPerTrigger=1)
+        src = os.path.join(d, "incoming")
+        docs.withColumn(
+            "b", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+        ).repartition(4, "b").drop("b").write.parquet(src)
+
+        def drain(leg: str, start) -> float:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            t0 = time.perf_counter()
+            q = start(stream)
+            q.awaitTermination(600)
+            return round(n_docs / (time.perf_counter() - t0), 1)
+
+        text_idx = os.path.join(d, "tidx")
+        dedup.save_minhash_index(
+            spark.createDataFrame([], "doc_id long, text string"), text_idx
+        )
+        out["curation_text_docs_per_sec"] = drain(
+            "text",
+            lambda s: curate_stream(
+                s, text_idx, os.path.join(d, "tcorpus"),
+                os.path.join(d, "tckpt"), threshold=0.9,
+            ),
+        )
+
+        ham_idx = os.path.join(d, "hidx")
+        dedup.save_hamming_index(
+            spark.createDataFrame([], "doc_id long, simhash long"),
+            ham_idx, hash_col="simhash", id_col="doc_id",
+        )
+
+        def sigs(batch):
+            return dedup.simhash_signatures(batch).select(
+                F.col("id").alias("doc_id"), "simhash"
+            )
+
+        out["curation_hamming_docs_per_sec"] = drain(
+            "hamming",
+            lambda s: curate_hamming_stream(
+                s, ham_idx, os.path.join(d, "hcorpus"),
+                os.path.join(d, "hckpt"), max_hamming=3,
+                hash_col="simhash", id_col="doc_id",
+                batch_transform=sigs,
+            ),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def _bench_sql_fold(spark, sf_dir: str) -> float:
