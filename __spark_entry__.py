@@ -3462,7 +3462,7 @@ def p07_simhash(spark, sf_dir):
 
 
 @q(
-    "p20_simhash_weighted",
+    "p21_simhash_weighted",
     # Frequency-WEIGHTED SimHash (Charikar's canonical construction —
     # r10 verdict #5), with a planted truth that is TRUE ONLY IN
     # WEIGHTED MODE: pair (i, i+10^7) stuffs two DIFFERENT documents
@@ -3479,7 +3479,7 @@ def p07_simhash(spark, sf_dir):
     "SELECT doc_id AS id_a, doc_id + 10000000 AS id_b "
     "FROM documents WHERE doc_id < 40",
 )
-def p20_simhash_weighted(spark, sf_dir):
+def p21_simhash_weighted(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     spam = F.concat_ws(" ", F.array_repeat(F.lit("xrepstuffx"), 400))
 
