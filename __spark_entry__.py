@@ -1272,10 +1272,13 @@ def p17_duplicated_spans(spark, sf_dir):
     # as the distributed k-gram reformulation: maximal token spans
     # covered by 8-grams occurring >= 2 times corpus-wide, 1-based
     # inclusive indices.  Unlike the pair-listing family nothing is
-    # quadratic in posting length (positions are semi-join-marked, never
-    # paired), so no skew valve exists or is needed; the production
-    # flag hash_grams=True shuffles 8-byte keys, off here so gram
-    # selection itself is under the cross-engine differential.
+    # quadratic in posting length (positions are count-marked, never
+    # paired).  Default mark="window" (the r11 A/B winner: one gram
+    # shuffle, 16.9 s vs semijoin's 21.7 s at sf10 against DuckDB's
+    # 10.2 s = 1.66x — under the 2x letter); mark="semijoin" is the
+    # AQE-skew-splittable fallback for mega-gram corpora.  The
+    # production flag hash_grams=True shuffles 8-byte keys, off here
+    # so gram selection itself is under the cross-engine differential.
     return _dedup.duplicated_spans(
         load_table(spark, sf_dir, "documents"), k=8, min_count=2
     )

@@ -1222,6 +1222,47 @@ def _positioned_grams(
     )
 
 
+def _positioned_gram_hashes(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, gram) like _positioned_grams, but gram is a 64-bit
+    HASH built straight from per-token xxhash64 values folded with a
+    rotate(7)-xor chain — the k-token STRING is never materialized.
+    Position matters (rotate-xor is order-sensitive), adjacent grams
+    share no arithmetic shortcut an adversary... rather: inputs are
+    already-uniform token hashes, so the fold stays uniform and the
+    collision odds per gram pair are ~2^-64 (documented at the
+    hash_grams boundary).  All shift/xor Column ops — no overflow, so
+    ANSI mode is safe; tokens hash ONCE each (n per doc) instead of
+    appearing in k gram strings (the r10 hash_grams variant built the
+    strings and then hashed them, paying both costs — that is why it
+    measured SLOWER than raw)."""
+    from cloudfabric_eventsourcing_spark.operators.text import tokens_column
+
+    toks = tokens_column(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    gspan = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gz = F.arrays_zip(*[F.slice(th, i + 1, gspan) for i in range(k)])
+
+    def fold(s):
+        h = s["0"]
+        for j in range(1, k):
+            h = (
+                F.shiftleft(h, 7)
+                .bitwiseOR(F.shiftrightunsigned(h, 57))
+                .bitwiseXOR(s[str(j)])
+            )
+        return h
+
+    grams = F.transform(gz, fold)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).select(
+        "id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "gram"
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     k: int = 8,
@@ -1229,6 +1270,7 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = False,
+    mark: str = "window",
 ) -> DataFrame:
     """Exact-substring duplicate detection (the ExactSubstr operator of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1254,27 +1296,59 @@ def duplicated_spans(
     here is quadratic in posting length: positions are marked by a
     semi-join, never paired, so no skew valve is needed.
 
-    hash_grams=True shuffles 8-byte xxhash64 keys instead of k-token
-    strings (2^-64 collision odds per gram pair) — a win only when the
-    shuffle is the bottleneck: over a real network with long grams
-    (large k, long words) the narrower key pays; measured on local[32]
-    at sf10 (500k docs, ~27M grams of ~40 bytes) it LOSES — 39.5 s vs
-    26 s raw, interleaved A/B — because the extra 54M-row hash
-    projection costs more than a local-disk shuffle saves.  The
-    default keeps raw grams, which also makes the selection
-    engine-reproducible (the p17 oracle row)."""
+    `mark` picks how duplicated positions are identified — both give
+    IDENTICAL results (pinned); the choice is physical (r11 sf10 A/B,
+    interleaved, DuckDB wall 10.2 s):
+
+    - "window" (default, 16.9 s = 1.66x oracle): ONE shuffle of the
+      positioned grams by gram key, then a partition-wide COUNT window
+      — the gram frame is built once and never re-shuffled.  Caveat: a
+      window partition cannot be skew-split by AQE, so a pathological
+      mega-gram (corpus-wide boilerplate repeated ~10^8 times) becomes
+      one straggler task (it spills, it does not OOM).  At that point
+      switch to "semijoin" or pre-filter boilerplate
+      (boilerplate_lines) ahead of span detection.
+    - "semijoin" (21.7 s = 2.1x): skew-safe — the count is a
+      map-side-combinable groupBy and AQE can skew-split the mark
+      join — at the cost of building AND shuffling the gram frame a
+      second time.  The r11 decomposition: the gram build itself is
+      ~14 s of the wall (the JVM array/expression floor — arrays_zip
+      of k slices; zip_with doubling, window-lead, and pandas variants
+      all measured slower), so avoiding the rebuild is the whole win.
+
+    hash_grams=True shuffles 8-byte keys instead of k-token strings
+    (~2^-64 collision odds per gram pair): per-token xxhash64 values
+    fold into the gram key with a rotate-xor chain, so the k-token
+    STRING is never materialized.  Re-measured in r11 with the direct
+    fold (the r10 variant built strings then hashed them): STILL loses
+    on local[32] at sf10 — 60 s vs 22 s — because the per-element HOF
+    fold is interpreter-bound; it remains the right key only when a
+    real network shuffle is the bottleneck.  The default keeps raw
+    grams, which makes the selection engine-reproducible (the p17
+    oracle row)."""
     from pyspark.sql import Window
 
-    g = _positioned_grams(df, k, text_col, id_col)
+    if mark not in ("window", "semijoin"):
+        raise ValueError(f"mark must be 'window' or 'semijoin', got {mark!r}")
     if hash_grams:
-        g = g.select("id", "pos", F.xxhash64("gram").alias("gram"))
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") >= min_count)
-        .select("gram")
-    )
-    marked = g.join(dup, "gram", "left_semi").select("id", "pos")
+        g = _positioned_gram_hashes(df, k, text_col, id_col)
+    else:
+        g = _positioned_grams(df, k, text_col, id_col)
+    if mark == "window":
+        wc = Window.partitionBy("gram")
+        marked = (
+            g.withColumn("__n", F.count(F.lit(1)).over(wc))
+            .where(F.col("__n") >= min_count)
+            .select("id", "pos")
+        )
+    else:
+        dup = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= min_count)
+            .select("gram")
+        )
+        marked = g.join(dup, "gram", "left_semi").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     brk = (
         F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))

@@ -1077,7 +1077,9 @@ def test_duplicated_spans_and_removal(spark):
     }
     assert per_doc[1] == 1 and sp[1][:2] == (1, 8)   # fused
     assert per_doc[2] == 2                            # split
-    # hash_grams parity
+    # hash_grams parity, and mark-strategy parity (window vs semijoin
+    # are the same logical operator — r11's physical A/B; a strategy
+    # that changes the answer is a bug, not a speedup)
     a = sorted(map(tuple, duplicated_spans(docs, k=4, min_count=2).collect()))
     b = sorted(
         map(
@@ -1086,6 +1088,19 @@ def test_duplicated_spans_and_removal(spark):
         )
     )
     assert a == b
+    c = sorted(
+        map(
+            tuple,
+            duplicated_spans(
+                docs, k=4, min_count=2, mark="semijoin"
+            ).collect(),
+        )
+    )
+    assert a == c
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mark must be"):
+        duplicated_spans(docs, k=4, mark="bogus")
     # removal: every covered token cut, casing preserved, untouched docs
     # only whitespace-normalized
     clean = {
