@@ -302,6 +302,7 @@ def winnowing_overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash: str = "xxh64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
     (id_a, id_b, n_shared), id_a < id_b.  The inverted-index pattern:
@@ -312,10 +313,25 @@ def winnowing_overlap_pairs(
     `max_postings` to drop fingerprints with more than that many
     postings (they carry no discriminating signal, the same trade as
     minhash's max_bucket_size valve; dropped fingerprints reduce
-    n_shared, never invent pairs)."""
-    fps = winnowing_fingerprints(
+    n_shared, never invent pairs).
+
+    `materialize` (default True) eagerly localCheckpoints the
+    fingerprint ARRAYS before the explode + self-join.  Measured at
+    sf10 (r11): the fingerprint expression chain costs ~22-32 s to
+    evaluate once, Spark's Generate re-evaluates it on explode instead
+    of reusing the projected arrays (explode-from-cache is 0.3 s), and
+    the self-join's two aliases evaluate it TWICE more — 70.6 s
+    unmaterialized vs ~40 s materialized for identical output.  The
+    checkpoint blocks are per-executor local (no driver collect) and
+    released by the ContextCleaner when the frame is GC'd; pass False
+    for a purely-lazy plan (composition into a larger pipeline that
+    materializes anyway)."""
+    arrays = winnowing_fingerprints(
         df, k=k, window=window, text_col=text_col, id_col=id_col, hash=hash
-    ).select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    )
+    if materialize:
+        arrays = arrays.localCheckpoint(eager=True)
+    fps = arrays.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
     if max_postings is not None:
         keep = (
             fps.groupBy("fp")
