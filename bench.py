@@ -80,6 +80,13 @@ HEADLINE = [
     "m05_image_dhash_neardup",
     "t10_unigram_surprisal",
     "o5_keyset_pagination",
+    # r11 rows, driver-tracked from day one
+    "o6_keyset_nulls",
+    "p21_simhash_weighted",
+    "x07_hourly_gapfill",
+    "x08_event_transitions",
+    "p22_line_dedup_first",
+    "s06_pq_adc_topk",
 ]
 
 

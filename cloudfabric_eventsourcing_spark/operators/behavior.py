@@ -162,3 +162,46 @@ def last_touch_attribution(
             (F.sum("__cents").cast("double") / 100.0).alias("total_value"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over the event log: for each
+    ordered pair of consecutive events WITHIN a user's stream, count
+    (src event type -> dst event type) and the conditional probability
+    P(dst | src). The classic "what do users do after X?" product
+    question; the reference can only answer it with a hand-written
+    projection handler folding one stream at a time.
+
+    Scale shape: ONE shuffle on the user key for the lead window
+    (per-user groups are bounded, window sorts are local), then the
+    map-side-combinable count over an alphabet-squared result — at most
+    |event types|^2 rows reach the final tiny aggregate, so the second
+    exchange moves kilobytes at any corpus size. The probability
+    denominator is a window over that tiny frame, not a second scan.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = df.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("src"))
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double") / total.cast("double")
+        ).alias("p"),
+    )

@@ -209,3 +209,72 @@ def range_join(
         .where((F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi)))
         .drop("__bucket")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Regularize an irregular event series onto a fixed time grid with
+    forward-fill — the hypertable `time_bucket_gapfill` + `locf` shape
+    (TimescaleDB's name for it; the reference has no equivalent, its
+    projections re-emit the last state per poll instead).
+
+    Semantics: per key, truncate events to their grid bucket; the
+    bucket's value is its LAST event's value in (ts, tiebreak) order;
+    every empty bucket between two observed buckets carries the earlier
+    bucket's value with ``filled = true``. The series spans each key's
+    first to last OBSERVED bucket (no extrapolation beyond either end).
+
+    Scale shape: ONE shuffle (the key-partition window). The
+    per-(key, bucket) last-event pick and the fill horizon come from
+    the same `lead` pass: a row is its bucket's last event iff the next
+    event's bucket differs, and that next bucket IS the fill horizon —
+    so no (key, bucket) pre-aggregate, no generated calendar table, no
+    join back to the series. Fill expansion is a per-row
+    `sequence()` + `explode` (output-proportional, distributed). A
+    pathologically sparse key (two events a year apart at minute grain)
+    expands to ~0.5M rows from ONE row — bound `unit` to the expected
+    gap scale, exactly as a hypertable's chunk interval is chosen.
+
+    Output: (key, bucket timestamp, value, filled boolean).
+    """
+    if unit not in ("minute", "hour", "day"):
+        raise ValueError(f"unsupported gap_fill unit: {unit!r}")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    step = F.expr(f"INTERVAL 1 {unit}")
+    bucketed = df.select(
+        F.col(key_col),
+        F.date_trunc(unit, F.col(ts_col)).alias("__bucket"),
+        F.col(value_col).alias("value"),
+        *( [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else []) ),
+    ).withColumn("__next_bucket", F.lead("__bucket").over(w))
+    last_in_bucket = bucketed.where(
+        F.col("__next_bucket").isNull()
+        | (F.col("__next_bucket") != F.col("__bucket"))
+    )
+    expanded = last_in_bucket.select(
+        F.col(key_col),
+        F.col("__bucket"),
+        F.col("value"),
+        F.explode(
+            F.sequence(
+                F.col("__bucket"),
+                F.coalesce(F.col("__next_bucket") - step, F.col("__bucket")),
+                step,
+            )
+        ).alias("bucket"),
+    )
+    return expanded.select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.col("value"),
+        (F.col("bucket") != F.col("__bucket")).alias("filled"),
+    )

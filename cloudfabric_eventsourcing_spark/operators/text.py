@@ -9,7 +9,7 @@ pushdown-friendly. Each returns a DataFrame transform so operators compose:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # minimal per-language stopword lists for the n-gram/stopword language-id
@@ -207,6 +207,78 @@ def remove_boilerplate_lines(
     )
     return df.join(rebuilt, id_col, "left").withColumn(
         out, F.coalesce(F.col(out), F.lit(""))
+    )
+
+
+def dedup_lines_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+    out: str = "clean",
+) -> DataFrame:
+    """Corpus-level EXACT line dedup keeping the FIRST occurrence
+    (C4's "discard all but one of any three-sentence span" at line
+    granularity; RefinedWeb's exact line dedup): a line appearing in
+    many documents survives only at its earliest (id, position); every
+    later copy is dropped. Complements remove_boilerplate_lines, which
+    removes frequent lines EVERYWHERE — keep-first preserves one copy,
+    the right semantics when the duplicated line is content, not chrome.
+
+    Lines whose TRIMMED length is < min_len (blank lines, lone
+    punctuation) are exempt and always kept: they carry document
+    structure, and deduping the corpus's blank lines to one document
+    would be nonsense.
+
+    Plan shape for 100 TB: posexplode (linear) -> ONE hash shuffle on
+    the line text for a row_number window ordered by (id, pos) -> keep
+    rank 1 -> one regroup by document reassembles order via sort_array.
+    The window's per-line groups are as big as a line's corpus-wide
+    duplication count, so a mega-duplicated line (a cookie banner in
+    10^9 docs) is one straggler partition — at that duplication level
+    the line IS boilerplate and remove_boilerplate_lines (whose
+    count-aggregate combines map-side) is the right tool first; this
+    operator is the precision pass for the moderate-duplication tail.
+    Returns (id, n_lines, n_kept, out) — n_lines/n_kept make the
+    removal auditable per document.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= min_len
+    # ineligible rows bypass ranking, and each gets its OWN window
+    # partition (keyed by its unique (id, pos), disambiguated from real
+    # lines by the eligibility flag column) — a single shared partition
+    # would funnel every blank line in the corpus through one sort task
+    w = Window.partitionBy(
+        eligible,
+        F.when(eligible, F.col("line")).otherwise(
+            F.concat_ws(":", F.col(id_col), F.col("pos"))
+        ),
+    ).orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = lines.withColumn(
+        "__rn", F.when(eligible, F.row_number().over(w)).otherwise(F.lit(1))
+    )
+    kept = ranked.where(F.col("__rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out),
+    )
+    # a document deduped to NOTHING still comes back (empty, 0 kept) —
+    # corpus accounting must cover every input row (the r10 m05 advice
+    # lesson applied up front)
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit("")))
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .select(id_col, "n_kept", out)
     )
 
 

@@ -4715,3 +4715,205 @@ def test_unigram_surprisal_semantics(spark):
     sc = {r["doc_id"]: r["mean_surprisal"]
           for r in unigram_surprisal(corpus).collect()}
     assert sc[99] > sc[0]
+
+
+# ---------------------------------------------------------------------------
+# round 11: gap_fill, event_transitions, dedup_lines_keep_first, PQ
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_worked_example(spark):
+    """Hand-computed fill: user 1 has events at 00:10 (v=1), 00:40 (v=2),
+    03:05 (v=3) -> buckets 00,01,02,03; bucket 00 takes the LAST event's
+    value (2), 01 and 02 carry it filled, 03 observed. User 2 has one
+    event -> one unfilled bucket, no extrapolation either side."""
+    from cloudfabric_eventsourcing_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 1.0, 10),
+            (1, "2024-01-01 00:40:00", 2.0, 11),
+            (1, "2024-01-01 03:05:00", 3.0, 12),
+            (2, "2024-01-05 09:59:00", 7.0, 13),
+        ],
+        "user_id long, ts string, value double, event_id long",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value", "event_id")
+    out = {
+        (r["user_id"], str(r["bucket"])): (r["value"], r["filled"])
+        for r in gap_fill(
+            df, "user_id", "ts", "value", unit="hour", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out == {
+        (1, "2024-01-01 00:00:00"): (2.0, False),
+        (1, "2024-01-01 01:00:00"): (2.0, True),
+        (1, "2024-01-01 02:00:00"): (2.0, True),
+        (1, "2024-01-01 03:00:00"): (3.0, False),
+        (2, "2024-01-05 09:00:00"): (7.0, False),
+    }
+
+
+def test_gap_fill_tiebreak_picks_highest_event_id_on_equal_ts(spark):
+    from cloudfabric_eventsourcing_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1.0, 5), (1, "2024-01-01 00:10:00", 9.0, 6)],
+        "user_id long, ts string, value double, event_id long",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value", "event_id")
+    rows = gap_fill(
+        df, "user_id", "ts", "value", unit="hour", tiebreak_col="event_id"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["value"] == 9.0
+
+
+def test_gap_fill_rejects_unknown_unit(spark):
+    from cloudfabric_eventsourcing_spark.operators.temporal import gap_fill
+
+    df = spark.range(1)
+    try:
+        gap_fill(df, "id", "id", "id", unit="fortnight")
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "unit" in str(e)
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    """a->b twice, a->a once for user 1 (order by ts then event_id);
+    user boundaries never produce cross-user transitions."""
+    from cloudfabric_eventsourcing_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", 1),
+            (1, 2, "b", 2),
+            (1, 3, "a", 3),
+            (1, 4, "a", 4),
+            (1, 5, "b", 5),
+            (2, 6, "c", 6),
+        ],
+        "user_id long, t long, event_type string, event_id long",
+    ).selectExpr(
+        "user_id", "CAST(t AS TIMESTAMP) ts", "event_type", "event_id"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["p"])
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", tiebreak_col="event_id"
+        ).collect()
+    }
+    # src=a has 3 outgoing: a->b x2, a->a x1; src=b has 1: b->a; c none
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("a", "a")] == (1, 1 / 3)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got and len(got) == 3
+
+
+def test_dedup_lines_keep_first_semantics(spark):
+    """Duplicate lines survive only at the earliest (doc_id, pos);
+    blank lines are structural and always kept; a doc deduped to only
+    blanks still comes back (never dropped from the corpus)."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        dedup_lines_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "dup\n\nunique one"),
+            (2, "dup\n\nunique two\ndup"),
+            (3, "dup"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean"], r["n_kept"])
+        for r in dedup_lines_keep_first(df).collect()
+    }
+    assert got[1] == ("dup\n\nunique one", 3)
+    assert got[2] == ("\nunique two", 2)  # both dup copies dropped
+    assert got[3] == ("", 0)  # deduped to nothing, still accounted for
+
+
+def test_dedup_lines_first_occurrence_within_one_doc(spark):
+    """The same line twice in ONE doc keeps only the earlier position."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        dedup_lines_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x\ny\nx")], "doc_id long, text string"
+    )
+    rows = dedup_lines_keep_first(df).collect()
+    assert rows[0]["clean"] == "x\ny" and rows[0]["n_kept"] == 2
+
+
+def test_pq_train_deterministic_and_shapes(spark, sf_dir):
+    import numpy as np
+
+    from cloudfabric_eventsourcing_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = S.pq_train(emb, n_subspaces=8, n_codes=16)
+    b2 = S.pq_train(emb, n_subspaces=8, n_codes=16)
+    assert b1.shape == (8, 16, 8) and np.array_equal(b1, b2)
+    # dim not divisible by m is a loud error
+    try:
+        S.pq_train(emb, n_subspaces=7)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "divisible" in str(e)
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC top-10 recalls >= 50% of the exact inner-product top-10
+    (32x compression; measured 0.7 at sf0.01 with these settings) and
+    the true nearest neighbor (the query itself) is always rank 1."""
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    ).withColumn(
+        "__n",
+        F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x)),
+    ).withColumn(
+        "embedding", F.transform("embedding", lambda x: x / F.col("__n"))
+    ).drop("__n")
+    # PQ8x256 — the classic 8-bit-code config (8 bytes/vector = 32x):
+    # measured mean recall@10 0.68 (sf0.001) / 0.60 (sf0.01); the 4-bit
+    # k=16 config halves that — codes must be wide enough for the space
+    books = S.pq_train(norm, n_subspaces=8, n_codes=256)
+    codes = S.pq_encode(norm, books).cache()
+    recalls = []
+    for qid in (3, 7, 11, 42, 99):
+        q = norm.where(f"vec_id = {qid}").collect()[0]["embedding"]
+        pq_ids = [
+            r["vec_id"] for r in S.pq_topk(codes, books, q, k=10).collect()
+        ]
+        bf_ids = [
+            r["vec_id"]
+            for r in S.brute_force_topk(norm, q, k=10).collect()
+        ]
+        assert pq_ids[0] == qid  # self is nearest under ADC too
+        recalls.append(len(set(pq_ids) & set(bf_ids)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # encode is deterministic row-for-row
+    c1 = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    c2 = {r["vec_id"]: r["pq_code"] for r in S.pq_encode(norm, books).collect()}
+    assert c1 == c2
+
+
+def test_pq_topk_rejects_wrong_query_dim(spark, sf_dir):
+    from cloudfabric_eventsourcing_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.pq_train(emb, n_subspaces=8, n_codes=16)
+    codes = S.pq_encode(emb, books)
+    try:
+        S.pq_topk(codes, books, [1.0, 2.0], k=3)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "dim" in str(e)
