@@ -120,6 +120,113 @@ def main() -> None:
     t = time.time()
     unigram_surprisal(docs).write.format("noop").mode("overwrite").save()
     report("unigram_surprisal", t, docs=n_docs)
+
+    # round-11 additions (r10 verdict stretch #10): the NO-ORACLE ML
+    # components get the same per-scale regression rows as the oracle
+    # queries — held-out quality, not just wall seconds, so silent
+    # drift (a feature-hashing change, a regularization bump, corpus
+    # skew at scale) becomes driver-visible.
+    #
+    # The LID row uses a PLANTED 4-language corpus sized to the sf
+    # (the real corpus's text is identical token soup across lang
+    # labels — unlearnable by construction; measured held-out accuracy
+    # there is chance ~0.2, i.e. pure noise).  The corpus is generated
+    # DISTRIBUTED from doc_id arithmetic: word j of doc i is
+    # vocab[lang][xxhash64(i, j) % |vocab|] — deterministic across
+    # runs and engines, no driver-side loop.
+    from cloudfabric_eventsourcing_spark.operators.classify import (
+        predict_language,
+        train_language_id,
+    )
+
+    vocab = {
+        "en": ("the quick brown fox jumps over lazy dogs while many "
+               "people watch the evening news and drink warm tea").split(),
+        "de": ("der schnelle braune Fuchs springt über faule Hunde "
+               "während viele Leute abends Nachrichten schauen und "
+               "warmen Tee trinken größe straße müde schön").split(),
+        "fr": ("le renard brun rapide saute par-dessus les chiens "
+               "paresseux pendant que beaucoup de gens regardent les "
+               "nouvelles du soir et boivent du thé chaud être déjà").split(),
+        "es": ("el zorro marrón rápido salta sobre los perros perezosos "
+               "mientras mucha gente mira las noticias de la noche y "
+               "bebe té caliente mañana niño señor además").split(),
+    }
+    langs = sorted(vocab)
+    lang_col = F.element_at(
+        F.array(*[F.lit(l) for l in langs]),
+        (F.col("doc_id") % len(langs)).cast("int") + 1,
+    )
+    word_arrs = {
+        l: F.array(*[F.lit(w) for w in vocab[l]]) for l in langs
+    }
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda j: F.element_at(
+            F.coalesce(*[
+                F.when(lang_col == l, word_arrs[l]) for l in langs
+            ]),
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), j),
+                F.when(lang_col == F.lit("x"), 0).otherwise(
+                    F.size(F.coalesce(*[
+                        F.when(lang_col == l, word_arrs[l]) for l in langs
+                    ]))
+                ),
+            ).cast("int") + 1,
+        ),
+    )
+    planted = docs.select(
+        "doc_id",
+        lang_col.alias("lang"),
+        F.array_join(words, " ").alias("text"),
+    )
+    is_test = F.abs(F.xxhash64("doc_id")) % 5 == 0
+    lid_train = planted.where(~is_test).limit(8000)
+    lid_test = planted.where(is_test)
+    t = time.time()
+    lid_model = train_language_id(lid_train)
+    report("language_id_fit", t, sample=lid_train.count())
+    t = time.time()
+    agg = (
+        predict_language(lid_test, lid_model)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("int")).alias(
+                "hit"
+            ),
+        )
+        .collect()
+    )
+    per_lang = {r["lang"]: round(r["hit"] / r["n"], 4) for r in agg}
+    total = sum(r["n"] for r in agg)
+    acc = round(sum(r["hit"] for r in agg) / total, 4) if total else None
+    report(
+        "language_id_heldout", t,
+        test_docs=total, accuracy=acc, per_lang_precision=per_lang,
+    )
+
+    # quality classifier held-out accuracy on the same split (en vs
+    # non-en proxy labels, the train_quality_classifier recipe above)
+    real_test = docs.where(is_test)
+    t = time.time()
+    ho = score_quality(real_test, model).withColumn(
+        "__want", (F.col("lang") == "en").cast("int")
+    )
+    cls = ho.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("quality_prob") >= 0.5).cast("int") == F.col("__want")).cast(
+                "int"
+            )
+        ).alias("hit"),
+    ).collect()[0]
+    report(
+        "quality_classifier_heldout", t,
+        test_docs=cls["n"],
+        accuracy=round(cls["hit"] / cls["n"], 4) if cls["n"] else None,
+    )
     spark.stop()
 
 
