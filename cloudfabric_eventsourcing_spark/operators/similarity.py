@@ -726,3 +726,98 @@ def pq_topk(
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: train once, encode the corpus to codes on disk,
+# query many — the 32x-smaller ANN working set as a durable artifact
+# ---------------------------------------------------------------------------
+
+_PQ_MARKER = "_SPARK_GRAFT_CONSISTENT"  # shared index-marker discipline
+
+
+def save_pq_index(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize a PQ index: the codebook tensor plus the corpus
+    encoded to m-byte codes. Queries then scan CODES ONLY — at 100 TB
+    of float32 embeddings the stored index is ~3 TB, and every ADC
+    top-k reads that, not the vectors.
+
+    Same crash discipline as the IVF/MinHash/cosine/Hamming indexes:
+    the consistency marker is deleted FIRST and rewritten LAST, so a
+    crash between the codebook write and the code write leaves a
+    loudly-unreadable index instead of codes decoded against the wrong
+    codebooks (which would silently rank garbage)."""
+    spark = df.sparkSession
+    m, k, dsub = codebooks.shape
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PQ_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(marker, False)
+    book_rows = [
+        (int(j), int(c), [float(v) for v in codebooks[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(df, codebooks, vec_col=vec_col).select(
+        id_col, "pq_code"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    fs.create(marker).close()
+
+
+def load_pq_index(spark, path: str):
+    """Returns (codes_df, codebook_tensor) for pq_topk."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PQ_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
+        raise ValueError(
+            f"PQ index at {path} has no consistency marker: a "
+            "save_pq_index run is in flight or was interrupted "
+            "(codebooks and codes may disagree). Re-run save_pq_index. "
+            f"For an index saved by an older version, create {path}/"
+            f"{_PQ_MARKER} after verifying it is complete."
+        )
+    rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((m, k, dsub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    return spark.read.parquet(f"{path}/codes"), books
+
+
+def append_to_pq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    skip_existing: bool = False,
+) -> None:
+    """Grow a persisted PQ index: new vectors encode against the
+    EXISTING codebooks (the append contract shared with the IVF index —
+    quantization error drifts up as the distribution moves; rebuild
+    with save_pq_index when a recall check warrants it).  Re-appended
+    ids occupy extra top-k slots exactly as in IVF, so the same
+    skip_existing anti-join is offered, opt-in."""
+    spark = df.sparkSession
+    _, books = load_pq_index(spark, path)
+    if skip_existing:
+        existing = spark.read.parquet(f"{path}/codes").select(id_col)
+        df = df.join(existing, id_col, "left_anti")
+    pq_encode(df, books, vec_col=vec_col).select(
+        id_col, "pq_code"
+    ).write.mode("append").parquet(f"{path}/codes")

@@ -4917,3 +4917,103 @@ def test_pq_topk_rejects_wrong_query_dim(spark, sf_dir):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "dim" in str(e)
+
+
+def test_gap_fill_and_transitions_plan_shape(spark, sf_dir):
+    """100 TB plan pins for the r11 event-analytics pair: gap_fill's
+    ONLY shuffle is the user-key window exchange (the per-bucket
+    last-event pick, the fill horizon, and the expansion all ride it);
+    event_transitions adds exactly the tiny alphabet-squared aggregate
+    exchange on top of the same window shuffle — neither joins the
+    log to itself or to a generated calendar frame."""
+    import re
+
+    from cloudfabric_eventsourcing_spark.operators.behavior import (
+        event_transitions,
+    )
+    from cloudfabric_eventsourcing_spark.operators.temporal import gap_fill
+    from cloudfabric_eventsourcing_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    g = gap_fill(events, "user_id", "ts", "value", unit="hour",
+                 tiebreak_col="event_id")
+    g.write.format("noop").mode("overwrite").save()
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    ex = set(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
+    assert len(ex) == 1 and "user_id" in next(iter(ex)), plan
+    assert "Join" not in plan, plan
+
+    t = event_transitions(events, "user_id", "ts", "event_type",
+                          tiebreak_col="event_id")
+    t.write.format("noop").mode("overwrite").save()
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    ex = set(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
+    assert len(ex) == 2, plan  # window shuffle + src/dst agg shuffle
+    assert any("user_id" in e for e in ex), plan
+    assert "Join" not in plan, plan
+
+
+def test_dedup_lines_plan_has_no_blank_line_hotspot(spark):
+    """The keep-first window partitions ineligible (blank) lines by
+    their unique (id, pos) — the partition expression must appear in
+    the window exchange key so a corpus of a billion blank lines never
+    funnels through one sort task."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        dedup_lines_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "a\n\nc")], "doc_id long, text string"
+    )
+    out = dedup_lines_keep_first(df)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window exchange must key on more than the raw line (flag +
+    # per-row disambiguator), not `hashpartitioning(line, ...)` alone
+    assert "concat_ws" in plan or "CASE WHEN" in plan, plan
+
+
+def test_pq_index_roundtrip_append_and_crash_discipline(spark, sf_dir, tmp_path):
+    """Persisted PQ index: save -> load returns the identical codebook
+    tensor and the same codes pq_encode produces; pq_topk over the
+    loaded index equals pq_topk over the in-memory codes; append
+    encodes against the EXISTING codebooks (skip_existing anti-joins
+    retries); a missing consistency marker refuses loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        "vec_id < 200"
+    )
+    books = S.pq_train(emb, n_subspaces=8, n_codes=16)
+    path = str(tmp_path / "pqidx")
+    S.save_pq_index(emb, books, path)
+    codes_df, books2 = S.load_pq_index(spark, path)
+    assert np.array_equal(books, books2)
+    mem = {r["vec_id"]: r["pq_code"]
+           for r in S.pq_encode(emb, books).collect()}
+    disk = {r["vec_id"]: r["pq_code"] for r in codes_df.collect()}
+    assert mem == disk
+    q = emb.where("vec_id = 5").collect()[0]["embedding"]
+    top_mem = [(r["vec_id"], r["adc_score"]) for r in
+               S.pq_topk(S.pq_encode(emb, books), books, q, k=5).collect()]
+    top_disk = [(r["vec_id"], r["adc_score"]) for r in
+                S.pq_topk(codes_df, books2, q, k=5).collect()]
+    assert top_mem == top_disk
+    # append: new ids encoded with the stored codebooks; retried ids
+    # skipped under skip_existing
+    more = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        "vec_id >= 200 AND vec_id < 210"
+    )
+    S.append_to_pq_index(more, path)
+    S.append_to_pq_index(more, path, skip_existing=True)  # no-op retry
+    codes3, _ = S.load_pq_index(spark, path)
+    assert codes3.count() == 210
+    assert codes3.where("vec_id = 205").count() == 1
+    # crash discipline: delete the marker -> load refuses
+    import os
+    os.remove(os.path.join(path, "_SPARK_GRAFT_CONSISTENT"))
+    with _pytest.raises(ValueError, match="consistency marker"):
+        S.load_pq_index(spark, path)
