@@ -1376,12 +1376,21 @@ def p04_minhash_lsh(spark, sf_dir):
     # LSH candidates + exact verification; at (128 perms, 32 bands) the
     # miss probability at s>=0.9 is ~1e-15, so the verified output equals
     # the exact O(N^2) scan (same oracle as p03) — the correctness check
-    # IS the recall claim
+    # IS the recall claim.
+    # max_bucket_size=512: the star valve for the degenerate TAIL
+    # buckets this corpus's unigram shingles produce (r11 measured max
+    # bucket 283 at sf0.01 / 2,658 at sf0.1 / 8,759 at sf10, p99 ~283
+    # at EVERY scale — candidates hit 9.6e9 and OOM'd the unvalved sf10
+    # run).  At the oracle scale (sf0.01) the cap never activates, so
+    # the exact-equality check above still holds bit-for-bit; at design
+    # scale the valve bounds the tail (documented subset semantics
+    # within over-cap buckets — the operator docstring's trade).
     return _dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.9,
         num_perm=128,
         bands=32,
+        max_bucket_size=512,
     )
 
 

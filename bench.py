@@ -152,7 +152,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     build_costs: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
+        # progress to STDERR (stdout stays one JSON line): a crashed or
+        # killed run must name the query it died in — the r11 sf10 OOM
+        # cost a rerun to even identify the row
+        print(f"-- bench: {name}", file=sys.stderr, flush=True)
         # min of 2 full rebuilds, timed from DataFrame CONSTRUCTION
         # through noop-sink execution. Construction is inside the timer
         # because (a) driver-side plan building is real per-query
@@ -166,14 +171,23 @@ def main() -> None:
         # (+ p13's construction-run jobs).
         best = float("inf")
         best_build = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            t1 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            t2 = time.perf_counter()
-            if t2 - t0 < best:
-                best, best_build = t2 - t0, t1 - t0
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                t1 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                if t2 - t0 < best:
+                    best, best_build = t2 - t0, t1 - t0
+        except Exception as exc:  # noqa: BLE001
+            # one failing query must not void the other 60 rows of a
+            # design-scale run (the r11 p04 OOM voided a 25-minute
+            # suite): record the failure as data, keep measuring
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"-- bench: {name} FAILED: {errors[name]}",
+                  file=sys.stderr, flush=True)
+            continue
         timings[name] = round(best, 4)
         build_costs[name] = round(best_build, 4)
 
@@ -194,6 +208,9 @@ def main() -> None:
                 # per-query driver-side construction cost; execution-only
                 # wall = queries[k] - queries_build_sec[k]
                 "queries_build_sec": build_costs,
+                # queries that raised instead of completing (wall not
+                # recorded; absent from every total)
+                "query_errors": errors,
                 # the T-query <=2x budget, machine-checkable: DuckDB wall
                 # per headline query on the same parquet (single run, 30 s
                 # watchdog; null = DNF, e.g. p04's exact O(N^2) jaccard

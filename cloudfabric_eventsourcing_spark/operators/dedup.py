@@ -172,6 +172,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     verify: bool = True,
     max_bucket_size: Optional[int] = None,
+    max_candidate_pairs: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding; candidates verified with
     exact Jaccard when `verify` (the production configuration).
@@ -203,6 +204,31 @@ def minhash_lsh_pairs(
     grams_df, banded = _grams_and_bands(
         df, num_perm, bands, n, text_col, id_col
     )
+    if max_candidate_pairs is not None:
+        # candidate-budget guard (r11: the unvalved sf10 bench run
+        # OOM'd at 9.6e9 candidates — the degenerate tail-bucket
+        # pathology the star valve exists for, hit silently).  One
+        # cheap aggregate over bucket sizes PREDICTS the join volume;
+        # over budget, refuse loudly with the number and the
+        # remediations instead of an OOM an hour into the join.
+        # Opt-in because it costs an extra eager job per call.
+        est = (
+            banded.groupBy("bi", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.sum(F.col("__n") * (F.col("__n") - 1) / 2))
+            .collect()[0][0]
+            or 0
+        )
+        if est > max_candidate_pairs:
+            raise ValueError(
+                "minhash_lsh_pairs: banding would generate "
+                f"~{int(est):,} candidate pairs (budget "
+                f"{max_candidate_pairs:,}). The corpus has degenerate "
+                "band buckets — set max_bucket_size to star-valve "
+                "them, raise the shingle size n (unigram shingles on "
+                "a small vocabulary make unrelated documents "
+                "collide), or run exact_dedup first."
+            )
     # Candidate pairs via the banded SELF-JOIN, deliberately: the join and
     # the de-dup aggregate both run inside whole-stage codegen, which is
     # what survives this corpus's giant near-dup buckets (a ~2.6k-member
