@@ -5017,3 +5017,25 @@ def test_pq_index_roundtrip_append_and_crash_discipline(spark, sf_dir, tmp_path)
     os.remove(os.path.join(path, "_SPARK_GRAFT_CONSISTENT"))
     with _pytest.raises(ValueError, match="consistency marker"):
         S.load_pq_index(spark, path)
+
+
+def test_minhash_candidate_budget_guard(spark):
+    """The opt-in candidate-pair budget predicts the banding join
+    volume from bucket sizes and refuses loudly over budget (the r11
+    sf10 OOM lesson); under budget the output is identical to the
+    unguarded call."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        dedup.minhash_lsh_pairs(docs, max_candidate_pairs=1)
+    ok = dedup.minhash_lsh_pairs(docs, max_candidate_pairs=10_000_000)
+    plain = dedup.minhash_lsh_pairs(docs)
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
