@@ -2578,11 +2578,16 @@ def _lsh_pairs_materialized(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _LSH_PAIRS_CACHE.get(key)
     if df is None:
+        # max_bucket_size=512: same star valve as the p04 row (r11 —
+        # the unvalved pair build OOM'd p13's sf10 bench run exactly
+        # like p04's; the cap sits above the sf0.01 max bucket of 283,
+        # so both cluster oracles stay bit-identical where they run)
         pairs = _dedup.minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"),
             threshold=0.9,
             num_perm=128,
             bands=32,
+            max_bucket_size=512,
         )
         # localCheckpoint: pairs live as in-memory partitions; the
         # clustering loop's own per-round checkpoints already truncate

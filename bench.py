@@ -187,6 +187,22 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"-- bench: {name} FAILED: {errors[name]}",
                   file=sys.stderr, flush=True)
+            # an executor OOM can take the whole local JVM down; every
+            # later row would then fail with a dead-context error that
+            # measures nothing.  Probe the session and rebuild it (plus
+            # the bucketed-table registrations) so the suite survives.
+            try:
+                spark.sql("select 1").collect()
+            except Exception:
+                print("-- bench: SparkSession dead — rebuilding",
+                      file=sys.stderr, flush=True)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = build_session(app_name="cfes-bench")
+                ensure_bucketed_layout(spark, sf_dir)
+                qs = entry_mod.queries()
             continue
         timings[name] = round(best, 4)
         build_costs[name] = round(best_build, 4)
