@@ -1422,7 +1422,9 @@ def p05_cosine_neardup(spark, sf_dir):
     "WITH n AS (SELECT vec_id, embedding, "
     "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm "
     "FROM embeddings), "
-    "cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM n WHERE vec_id < 8), "
+    "k AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS kk FROM n), "
+    "cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM n "
+    "WHERE vec_id < (SELECT kk FROM k)), "
     "cos AS (SELECT v.vec_id, c.cid, "
     "round(list_sum(list_transform(list_zip(v.embedding, c.ce), "
     "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (v.nrm*c.cnrm), 4) AS cs "
@@ -1446,7 +1448,15 @@ def p18_semdedup(spark, sf_dir):
     # engines cluster identically; production trains them with
     # similarity.ivf_centroids_from_sample.
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8).select(
+    # k scales ~sqrt(N) (bounded per-cluster quadratic — the Abbas
+    # recipe): 8 fixed centroids were fine at sf0.01 (62-member
+    # clusters) but wedged the sf10 bench at 62k-member clusters and
+    # ~1.6e10 in-cluster cosine pairs.  Both engines derive the SAME k
+    # from the corpus count, so the differential still pins assignment
+    # and pruning bit-for-bit at every scale.  The count is a bounded
+    # plan-construction job (the o5-anchor pattern).
+    k = max(8, int(emb.count() ** 0.5))
+    cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
     return _dedup.semantic_dedup(emb, cents, threshold=0.35)
