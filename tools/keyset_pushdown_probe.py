@@ -56,14 +56,17 @@ def _scan_metrics(df) -> dict:
 
     def walk(node):
         name = node.nodeName()
-        if name.startswith("Scan"):
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                if kv._1() == "numOutputRows":
-                    out["scan_rows"] += kv._2().value()
-                if kv._1() == "numFiles":
-                    out["scan_files"] += kv._2().value()
+        # FileSourceScanExec renders as "Scan parquet ..." / "FileScan";
+        # match on the numFiles metric instead of the name so a rename
+        # or a wrapping (ColumnarToRow / InputAdapter) can't hide it
+        it = node.metrics().iterator()
+        kvs = {}
+        while it.hasNext():
+            kv = it.next()
+            kvs[kv._1()] = kv._2().value()
+        if "numFiles" in kvs:
+            out["scan_rows"] += kvs.get("numOutputRows", 0)
+            out["scan_files"] += kvs.get("numFiles", 0)
         if name == "AdaptiveSparkPlan":
             walk(node.executedPlan())
             return
@@ -83,11 +86,19 @@ def main() -> None:
     spark = build_session(app_name="keyset-pushdown-probe")
     events = load_table(spark, sf_dir, "events")
 
-    sorted_path = os.path.join(out_dir, "events_sorted")
+    # ts is cast NTZ -> TIMESTAMP (session tz pinned UTC) for the
+    # layout: measured r11, Spark 4.1's parquet reader does NOT
+    # row-group-prune TIMESTAMP_NTZ predicates (PushedFilters lists
+    # them, the scan still emits every row: 9.8M scanned for a 0.5%
+    # tail), while the identical layout with TIMESTAMP prunes to 4,096
+    # rows.  Design rule recorded in PLANS.md: pagination keys at scale
+    # must be BIGINT or TIMESTAMP, not NTZ.
+    sorted_path = os.path.join(out_dir, "events_sorted_ltz")
     if not os.path.exists(os.path.join(sorted_path, "_SUCCESS")):
         t0 = time.time()
         (
-            events.repartitionByRange(64, "ts", "event_id")
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .repartitionByRange(64, "ts", "event_id")
             .sortWithinPartitions("ts", "event_id")
             .write.mode("overwrite")
             .parquet(sorted_path)
@@ -99,9 +110,15 @@ def main() -> None:
 
     # deep cursor ~99.5th percentile of ts; exact row boundary read
     # from the sorted layout itself (bounded 1-row collect)
-    q_ts = ev.stat.approxQuantile("ts", [0.995], 0.0001)[0]
+    # ts is TIMESTAMP_NTZ in the sorted copy; session tz is pinned UTC,
+    # so the NTZ->TIMESTAMP cast is deterministic
+    q_us = ev.selectExpr(
+        "percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.995) AS q"
+    ).collect()[0]["q"]
     anchor = (
-        ev.where(F.col("ts") >= F.lit(q_ts))
+        ev.where(
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) >= {int(q_us)}")
+        )
         .orderBy("ts", "event_id")
         .limit(1)
         .collect()[0]
@@ -115,7 +132,10 @@ def main() -> None:
         for _ in range(2):
             t0 = time.time()
             page = keyset_page(ev, order, after, 100)
-            page.write.format("noop").mode("overwrite").save()
+            # collect(), not a noop write: the write command runs its
+            # OWN queryExecution, so the df handle's SQL metrics never
+            # populate (the sf100 probe's lesson); the page is 100 rows
+            page.collect()
             wall = time.time() - t0
             m = _scan_metrics(page)
             if best is None or wall < best["wall_sec"]:
