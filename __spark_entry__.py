@@ -1179,13 +1179,15 @@ def p11_boilerplate_lines(spark, sf_dir):
     "CAST(doc_id % 7 AS VARCHAR), chr(10), chr(10), text, chr(10), "
     "'copyright footer ', CAST(doc_id % 5 AS VARCHAR)) AS dtext "
     "FROM documents), "
-    "lines AS (SELECT doc_id, unnest(string_split(dtext, chr(10))) AS line, "
+    "lines AS (SELECT doc_id, CAST(len(string_split(dtext, chr(10))) AS BIGINT) AS n_lines, "
+    "unnest(string_split(dtext, chr(10))) AS line, "
     "generate_subscripts(string_split(dtext, chr(10)), 1) AS pos FROM dirty), "
-    "ranked AS (SELECT doc_id, pos, line, "
+    "ranked AS (SELECT doc_id, n_lines, pos, line, "
     "CASE WHEN length(trim(line)) >= 1 THEN row_number() OVER "
     "(PARTITION BY CASE WHEN length(trim(line)) >= 1 THEN line END "
     "ORDER BY doc_id, pos) ELSE 1 END AS rn FROM lines) "
-    "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean, "
+    "SELECT doc_id, max(n_lines) AS n_lines, "
+    "string_agg(line, chr(10) ORDER BY pos) AS clean, "
     "count(*) AS n_kept FROM ranked WHERE rn = 1 GROUP BY doc_id",
 )
 def p22_line_dedup_first(spark, sf_dir):
@@ -1210,7 +1212,7 @@ def p22_line_dedup_first(spark, sf_dir):
         ),
     )
     out = dedup_lines_keep_first(dirty, text_col="dtext")
-    return out.select("doc_id", "clean", "n_kept")
+    return out.select("doc_id", "n_lines", "clean", "n_kept")
 
 
 @q(

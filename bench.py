@@ -210,8 +210,19 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     build_total = round(sum(build_costs.values()), 4)
     oracle_timings = _bench_oracles(sf_dir, names=headline)
+    # comparable = oracle completed AND the Spark query completed: a
+    # query that raised lands in `errors` with no `timings` entry, and
+    # indexing timings[k] for it would crash payload construction —
+    # re-voiding the suite the per-query try/except exists to survive
+    # (r11 advice).  Planted-truth oracles (a constant SELECT certifying
+    # a planted corpus, not an equivalent computation) are excluded from
+    # every ratio aggregate: their spark/oracle ratio is meaningless by
+    # construction (r11 verdict #3).
+    planted = frozenset(getattr(entry_mod, "PLANTED_ORACLES", ()))
     comparable = {
-        k: v for k, v in oracle_timings.items() if v is not None
+        k: v
+        for k, v in oracle_timings.items()
+        if v is not None and k in timings and k not in planted
     }
     payload = (
             {
@@ -232,6 +243,9 @@ def main() -> None:
                 # watchdog; null = DNF, e.g. p04's exact O(N^2) jaccard
                 # scan vs Spark's 5 s LSH)
                 "oracle_sec": oracle_timings,
+                # planted-truth oracle rows (excluded from comparable /
+                # over_2x_oracle / both totals — see `comparable` above)
+                "planted_oracles": sorted(planted & set(oracle_timings)),
                 "oracle_timeout_sec": float(
                     os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_SEC", "30")
                 ),

@@ -212,10 +212,21 @@ def minhash_lsh_pairs(
         # over budget, refuse loudly with the number and the
         # remediations instead of an OOM an hour into the join.
         # Opt-in because it costs an extra eager job per call.
+        # When the star valve is ALSO set, buckets above the cap join as
+        # a star (n-1 pairs), not all-pairs — estimate the VALVED join
+        # volume, or the guard spuriously refuses the exact configuration
+        # whose remediation it recommends (r11 advice).
+        n = F.col("__n")
+        if max_bucket_size is not None:
+            per_bucket = F.when(
+                n <= F.lit(max_bucket_size), n * (n - 1) / 2
+            ).otherwise(n - 1)
+        else:
+            per_bucket = n * (n - 1) / 2
         est = (
             banded.groupBy("bi", "bh")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .agg(F.sum(F.col("__n") * (F.col("__n") - 1) / 2))
+            .agg(F.sum(per_bucket))
             .collect()[0][0]
             or 0
         )

@@ -812,12 +812,23 @@ def append_to_pq_index(
     quantization error drifts up as the distribution moves; rebuild
     with save_pq_index when a recall check warrants it).  Re-appended
     ids occupy extra top-k slots exactly as in IVF, so the same
-    skip_existing anti-join is offered, opt-in."""
+    skip_existing anti-join is offered, opt-in.
+
+    Marker discipline matches save_pq_index (r11 advice): the
+    consistency marker is deleted BEFORE the append and recreated
+    AFTER, so a crash mid-append (non-atomic committers, object
+    stores) leaves a loudly-unreadable index rather than a
+    marked-consistent one with partially appended codes."""
     spark = df.sparkSession
     _, books = load_pq_index(spark, path)
     if skip_existing:
         existing = spark.read.parquet(f"{path}/codes").select(id_col)
         df = df.join(existing, id_col, "left_anti")
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PQ_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(marker, False)
     pq_encode(df, books, vec_col=vec_col).select(
         id_col, "pq_code"
     ).write.mode("append").parquet(f"{path}/codes")
+    fs.create(marker).close()

@@ -240,7 +240,9 @@ def dedup_lines_keep_first(
     count-aggregate combines map-side) is the right tool first; this
     operator is the precision pass for the moderate-duplication tail.
     Returns (id, n_lines, n_kept, out) — n_lines/n_kept make the
-    removal auditable per document.
+    removal auditable per document.  n_lines is a map-side column on
+    the input (size of the split array — no extra shuffle, no count
+    over the exploded rows).
     """
     lines = df.select(
         id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
@@ -274,11 +276,14 @@ def dedup_lines_keep_first(
     # corpus accounting must cover every input row (the r10 m05 advice
     # lesson applied up front)
     return (
-        df.select(id_col)
+        df.select(
+            id_col,
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        )
         .join(rebuilt, id_col, "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit("")))
         .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
-        .select(id_col, "n_kept", out)
+        .select(id_col, "n_lines", "n_kept", out)
     )
 
 

@@ -4827,12 +4827,14 @@ def test_dedup_lines_keep_first_semantics(spark):
         "doc_id long, text string",
     )
     got = {
-        r["doc_id"]: (r["clean"], r["n_kept"])
+        r["doc_id"]: (r["clean"], r["n_kept"], r["n_lines"])
         for r in dedup_lines_keep_first(df).collect()
     }
-    assert got[1] == ("dup\n\nunique one", 3)
-    assert got[2] == ("\nunique two", 2)  # both dup copies dropped
-    assert got[3] == ("", 0)  # deduped to nothing, still accounted for
+    # n_lines = pre-dedup line count (r11 advice: the removal-ratio
+    # audit the docstring promises needs the denominator)
+    assert got[1] == ("dup\n\nunique one", 3, 3)
+    assert got[2] == ("\nunique two", 2, 4)  # both dup copies dropped
+    assert got[3] == ("", 0, 1)  # deduped to nothing, still accounted for
 
 
 def test_dedup_lines_first_occurrence_within_one_doc(spark):
@@ -5043,3 +5045,28 @@ def test_minhash_candidate_budget_guard(spark):
     assert sorted(map(tuple, ok.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_minhash_budget_guard_respects_star_valve(spark):
+    """When max_bucket_size is ALSO set, the budget estimate must count
+    the VALVED join volume — n-1 star pairs for over-cap buckets, not
+    n(n-1)/2 — or the guard refuses the exact configuration its own
+    error message recommends (r11 advice).  30 near-identical docs put
+    ~30-member buckets in every band: raw estimate ~32*435 pairs, but
+    with max_bucket_size=4 each bucket stars to ~29 pairs (~32*29)."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # budget sits between the starred volume (~928) and the raw
+    # all-pairs volume (~13,920): valved call passes, unvalved refuses
+    valved = dedup.minhash_lsh_pairs(
+        docs, max_bucket_size=4, max_candidate_pairs=2_000
+    )
+    valved.collect()
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        dedup.minhash_lsh_pairs(docs, max_candidate_pairs=2_000)
