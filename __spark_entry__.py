@@ -2401,18 +2401,27 @@ def h24_product_profit(spark, sf_dir):
     "GROUP BY c_custkey) GROUP BY c_count",
 )
 def h25_customer_distribution(spark, sf_dir):
-    # Q13: the left join and first aggregate both hash on the customer
-    # key (shuffle reused); the histogram re-aggregates the per-customer
-    # rows — already tiny — on the count value. COUNT(o_orderkey) over a
-    # left join counts 0 for order-less customers exactly like the oracle.
+    # Q13, eager-aggregation form (r11 verdict #2 — the h2 rewrite
+    # verbatim, 18.5x at sf10 in the join-then-count shape): aggregate
+    # orders to (o_custkey, n) BEFORE the customer join, so the
+    # count's shuffle carries map-side-combined partials (distinct
+    # custkeys per partition, not full order rows) and the left join's
+    # probe side is customer-cardinality instead of orders-cardinality.
+    # COUNT(o_orderkey) over the old left join counted 0 for order-less
+    # customers; coalesce(n, 0) after the pre-agg join is the same
+    # function point (o_orderkey is never null, so count(o_orderkey)
+    # == count(*) inside each group).
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") != "1-URGENT"
     )
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    ord_counts = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__n")
+    )
+    per_cust = cust.join(
+        ord_counts, cust.c_custkey == ord_counts.o_custkey, "left"
+    ).select(
+        F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("c_count")
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
@@ -2431,10 +2440,14 @@ def h25_customer_distribution(spark, sf_dir):
     "GROUP BY p_brand, p_type, p_size",
 )
 def h26_brand_supplier_counts(spark, sf_dir):
-    # Q16: the part predicate set (two <>, one IN) broadcast-joins into
-    # the lineitem scan; the NOT IN blocklist is a broadcast LEFT ANTI
-    # (null-safe by construction — s_suppkey is a key); COUNT DISTINCT
-    # plans as the two-phase Expand aggregate, partially combined.
+    # Q16, distinct-then-count form: the selective part predicate set
+    # broadcasts into the lineitem scan FIRST (map-side — an eager
+    # fact-grain distinct before the join was built and measured 3x
+    # WORSE at sf10, because it shuffles the whole fact table before
+    # the ~13%-selective filter can prune it; see
+    # tools/r12_rewrite_ab_study.py), then the anti blocklist, then the
+    # COUNT DISTINCT is written as its own two combinable aggregates:
+    # distinct (brand, type, size, suppkey) -> plain count.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
@@ -2445,11 +2458,15 @@ def h26_brand_supplier_counts(spark, sf_dir):
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
-                li.l_partkey == F.col("p_partkey"))
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
         .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
     )
 
 
@@ -3550,8 +3567,14 @@ def s04_embedding_quantize(spark, sf_dir):
 )
 def s05_quantized_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
+    # quantize ONLY vec 0 for the query lookup: the vec_id filter pushes
+    # to parquet BEFORE the Arrow kernel (a where() on the full
+    # quantized frame would sit above mapInPandas and quantize the
+    # whole corpus just to read one row)
+    query_q = _sim.quantize_embeddings(
+        emb.where(F.col("vec_id") == 0)
+    ).select("qvec").collect()[0][0]
     qz = _sim.quantize_embeddings(emb)
-    query_q = qz.where(F.col("vec_id") == 0).select("qvec").collect()[0][0]
     return _sim.quantized_topk(qz, query_q, k=20)
 
 
@@ -3582,6 +3605,70 @@ def s06_pq_adc_topk(spark, sf_dir):
     query = norm.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     out = _sim.pq_topk(codes, books, query, k=20)
     return out.select("vec_id", F.round("adc_score", 6).alias("adc_score"))
+
+
+@q(
+    "s07_pq_planted",
+    # PQ encode + ADC under the full hash differential (r11 verdict #3
+    # — the first no-oracle registry row's successor): k-means training
+    # is not SQL-expressible, but with FIXED deterministic codebooks
+    # (id-arithmetic, the m02/m05 planted-truth method) the 100 TB scan
+    # path — nearest-code assignment and the LUT fold — IS.  Every
+    # number is chosen exact: codebook entries are quarters
+    # (((j*3+c*7+t*5) % 19 - 9)/4), the query is small integers
+    # ((g*13) % 7 - 3), so each LUT entry and the ADC sum are dyadic
+    # rationals computed EXACTLY in double — bit-identical across
+    # engines and summation orders, which is what lets a float score
+    # survive the repr() value hash.  Assignment argmin ties break to
+    # the LOWEST code on both sides (numpy argmin; min over (d2, c)
+    # structs in DuckDB).
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    "jc AS (SELECT j, c FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(16)) AS c)), "
+    "dist AS (SELECT v.vec_id, jc.j, jc.c, "
+    "list_sum([pow(v.e[CAST(jc.j*8 + t + 1 AS INT)] - "
+    "(CAST((jc.j*3 + jc.c*7 + t*5) % 19 AS DOUBLE) - 9)/4.0, 2) "
+    "FOR t IN range(8)]) AS d2 FROM v, jc), "
+    "assign AS (SELECT vec_id, j, (min(struct_pack(d := d2, c := c))).c AS code "
+    "FROM dist GROUP BY vec_id, j), "
+    "lut AS (SELECT j, c, list_sum([CAST((j*8 + t)*13 % 7 - 3 AS DOUBLE) * "
+    "((CAST((j*3 + c*7 + t*5) % 19 AS DOUBLE) - 9)/4.0) FOR t IN range(8)]) AS lutv "
+    "FROM jc), "
+    "adc AS (SELECT a.vec_id, sum(l.lutv) AS adc_score FROM assign a "
+    "JOIN lut l ON a.j = l.j AND a.code = l.c GROUP BY a.vec_id) "
+    "SELECT a.vec_id, a.j, a.code, adc.adc_score "
+    "FROM assign a JOIN adc USING (vec_id)",
+)
+def s07_pq_planted(spark, sf_dir):
+    # the REAL pq_encode (Arrow argmin kernel) and pq_adc_score (JVM
+    # LUT fold) run against planted codebooks; only pq_train stays
+    # outside the differential (pinned by the recall-panel pytest via
+    # s06).  Output: every vector's full code word exploded + its exact
+    # ADC score — 8 rows per vector, all-integer but the provably-exact
+    # score.
+    import numpy as _np
+
+    books = _np.array(
+        [
+            [
+                [((j * 3 + c * 7 + t * 5) % 19 - 9) / 4.0 for t in range(8)]
+                for c in range(16)
+            ]
+            for j in range(8)
+        ]
+    )
+    query = [float((g * 13) % 7 - 3) for g in range(64)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _sim.pq_encode(emb, books)
+    return codes.select(
+        "vec_id",
+        _sim.pq_adc_score(books, query).alias("adc_score"),
+        F.posexplode("pq_code").alias("j", "code"),
+    ).select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        F.col("code").cast("long").alias("code"),
+        "adc_score",
+    )
 
 
 @q(
@@ -3833,67 +3920,93 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - t03_token_counts: text.py token leaf shared with the in-window
 #     t01/t08 rows.
 _VERIFY_FIRST = [
-    # r11 window: the nineteen r08 rows parked at 51+ since round 10
-    # lead, exactly as the r10 verdict prescribed (ask #8)
-    "h28_late_priority_lines",
-    "h29_dominant_suppliers",
-    "x05_retention_cohorts",
-    "t08_fluency_scores",
-    "p14_train_shuffle",
-    "p08_stratified_sample",
-    "w02_sliding_window",
-    "f01_eq",
-    "f14_partition_key",
-    "j3_in_list",
-    "a1_total_count",
-    "o4_pagination",
-    "a6_facet_ranges",
-    "w01_tumbling_window",
-    "h13_cube_revenue",
-    "h26_brand_supplier_counts",
-    "p01_exact_dedup",
-    "t03_token_counts",
-    "o3_array_element_filtered_sort",
-    # round-11 additions take day-one slots (test_registry_invariants):
-    "o6_keyset_nulls",
-    "p21_simhash_weighted",
-    "x07_hourly_gapfill",
-    "x08_event_transitions",
-    "p22_line_dedup_first",
+    # r12 window: the 25 r9-verified rows parked at 51+ since round 11
+    # lead, exactly as the r11 verdict staged (ask #8)
+    "h24_product_profit",
+    "h25_customer_distribution",
+    "h27_waiting_suppliers",
+    "h7_rollup_revenue",
+    "m02_image_neardup",
+    "m03_audio_neardup",
+    "m04_video_neardup",
+    "o2_nested_sort",
+    "p06_cosine_neardup_lsh",
+    "p11_boilerplate_lines",
+    "p13_duplicate_clusters",
+    "p15_incremental_clusters",
+    "p16_winnowing_overlap",
+    "p17_duplicated_spans",
+    "p18_semdedup",
+    "p19_dsir_weights",
+    "p20_dup_span_coverage",
+    "s02_ann_lsh_topk",
+    "t02_quality_score",
+    "t05_rarity_weighted_scores",
+    "t06_repetition_stats",
+    "t07_vocab_topk",
+    "u01_set_ops",
+    "w03_session_window",
+    "x02_sessionization",
+    # round-12 new/changed rows take day-one slots: s07 is new (the PQ
+    # planted differential closing r11's no-oracle row); s04/s05 now
+    # default to the Arrow kernel; h26 adopted distinct-then-count
+    # (h25's eager-agg form is re-verified via its leading slot above);
+    # p22 grew the n_lines audit column
+    "s07_pq_planted",
+    # s06 keeps a window slot every round: its driver row is the
+    # deliberate rows-only check (no DuckDB oracle for real k-means),
+    # so it never accrues a green hash row to coast on
     "s06_pq_adc_topk",
-    # oldest r09-verified rows fill the remaining 25 slots (the 25 r9
-    # rows not listed park at 51+ and lead r12's window; all hold green
-    # r9 rows + the judge's 119/119 independent sweep)
-    "a7_exact_median",
-    "f02_ne_null",
-    "f03_range",
-    "f04_starts_with",
-    "f05_ends_with",
-    "f06_contains_case_sensitive",
-    "f07_starts_ignore_case",
-    "f08_contains_ignore_case",
-    "f09_array_contains",
-    "f15_suggestions",
-    "f18_search_phrase_prefix",
-    "f19_search_scored_boosted",
-    "f20_search_highlights",
-    "f21_search_fuzzy",
-    "f22_search_synonyms",
-    "f24_search_phrase_slop",
-    "h14_distinct_customers_per_nation",
-    "h15_nation_volume_shipping",
-    "h16_priority_status_matrix",
-    "h17_top_supplier_revenue",
-    "h18_small_quantity_revenue",
-    "h19_forecast_discount_revenue",
-    "h21_major_revenue_nations",
-    "h22_min_price_supplier",
-    "h23_market_share",
+    "s04_embedding_quantize",
+    "s05_quantized_topk",
+    "h26_brand_supplier_counts",
+    "p22_line_dedup_first",
+    # oldest-checked rows (r10 window, untouched since) fill the
+    # remaining 20 slots; p03/p04/p05 lead them because they share
+    # dedup.py with this round's valve-estimate change (the p04 entry
+    # itself passes only max_bucket_size, so its plan is unchanged)
+    "p04_minhash_lsh_pairs",
+    "p03_ngram_jaccard_pairs",
+    "p05_cosine_neardup_pairs",
+    "t09_lexical_diversity",
+    "a2_max_stream_version",
+    "a3_store_statistics",
+    "a4_projection_fold_counts",
+    "a5_projection_fold_sum",
+    "a6_facet_counts",
+    "f03_ts_range",
+    "f10_bool_tree",
+    "f11_nested_path",
+    "f12_array_exists",
+    "f13_search_text",
+    "f16_search_tokenized",
+    "f17_search_scored",
+    "f23_search_match_analyzer",
+    "h1_pricing_summary",
+    "h2_revenue_by_nation",
     # -- driver window ends here (position 50) --
-    # parked for r12 (r9-green + judge-sweep-green): h24, h25, h27, h7,
-    # m02, m03, m04, o2, p06, p11, p13, p15, p16, p17, p18, p19, p20,
-    # s02, t02, t05, t06, t07, u01, w03, x02
+    # parked for r13 (r10-green + judge-sweep-green): h3, h4, h5, h6,
+    # h8, h9, h10, h11, h12, h20, k01, m01, m05, o1, o5, p02, p07,
+    # p09, p10, p12, s01, s03, t01, t04, t10, x01, x03, x04, x06
 ]
+
+
+# Oracle rows whose DuckDB side is a PLANTED-TRUTH check (a constant
+# or near-constant SELECT certifying a planted corpus property), not an
+# equivalent computation: correctness signal yes, performance ratio no.
+# bench.py excludes these from `over_2x_oracle` and from the
+# oracle/spark comparable totals (r11 verdict #3 — p21's "487x" was a
+# real SimHash pass racing a constant SELECT).
+PLANTED_ORACLES = frozenset(
+    {
+        "p21_simhash_weighted",
+        "m02_image_neardup",
+        "m03_audio_neardup",
+        "m04_video_neardup",
+        "m05_image_dhash_neardup",
+        "s07_pq_planted",
+    }
+)
 
 
 def _ordered(d: dict) -> dict:

@@ -87,6 +87,8 @@ HEADLINE = [
     "x08_event_transitions",
     "p22_line_dedup_first",
     "s06_pq_adc_topk",
+    # r12 rows, driver-tracked from day one
+    "s07_pq_planted",
 ]
 
 

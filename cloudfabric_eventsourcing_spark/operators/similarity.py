@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -485,6 +486,7 @@ def quantize_embeddings(
     out_col: str = "qvec",
     scale_col: str = "scale",
     on_nan: str = "raise",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max(|x_i|),
     q_i = floor(x_i / scale * 127 + 0.5) (round-half-up, identical on
@@ -501,14 +503,70 @@ def quantize_embeddings(
     iff any |x_i| is NaN, so one isnan() on the scale guards the whole
     vector with no extra pass.
 
-    Everything is JVM Column HOFs (transform/array_max) over doubles —
-    float32 inputs are exactly representable in double, so the scale
-    and every quantized value are deterministic IEEE results, which is
-    what lets the s04 oracle differential the quantization itself.
-    Map-only: no shuffle, no UDF; at 100 TB this is one pass that
+    Two evaluation paths, same IEEE double arithmetic, pytest-pinned
+    equal:
+
+    - `use_arrow=True` (default): an Arrow-batched numpy kernel via
+      mapInPandas.  Catalyst's interpreted higher-order-function path
+      evaluates the transform lambda PER ELEMENT PER ROW — measured
+      ~2.2x DuckDB's vectorized list kernels at sf10 (r11 bench) — while
+      numpy does the same `floor(x / scale * 127.0 + 0.5)` over the
+      whole (batch, dim) matrix in C.  float32 -> float64 casts are
+      exact and every op is the same double op in the same order, so
+      the outputs are bit-identical, not just close.
+    - `use_arrow=False`: the JVM Column-HOF form (transform/array_max),
+      kept as the oracle-exact reference the s04 differential certifies
+      and the fallback when Python workers are undesirable.
+
+    Map-only either way: no shuffle; at 100 TB this is one pass that
     shrinks the ANN working set 4x."""
     if on_nan not in ("raise", "zero"):
         raise ValueError(f"on_nan must be 'raise' or 'zero', got {on_nan!r}")
+    if use_arrow:
+        id_field = df.schema[id_col]
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_field.dataType, id_field.nullable),
+                T.StructField(scale_col, T.DoubleType(), True),
+                T.StructField(out_col, T.ArrayType(T.IntegerType()), True),
+            ]
+        )
+
+        def _quantize_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                scale = np.abs(mat).max(axis=1)
+                nan_rows = np.isnan(scale)
+                if nan_rows.any():
+                    if on_nan == "raise":
+                        bad = pdf[id_col].iloc[int(np.argmax(nan_rows))]
+                        raise ValueError(
+                            "quantize_embeddings: NaN component in "
+                            f"vector {bad} (pass on_nan='zero' to "
+                            "quantize these to zeros)"
+                        )
+                    scale = scale.copy()
+                    scale[nan_rows] = 0.0
+                q = np.zeros(mat.shape, dtype=np.int32)
+                live = scale != 0.0
+                if live.any():
+                    # same op order as the Column form: ((x/scale)*127)+0.5
+                    q[live] = np.floor(
+                        mat[live] / scale[live, None] * 127.0 + 0.5
+                    ).astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        scale_col: scale,
+                        out_col: list(q),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            _quantize_batches, out_schema
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale_raw = F.array_max(F.transform(v, lambda x: F.abs(x)))
     if on_nan == "raise":
@@ -546,14 +604,52 @@ def quantized_topk(
     k: int = 10,
     q_col: str = "qvec",
     id_col: str = "vec_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Exact top-k by INTEGER dot product over int8-quantized vectors
     (per-element products <= 127^2, accumulated in BIGINT — overflow-
     free to ~7e14 dimensions).  Deterministic ordering (dot desc, id
-    asc); same TakeOrderedAndProject shape as brute_force_topk, but the
-    scan reads 1/4 the bytes and the score is exact integer arithmetic
-    — the scale path when recall@k against the float ranking (use
-    brute_force_topk to measure it) is acceptable."""
+    asc).  Integer arithmetic means both paths below are EXACTLY equal,
+    not merely equivalent rankings.
+
+    - `use_arrow=True` (default): Arrow-batched numpy kernel — one
+      int64 matvec per batch, then a per-batch top-k prune so at most
+      k (id, dot) rows per Arrow batch reach the final global
+      TakeOrderedAndProject.  A batch row beaten by >=k rows in its own
+      batch is beaten by >=k rows globally, so the prune is lossless.
+      This replaces the Column-HOF fold Catalyst evaluates per element
+      per row (measured 96x DuckDB at sf10 in the r11 bench — the
+      map-only plan was right, the per-element constant was not).
+    - `use_arrow=False`: the JVM zip_with/aggregate fold, kept as the
+      oracle-exact reference (s05) and the no-Python-workers fallback.
+
+    Either way the scan reads 1/4 the float bytes and there is no
+    shuffle — TakeOrderedAndProject gathers k rows."""
+    if use_arrow:
+        q = np.asarray([int(x) for x in query_qvec], dtype=np.int64)
+        id_field = df.schema[id_col]
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_field.dataType, id_field.nullable),
+                T.StructField("dot", T.LongType(), True),
+            ]
+        )
+
+        def _topk_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[q_col].tolist(), dtype=np.int64)
+                dots = mat @ q
+                part = pd.DataFrame({id_col: pdf[id_col], "dot": dots})
+                yield part.sort_values(
+                    ["dot", id_col], ascending=[False, True]
+                ).head(k)
+
+        pruned = df.select(id_col, q_col).mapInPandas(
+            _topk_batches, out_schema
+        )
+        return pruned.orderBy(F.desc("dot"), F.asc(id_col)).limit(k)
     qlit = F.array(*[F.lit(int(x)) for x in query_qvec])
     dot = F.aggregate(
         F.zip_with(F.col(q_col), qlit, lambda a, b: a * b),
@@ -701,6 +797,25 @@ def pq_topk(
     vectors), the LUT is m*n_codes doubles broadcast inside the plan,
     and recall is measured against brute_force_topk, exactly like the
     IVF/LSH paths."""
+    score = pq_adc_score(codebooks, query, code_col=code_col)
+    return (
+        df_codes.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_adc_score(
+    codebooks: np.ndarray,
+    query: Sequence[float],
+    code_col: str = "pq_code",
+) -> Column:
+    """The ADC inner-product Column pq_topk ranks by, exposed so
+    callers can score WITHOUT the top-k cut (full-corpus score
+    exports, recall studies, the s07 planted differential).  LUT[j][c]
+    = dot(query_block_j, codebooks[j][c]) is computed on the driver
+    (m*n_codes doubles) and shipped as one array literal; the score is
+    a JVM fold of m lookups — no Python in the scan."""
     books = codebooks.astype(np.float64)
     m, n_codes, dsub = books.shape
     q = np.asarray(list(query), dtype=np.float64)
@@ -713,18 +828,13 @@ def pq_topk(
     )  # lut[j][c] = dot(q_j, books[j][c])
     lut_lit = F.array(*[F.lit(float(v)) for v in lut.ravel()])
     codes = F.col(code_col)
-    score = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, j: acc
         + F.element_at(
             lut_lit, j * F.lit(n_codes) + F.element_at(codes, j + 1) + 1
         ),
-    )
-    return (
-        df_codes.select(F.col(id_col), score.alias("adc_score"))
-        .orderBy(F.desc("adc_score"), F.asc(id_col))
-        .limit(k)
     )
 
 

@@ -4491,6 +4491,48 @@ def test_quantize_embeddings_roundtrip_and_topk(spark):
         quantize_embeddings(nan_df, on_nan="bogus")
 
 
+def test_quantize_arrow_kernel_matches_column_form(spark, sf_dir):
+    """The Arrow/numpy fast path (default since r12 — the r11 bench
+    measured the per-element Column-HOF fold at 96x DuckDB at sf10) is
+    BIT-identical to the Column form it replaced: same IEEE double ops
+    in the same order for the scale and every quantized component, and
+    the integer dot is exact either way.  The Column form stays as the
+    oracle-exact reference; this pin is what lets the s04/s05
+    differentials certify the Arrow path transitively."""
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fast = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_embeddings(emb, use_arrow=True).collect()
+    }
+    ref = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_embeddings(emb, use_arrow=False).collect()
+    }
+    assert fast == ref  # scale compared as exact doubles on purpose
+    qq = fast[0][1]
+    qz = quantize_embeddings(emb)
+    top_fast = [
+        (r["vec_id"], r["dot"])
+        for r in quantized_topk(qz, qq, k=25, use_arrow=True).collect()
+    ]
+    top_ref = [
+        (r["vec_id"], r["dot"])
+        for r in quantized_topk(qz, qq, k=25, use_arrow=False).collect()
+    ]
+    assert top_fast == top_ref
+    # the per-batch prune emits at most k rows per Arrow batch: the
+    # final global sort's input is bounded, not corpus-sized
+    pruned = quantized_topk(qz, qq, k=3, use_arrow=True)
+    assert [r["vec_id"] for r in pruned.collect()] == [
+        v for v, _ in top_ref[:3]
+    ]
+
+
 def test_image_dhash_and_hamming_pairs(spark):
     """m05's premises pinned: dHash is exactly the gradient pattern a
     rendered image encodes, invariant to 2x nearest upscale and uniform
