@@ -3574,8 +3574,10 @@ def s05_quantized_topk(spark, sf_dir):
     query_q = _sim.quantize_embeddings(
         emb.where(F.col("vec_id") == 0)
     ).select("qvec").collect()[0][0]
-    qz = _sim.quantize_embeddings(emb)
-    return _sim.quantized_topk(qz, query_q, k=20)
+    # fused quantize+dot+prune kernel: the transient-scan shape (the
+    # int8 matrix never crosses Arrow back to the JVM); pytest-pinned
+    # equal to quantize_embeddings |> quantized_topk
+    return _sim.quantize_and_topk(emb, query_q, k=20)
 
 
 @q("s06_pq_adc_topk")  # no oracle: k-means codebooks aren't SQL-expressible;

@@ -663,6 +663,115 @@ def quantized_topk(
     )
 
 
+def quantize_and_topk(
+    df: DataFrame,
+    query_qvec: Sequence[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    on_nan: str = "raise",
+) -> DataFrame:
+    """quantize_embeddings |> quantized_topk fused into ONE Arrow pass:
+    each batch quantizes (same exact IEEE arithmetic as
+    quantize_embeddings — pytest-pinned equal to the composition) and
+    immediately takes the integer dot + per-batch top-k, so the int8
+    code matrix never crosses the Arrow boundary back to the JVM.  Use
+    when the quantized vectors are NOT needed downstream — a transient
+    quantized scan; when they are (persisted index, repeated queries),
+    quantize once with quantize_embeddings and call quantized_topk.
+
+    Same NaN boundary as quantize_embeddings: on_nan='raise' (default)
+    names the offending id; 'zero' maps NaN-bearing vectors to the
+    zero-vector convention (dot 0, ranks last deterministically).
+
+    Implementation is mapInArrow, not mapInPandas: for a non-null
+    fixed-width list column the (batch, dim) float matrix is built by
+    RESHAPING the Arrow child buffer (zero-copy) instead of
+    round-tripping every row through a Python list — measured worth
+    another ~25% at sf10 on top of the fusion (PLANS.md r12 A/B
+    table).  Ragged or null-bearing batches fall back to the
+    to_pylist path with identical arithmetic."""
+    if on_nan not in ("raise", "zero"):
+        raise ValueError(f"on_nan must be 'raise' or 'zero', got {on_nan!r}")
+    q = np.asarray([int(x) for x in query_qvec], dtype=np.int64)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("dot", T.LongType(), True),
+        ]
+    )
+
+    def _fused_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec = batch.column(batch.schema.get_field_index(vec_col))
+            idc = batch.column(batch.schema.get_field_index(id_col))
+            mat = None
+            if (
+                isinstance(vec, (pa.ListArray, pa.LargeListArray))
+                and vec.null_count == 0
+            ):
+                offs = vec.offsets.to_numpy(zero_copy_only=False)
+                widths = np.diff(offs)
+                if len(widths) and widths[0] > 0 and (widths == widths[0]).all():
+                    vals = vec.values.to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.float64)
+                    mat = vals[offs[0]: offs[-1]].reshape(n, int(widths[0]))
+            if mat is None:  # ragged / null / unexpected layout
+                mat = np.array(vec.to_pylist(), dtype=np.float64)
+            scale = np.abs(mat).max(axis=1)
+            nan_rows = np.isnan(scale)
+            if nan_rows.any():
+                if on_nan == "raise":
+                    bad = idc[int(np.argmax(nan_rows))].as_py()
+                    raise ValueError(
+                        "quantize_and_topk: NaN component in vector "
+                        f"{bad} (pass on_nan='zero' to quantize these "
+                        "to zeros)"
+                    )
+                scale = scale.copy()
+                scale[nan_rows] = 0.0
+            qm = np.zeros(mat.shape, dtype=np.int64)
+            live = scale != 0.0
+            if live.any():
+                # same op order as quantize_embeddings: ((x/s)*127)+0.5
+                qm[live] = np.floor(
+                    mat[live] / scale[live, None] * 127.0 + 0.5
+                ).astype(np.int64)
+            dots = qm @ q
+            # per-batch prune: keep every row tying the k-th dot (a
+            # small superset under ties), pandas-sort down to k only
+            # when ties overflow — ids stay in their Arrow type
+            m = min(k, n)
+            kth = np.partition(dots, n - m)[n - m]
+            sel = np.flatnonzero(dots >= kth)
+            if len(sel) > k:
+                sub = pd.DataFrame(
+                    {
+                        "i": sel,
+                        "dot": dots[sel],
+                        id_col: idc.take(pa.array(sel)).to_pandas(),
+                    }
+                ).sort_values(["dot", id_col], ascending=[False, True])
+                sel = sub["i"].to_numpy()[:k]
+            idx = pa.array(sel)
+            yield pa.RecordBatch.from_arrays(
+                [idc.take(idx), pa.array(dots[sel], type=pa.int64())],
+                names=[id_col, "dot"],
+            )
+
+    pruned = df.select(id_col, vec_col).mapInArrow(
+        _fused_batches, out_schema
+    )
+    return pruned.orderBy(F.desc("dot"), F.asc(id_col)).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): 16x+ compression ANN (Jegou et al., "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS IVF-PQ

@@ -4531,6 +4531,31 @@ def test_quantize_arrow_kernel_matches_column_form(spark, sf_dir):
     assert [r["vec_id"] for r in pruned.collect()] == [
         v for v, _ in top_ref[:3]
     ]
+    # the fused single-pass kernel (s05's shape) equals the two-stage
+    # composition exactly — same quantization arithmetic, same integer
+    # dot, same (dot desc, id asc) order
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        quantize_and_topk,
+    )
+
+    fused = [
+        (r["vec_id"], r["dot"])
+        for r in quantize_and_topk(emb, qq, k=25).collect()
+    ]
+    assert fused == top_ref
+    # NaN boundary parity with quantize_embeddings
+    import pytest as _pytest
+    from pyspark.sql.utils import CapturedException
+
+    nan_df = spark.createDataFrame(
+        [(7, [0.5, float("nan")]), (8, [1.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(CapturedException, match="NaN component in vector 7"):
+        quantize_and_topk(nan_df, [127, 127], k=2).collect()
+    zt = quantize_and_topk(nan_df, [127, 127], k=2, on_nan="zero").collect()
+    # vec 8 -> [64, -127] . [127, 127] = -8001; NaN vec 7 -> zeros, dot 0
+    assert [(r["vec_id"], r["dot"]) for r in zt] == [(7, 0), (8, -8001)]
 
 
 def test_image_dhash_and_hamming_pairs(spark):
