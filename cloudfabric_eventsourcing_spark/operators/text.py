@@ -589,7 +589,10 @@ def fluency_scores(
 
 
 def lexical_diversity(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-document lexical-diversity profile: token count, type
     (distinct-token) count, hapax count (types occurring exactly once
@@ -598,12 +601,84 @@ def lexical_diversity(
     has abnormally LOW TTR, gibberish abnormally HIGH hapax share; the
     corpus-level complement of quality_score's per-doc heuristics).
 
-    Distributed shape: explode -> (doc, token) count -> per-doc fold,
-    both aggregations map-side combinable; nothing is quadratic in
-    document length and no UDFs.  explode_outer keeps null/empty
-    documents in the result with all-zero counts (curation reports
-    must account for every input row).  Ratios are raw IEEE double
-    divisions — deterministic and engine-portable without rounding."""
+    The profile depends on NOTHING outside the document, so the
+    default path (`use_arrow=True`) is MAP-ONLY: tokens are produced
+    JVM-side (tokens_column — the same regex as every other text
+    operator), then one Arrow-batched kernel factorizes each batch's
+    tokens (pandas' C hash table) and takes per-(doc, token) counts
+    via a single np.unique over composed int64 keys — zero exchange,
+    zero explode rows through a shuffle.  Measured against the
+    explode -> two-combinable-aggregations form (`use_arrow=False`,
+    kept as the oracle-exact reference and pinned equal in tests): the
+    r11 bench had the explode form at 12 s / 5.4x DuckDB at sf10; the
+    kernel removes both shuffles (PLANS.md r12).
+
+    explode_outer (reference path) / explicit zero-fill (kernel path)
+    keeps null/empty documents in the result with all-zero counts
+    (curation reports must account for every input row).  Ratios are
+    raw IEEE double divisions — deterministic and engine-portable
+    without rounding."""
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as _T
+
+        id_field = df.schema[id_col]
+        out_schema = _T.StructType(
+            [
+                _T.StructField(id_col, id_field.dataType, id_field.nullable),
+                _T.StructField("n_tokens", _T.LongType(), True),
+                _T.StructField("n_types", _T.LongType(), True),
+                _T.StructField("n_hapax", _T.LongType(), True),
+                _T.StructField("ttr", _T.DoubleType(), True),
+                _T.StructField("hapax_ratio", _T.DoubleType(), True),
+            ]
+        )
+
+        def _profile_batches(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                toks = pdf["__toks"]
+                lens = np.fromiter(
+                    (0 if t is None else len(t) for t in toks),
+                    dtype=np.int64,
+                    count=n,
+                )
+                n_types = np.zeros(n, dtype=np.int64)
+                n_hapax = np.zeros(n, dtype=np.int64)
+                if lens.sum():
+                    flat = np.concatenate(
+                        [np.asarray(t, dtype=object) for t in toks
+                         if t is not None and len(t)]
+                    )
+                    codes, uniq = pd.factorize(flat)
+                    doc_idx = np.repeat(np.arange(n), lens)
+                    key = doc_idx * np.int64(len(uniq)) + codes
+                    ukeys, counts = np.unique(key, return_counts=True)
+                    d = (ukeys // len(uniq)).astype(np.int64)
+                    n_types = np.bincount(d, minlength=n).astype(np.int64)
+                    n_hapax = np.bincount(
+                        d[counts == 1], minlength=n
+                    ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_tokens": lens,
+                        "n_types": n_types,
+                        "n_hapax": n_hapax,
+                        "ttr": n_types.astype(np.float64)
+                        / np.maximum(lens, 1),
+                        "hapax_ratio": n_hapax.astype(np.float64)
+                        / np.maximum(n_types, 1),
+                    }
+                )
+
+        return df.select(
+            F.col(id_col),
+            tokens_column(F.col(text_col)).alias("__toks"),
+        ).mapInPandas(_profile_batches, out_schema)
     toks = df.select(
         F.col(id_col),
         F.explode_outer(tokens_column(F.col(text_col))).alias("tok"),

@@ -4491,6 +4491,40 @@ def test_quantize_embeddings_roundtrip_and_topk(spark):
         quantize_embeddings(nan_df, on_nan="bogus")
 
 
+def test_lexical_diversity_kernel_matches_explode_form(spark, sf_dir):
+    """t09's map-only Arrow kernel (factorize + one np.unique per
+    batch — zero exchange) returns EXACTLY the explode -> two-agg
+    reference, including the all-zero rows for null/empty docs and the
+    raw IEEE ratio divisions, on the real documents table plus planted
+    edge docs."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "one one one"),
+            (100004, "all distinct words here"),
+            (100005, "  \t  "),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    fast = {r["doc_id"]: tuple(r)[1:] for r in
+            lexical_diversity(both, use_arrow=True).collect()}
+    ref = {r["doc_id"]: tuple(r)[1:] for r in
+           lexical_diversity(both, use_arrow=False).collect()}
+    assert fast == ref
+    assert fast[100001] == (0, 0, 0, 0.0, 0.0)
+    assert fast[100003] == (3, 1, 0, 1 / 3, 0.0)
+    assert fast[100004] == (4, 4, 4, 1.0, 1.0)
+
+
 def test_quantize_arrow_kernel_matches_column_form(spark, sf_dir):
     """The Arrow/numpy fast path (default since r12 — the r11 bench
     measured the per-element Column-HOF fold at 96x DuckDB at sf10) is
