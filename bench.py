@@ -740,6 +740,109 @@ def _bench_curation(spark, sf_dir: str) -> dict:
                 batch_transform=sigs,
             ),
         )
+
+        # vector leg (r11 verdict #9): drain the embeddings table
+        # through the cosine-LSH curation loop from a cold index
+        from cloudfabric_eventsourcing_spark.streaming.curation import (
+            curate_vector_stream,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        n_vecs = emb.count()
+        dims = len(emb.select("embedding").first()[0])
+        vsrc = os.path.join(d, "vincoming")
+        emb.withColumn(
+            "b", F.pmod(F.xxhash64("vec_id"), F.lit(4))
+        ).repartition(4, "b").drop("b").write.parquet(vsrc)
+        vec_idx = os.path.join(d, "vidx")
+        dedup.save_cosine_index(
+            spark.createDataFrame([], "vec_id long, embedding array<float>"),
+            vec_idx, dims=dims, bits=10,
+        )
+        vstream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vsrc)
+        )
+        t0 = time.perf_counter()
+        q = curate_vector_stream(
+            vstream, vec_idx, os.path.join(d, "vcorpus"),
+            os.path.join(d, "vckpt"), threshold=0.99,
+        )
+        q.awaitTermination(600)
+        out["curation_vector_docs_per_sec"] = round(
+            n_vecs / (time.perf_counter() - t0), 1
+        )
+
+        # image leg (r11 verdict #9): synthetic 9x8 PNGs rendered
+        # DISTRIBUTEDLY from id arithmetic (the m05 planted method),
+        # drained through the perceptual-hash loop; capped — the point
+        # is decode->dHash->index throughput per doc, not corpus size
+        from cloudfabric_eventsourcing_spark.operators import (
+            multimodal as _mm,
+        )
+        from cloudfabric_eventsourcing_spark.streaming.curation import (
+            curate_image_dhash_stream,
+        )
+
+        n_imgs = min(n_docs, 2000)
+
+        def _render_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            from cloudfabric_eventsourcing_spark.operators import codecs
+
+            for pdf in batches:
+                blobs = []
+                for mid in pdf["media_id"]:
+                    pat = (int(mid) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+                    px = np.zeros((8, 9), np.uint8)
+                    for r in range(8):
+                        v = 128
+                        px[r, 0] = v
+                        for c in range(8):
+                            v += 8 if (pat >> (r * 8 + c)) & 1 else -8
+                            px[r, c + 1] = v
+                    rgb = np.repeat(px[..., None], 3, axis=2)
+                    blobs.append(
+                        codecs.encode_png(9, 8, 3, rgb.tobytes())
+                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": "image",
+                        "content": blobs,
+                        "meta": [None] * len(pdf),
+                    }
+                )
+
+        isrc = os.path.join(d, "iincoming")
+        spark.range(n_imgs).select(
+            F.col("id").alias("media_id")
+        ).repartition(4).mapInPandas(
+            _render_batches, _mm.MEDIA_SCHEMA
+        ).write.parquet(isrc)
+        img_idx = os.path.join(d, "iidx")
+        dedup.save_hamming_index(
+            spark.createDataFrame([], "media_id long, dhash long"), img_idx
+        )
+        istream = (
+            spark.readStream.schema(_mm.MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(isrc)
+        )
+        t0 = time.perf_counter()
+        q = curate_image_dhash_stream(
+            istream, img_idx, os.path.join(d, "icorpus"),
+            os.path.join(d, "ickpt"),
+        )
+        q.awaitTermination(600)
+        out["curation_image_dhash_docs_per_sec"] = round(
+            n_imgs / (time.perf_counter() - t0), 1
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
