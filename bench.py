@@ -274,8 +274,13 @@ def main() -> None:
                 "reload_5k_snapshot_per_sec": reload_snap,
                 **({} if skip_store else _bench_replay(spark, sf_dir)),
                 # streaming-curation legs (r10 verdict #7): full
-                # pipeline docs/sec, cold index, availableNow drain
-                **({} if skip_store else _bench_curation(spark, sf_dir)),
+                # pipeline docs/sec, cold index, availableNow drain.
+                # Measured in a FRESH session (r12): at suite-end the
+                # legs inherit a GC/page-cache-degraded JVM and the
+                # bias GROWS with suite length — the r12 in-suite text
+                # leg read 33 docs/s vs 126 standalone the same hour.
+                **({} if skip_store else _bench_curation(
+                    _fresh_session(spark), sf_dir)),
             }
     )
     print(json.dumps(payload))
@@ -663,6 +668,19 @@ def _bench_replay(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _fresh_session(old):
+    """Tear down the suite's JVM and hand back a clean one — streaming
+    throughput keys must not depend on how long the preceding query
+    suite happened to be."""
+    try:
+        old.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    from cloudfabric_eventsourcing_spark.session import build_session
+
+    return build_session(app_name="cfes-bench-curation")
 
 
 def _bench_curation(spark, sf_dir: str) -> dict:
