@@ -344,6 +344,14 @@ def _bench_oracles(
         "documents embeddings"
     ).split()
     con = duckdb.connect()
+    # hard memory cap (r12): an oracle whose intermediate blows past RAM
+    # inside the watchdog window OOM-kills the WHOLE bench process (the
+    # s07 planted oracle at sf10 materializes ~3e9 distance rows and ate
+    # 130 GB before the 60 s watchdog fired — the kernel killed pid-level,
+    # not query-level).  With a limit DuckDB spills or errors that ONE
+    # query; either way it records as DNF instead of voiding the suite.
+    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET temp_directory='{os.path.join(os.sep, 'tmp', 'duckdb_spill')}'")
     for t in tables:
         # /root/testdata tables are single files; scaled dirs from
         # tools/make_scaled_sf.py are directory datasets — glob those
