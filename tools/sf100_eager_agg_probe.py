@@ -85,16 +85,27 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        # metrics pass: collect() (results are <= 25 rows for all three)
-        # so the SAME queryExecution that populated the SQL metrics is
-        # the one we read exchange row counts from — a noop write
-        # executes a clone whose metrics the df handle never sees
-        mdf = qs[name](spark, sf_dir)
-        mdf.collect()
+        # metrics pass: collect() (results are <= 25 rows for the star
+        # queries) so the SAME queryExecution that populated the SQL
+        # metrics is the one we read exchange row counts from — a noop
+        # write executes a clone whose metrics the df handle never
+        # sees.  Queries with corpus-sized results (s04's exploded
+        # component rows) blow spark.driver.maxResultSize here — their
+        # wall is the product; record the metrics as unavailable
+        # instead of voiding the run (r12: a 27-task 1 GB collect
+        # killed a 20-minute probe).
+        exchange = None
+        try:
+            mdf = qs[name](spark, sf_dir)
+            mdf.collect()
+            exchange = _exchange_bytes(mdf)[:4]
+        except Exception as exc:  # noqa: BLE001
+            exchange = f"metrics collect failed: {type(exc).__name__}"
         result[name] = {
             "wall_s": round(best, 2),
-            "exchange_bytes_desc": _exchange_bytes(mdf)[:4],
+            "exchange_bytes_desc": exchange,
         }
+        print(f"-- {name}: {result[name]}", file=sys.stderr, flush=True)
     print(json.dumps(result))
 
 
