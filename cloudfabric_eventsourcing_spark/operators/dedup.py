@@ -173,9 +173,36 @@ def minhash_lsh_pairs(
     verify: bool = True,
     max_bucket_size: Optional[int] = None,
     max_candidate_pairs: Optional[int] = None,
+    min_matching_bands: Optional[int] = None,
+    cache_grams: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding; candidates verified with
     exact Jaccard when `verify` (the production configuration).
+
+    `min_matching_bands` (opt-in) is the verify-cost valve the r12
+    verdict asked for: the candidate dedup is already a groupBy over
+    (id_a, id_b), so the number of bands in which a pair co-occurs
+    comes FREE from the same exchange (count instead of distinct), and
+    it is a sharp similarity statistic: a pair at similarity s matches
+    each band independently with p = s^r, so a TRUE pair at the
+    default (threshold .9, r=4, 32 bands) matches ~21 bands in
+    expectation and P(Binom(32, .9^4) < 2) ~ 9e-14 — while the
+    degenerate small-vocabulary collisions that dominate candidate
+    volume are overwhelmingly 1-band flukes.  Filtering to
+    >= min_matching_bands before the gram re-attach cuts the exact-
+    verify join to near-threshold pairs only, at a miss probability
+    per true pair of P(Binom(bands, threshold^r) < c) — deterministic
+    per corpus (no RNG), so a differential that passes once always
+    passes.  Leave None (default) for the banding's own exact-output
+    contract; the star-valve subset semantics are unchanged (star
+    co-occurrences count toward the same total).
+
+    `cache_grams` persists the tokenize->hash gram table
+    (MEMORY_AND_DISK) across its two consumers — the signature build
+    and the verify re-attach — instead of recomputing the tokenize
+    pipeline three times; worth it when `verify` at design scale,
+    measured noise at sf0.1 (PLANS r12/r13).  Spark's ContextCleaner
+    reclaims the blocks when the plan is GC'd.
 
     With r = num_perm/bands rows per band, a pair of similarity s collides
     in >=1 band with p = 1-(1-s^r)^bands; at (128, 32) -> r=4, pairs at
@@ -201,9 +228,20 @@ def minhash_lsh_pairs(
     texts never reach the LSH at all."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
+    if min_matching_bands is not None and not (
+        1 <= min_matching_bands <= bands
+    ):
+        raise ValueError(
+            f"min_matching_bands must be in [1, {bands}], "
+            f"got {min_matching_bands}"
+        )
     grams_df, banded = _grams_and_bands(
         df, num_perm, bands, n, text_col, id_col
     )
+    if cache_grams:
+        from pyspark import StorageLevel
+
+        grams_df = grams_df.persist(StorageLevel.MEMORY_AND_DISK)
     if max_candidate_pairs is not None:
         # candidate-budget guard (r11: the unvalved sf10 bench run
         # OOM'd at 9.6e9 candidates — the degenerate tail-bucket
@@ -216,13 +254,14 @@ def minhash_lsh_pairs(
         # a star (n-1 pairs), not all-pairs — estimate the VALVED join
         # volume, or the guard spuriously refuses the exact configuration
         # whose remediation it recommends (r11 advice).
-        n = F.col("__n")
+        bucket_n = F.col("__n")  # NOT `n` — that's the shingle size param
         if max_bucket_size is not None:
             per_bucket = F.when(
-                n <= F.lit(max_bucket_size), n * (n - 1) / 2
-            ).otherwise(n - 1)
+                bucket_n <= F.lit(max_bucket_size),
+                bucket_n * (bucket_n - 1) / 2,
+            ).otherwise(bucket_n - 1)
         else:
-            per_bucket = n * (n - 1) / 2
+            per_bucket = bucket_n * (bucket_n - 1) / 2
         est = (
             banded.groupBy("bi", "bh")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -280,7 +319,14 @@ def minhash_lsh_pairs(
     )
     if star is not None:
         cand = cand.unionByName(star)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    # the dedup groupBy doubles as the matching-band counter: count()
+    # instead of distinct costs nothing extra on the same exchange
+    cand = cand.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    if min_matching_bands is not None and min_matching_bands > 1:
+        cand = cand.where(F.col("__nb") >= min_matching_bands)
+    cand = cand.drop("__nb")
     if not verify:
         return cand
     ga = grams_df.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))

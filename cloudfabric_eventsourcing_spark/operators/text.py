@@ -278,7 +278,15 @@ def dedup_lines_keep_first(
     return (
         df.select(
             id_col,
-            F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+            # null-text documents count 0 lines, matching the coalesced
+            # n_kept=0 / out="" they get below — size(split(NULL)) would
+            # yield NULL (or -1 under legacy sizeOfNull) and break the
+            # every-input-row accounting exactly on the rows the
+            # coalesce exists to cover (ADVICE r12)
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(F.split(F.col(text_col), "\n")))
+            .cast("long")
+            .alias("n_lines"),
         )
         .join(rebuilt, id_col, "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit("")))

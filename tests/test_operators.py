@@ -4592,6 +4592,121 @@ def test_quantize_arrow_kernel_matches_column_form(spark, sf_dir):
     assert [(r["vec_id"], r["dot"]) for r in zt] == [(7, 0), (8, -8001)]
 
 
+def test_quantize_arrow_kernels_dirty_corpus(spark):
+    """ADVICE r12: the Arrow kernels must propagate null / empty /
+    wrong-length vectors with the Column forms' semantics instead of
+    letting numpy raise on the ragged batch.  Column-form contract:
+    null vector -> (scale NULL, qvec NULL); empty vector -> (scale
+    NULL, qvec []); any qvec whose length mismatches the query (incl.
+    null/empty) -> dot NULL, ranking last under (dot desc, id asc)."""
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        quantize_and_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    dirty = spark.createDataFrame(
+        [
+            (1, [3.0, -6.0]),
+            (2, None),
+            (3, []),
+            (4, [0.0, 0.0]),
+            (5, [1.0, 2.0, 3.0]),  # ragged width
+            (6, [6.0, 3.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fast = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_embeddings(dirty, use_arrow=True).collect()
+    }
+    ref = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_embeddings(dirty, use_arrow=False).collect()
+    }
+    assert fast == ref
+    assert fast[2] == (None, None)
+    assert fast[3] == (None, [])
+    assert fast[4] == (0.0, [0, 0])
+    assert fast[5] == (3.0, [42, 85, 127])
+    # topk over the dirty quantized table: dirty rows carry NULL dots
+    # and rank last in both evaluation paths
+    qz = quantize_embeddings(dirty, use_arrow=True)
+    top_fast = [
+        (r["vec_id"], r["dot"])
+        for r in quantized_topk(qz, [127, 0], k=6, use_arrow=True).collect()
+    ]
+    top_ref = [
+        (r["vec_id"], r["dot"])
+        for r in quantized_topk(qz, [127, 0], k=6, use_arrow=False).collect()
+    ]
+    assert top_fast == top_ref
+    # 6: [127,64].[127,0]=16129; 1: [64,-127].[127,0]=8128; 4: zeros
+    assert top_fast[:3] == [(6, 16129), (1, 8128), (4, 0)]
+    assert {v for v, d in top_fast if d is None} == {2, 3, 5}
+    # fused kernel equals the composition on the dirty corpus too
+    fused = [
+        (r["vec_id"], r["dot"])
+        for r in quantize_and_topk(dirty, [127, 0], k=6).collect()
+    ]
+    assert fused == top_fast
+
+
+def test_brute_force_topk_arrow_matches_column_form(spark, sf_dir):
+    """The r12-verdict s01 ask: the mapInArrow float-dot kernel (the
+    s05 kernel minus quantization) pinned EXACTLY equal — ids AND
+    rounded cosines — to the Column-fold reference on the real corpus,
+    the whole corpus ranking (k = corpus size, so every rounding-tie
+    ordering is exercised, not just the head), and a dirty corpus."""
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    query = emb.where("vec_id = 0").collect()[0]["embedding"]
+    for kk in (25, n):
+        fast = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(
+                emb, query, k=kk, use_arrow=True
+            ).collect()
+        ]
+        ref = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(
+                emb, query, k=kk, use_arrow=False
+            ).collect()
+        ]
+        assert fast == ref  # exact doubles: same fold order, same HALF_UP
+    dirty = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, None),
+            (3, []),
+            (4, [0.0, 0.0]),  # zero norm -> NULL cosine
+            (5, [1.0, 2.0, 3.0]),  # ragged width
+            (6, [-4.0, 3.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fast = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            dirty, [1.0, 0.0], k=6, use_arrow=True
+        ).collect()
+    ]
+    ref = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            dirty, [1.0, 0.0], k=6, use_arrow=False
+        ).collect()
+    ]
+    assert fast == ref
+    assert fast[:2] == [(1, 0.6), (6, -0.8)]
+    assert {v for v, c in fast if c is None} == {2, 3, 4, 5}
+
+
 def test_image_dhash_and_hamming_pairs(spark):
     """m05's premises pinned: dHash is exactly the gradient pattern a
     rendered image encodes, invariant to 2x nearest upscale and uniform
@@ -4924,6 +5039,7 @@ def test_dedup_lines_keep_first_semantics(spark):
             (1, "dup\n\nunique one"),
             (2, "dup\n\nunique two\ndup"),
             (3, "dup"),
+            (4, None),
         ],
         "doc_id long, text string",
     )
@@ -4936,6 +5052,8 @@ def test_dedup_lines_keep_first_semantics(spark):
     assert got[1] == ("dup\n\nunique one", 3, 3)
     assert got[2] == ("\nunique two", 2, 4)  # both dup copies dropped
     assert got[3] == ("", 0, 1)  # deduped to nothing, still accounted for
+    # null-text docs are accounted as 0 lines, not NULL/-1 (ADVICE r12)
+    assert got[4] == ("", 0, 0)
 
 
 def test_dedup_lines_first_occurrence_within_one_doc(spark):
@@ -5171,3 +5289,139 @@ def test_minhash_budget_guard_respects_star_valve(spark):
     valved.collect()
     with _pytest.raises(ValueError, match="candidate pairs"):
         dedup.minhash_lsh_pairs(docs, max_candidate_pairs=2_000)
+
+
+# round 13: PyAV adapter (r12 verdict #6) — decline path runs everywhere;
+# the real-decode path self-skips where PyAV is absent
+
+
+def test_pyav_adapter_declines_cleanly_without_av():
+    """Contract: with no `av` installed, both adapter callables raise
+    NotImplementedError (the decline signal), so injecting them is a
+    no-op over the pure-Python floor — stock behavior unchanged."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators import av_adapter, codecs
+    from cloudfabric_eventsourcing_spark.operators.multimodal import (
+        _decode_audio,
+        _decode_video,
+    )
+
+    frames = [bytes(range(12)), bytes(range(12, 24))]
+    avi = codecs.encode_avi(2, 2, 10.0, frames)
+    wav = codecs.encode_wav(8000, 1, 2, b"\x00\x01" * 64)
+    if av_adapter.pyav_available():
+        _pytest.skip("PyAV present: decline-path test is for the floor")
+    with _pytest.raises(NotImplementedError):
+        av_adapter.pyav_video_decoder(avi)
+    with _pytest.raises(NotImplementedError):
+        av_adapter.pyav_audio_decoder(wav)
+    # injected into the operators' decode path, the decline falls
+    # through to the built-in floor and the result is IDENTICAL
+    assert _decode_video(avi, decoder=av_adapter.pyav_video_decoder) == (
+        codecs.decode_avi(avi)
+    )
+    assert _decode_audio(wav, decoder=av_adapter.pyav_audio_decoder) == (
+        codecs.decode_wav(wav)
+    )
+    assert av_adapter.available_decoders() == {}
+
+
+def test_pyav_adapter_decodes_when_av_present():
+    """When PyAV IS importable (not in this container; runs in a
+    deployment image), the adapter must decode an MJPEG AVI through
+    ffmpeg with the codecs return contract: same dims/fps, frame count,
+    and top-down RGB byte length per frame."""
+    import pytest as _pytest
+
+    _pytest.importorskip("av")
+    from cloudfabric_eventsourcing_spark.operators import av_adapter, codecs
+
+    px = bytes((i * 7) % 256 for i in range(16 * 16 * 3))
+    avi = codecs.encode_avi(
+        16, 16, 10.0, [px, px], codec="mjpeg", quality=90
+    )
+    w, h, fps, frames = av_adapter.pyav_video_decoder(avi)
+    assert (w, h, fps) == (16, 16, 10.0)
+    assert len(frames) == 2 and all(len(f) == 16 * 16 * 3 for f in frames)
+    wav = codecs.encode_wav(8000, 1, 2, b"\x00\x01" * 64)
+    rate, ch, width, pcm = av_adapter.pyav_audio_decoder(wav)
+    assert (rate, ch, width) == (8000, 1, 2) and len(pcm) == 128
+    assert set(av_adapter.available_decoders()) == {"video", "audio"}
+
+
+def test_dsir_arrow_scoring_matches_join_form(spark, sf_dir):
+    """The r12-verdict p19 candidate: DSIR per-doc scoring folded into
+    an Arrow kernel over a collected micro-weight dict must equal the
+    explode -> broadcast-join -> per-doc-sum form EXACTLY (the integer
+    micro-unit lattice makes both order-independent), including
+    null/empty/whitespace documents."""
+    from cloudfabric_eventsourcing_spark.operators import sampling as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    edge = spark.createDataFrame(
+        [
+            (900001, None, "en"),
+            (900002, "", "en"),
+            (900003, "   \t ", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    both = docs.unionByName(edge)
+    tgt = both.where("lang = 'en'")
+    a = sorted(
+        tuple(r) for r in S.dsir_log_weights(both, tgt).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in S.dsir_log_weights(both, tgt, use_arrow=True).collect()
+    )
+    assert a == b
+    byid = {t[0]: t[1:] for t in b}
+    assert byid[900001] == (0, 0.0)
+    assert byid[900002] == (0, 0.0)
+
+
+def test_minhash_band_count_prefilter_and_cache_equal_exact(spark, sf_dir):
+    """r12 verdict Next #2 levers: (a) cache_grams persists the gram
+    table across signature build + verify re-attach; (c) the
+    min_matching_bands pre-filter drops candidates co-occurring in
+    fewer bands before the exact-verify join.  Both must leave the
+    verified output IDENTICAL on the fixture corpus (a true pair at
+    threshold .9 / r=4 / 32 bands misses 2 matching bands w.p. ~9e-14,
+    and the statistic is deterministic — no RNG, so equality here is
+    stable, not flaky), while the pre-filter measurably shrinks the
+    candidate set it feeds to verification."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plain = sorted(
+        map(tuple, dedup.minhash_lsh_pairs(docs, threshold=0.9).collect())
+    )
+    tuned = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs(
+                docs, threshold=0.9, min_matching_bands=2, cache_grams=True
+            ).collect(),
+        )
+    )
+    assert tuned == plain and len(plain) > 0
+    # the filter does real work: candidate volume strictly shrinks
+    cand_all = dedup.minhash_lsh_pairs(docs, verify=False).count()
+    cand_f = dedup.minhash_lsh_pairs(
+        docs, verify=False, min_matching_bands=2
+    ).count()
+    assert cand_f < cand_all
+    # every verified pair survives the filter (subset of candidates)
+    assert cand_f >= len(plain)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_matching_bands"):
+        dedup.minhash_lsh_pairs(docs, min_matching_bands=0)
+    with _pytest.raises(ValueError, match="min_matching_bands"):
+        dedup.minhash_lsh_pairs(docs, min_matching_bands=33)

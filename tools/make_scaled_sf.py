@@ -118,12 +118,23 @@ def materialize(
     wanted = list(OFFSET_COLS) if tables is None else [
         t for t in OFFSET_COLS if t in tables
     ]
+    have: set[str] = set()
     if os.path.exists(ok_path):
         have = set(open(ok_path).read().split())
         if have >= set(wanted) or have == {"ok"}:
             print(f"{out_dir} already materialized", file=sys.stderr)
             return
-    shutil.rmtree(out_dir, ignore_errors=True)
+        # additive top-up: tables are independent replicas of the same
+        # base, so a dir holding a subset extends in place — rebuilding
+        # 14 GB to add one table evicts the page cache for nothing
+        # (the r12 bench-hygiene lesson) and costs a 20-minute write
+        wanted = [t for t in wanted if t not in have]
+        print(
+            f"{out_dir}: topping up {wanted} (have {sorted(have)})",
+            file=sys.stderr,
+        )
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(app_name=f"make-sf-x{factor}")
     for t in COPY_AS_IS:
@@ -143,7 +154,7 @@ def materialize(
                 "overwrite" if lo == 0 else "append"
             ).parquet(f"{out_dir}/{t}.parquet")
         print(f"-- {t}: x{factor}", file=sys.stderr)
-    open(ok_path, "w").write(" ".join(wanted))
+    open(ok_path, "w").write(" ".join(sorted(have | set(wanted))))
     print(f"materialized {out_dir} at factor {factor}", file=sys.stderr)
 
 
