@@ -1387,12 +1387,21 @@ def p04_minhash_lsh(spark, sf_dir):
     # the exact-equality check above still holds bit-for-bit; at design
     # scale the valve bounds the tail (documented subset semantics
     # within over-cap buckets — the operator docstring's trade).
+    # broadcast_grams: the verify re-attach is the measured sf10 cost
+    # center (326M candidate pairs; r13 study) — map-side attach beats
+    # shuffling pair rows with KB gram arrays 1.14-1.32x within-run.
+    # Right while the per-doc gram table fits memory (sf10: 0.65 GB);
+    # at corpus scales beyond that, drop the flag for the default
+    # co-partitioned joins.  NOT min_matching_bands: under the star
+    # valve the band counts are censored and the filter would drop
+    # ~54% of true output (the r13 outhist adjudication).
     return _dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.9,
         num_perm=128,
         bands=32,
         max_bucket_size=512,
+        broadcast_grams=True,
     )
 
 
@@ -1500,7 +1509,14 @@ def p19_dsir_weights(spark, sf_dir):
     from cloudfabric_eventsourcing_spark.operators import sampling as _samp
 
     docs = load_table(spark, sf_dir, "documents")
-    return _samp.dsir_log_weights(docs, docs.where("lang = 'en'"))
+    # cache_features: one tokenize+md5 pass feeds both the raw fit and
+    # the scoring join (r13 A/B at sf10: 9.0 s vs 15.7 s = 1.74x, ~1.0x
+    # DuckDB; the Arrow-kernel candidate measured 0.8x and was rejected
+    # — the JVM explode+broadcast-join was never the wall, the second
+    # tokenize pass was)
+    return _samp.dsir_log_weights(
+        docs, docs.where("lang = 'en'"), cache_features=True
+    )
 
 
 @q(
@@ -2617,6 +2633,7 @@ def _lsh_pairs_materialized(spark, sf_dir):
             num_perm=128,
             bands=32,
             max_bucket_size=512,
+            broadcast_grams=True,  # same rationale as the p04 row
         )
         # localCheckpoint: pairs live as in-memory partitions; the
         # clustering loop's own per-round checkpoints already truncate

@@ -108,7 +108,9 @@ def ngram_jaccard_pairs(
     a = grams.alias("a")
     b = grams.alias("b")
     inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
-    union = F.size(F.array_union(F.col("a.g"), F.col("b.g")))
+    # |A u B| = |A|+|B|-|A n B| for distinct-gram sets: skip the second
+    # per-pair hash-set build (bit-identical jaccard — integer identity)
+    union = F.size("a.g") + F.size("b.g") - inter
     j = inter / F.greatest(union, F.lit(1))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
@@ -175,6 +177,7 @@ def minhash_lsh_pairs(
     max_candidate_pairs: Optional[int] = None,
     min_matching_bands: Optional[int] = None,
     cache_grams: bool = False,
+    broadcast_grams: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding; candidates verified with
     exact Jaccard when `verify` (the production configuration).
@@ -188,21 +191,37 @@ def minhash_lsh_pairs(
     default (threshold .9, r=4, 32 bands) matches ~21 bands in
     expectation and P(Binom(32, .9^4) < 2) ~ 9e-14 — while the
     degenerate small-vocabulary collisions that dominate candidate
-    volume are overwhelmingly 1-band flukes.  Filtering to
+    volume are overwhelmingly 1-band flukes (measured sf10: 326M
+    candidates, 53% one-band, 89% under four).  Filtering to
     >= min_matching_bands before the gram re-attach cuts the exact-
     verify join to near-threshold pairs only, at a miss probability
     per true pair of P(Binom(bands, threshold^r) < c) — deterministic
     per corpus (no RNG), so a differential that passes once always
-    passes.  Leave None (default) for the banding's own exact-output
-    contract; the star-valve subset semantics are unchanged (star
-    co-occurrences count toward the same total).
+    passes.
+
+    CAVEAT — interaction with max_bucket_size, measured at sf10: when
+    the star valve is ALSO set, the counted co-occurrences are
+    VALVE-CENSORED — two members of an over-cap bucket accrue no count
+    from it (only hub pairs do), so a true member pair of a giant
+    near-dup family can surface in fewer counted bands than the
+    binomial model says and get filtered.  The binomial miss bound
+    holds exactly when max_bucket_size is None; with both valves on,
+    the output is a further subset biased against over-cap-family
+    member pairs (the family's hub pairs, which duplicate_clusters
+    needs for connectivity, count stars and survive).  Both valves
+    together is the bounded-cost configuration for pathological
+    corpora; leave both None (default) for exact-output semantics.
 
     `cache_grams` persists the tokenize->hash gram table
     (MEMORY_AND_DISK) across its two consumers — the signature build
     and the verify re-attach — instead of recomputing the tokenize
-    pipeline three times; worth it when `verify` at design scale,
-    measured noise at sf0.1 (PLANS r12/r13).  Spark's ContextCleaner
-    reclaims the blocks when the plan is GC'd.
+    pipeline three times.  Measured at sf10 (PLANS r13): SLOWER on
+    this host (329 s vs 280 s baseline) — the persist's memory
+    pressure during the 326M-pair verify join costs more than the two
+    recomputed scans it saves — so it stays off by default; it is the
+    right trade only when executor memory is comfortably above the
+    gram-table footprint.  Spark's ContextCleaner reclaims the blocks
+    when the plan is GC'd.
 
     With r = num_perm/bands rows per band, a pair of similarity s collides
     in >=1 band with p = 1-(1-s^r)^bands; at (128, 32) -> r=4, pairs at
@@ -331,9 +350,28 @@ def minhash_lsh_pairs(
         return cand
     ga = grams_df.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams_df.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
+    if broadcast_grams:
+        # The verify re-attach is the measured cost center on degenerate
+        # corpora (sf10: 326M candidate pairs): as shuffle joins, the
+        # pair table exchanges TWICE and the second exchange carries the
+        # already-attached ~KB gram arrays — hundreds of GB for a gram
+        # table that is itself only ~650 MB.  Broadcasting the per-doc
+        # gram table turns both attaches map-side: the pair stream never
+        # shuffles, arrays never ride an exchange.  Opt-in because the
+        # broadcast must fit executor memory: right whenever
+        # sum(|grams|)*8B per doc is broadcastable (sf10: 0.65 GB),
+        # wrong at corpus scales where it isn't — there, prefer the
+        # default co-partitioned joins (grams_df is already id-hashed).
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     pairs = cand.join(ga, "id_a").join(gb, "id_b")
+    # |A u B| = |A| + |B| - |A n B| exactly (gram arrays are distinct
+    # sets), so the union's second per-pair hash-set build is redundant
+    # work — at sf10 the exact verify is COMPUTE-bound on these set ops
+    # (326M pairs x ~150-element arrays; measured r13), and this halves
+    # it.  Integer identity -> the same division -> bit-identical
+    # jaccard.
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    union = F.size("ga") + F.size("gb") - inter
     j = inter / F.greatest(union, F.lit(1))
     return pairs.select("id_a", "id_b", j.alias("jaccard")).where(
         F.col("jaccard") >= threshold
@@ -603,7 +641,7 @@ def dedup_against_index(
     else:
         pairs = cand.join(ga, "new_id").join(gb, "index_id")
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    union = F.size("ga") + F.size("gb") - inter  # same identity as above
     j = inter / F.greatest(union, F.lit(1))
     return pairs.select("new_id", "index_id", j.alias("jaccard")).where(
         F.col("jaccard") >= threshold

@@ -191,6 +191,7 @@ def dsir_log_weights(
     bucket_hex: int = 3,
     bigrams: bool = True,
     use_arrow: bool = False,
+    cache_features: bool = False,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): per raw document, the
@@ -233,7 +234,29 @@ def dsir_log_weights(
         )
 
     tc = counts(target, "tc")
-    rc = counts(raw, "rc")
+    per_gram = raw.select(
+        F.col(id_col).alias("id"), F.explode_outer(buckets).alias("b")
+    )
+    if cache_features:
+        # one tokenize+md5 pass over the raw corpus instead of two:
+        # the exploded (id, bucket) rows feed BOTH the raw fit and the
+        # scoring join (persisted MEMORY_AND_DISK; ContextCleaner
+        # reclaims on GC).  Same results bit-for-bit — the fit's
+        # explode() equals the outer-explode rows minus the null-b
+        # rows empty documents contribute.  (With use_arrow the
+        # scoring path never reads per_gram, so the persist would pin
+        # a single-use table — skipped.)
+        if not use_arrow:
+            from pyspark import StorageLevel
+
+            per_gram = per_gram.persist(StorageLevel.MEMORY_AND_DISK)
+        rc = (
+            per_gram.where(F.col("b").isNotNull())
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("rc"))
+        )
+    else:
+        rc = counts(raw, "rc")
     tot = tc.agg(F.sum("tc").alias("tt")).crossJoin(
         rc.agg(F.sum("rc").alias("tr"))
     )
@@ -336,9 +359,6 @@ def dsir_log_weights(
         return raw.select(
             F.col(id_col), buckets.alias("__b")
         ).mapInPandas(_score_batches, out_schema)
-    per_gram = raw.select(
-        F.col(id_col).alias("id"), F.explode_outer(buckets).alias("b")
-    )
     return (
         per_gram.join(F.broadcast(lw), "b", "left")
         .groupBy("id")

@@ -5382,6 +5382,16 @@ def test_dsir_arrow_scoring_matches_join_form(spark, sf_dir):
     byid = {t[0]: t[1:] for t in b}
     assert byid[900001] == (0, 0.0)
     assert byid[900002] == (0, 0.0)
+    # cache_features (one tokenize+md5 pass feeds fit AND scoring):
+    # bit-identical too — the fit's explode() equals the outer-explode
+    # rows minus the null-b rows
+    c = sorted(
+        tuple(r)
+        for r in S.dsir_log_weights(
+            both, tgt, cache_features=True
+        ).collect()
+    )
+    assert a == c
 
 
 def test_minhash_band_count_prefilter_and_cache_equal_exact(spark, sf_dir):
@@ -5411,6 +5421,16 @@ def test_minhash_band_count_prefilter_and_cache_equal_exact(spark, sf_dir):
         )
     )
     assert tuned == plain and len(plain) > 0
+    # broadcast_grams is a plan-only change (map-side attach): identical
+    bcast = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs(
+                docs, threshold=0.9, broadcast_grams=True
+            ).collect(),
+        )
+    )
+    assert bcast == plain
     # the filter does real work: candidate volume strictly shrinks
     cand_all = dedup.minhash_lsh_pairs(docs, verify=False).count()
     cand_f = dedup.minhash_lsh_pairs(
