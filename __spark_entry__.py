@@ -3956,38 +3956,44 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - t03_token_counts: text.py token leaf shared with the in-window
 #     t01/t08 rows.
 _VERIFY_FIRST = [
-    # r12 window: the 25 r9-verified rows parked at 51+ since round 11
-    # lead, exactly as the r11 verdict staged (ask #8)
-    "h24_product_profit",
-    "h25_customer_distribution",
-    "h27_waiting_suppliers",
-    "h7_rollup_revenue",
-    "m02_image_neardup",
-    "m03_audio_neardup",
-    "m04_video_neardup",
-    "o2_nested_sort",
-    "p06_cosine_neardup_lsh",
-    "p11_boilerplate_lines",
-    "p13_duplicate_clusters",
-    "p15_incremental_clusters",
-    "p16_winnowing_overlap",
-    "p17_duplicated_spans",
-    "p18_semdedup",
-    "p19_dsir_weights",
-    "p20_dup_span_coverage",
-    "s02_ann_lsh_topk",
-    "t02_quality_score",
-    "t05_rarity_weighted_scores",
-    "t06_repetition_stats",
-    "t07_vocab_topk",
-    "u01_set_ops",
-    "w03_session_window",
-    "x02_sessionization",
-    # round-12 new/changed rows take day-one slots: s07 is new (the PQ
-    # planted differential closing r11's no-oracle row); s04/s05 now
-    # default to the Arrow kernel; h26 adopted distinct-then-count
-    # (h25's eager-agg form is re-verified via its leading slot above);
-    # p22 grew the n_lines audit column
+    # r13 window: the 29 r10-verified rows parked since round 11 lead,
+    # exactly as the r12 close-out staged (verdict ask #7).  s01 is
+    # BOTH parked and r13-changed (the mapInArrow cosine kernel is its
+    # new default path) — its slot does double duty.
+    "h3_top_customers",
+    "h4_semi_join_high_value_orders",
+    "h5_anti_join_customers_without_p_orders",
+    "h6_window_top3_orders_per_customer",
+    "h8_shipping_priority",
+    "h9_order_priority_check",
+    "h10_promo_revenue_share",
+    "h11_large_volume_customers",
+    "h12_rich_idle_customers",
+    "h20_brand_size_quantity_revenue",
+    "k01_salted_join",
+    "m01_multimodal_features",
+    "m05_image_dhash_neardup",
+    "o1_multi_sort_limit",
+    "o5_keyset_pagination",
+    "p02_fingerprint_dedup",
+    "p07_simhash_neardup",
+    "p09_weighted_mix",
+    "p10_decontaminate",
+    "p12_pack_offsets",
+    "s01_ann_brute_force_topk",
+    "s03_ann_ivf_topk",
+    "t01_language_id",
+    "t04_pii_redaction",
+    "t10_unigram_surprisal",
+    "x01_asof_join",
+    "x03_range_join",
+    "x04_funnel_conversion",
+    "x06_last_touch_attribution",
+    # round-13 changed rows take day-one slots: s07 rounds embeddings
+    # to exact quarters (the d2-ULP advice fix); s04/s05 gained the
+    # dirty-batch fallbacks; p22 gained null-text n_lines=0;
+    # p04/p13/p15 run the broadcast-attach union-free verify;
+    # p19 adopted cache_features
     "s07_pq_planted",
     # s06 keeps a window slot every round: its driver row is the
     # deliberate rows-only check (no DuckDB oracle for real k-means),
@@ -3995,35 +4001,30 @@ _VERIFY_FIRST = [
     "s06_pq_adc_topk",
     "s04_embedding_quantize",
     "s05_quantized_topk",
-    "h26_brand_supplier_counts",
     "p22_line_dedup_first",
-    # oldest-checked rows (r10 window, untouched since) fill the
-    # remaining 20 slots; p03/p04/p05 lead them because they share
-    # dedup.py with this round's valve-estimate change (the p04 entry
-    # itself passes only max_bucket_size, so its plan is unchanged)
     "p04_minhash_lsh_pairs",
-    "p03_ngram_jaccard_pairs",
-    "p05_cosine_neardup_pairs",
-    "t09_lexical_diversity",
-    "a2_max_stream_version",
-    "a3_store_statistics",
-    "a4_projection_fold_counts",
-    "a5_projection_fold_sum",
-    "a6_facet_counts",
-    "f03_ts_range",
-    "f10_bool_tree",
-    "f11_nested_path",
-    "f12_array_exists",
-    "f13_search_text",
-    "f16_search_tokenized",
-    "f17_search_scored",
-    "f23_search_match_analyzer",
-    "h1_pricing_summary",
-    "h2_revenue_by_nation",
+    "p13_duplicate_clusters",
+    "p15_incremental_clusters",
+    "p19_dsir_weights",
+    # oldest-checked rows (r11 window, untouched since) fill the
+    # remaining 12 slots
+    "f01_eq",
+    "f02_ne_null",
+    "f03_range",
+    "f04_starts_with",
+    "f05_ends_with",
+    "f06_contains_case_sensitive",
+    "f07_starts_ignore_case",
+    "f08_contains_ignore_case",
+    "f09_array_contains",
+    "f14_partition_key",
+    "a7_exact_median",
+    "j3_in_list",
     # -- driver window ends here (position 50) --
-    # parked for r13 (r10-green + judge-sweep-green): h3, h4, h5, h6,
-    # h8, h9, h10, h11, h12, h20, k01, m01, m05, o1, o5, p02, p07,
-    # p09, p10, p12, s01, s03, t01, t04, t10, x01, x03, x04, x06
+    # parked for r14 (r12-green + judge-sweep-green): h24, h25, h27,
+    # h7, m02, m03, m04, o2, p06, p11, p16, p17, p18, p20, s02, t02,
+    # t05, t06, t07, u01, w03, x02, f03_ts_range, f10, f11, f12, f13,
+    # f16, f17, f23, h1, h2, a2, a3, a4, a5, a6, t09, p03, p05
 ]
 
 

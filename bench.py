@@ -123,6 +123,19 @@ def main() -> None:
         [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
     )
     skip_store = os.environ.get("SPARK_GRAFT_BENCH_SKIP_STORE") == "1"
+    # pre-warm pass (r12 verdict stretch #10): page-cache state is part
+    # of the experiment — three r12 runs were burned discovering that a
+    # prior run's 14 GB materialization had evicted the working set and
+    # cold ~40 MB/s reads inflated scan-bound rows up to 10x.  One
+    # sequential read of the sf dir (plus the bucketed layout, below,
+    # after it exists) pins the warm-set state the walls assume; the
+    # payload records it so cross-round walls are comparable by
+    # contract, not by luck.  SPARK_GRAFT_PREWARM=0 opts out.
+    prewarm_s = None
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
+        t0 = time.perf_counter()
+        prewarm_bytes = _prewarm_dir(sf_dir)
+        prewarm_s = round(time.perf_counter() - t0, 1)
     # T-append runs BEFORE the JVM exists: it is a pure-driver benchmark
     # and a live local[32] Spark JVM (GC + scheduler threads) costs it
     # ~35% throughput — measure the store, not the neighbor
@@ -163,6 +176,11 @@ def main() -> None:
     t0 = time.perf_counter()
     layout = ensure_bucketed_layout(spark, sf_dir)
     layout_s = round(time.perf_counter() - t0, 2)
+    if prewarm_s is not None:
+        # the layout dir is read by most star queries — warm it too
+        t0 = time.perf_counter()
+        prewarm_bytes += _prewarm_dir(layout["dir"])
+        prewarm_s = round(prewarm_s + time.perf_counter() - t0, 1)
 
     qs = entry_mod.queries()
     # warm-up: JVM/codegen/parquet footer caches
@@ -288,6 +306,12 @@ def main() -> None:
                 "heavy_rows_fresh_session": sorted(
                     HEAVY_ROWS & set(headline)
                 ),
+                # page-cache prewarm pass (r12 verdict stretch #10):
+                # null = opted out via SPARK_GRAFT_PREWARM=0
+                "prewarm_sec": prewarm_s,
+                "prewarm_bytes": (
+                    prewarm_bytes if prewarm_s is not None else None
+                ),
                 "oracle_timeout_sec": float(
                     os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_SEC", "30")
                 ),
@@ -372,6 +396,29 @@ def main() -> None:
     )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
+
+
+def _prewarm_dir(path: str) -> int:
+    """Sequentially read every file under `path` into the page cache;
+    returns bytes read.  The poor man's vmtouch — one pass at disk
+    bandwidth makes 'warm' a precondition the bench enforces instead of
+    inherits from whatever ran before."""
+    total = 0
+    if not path or not os.path.isdir(path):
+        return 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            try:
+                with open(fp, "rb") as fh:
+                    while True:
+                        chunk = fh.read(1 << 22)
+                        if not chunk:
+                            break
+                        total += len(chunk)
+            except OSError:
+                continue
+    return total
 
 
 def _vs_prev_oracle(out_path: str, sf, timings: dict, comparable: dict):

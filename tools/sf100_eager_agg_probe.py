@@ -37,6 +37,23 @@ from cloudfabric_eventsourcing_spark.sources.bucketing import (  # noqa: E402
 QUERIES = ["h2_revenue_by_nation", "h3_top_customers",
            "h14_distinct_customers_per_nation"]
 
+#: queries whose result is corpus-sized: the metrics pass wraps them in
+#: sum(xxhash64(struct(*))) — one row reaches the driver, every output
+#: column is still consumed (a bare count() would let Catalyst prune
+#: the computation under test), and the wrapper's own exchange is the
+#: trailing ~32-row single-long one, trivially distinguishable from the
+#: query's real shuffles (r12 verdict stretch #9: the text family needs
+#: exchange-bytes evidence at 600M rows like the star family has)
+WRAP_CORPUS_SIZED = frozenset(
+    {
+        "t06_repetition_stats",
+        "p19_dsir_weights",
+        "t09_lexical_diversity",
+        "s04_embedding_quantize",
+        "t10_unigram_surprisal",
+    }
+)
+
 
 def _exchange_bytes(df) -> list:
     """dataSize of every shuffle Exchange in the executed plan (bytes,
@@ -97,6 +114,11 @@ def main() -> None:
         exchange = None
         try:
             mdf = qs[name](spark, sf_dir)
+            if name in WRAP_CORPUS_SIZED:
+                # bit_xor, not sum: summing 600M xxhash64 longs
+                # overflows BIGINT under ANSI (measured — the first
+                # probe's ArithmeticException)
+                mdf = mdf.selectExpr("bit_xor(xxhash64(struct(*))) AS h")
             mdf.collect()
             exchange = _exchange_bytes(mdf)[:4]
         except Exception as exc:  # noqa: BLE001
