@@ -4019,12 +4019,15 @@ _VERIFY_FIRST = [
     "f09_array_contains",
     "f14_partition_key",
     "a7_exact_median",
-    "j3_in_list",
+    # p18 swaps in for the last fill slot: its semantic_dedup switched
+    # to the Arrow kernel this round (19.4x at sf10) — changed rows
+    # never coast
+    "p18_semdedup",
     # -- driver window ends here (position 50) --
     # parked for r14 (r12-green + judge-sweep-green): h24, h25, h27,
-    # h7, m02, m03, m04, o2, p06, p11, p16, p17, p18, p20, s02, t02,
+    # h7, m02, m03, m04, o2, p06, p11, p16, p17, p20, s02, t02,
     # t05, t06, t07, u01, w03, x02, f03_ts_range, f10, f11, f12, f13,
-    # f16, f17, f23, h1, h2, a2, a3, a4, a5, a6, t09, p03, p05
+    # f16, f17, f23, h1, h2, a2, a3, a4, a5, a6, t09, p03, p05, j3
 ]
 
 

@@ -1605,6 +1605,239 @@ def remove_duplicated_spans(
 # semantic dedup — SemDeDup (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 
+def _semantic_dedup_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+) -> DataFrame:
+    """Arrow evaluation of semantic_dedup — see its docstring for the
+    exactness contract (sequential-fold IEEE order, Decimal HALF_UP on
+    boundary sets, identical tie rules)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    unit = 1e-4
+    unit_d = Decimal(1).scaleb(-4)
+
+    def _jround(x: float) -> float:
+        if np.isnan(x) or np.isinf(x):
+            return float(x)
+        return float(Decimal(repr(float(x))).quantize(unit_d, ROUND_HALF_UP))
+
+    crows = sorted(
+        (
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select(
+                F.col(centroid_id_col), F.col(centroid_vec_col)
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    if not crows:
+        raise ValueError("semantic_dedup: empty centroid table")
+    cids = np.array([c for c, _ in crows], dtype=np.int64)
+    cmat = np.array([v for _, v in crows], dtype=np.float64)
+    k, dim = cmat.shape
+    cnrm2 = np.zeros(k, dtype=np.float64)
+    for t in range(dim):  # same fold order as _normed
+        cnrm2 = cnrm2 + cmat[:, t] * cmat[:, t]
+    cnrm = np.sqrt(cnrm2)
+
+    id_field = df.schema[id_col]
+    vec_field = df.schema[vec_col]
+    assigned_schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType, id_field.nullable),
+            T.StructField("cid", T.LongType(), False),
+            T.StructField("v", vec_field.dataType, True),
+        ]
+    )
+
+    def _assign_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec = batch.column(batch.schema.get_field_index(vec_col))
+            idc = batch.column(batch.schema.get_field_index(id_col))
+            mat = None
+            live_sel = None
+            if (
+                isinstance(vec, (pa.ListArray, pa.LargeListArray))
+                and vec.null_count == 0
+            ):
+                offs = vec.offsets.to_numpy(zero_copy_only=False)
+                widths = np.diff(offs)
+                if len(widths) and widths[0] == dim and (widths == widths[0]).all():
+                    vals = vec.values.to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.float64)
+                    mat = vals[offs[0]: offs[-1]].reshape(n, dim)
+            if mat is None:  # dirty batch: null / ragged rows
+                rows = vec.to_pylist()
+                live_i = [
+                    i for i, v in enumerate(rows)
+                    if v is not None and len(v) == dim
+                ]
+                dead_i = [
+                    i for i, v in enumerate(rows)
+                    if v is None or len(v) != dim
+                ]
+                if dead_i:
+                    # Column form: null/padded products -> null cs for
+                    # every centroid -> all-tie -> lowest cid; the row
+                    # carries its (unusable) vector as null so the pair
+                    # pass keeps it
+                    sel = pa.array(dead_i)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            idc.take(sel),
+                            pa.array(
+                                [int(cids[0])] * len(dead_i),
+                                type=pa.int64(),
+                            ),
+                            pa.nulls(len(dead_i), type=vec.type),
+                        ],
+                        names=["id", "cid", "v"],
+                    )
+                if not live_i:
+                    continue
+                live_sel = pa.array(live_i)
+                idc = idc.take(live_sel)
+                vec = vec.take(live_sel)
+                n = len(live_i)
+                mat = np.array(
+                    [rows[i] for i in live_i], dtype=np.float64
+                )
+            dot = np.zeros((n, k), dtype=np.float64)
+            nrm2 = np.zeros(n, dtype=np.float64)
+            for t in range(dim):  # the zip_with fold's exact op order
+                col = mat[:, t]
+                dot = dot + col[:, None] * cmat[:, t][None, :]
+                nrm2 = nrm2 + col * col
+            denom = np.sqrt(nrm2)[:, None] * cnrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cs = np.where(denom != 0.0, dot / np.where(
+                    denom != 0.0, denom, 1.0
+                ), np.nan)
+                null_cs = denom == 0.0  # Column form: NULL cosine
+            # rounded argmax, ties to lowest cid; NULL cosines sort
+            # SMALLEST (max_by struct ordering), NaN cosines (NaN
+            # components) sort LARGEST (Spark's double ordering).  Only
+            # the margin set is Decimal-rounded: rounding is monotone,
+            # so the rounded max is rounded(raw max) and any tie
+            # satisfies raw >= max-unit.
+            key = np.where(np.isnan(cs) & ~null_cs, np.inf, cs)
+            key = np.where(null_cs, -np.inf, key)
+            raw_max = key.max(axis=1)
+            chosen = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                cand = np.flatnonzero(key[i] >= raw_max[i] - unit)
+                if len(cand) == 1:
+                    chosen[i] = cids[cand[0]]
+                    continue
+                best = None
+                for j in cand:
+                    if null_cs[i, j]:
+                        rj = -np.inf  # NULL sorts below every value
+                    elif np.isnan(cs[i, j]):
+                        rj = np.inf  # NaN sorts above every value
+                    else:
+                        rj = _jround(cs[i, j])
+                    # max by (rounded cs, -cid): cids sorted asc, so
+                    # strict > keeps the lowest cid on ties
+                    if best is None or rj > best[0]:
+                        best = (rj, cids[j])
+                chosen[i] = best[1]
+            yield pa.RecordBatch.from_arrays(
+                [idc, pa.array(chosen, type=pa.int64()), vec],
+                names=["id", "cid", "v"],
+            )
+
+    assigned = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        _assign_batches, assigned_schema
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("cluster_id", T.LongType(), False),
+            T.StructField("kept", T.BooleanType(), False),
+        ]
+    )
+
+    def _prune_cluster(pdf):
+        m = len(pdf)
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        pdf = pdf.iloc[order]
+        ids = pdf["id"].to_numpy()
+        vs = pdf["v"]
+        live = np.array(
+            [v is not None and len(v) == dim for v in vs], dtype=bool
+        )
+        removed = np.zeros(m, dtype=bool)
+        li = np.flatnonzero(live)
+        if len(li) > 1:
+            mat = np.array([list(vs.iloc[i]) for i in li], dtype=np.float64)
+            lm = len(li)
+            nrm2 = np.zeros(lm, dtype=np.float64)
+            for t in range(dim):
+                nrm2 = nrm2 + mat[:, t] * mat[:, t]
+            nrm = np.sqrt(nrm2)
+            # blockwise pairwise pass bounds memory on runaway clusters
+            B = max(1, min(lm, (1 << 22) // max(lm, 1)))
+            hit = np.zeros(lm, dtype=bool)
+            for lo in range(0, lm, B):
+                hi = min(lo + B, lm)
+                blk = np.zeros((hi - lo, lm), dtype=np.float64)
+                for t in range(dim):  # sequential fold again
+                    blk = blk + mat[lo:hi, t][:, None] * mat[:, t][None, :]
+                dnb = nrm[lo:hi][:, None] * nrm[None, :]
+                nullb = dnb == 0.0  # Column form: NULL cosine
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    csb = np.where(
+                        nullb, np.nan, blk / np.where(nullb, 1.0, dnb)
+                    )
+                # threshold on ROUNDED cs: decide definitively outside
+                # the +/-unit boundary zone, Decimal only inside it
+                ge = csb >= (threshold + unit)
+                maybe = (csb >= (threshold - unit)) & ~ge
+                if maybe.any():
+                    mi, mj = np.nonzero(maybe)
+                    for a_, b_ in zip(mi, mj):
+                        v = csb[a_, b_]
+                        if not np.isnan(v) and _jround(v) >= threshold:
+                            ge[a_, b_] = True
+                # NaN cosine (NaN components): Spark NaN >= x is TRUE
+                # (NaN sorts largest); NULL cosine (zero norm) never
+                # passes a predicate — excluded via nullb
+                ge |= np.isnan(csb) & ~nullb
+                # row i removes column j when global i < j (ids sorted
+                # asc -> index order IS id order)
+                rows_idx = np.arange(lo, hi)[:, None]
+                cols_idx = np.arange(lm)[None, :]
+                hit |= (ge & (rows_idx < cols_idx)).any(axis=0)
+            removed[li] = hit
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cid"].to_numpy(),
+                "kept": ~removed,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(_prune_cluster, out_schema)
+
+
 def _normed(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
@@ -1625,7 +1858,15 @@ def _cos(av, anrm, bv, bnrm) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return F.round(dot / (anrm * bnrm), 4)
+    # zero-norm vectors have no defined cosine: NULL (the
+    # cosine_to_query convention) — under ANSI mode the unguarded
+    # division was a job-killing SparkArithmeticException for ONE
+    # degenerate row (found by the r13 dirty-corpus pin).  NULL never
+    # wins an assignment argmax against a real cosine and never
+    # crosses a >= threshold predicate, so clean-corpus results are
+    # unchanged bit-for-bit.
+    denom = anrm * bnrm
+    return F.when(denom != F.lit(0.0), F.round(dot / denom, 4))
 
 
 def semantic_dedup(
@@ -1636,6 +1877,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): assign every vector
@@ -1671,7 +1913,31 @@ def semantic_dedup(
     regime) so expected cluster cost is ~N^1.5/k = N; a runaway
     cluster means the centroids no longer span the corpus — retrain
     (ivf_index_report's occupancy histogram is the detector), don't
-    valve."""
+    valve.
+
+    Two evaluation paths, pytest-pinned equal and both under the p18
+    differential:
+
+    - `use_arrow=True` (default since r13): the N x k scoring
+      cross-join and the in-cluster pairwise pass were the interpreted
+      -HOF trap again (sf10: 200k vectors x 447 centroids x 64 dims of
+      per-element lambda evaluation — the s04/s05/t09 lesson).  The
+      Arrow path computes both with the Column fold's EXACT IEEE op
+      order (sequential accumulation over the dim axis, one multiply
+      then one divide), reproduces Spark ROUND(double) via
+      Decimal(repr) HALF_UP on the argmax margin set / threshold
+      boundary zone only, and keeps the same tie rules (rounded-cs
+      desc, cid asc; NaN cosines sort largest, as Spark orders NaN).
+      Assignment is map-only (centroids collected — k rows, the
+      PQ-codebook pattern); the pair pass is one shuffle of N
+      (id, vec) rows into per-cluster groups.
+    - `use_arrow=False`: the Column-expression form, the oracle-exact
+      reference."""
+    if use_arrow:
+        return _semantic_dedup_arrow(
+            df, centroids, threshold, vec_col, id_col,
+            centroid_id_col, centroid_vec_col,
+        )
     n = _normed(df, vec_col, id_col)
     c = _normed(
         centroids.select(

@@ -1188,15 +1188,26 @@ def test_semantic_dedup_semantics(spark):
     )
     r = semantic_dedup(tie, cents, threshold=0.99).collect()[0]
     assert r["cluster_id"] == 0 and r["kept"]
-    # plan: centroid assignment is a broadcast join, everything JVM-side
+    # plan pins per path (r13: Arrow kernel is the default):
+    # - Column form: centroid assignment broadcast join, JVM-side only
+    # - Arrow form: map-only assignment (no join/exchange before the
+    #   one per-cluster regroup), no per-row Python eval nodes
     plan = (
-        semantic_dedup(emb, cents, threshold=0.99)
+        semantic_dedup(emb, cents, threshold=0.99, use_arrow=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "Broadcast" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    aplan = (
+        semantic_dedup(emb, cents, threshold=0.99)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in aplan or "mapInArrow" in aplan.lower()
+    assert "BroadcastNestedLoop" not in aplan
 
 
 def test_duplicated_spans_matches_naive_reference(spark):
@@ -5445,3 +5456,69 @@ def test_minhash_band_count_prefilter_and_cache_equal_exact(spark, sf_dir):
         dedup.minhash_lsh_pairs(docs, min_matching_bands=0)
     with _pytest.raises(ValueError, match="min_matching_bands"):
         dedup.minhash_lsh_pairs(docs, min_matching_bands=33)
+
+
+def test_semantic_dedup_arrow_matches_column_form(spark, sf_dir):
+    """r13: the N x k scoring cross-join and in-cluster pairwise pass
+    were the interpreted-HOF trap (sf10: 169 s).  The Arrow path must
+    equal the Column form EXACTLY — same sequential-fold IEEE order,
+    same Decimal HALF_UP rounding on the argmax margin set and the
+    threshold boundary zone, same tie rules — on the fixture corpus
+    AND a dirty one (null / empty / ragged / zero-norm vectors, which
+    also exposed the Column form's own ANSI divide-by-zero on zero
+    norms, now the NULL-cosine convention in both paths)."""
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.operators import dedup as D
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = max(8, int(emb.count() ** 0.5))
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    a = sorted(
+        tuple(r)
+        for r in D.semantic_dedup(
+            emb, cents, 0.35, use_arrow=False
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in D.semantic_dedup(emb, cents, 0.35, use_arrow=True).collect()
+    )
+    assert a == b and len(a) == emb.count()
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),
+            (4, []),
+            (5, [0.0, 0.0]),  # zero norm: NULL cosine, kept
+            (6, [1.0, 2.0, 3.0]),  # ragged
+            (7, [-1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dc = dirty.where("vec_id in (1, 7)").selectExpr(
+        "vec_id as cid", "embedding"
+    )
+    da = sorted(
+        tuple(r)
+        for r in D.semantic_dedup(dirty, dc, 0.9, use_arrow=False).collect()
+    )
+    db = sorted(
+        tuple(r)
+        for r in D.semantic_dedup(dirty, dc, 0.9, use_arrow=True).collect()
+    )
+    assert da == db
+    # 2 is removed by its lower-id near-neighbor 1; every degenerate
+    # row survives with a deterministic cluster
+    assert da == [
+        (1, 1, True),
+        (2, 1, False),
+        (3, 1, True),
+        (4, 1, True),
+        (5, 1, True),
+        (6, 1, True),
+        (7, 7, True),
+    ]
