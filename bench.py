@@ -197,11 +197,14 @@ def main() -> None:
     # wall (not family) keeps the light 50+ rows cheap to interleave.
     heavy = [q for q in headline if q in HEAVY_ROWS]
     ordered = [q for q in headline if q not in HEAVY_ROWS] + heavy
-    fresh_done = False
     for name in ordered:
-        if heavy and name == heavy[0] and not fresh_done:
-            fresh_done = True
-            print("-- bench: fresh session for heavy rows",
+        if name in HEAVY_ROWS:
+            # fresh session PER heavy row, not per group: the first r13
+            # sf10 run proved the group self-contaminates — t06 read
+            # 37 s after p04's two ~225 s reps in the same "fresh"
+            # session vs 12.8 s truly standalone.  ~15 s restart per
+            # row buys walls that mean what they claim.
+            print(f"-- bench: fresh session for heavy row {name}",
                   file=sys.stderr, flush=True)
             spark = _fresh_session(spark)
             ensure_bucketed_layout(spark, sf_dir)
