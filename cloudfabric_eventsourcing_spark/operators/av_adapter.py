@@ -125,6 +125,13 @@ def pyav_audio_decoder(content: bytes) -> tuple[int, int, int, bytes]:
             for out in resampler.resample(frame):
                 # s16 is PACKED (interleaved) — one plane
                 chunks.append(bytes(out.planes[0])[: out.samples * 2 * channels])
+        # swresample buffers samples across format conversions; a
+        # final flush drains the tail or it is silently dropped
+        # (r13 advice); with nothing decoded the flush returns []
+        for out in resampler.resample(None):
+            chunks.append(
+                bytes(out.planes[0])[: out.samples * 2 * channels]
+            )
         if not chunks:
             raise ValueError("PyAV decoded zero audio frames")
         return rate, channels, 2, b"".join(chunks)

@@ -588,11 +588,24 @@ def _build_huff(bits: list, vals: list) -> dict:
     return table
 
 
+def _wrap32(x: int) -> int:
+    """Wrap an unbounded Python int to int32 two's-complement.  Corrupt
+    streams can run the DC predictor to arbitrary magnitude, and
+    assigning that into the int32 coef array relied on numpy's
+    (deprecated) silent wraparound — a future numpy raises
+    OverflowError there, escaping the codec's ValueError taxonomy.
+    Valid JPEG DC values never leave int32 range, so this changes
+    corrupt-input behavior only (same wrapped garbage, minus the
+    warning)."""
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
 def _block_sequential(reader, dc_t, ac_t, coef, preds, ci) -> None:
     """One full baseline block (DC diff + run-length AC) into `coef`
     (length-64 natural-order array)."""
     s = _huff_decode(reader, dc_t)
-    preds[ci] += _extend(reader.bits(s), s) if s else 0
+    preds[ci] = _wrap32(preds[ci] + (_extend(reader.bits(s), s) if s else 0))
     coef[0] = preds[ci]
     k = 1
     while k < 64:
@@ -712,8 +725,10 @@ def _decode_jpeg_scan(
         elif ss == 0:
             if ah == 0:  # DC first: diff coded in the >>Al domain
                 s = _huff_decode(reader, huff[(0, dc_id)])
-                preds[ci] += _extend(reader.bits(s), s) if s else 0
-                coef[0] = preds[ci] << al
+                preds[ci] = _wrap32(
+                    preds[ci] + (_extend(reader.bits(s), s) if s else 0)
+                )
+                coef[0] = _wrap32(preds[ci] << al)
             elif reader.bit():  # DC refinement: one appended bit
                 coef[0] |= 1 << al
         elif ah == 0:

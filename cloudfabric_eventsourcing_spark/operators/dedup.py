@@ -1775,13 +1775,25 @@ def _semantic_dedup_arrow(
     )
 
     def _prune_cluster(pdf):
+        from cloudfabric_eventsourcing_spark.operators.similarity import (
+            _id_asc_key,
+        )
+
         m = len(pdf)
         ids = pdf["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
+        # sentinel key: a None/NaN id must not crash the object argsort
+        # (r13 advice) — and, matching the Column form, a null id can
+        # neither remove nor be removed (`a.id < b.id` is null), so
+        # null-id rows are excluded from the pairwise pass below
+        keys = [_id_asc_key(v) for v in ids]
+        order = np.array(
+            sorted(range(m), key=lambda i: keys[i]), dtype=np.int64
+        )
         pdf = pdf.iloc[order]
         ids = pdf["id"].to_numpy()
+        id_ok = np.array([keys[i][0] == 1 for i in order], dtype=bool)
         vs = pdf["v"]
-        live = np.array(
+        live = id_ok & np.array(
             [v is not None and len(v) == dim for v in vs], dtype=bool
         )
         removed = np.zeros(m, dtype=bool)
@@ -1878,6 +1890,7 @@ def semantic_dedup(
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "embedding",
     use_arrow: bool = True,
+    max_centroid_cells: Optional[int] = 32_000_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): assign every vector
@@ -1932,7 +1945,40 @@ def semantic_dedup(
       PQ-codebook pattern); the pair pass is one shuffle of N
       (id, vec) rows into per-cluster groups.
     - `use_arrow=False`: the Column-expression form, the oracle-exact
-      reference."""
+      reference.
+
+    WHERE THIS OPERATOR ENDS (r13 verdict #3): both paths collect the
+    k-centroid table to the driver and broadcast it (the Arrow path
+    captures it in the kernel closure), and assignment costs N*k*dim
+    flops.  At the paper's k ~ sqrt(N) regime that is fine through
+    hundreds of millions of docs (k=450 at sf10 is ~230 KB), but at
+    10^10 docs x dim 768 the table alone is ~600 MB of driver/executor
+    closure and the flops grow as N^1.5*dim.  `max_centroid_cells`
+    (default 32M cells = 256 MB float64) is the budget-guard-family
+    refusal: over the ceiling the call fails loudly BEFORE collecting,
+    naming the remedy — a two-level (coarse-then-fine) assignment:
+    cluster the centroids themselves into sqrt(k) coarse cells, assign
+    each doc to a coarse cell map-side, then score only that cell's
+    fine centroids (ivf_topk's nprobe pattern applied to assignment).
+    Raise the ceiling only with executor memory to back it."""
+    if max_centroid_cells is not None:
+        stats = centroids.select(
+            F.count(F.lit(1)).alias("k"),
+            F.max(F.size(centroid_vec_col)).alias("dim"),
+        ).first()
+        cells = int(stats["k"] or 0) * int(stats["dim"] or 0)
+        if cells > max_centroid_cells:
+            raise ValueError(
+                "semantic_dedup: the centroid table is "
+                f"{stats['k']:,} x dim {stats['dim']} = {cells:,} "
+                f"cells (ceiling {max_centroid_cells:,}) — too large "
+                "to collect/broadcast, and N*k*dim assignment flops "
+                "would dominate. Use a two-level assignment (coarse "
+                "cells over the centroids, then score only the "
+                "matched cell's fine centroids — ivf_topk's nprobe "
+                "pattern), retrain with fewer centroids, or raise "
+                "max_centroid_cells if executor memory backs it."
+            )
     if use_arrow:
         return _semantic_dedup_arrow(
             df, centroids, threshold, vec_col, id_col,

@@ -26,6 +26,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _id_asc_key(v):
+    """Ordering key reproducing Spark's ``asc(id)`` tiebreak (nulls
+    FIRST) inside the Arrow/pandas kernels: a None/NaN id sorts ahead
+    of every concrete id instead of raising TypeError mid-sort, so a
+    single dirty-id row degrades exactly like the Column form (r13
+    advice: per-batch pruning must respect the final total order even
+    on degenerate corpora)."""
+    if v is None or (isinstance(v, float) and v != v):
+        return (0, "")
+    return (1, v)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -165,11 +177,17 @@ def _brute_force_topk_arrow(
                     if v is None or len(v) != dim
                 ]
                 if dead_i:
-                    dead_sel = pa.array(dead_i[:k])
+                    # keep the k dead rows that sort FIRST under the
+                    # final (cosine desc NULLS LAST, id asc NULLS
+                    # FIRST) order — not the first k by batch position
+                    dead_i = sorted(
+                        dead_i, key=lambda i: _id_asc_key(idc[i].as_py())
+                    )[:k]
+                    dead_sel = pa.array(dead_i)
                     yield pa.RecordBatch.from_arrays(
                         [
                             idc.take(dead_sel),
-                            pa.nulls(len(dead_i[:k]), type=pa.float64()),
+                            pa.nulls(len(dead_i), type=pa.float64()),
                         ],
                         names=[id_col, "cosine"],
                     )
@@ -208,7 +226,7 @@ def _brute_force_topk_arrow(
                         -np.inf
                         if np.isnan(t_[1])
                         else -t_[1],
-                        idc[t_[0]].as_py(),
+                        _id_asc_key(idc[t_[0]].as_py()),
                     ),
                 )[:k]
                 sel_idx = pa.array([i for i, _ in sub])
@@ -223,7 +241,11 @@ def _brute_force_topk_arrow(
                 )
             n_dead = n - n_live
             if n_dead:
-                dead = np.flatnonzero(~live)[:k]
+                dead = np.flatnonzero(~live).tolist()
+                if len(dead) > k:  # prune in final-order, not position
+                    dead = sorted(
+                        dead, key=lambda i: _id_asc_key(idc[i].as_py())
+                    )[:k]
                 yield pa.RecordBatch.from_arrays(
                     [
                         idc.take(pa.array(dead)),
@@ -893,21 +915,28 @@ def quantized_topk(
                             .sort_values(
                                 ["dot", id_col],
                                 ascending=[False, True],
+                                na_position="first",
                             )
                             .head(k)
                         )
                     if dead_i:
                         # null dots sort after every live dot; keep up
                         # to k so a short-on-live-rows global top-k
-                        # still sees them
+                        # still sees them — the k that sort FIRST by
+                        # (id asc NULLS FIRST), the final total order
+                        ids_ser = pdf[id_col]
+                        dead_i = sorted(
+                            dead_i,
+                            key=lambda i: _id_asc_key(ids_ser.iloc[i]),
+                        )[:k]
                         parts.append(
                             pd.DataFrame(
                                 {
-                                    id_col: pdf[id_col].iloc[
-                                        dead_i[:k]
+                                    id_col: ids_ser.iloc[
+                                        dead_i
                                     ].to_numpy(),
                                     "dot": pd.Series(
-                                        [None] * min(len(dead_i), k),
+                                        [None] * len(dead_i),
                                         dtype="object",
                                     ),
                                 }
@@ -917,8 +946,11 @@ def quantized_topk(
                     continue
                 dots = mat @ q
                 part = pd.DataFrame({id_col: pdf[id_col], "dot": dots})
+                # integer dots are never NaN, so na_position only
+                # touches null ids: first = Spark's asc NULLS FIRST
                 yield part.sort_values(
-                    ["dot", id_col], ascending=[False, True]
+                    ["dot", id_col], ascending=[False, True],
+                    na_position="first",
                 ).head(k)
 
         pruned = df.select(id_col, q_col).mapInPandas(
@@ -1018,11 +1050,16 @@ def quantize_and_topk(
                     if v is None or len(v) != dim
                 ]
                 if dead_i:
-                    dead_sel = pa.array(dead_i[:k])
+                    # final-order prune (id asc NULLS FIRST), not
+                    # batch position — see _brute_force dead path
+                    dead_i = sorted(
+                        dead_i, key=lambda i: _id_asc_key(idc[i].as_py())
+                    )[:k]
+                    dead_sel = pa.array(dead_i)
                     yield pa.RecordBatch.from_arrays(
                         [
                             idc.take(dead_sel),
-                            pa.nulls(len(dead_i[:k]), type=pa.int64()),
+                            pa.nulls(len(dead_i), type=pa.int64()),
                         ],
                         names=[id_col, "dot"],
                     )
@@ -1067,7 +1104,10 @@ def quantize_and_topk(
                         "dot": dots[sel],
                         id_col: idc.take(pa.array(sel)).to_pandas(),
                     }
-                ).sort_values(["dot", id_col], ascending=[False, True])
+                ).sort_values(
+                    ["dot", id_col], ascending=[False, True],
+                    na_position="first",
+                )
                 sel = sub["i"].to_numpy()[:k]
             idx = pa.array(sel)
             yield pa.RecordBatch.from_arrays(

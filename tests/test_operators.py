@@ -1135,6 +1135,37 @@ def test_duplicated_spans_and_removal(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semantic_dedup_centroid_cells_guard(spark):
+    """r13 verdict #3: semantic_dedup collects+broadcasts the centroid
+    table and pays N*k*dim assignment flops — over the configured cell
+    ceiling it must refuse loudly BEFORE collecting, naming the
+    two-level-assignment upgrade path, instead of OOMing the driver at
+    design scale.  None disables the guard."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cid long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="two-level"):
+        semantic_dedup(emb, cents, 0.9, max_centroid_cells=3)
+    # at/under the ceiling (4 cells = 2 centroids x dim 2) and with the
+    # guard disabled, both paths run
+    for kw in ({"max_centroid_cells": 4}, {"max_centroid_cells": None}):
+        for arrow in (True, False):
+            assert (
+                semantic_dedup(
+                    emb, cents, 0.9, use_arrow=arrow, **kw
+                ).count()
+                == 1
+            )
+
+
 def test_semantic_dedup_semantics(spark):
     """SemDeDup pins: broadcast-centroid argmax assignment, min-id
     survivor within a cluster, NO transitive closure (the documented
@@ -3893,7 +3924,14 @@ def test_codec_fuzz_corrupt_bytes_raise_cleanly():
     garbage on corrupt input — random bytes behind valid magic, and
     random single-byte corruptions of valid files, either decode to a
     plausible result or raise an ordinary exception promptly.  This is
-    the contract the on_error policies rely on."""
+    the contract the on_error policies rely on.  DeprecationWarnings
+    are promoted to errors here: the r13 fuzz run surfaced numpy's
+    out-of-int32 assignment warning (the JPEG DC predictor on corrupt
+    streams), which a future numpy turns into an OverflowError outside
+    the codec taxonomy — warning-free today means stable on an
+    upgraded environment."""
+    import warnings as _warnings
+
     import struct as _struct
     import zlib as _zlib
 
@@ -3927,7 +3965,9 @@ def test_codec_fuzz_corrupt_bytes_raise_cleanly():
              codecs.decode_mp4),
         ][which]
         try:
-            dec(base + tail)
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("error", DeprecationWarning)
+                dec(base + tail)
         except ok_errors:
             pass
         except Exception as e:
@@ -3950,7 +3990,9 @@ def test_codec_fuzz_corrupt_bytes_raise_cleanly():
         mut = bytearray(base)
         mut[pos] = val
         try:
-            out = dec(bytes(mut))
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("error", DeprecationWarning)
+                out = dec(bytes(mut))
             # decoded despite the flip: result must still be shaped sanely
             assert isinstance(out, tuple) and len(out) == 4
         except ok_errors:
@@ -4716,6 +4758,167 @@ def test_brute_force_topk_arrow_matches_column_form(spark, sf_dir):
     assert fast == ref
     assert fast[:2] == [(1, 0.6), (6, -0.8)]
     assert {v for v, c in fast if c is None} == {2, 3, 4, 5}
+
+
+def test_topk_kernels_degenerate_order_and_null_ids(spark):
+    """r13 advice, both findings: (a) per-batch dead-row pruning must
+    respect the final (rank desc NULLS LAST, id asc NULLS FIRST) total
+    order — when fewer than k live rows exist globally and one batch
+    holds more than k dead rows, the surviving null-ranked ids must
+    match the Column form, not the batch-position prefix; (b) a NULL
+    id must degrade exactly like the Column form (sorts first among
+    equals, never pairs) instead of raising TypeError inside the
+    kernel sorts."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_and_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    # ONE live row + 9 dead rows with DESCENDING ids, single partition
+    # -> one Arrow batch holds every dead row and the input-position
+    # prefix (100, 99, ...) is the WRONG answer; the final order wants
+    # the smallest dead ids (50, 93)
+    rows = [(100 - i, None) for i in range(8)] + [
+        (0, [1.0, 1.0]),
+        (50, []),
+    ]
+    dirty = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    fast = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            dirty, [1.0, 0.0], k=3, use_arrow=True
+        ).collect()
+    ]
+    ref = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            dirty, [1.0, 0.0], k=3, use_arrow=False
+        ).collect()
+    ]
+    assert fast == ref
+    assert fast[0][0] == 0 and [v for v, _ in fast[1:]] == [50, 93]
+    # zero-norm dead rows travel the FAST (reshaped-buffer) path, which
+    # prunes in its own branch — same ordering contract
+    zrows = [(100 - i, [0.0, 0.0]) for i in range(8)] + [(0, [2.0, 0.0])]
+    zdf = spark.createDataFrame(
+        zrows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    zfast = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            zdf, [1.0, 0.0], k=3, use_arrow=True
+        ).collect()
+    ]
+    zref = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            zdf, [1.0, 0.0], k=3, use_arrow=False
+        ).collect()
+    ]
+    assert zfast == zref
+    assert zfast[0][0] == 0 and [v for v, _ in zfast[1:]] == [93, 94]
+    # the quantized kernels share the contract
+    qz = quantize_embeddings(dirty, use_arrow=True)
+    tf = [
+        (r["vec_id"], r["dot"])
+        for r in quantized_topk(qz, [127, 0], k=3, use_arrow=True).collect()
+    ]
+    tr = [
+        (r["vec_id"], r["dot"])
+        for r in quantized_topk(qz, [127, 0], k=3, use_arrow=False).collect()
+    ]
+    assert tf == tr
+    fused = [
+        (r["vec_id"], r["dot"])
+        for r in quantize_and_topk(dirty, [127, 0], k=3).collect()
+    ]
+    assert fused == tf
+    # NULL ids: ties on rank break (id asc NULLS FIRST); dead rows with
+    # null ids sort ahead of concrete dead ids; nothing raises
+    nid = spark.createDataFrame(
+        [
+            (None, [1.0, 0.0]),
+            (7, [1.0, 0.0]),
+            (8, None),
+            (None, None),
+        ],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    nfast = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            nid, [1.0, 0.0], k=4, use_arrow=True
+        ).collect()
+    ]
+    nref = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            nid, [1.0, 0.0], k=4, use_arrow=False
+        ).collect()
+    ]
+    assert nfast == nref
+    assert nfast == [(None, 1.0), (7, 1.0), (None, None), (8, None)]
+    ntf = [
+        (r["vec_id"], r["dot"])
+        for r in quantize_and_topk(nid, [127, 0], k=4).collect()
+    ]
+    ntr = [
+        (r["vec_id"], r["dot"])
+        for r in quantized_topk(
+            quantize_embeddings(nid, use_arrow=False),
+            [127, 0],
+            k=4,
+            use_arrow=False,
+        ).collect()
+    ]
+    assert ntf == ntr
+    # semantic_dedup: a null-id row neither removes nor is removed
+    # (the Column form's `a.id < b.id` is null) — and must not crash
+    # the Arrow kernel's id sort
+    vecs = spark.createDataFrame(
+        [
+            (None, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),
+            (3, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid long, embedding array<double>"
+    )
+
+    def _key(r):
+        return (r["vec_id"] is None, r["vec_id"])
+
+    sfa = sorted(
+        (
+            (r["vec_id"], r["cluster_id"], r["kept"])
+            for r in dedup.semantic_dedup(
+                vecs, cents, 0.99, use_arrow=True
+            ).collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    sre = sorted(
+        (
+            (r["vec_id"], r["cluster_id"], r["kept"])
+            for r in dedup.semantic_dedup(
+                vecs, cents, 0.99, use_arrow=False
+            ).collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert sfa == sre
+    kept = {t[0]: t[2] for t in sfa}
+    # id 2 is a near-dup of lower id 1 -> removed; the null-id twin of
+    # id 1 (cos 1.0) is KEPT: null never loses the `a.id < b.id` race
+    assert kept == {None: True, 1: True, 2: False, 3: True}
 
 
 def test_image_dhash_and_hamming_pairs(spark):
