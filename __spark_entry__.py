@@ -1215,6 +1215,131 @@ def p22_line_dedup_first(spark, sf_dir):
     return out.select("doc_id", "n_lines", "clean", "n_kept")
 
 
+# ---- p23: URL canonicalization dedup + domain mix (r13 verdict #7) --------
+# The corpus has no URL column, so BOTH engines synthesize the same URL
+# per doc (planted case/port/www/tracking/fragment variation chosen to
+# exercise every canonicalization rule, incl. the scheme-CONDITIONAL
+# default-port strip: :80 survives under https, :443 under http), then
+# dedup by canonical form (min doc_id wins; NULL urls pass through) and
+# report the registrable-domain mix of the survivors.  Real full-hash
+# oracle, not planted-truth: DuckDB runs the identical RE2-safe regex
+# chain (operators/text.py keeps the patterns lookaround-free for
+# exactly this reason).
+
+_P23_TRACK = "(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)"
+_P23_PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def _p23_url_sql() -> str:
+    return (
+        "CASE WHEN doc_id % 11 = 10 THEN NULL ELSE "
+        "(CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' "
+        "ELSE 'http://' END) "
+        "|| (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) "
+        "|| source || '.Example' "
+        "|| (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) "
+        "|| (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' "
+        "ELSE '' END) "
+        "|| '/Page/' || CAST(doc_id % 40 AS VARCHAR) "
+        "|| (CASE doc_id % 7 WHEN 0 THEN '/?utm_source=x&id=7' "
+        "WHEN 1 THEN '?utm_campaign=y' WHEN 2 THEN '#frag' "
+        "ELSE '' END) END"
+    )
+
+
+def _p23_canon_sql(e: str) -> str:
+    for pat, rep in (
+        (r"^\s+|\s+$", ""),
+        (r"#.*$", ""),
+        ("&" + _P23_TRACK + "=[^&]*", ""),
+        (r"\?" + _P23_TRACK + "=[^&]*&", "?"),
+        (r"\?" + _P23_TRACK + "=[^&]*$", ""),
+        (r"\?$", ""),
+    ):
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    e = (
+        f"(lower(regexp_extract({e}, '{_P23_PREFIX}')) || "
+        f"regexp_replace({e}, '{_P23_PREFIX}', ''))"
+    )
+    e = rf"regexp_replace({e}, '^(http://[^/?#:]+):80([/?#].*)?$', '\1\2')"
+    e = rf"regexp_replace({e}, '^(https://[^/?#:]+):443([/?#].*)?$', '\1\2')"
+    e = rf"regexp_replace({e}, '^(https?://)www\.', '\1')"
+    return f"regexp_replace({e}, '/$', '')"
+
+
+def _p23_domain_sql(e: str) -> str:
+    host = (
+        f"lower(regexp_extract({e}, "
+        r"'^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1))"
+    )
+    host = rf"regexp_replace({host}, '^[^@]*@', '')"
+    host = rf"regexp_replace({host}, ':[0-9]*$', '')"
+    host = rf"regexp_replace({host}, '^www\.', '')"
+    host = f"nullif({host}, '')"
+    dom = (
+        f"regexp_extract({host}, "
+        r"'([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[a-z][a-z]|[^.]+\.[^.]+)$'"
+        ", 1)"
+    )
+    return f"nullif({dom}, '')"
+
+
+@q(
+    "p23_url_dedup_domain_mix",
+    "WITH u AS (SELECT doc_id, " + _p23_url_sql() + " AS url FROM documents), "
+    "c AS (SELECT doc_id, url, " + _p23_canon_sql("url") + " AS curl FROM u), "
+    "w AS (SELECT curl, MIN(doc_id) AS doc_id FROM c "
+    "WHERE curl IS NOT NULL GROUP BY curl), "
+    "surv AS (SELECT c.doc_id, c.url FROM c JOIN w ON c.curl = w.curl "
+    "AND c.doc_id = w.doc_id "
+    "UNION ALL SELECT doc_id, url FROM c WHERE curl IS NULL), "
+    "d AS (SELECT doc_id, " + _p23_domain_sql("url") + " AS domain "
+    "FROM surv) "
+    # sum_ids pins WHICH rows survived the dedup (the min-id rule), not
+    # just how many — counts alone could mask a wrong-survivor bug
+    # CAST: DuckDB SUM(BIGINT) is HUGEINT — hash-differs from Spark's
+    # BIGINT even at equal values (the p12 lesson)
+    "SELECT domain, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) "
+    "AS sum_ids, "
+    "CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM d) AS share "
+    "FROM d GROUP BY domain",
+)
+def p23_url_dedup_domain_mix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.when(
+        did % 11 != 10,
+        F.concat(
+            F.when(did % 3 == 0, F.lit("HTTP://"))
+            .when(did % 3 == 1, F.lit("https://"))
+            .otherwise(F.lit("http://")),
+            F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".Example"),
+            F.when(did % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.when(did % 5 == 0, F.lit(":80"))
+            .when(did % 5 == 1, F.lit(":443"))
+            .otherwise(F.lit("")),
+            F.lit("/Page/"),
+            (did % 40).cast("string"),
+            F.when(did % 7 == 0, F.lit("/?utm_source=x&id=7"))
+            .when(did % 7 == 1, F.lit("?utm_campaign=y"))
+            .when(did % 7 == 2, F.lit("#frag"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    surv = _dedup.url_dedup(with_url, url_col="url", id_col="doc_id")
+    rep = _text.domain_mix_report(surv, url_col="url")
+    ids = surv.groupBy(
+        _text.url_domain(F.col("url")).alias("domain")
+    ).agg(F.sum("doc_id").alias("sum_ids"))
+    # null-safe: the no-URL rows live in the NULL-domain group
+    return rep.join(
+        ids, rep["domain"].eqNullSafe(ids["domain"])
+    ).select(rep["domain"], "n_docs", "sum_ids", "share")
+
+
 @q(
     "p12_pack_offsets",
     # the oracle computes the same packing with DuckDB's (single-node)
@@ -3956,79 +4081,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - t03_token_counts: text.py token leaf shared with the in-window
 #     t01/t08 rows.
 _VERIFY_FIRST = [
-    # r13 window: the 29 r10-verified rows parked since round 11 lead,
-    # exactly as the r12 close-out staged (verdict ask #7).  s01 is
-    # BOTH parked and r13-changed (the mapInArrow cosine kernel is its
-    # new default path) — its slot does double duty.
-    "h3_top_customers",
-    "h4_semi_join_high_value_orders",
-    "h5_anti_join_customers_without_p_orders",
-    "h6_window_top3_orders_per_customer",
-    "h8_shipping_priority",
-    "h9_order_priority_check",
-    "h10_promo_revenue_share",
-    "h11_large_volume_customers",
-    "h12_rich_idle_customers",
-    "h20_brand_size_quantity_revenue",
-    "k01_salted_join",
-    "m01_multimodal_features",
-    "m05_image_dhash_neardup",
-    "o1_multi_sort_limit",
-    "o5_keyset_pagination",
-    "p02_fingerprint_dedup",
-    "p07_simhash_neardup",
-    "p09_weighted_mix",
-    "p10_decontaminate",
-    "p12_pack_offsets",
+    # r14 window: changed rows take day-one slots — p23 is NEW (URL
+    # dedup + domain mix); p04/p13/p15 traverse the valve-aware
+    # min_matching_bands slack path's module; p18 runs the null-id-
+    # hardened _prune_cluster; s01/s04/s05 run the dead-row-order/
+    # null-id kernel fixes.  (m01/m05 park one more round: the codec
+    # change is corrupt-stream-only, pinned by the fuzz suite.)
+    "p23_url_dedup_domain_mix",
+    "p04_minhash_lsh_pairs",
+    "p13_duplicate_clusters",
+    "p15_incremental_clusters",
+    "p18_semdedup",
     "s01_ann_brute_force_topk",
-    "s03_ann_ivf_topk",
-    "t01_language_id",
-    "t04_pii_redaction",
-    "t10_unigram_surprisal",
-    "x01_asof_join",
-    "x03_range_join",
-    "x04_funnel_conversion",
-    "x06_last_touch_attribution",
-    # round-13 changed rows take day-one slots: s07 rounds embeddings
-    # to exact quarters (the d2-ULP advice fix); s04/s05 gained the
-    # dirty-batch fallbacks; p22 gained null-text n_lines=0;
-    # p04/p13/p15 run the broadcast-attach union-free verify;
-    # p19 adopted cache_features
-    "s07_pq_planted",
+    "s04_embedding_quantize",
+    "s05_quantized_topk",
     # s06 keeps a window slot every round: its driver row is the
     # deliberate rows-only check (no DuckDB oracle for real k-means),
     # so it never accrues a green hash row to coast on
     "s06_pq_adc_topk",
-    "s04_embedding_quantize",
-    "s05_quantized_topk",
-    "p22_line_dedup_first",
-    "p04_minhash_lsh_pairs",
-    "p13_duplicate_clusters",
-    "p15_incremental_clusters",
-    "p19_dsir_weights",
-    # oldest-checked rows (r11 window, untouched since) fill the
-    # remaining 12 slots
-    "f01_eq",
-    "f02_ne_null",
-    "f03_range",
-    "f04_starts_with",
-    "f05_ends_with",
-    "f06_contains_case_sensitive",
-    "f07_starts_ignore_case",
-    "f08_contains_ignore_case",
-    "f09_array_contains",
-    "f14_partition_key",
-    "a7_exact_median",
-    # p18 swaps in for the last fill slot: its semantic_dedup switched
-    # to the Arrow kernel this round (19.4x at sf10) — changed rows
-    # never coast
-    "p18_semdedup",
+    # the r13-parked backlog (r12-green + judge-sweep-green) fills the
+    # window so every registry row is re-verified within two rounds of
+    # its last check (r13 verdict #1)
+    "h24_product_profit",
+    "h25_customer_distribution",
+    "h27_waiting_suppliers",
+    "h7_rollup_revenue",
+    "m02_image_neardup",
+    "m03_audio_neardup",
+    "m04_video_neardup",
+    "o2_nested_sort",
+    "p06_cosine_neardup_lsh",
+    "p11_boilerplate_lines",
+    "p16_winnowing_overlap",
+    "p17_duplicated_spans",
+    "p20_dup_span_coverage",
+    "s02_ann_lsh_topk",
+    "t02_quality_score",
+    "t05_rarity_weighted_scores",
+    "t06_repetition_stats",
+    "t07_vocab_topk",
+    "u01_set_ops",
+    "w03_session_window",
+    "x02_sessionization",
+    "f03_ts_range",
+    "f10_bool_tree",
+    "f11_nested_path",
+    "f12_array_exists",
+    "f13_search_text",
+    "f16_search_tokenized",
+    "f17_search_scored",
+    "f23_search_match_analyzer",
+    "h1_pricing_summary",
+    "h2_revenue_by_nation",
+    "a2_max_stream_version",
+    "a3_store_statistics",
+    "a4_projection_fold_counts",
+    "a5_projection_fold_sum",
+    "a6_facet_counts",
+    "a6_facet_ranges",
+    "t09_lexical_diversity",
+    "p03_ngram_jaccard_pairs",
+    "p05_cosine_neardup_pairs",
+    "j3_in_list",
     # -- driver window ends here (position 50) --
-    # parked for r14 (r12-green + judge-sweep-green): h24, h25, h27,
-    # h7, m02, m03, m04, o2, p06, p11, p16, p17, p20, s02, t02,
-    # t05, t06, t07, u01, w03, x02, f03_ts_range, f10, f11, f12, f13,
-    # f16, f17, f23, h1, h2, a2, a3, a4, a5, a6, t09, p03, p05, j3
+    # parked for r15 (r13-green, unchanged): h3, h4, h5, h6, h8, h9,
+    # h10, h11, h12, h20, k01, m01, m05, o1, o5, p02, p07, p09, p10,
+    # p12, s03, s07, t01, t04, t10, x01, x03, x04, x06, p22, p19,
+    # f01, f02, f03_range, f04, f05, f06, f07, f08, f09, f14, a7, p18
 ]
+
 
 
 # Oracle rows whose DuckDB side is a PLANTED-TRUTH check (a constant

@@ -382,6 +382,17 @@ def main() -> None:
         key=lambda kv: -kv[1],
     )
     payload["over_2x_oracle"] = dict(slow)
+    # s06 attribution (r13 verdict #6): the row's wall is dominated by
+    # the driver-side k-means fit, which runs at DataFrame CONSTRUCTION
+    # (pq_train's sample collect + numpy Lloyd, plus the 1-row query
+    # fetch) — the construction/execution split the timer already takes
+    # IS the train/scan split, so name it.
+    if "s06_pq_adc_topk" in timings:
+        b = build_costs["s06_pq_adc_topk"]
+        payload["s06_attribution"] = {
+            "pq_train_plus_query_fetch_sec": b,
+            "encode_adc_scan_sec": round(timings["s06_pq_adc_topk"] - b, 4),
+        }
     # dual-base aggregate (r12 verdict #8): the same-session warm
     # interleave is the right per-run method, but page-cache/host
     # weather moves BOTH engines between rounds — report this run's

@@ -5,6 +5,12 @@ Chains the operator families this package provides in their canonical
 order (each stage is the documented scale shape — see the individual
 modules):
 
+  0. URL dedup          — optional (url_col=): keep one min-id row per
+                          canonicalized URL (dedup.url_dedup) before any
+                          content hashing — the cheapest dedup signal a
+                          web corpus has, and the one every standard
+                          pipeline (CCNet/RefinedWeb/Dolma) applies
+                          first
   1. boilerplate strip  — corpus-frequent lines removed before anything
                           hashes text (boilerplate otherwise glues
                           near-dup clusters together and skews LSH
@@ -72,6 +78,7 @@ def curate(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    url_col: Optional[str] = None,
     exact: bool = True,
     boilerplate_min_docs: Optional[int] = None,
     span_k: Optional[int] = None,
@@ -105,6 +112,14 @@ def curate(
         return df
 
     out = note("input", docs)
+
+    if url_col is not None:
+        out = note(
+            "url_deduped",
+            _dedup.url_dedup(out, url_col=url_col, id_col=id_col).drop(
+                "canonical_url"
+            ),
+        )
 
     if boilerplate_min_docs is not None:
         stripped = _text.remove_boilerplate_lines(

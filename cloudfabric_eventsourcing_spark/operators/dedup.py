@@ -73,6 +73,40 @@ def fingerprint_dedup(
     )
 
 
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """URL-level dedup — the first stage of every standard web pipeline
+    (CCNet/RefinedWeb/Dolma dedup by canonicalized URL before touching
+    content): keep the min-id row per canonical URL, pass rows with a
+    NULL url through untouched (no URL is not a dedup key).  Returns
+    the surviving rows with all original columns plus `canonical_url`
+    (NULL where url was NULL).
+
+    Scale shape: one groupBy on the canonical-url string key (short —
+    a few hundred bytes worst case) to pick winners, then one join of
+    the winner ids back to the input on (canonical, id).  The winner
+    table is id+url only, so the full-width document rows ride exactly
+    one shuffle."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        canonicalize_url,
+    )
+
+    canon = (
+        canonicalize_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    )
+    keyed = df.withColumn("canonical_url", canon)
+    winners = (
+        keyed.where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return keyed.join(
+        winners, ["canonical_url", id_col], "left_semi"
+    ).unionByName(keyed.where(F.col("canonical_url").isNull()))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise — small sets / LSH verification)
 # ---------------------------------------------------------------------------

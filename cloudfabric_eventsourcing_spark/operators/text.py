@@ -790,3 +790,98 @@ def unigram_surprisal(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "mean_surprisal")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain analysis — the standard web-pipeline
+# curation stage (CCNet / RefinedWeb / Dolma all dedup by canonicalized
+# URL and report the corpus domain mix before content-level dedup).
+# Pure regexp Column expressions, chosen RE2-safe (no lookaround, no
+# backreference patterns) so the SAME patterns run verbatim in DuckDB
+# for the oracle row — every step below is SQL-expressible.
+# ---------------------------------------------------------------------------
+
+# tracking params stripped by canonicalization (lowercase names only —
+# documented boundary; mixed-case tracking params survive)
+URL_TRACKING_RE = "(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)"
+_URL_PREFIX_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup:
+
+      1. trim surrounding whitespace
+      2. drop the #fragment
+      3. drop tracking query params (utm_*, fbclid, gclid, msclkid,
+         ref) and any separator debris they leave, incl. a bare '?'
+      4. lowercase the scheme://authority prefix (path/query keep case)
+      5. drop the scheme's default port (:80 http, :443 https)
+      6. drop a 'www.' host prefix
+      7. drop one trailing '/'
+
+    NULL in -> NULL out.  Boundaries, stated: userinfo URLs
+    (user@host) keep their port (the host pattern stops at ':'), IDN
+    hosts are not punycoded, and %-escapes are not normalized — all
+    rare in web corpora and all deterministic, so dedup keys stay
+    stable.  Every rewrite is a leftmost-global regexp_replace with
+    identical semantics in Spark (Java regex) and DuckDB (RE2)."""
+    u = F.regexp_replace(url, r"^\s+|\s+$", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, "&" + URL_TRACKING_RE + "=[^&]*", "")
+    u = F.regexp_replace(u, r"\?" + URL_TRACKING_RE + "=[^&]*&", "?")
+    u = F.regexp_replace(u, r"\?" + URL_TRACKING_RE + "=[^&]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, _URL_PREFIX_RE, 0)),
+        F.regexp_replace(u, _URL_PREFIX_RE, ""),
+    )
+    u = F.regexp_replace(u, r"^(http://[^/?#:]+):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]+):443([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
+    return F.regexp_replace(u, r"/$", "")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host: authority minus userinfo, port, and a 'www.'
+    prefix.  NULL (not '') when the string has no scheme://authority
+    shape, so non-URLs never collide into one dedup/report bucket."""
+    host = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.nullif(host, F.lit(""))
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable domain, public-suffix-list-lite: the last two host
+    labels, or the last THREE when the middle label is a common
+    second-level suffix (co/com/net/org/ac/gov/edu under a 2-letter
+    ccTLD — covers co.uk, com.au, ac.jp, ...).  A real PSL is a data
+    file this container does not ship; the approximation is stated,
+    deterministic, and identical in both engines.  NULL for hostless
+    strings and bare single-label hosts."""
+    host = url_host(url)
+    dom = F.regexp_extract(
+        host,
+        r"([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[a-z][a-z]|[^.]+\.[^.]+)$",
+        1,
+    )
+    return F.nullif(dom, F.lit(""))
+
+
+def domain_mix_report(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_docs, share) — the corpus mix audit every web
+    pipeline publishes.  One groupBy on the (short) domain key; the
+    share denominator rides a broadcast one-row cross join, NOT a
+    global window (a window over () funnels the whole report through
+    one task — wrong shape even though the report is small)."""
+    d = df.select(url_domain(F.col(url_col)).alias("domain"))
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        (F.col("n_docs") / F.col("__total")).alias("share"),
+    )

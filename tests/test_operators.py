@@ -1655,6 +1655,91 @@ def test_bpe_matches_naive_reference(spark):
     )
 
 
+def test_url_canonicalize_dedup_domain_mix(spark):
+    """The web-pipeline URL stage (r13 verdict #7): every documented
+    canonicalization rule on a table of tricky URLs, keep-min-id dedup
+    with NULL passthrough, the registrable-domain approximation incl.
+    two-level ccTLD suffixes, shares summing to 1, and the curate()
+    wiring."""
+    from cloudfabric_eventsourcing_spark.operators import curation, dedup
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        canonicalize_url,
+        domain_mix_report,
+        url_domain,
+        url_host,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Page/1?utm_source=x&id=7#frag",
+         "http://example.com/Page/1?id=7"),
+        ("https://example.com:443/a/b/", "https://example.com/a/b"),
+        ("https://Example.co.uk/?utm_campaign=y", "https://example.co.uk"),
+        ("http://sub.Ex.com:8080/x?id=1&utm_a=2&fbclid=9",
+         "http://sub.ex.com:8080/x?id=1"),
+        ("  http://example.com/  ", "http://example.com"),
+        # default ports are SCHEME-conditional
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("https://example.com/?gclid=1&ref=rss", "https://example.com"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+    hosts = df.select(
+        "i",
+        url_host(F.col("url")).alias("h"),
+        url_domain(F.col("url")).alias("d"),
+    ).collect()
+    hd = {r["i"]: (r["h"], r["d"]) for r in hosts}
+    assert hd[0] == ("example.com", "example.com")
+    assert hd[2] == ("example.co.uk", "example.co.uk")
+    assert hd[3] == ("sub.ex.com", "ex.com")
+    assert hd[8] == (None, None)
+    # non-URL strings are NULL hosts, not '' collisions
+    junk = spark.createDataFrame([(1, "not a url")], "i long, url string")
+    assert junk.select(url_host(F.col("url")).alias("h")).first()["h"] is None
+
+    # dedup: 1/2 collide canonically (case+www+port), 3 distinct,
+    # 4/5 NULL urls pass through
+    docs = spark.createDataFrame(
+        [
+            (2, "HTTP://WWW.A.com:80/x", "b"),
+            (1, "http://a.com/x", "a"),
+            (3, "http://b.com/x", "c"),
+            (4, None, "d"),
+            (5, None, "e"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    surv = dedup.url_dedup(docs, url_col="url", id_col="doc_id")
+    assert {r["doc_id"] for r in surv.collect()} == {1, 3, 4, 5}
+    assert "canonical_url" in surv.columns and "text" in surv.columns
+    rep = {
+        r["domain"]: (r["n_docs"], r["share"])
+        for r in domain_mix_report(surv, url_col="url").collect()
+    }
+    assert rep["a.com"] == (1, 0.25) and rep["b.com"] == (1, 0.25)
+    assert rep[None] == (2, 0.5)
+    assert abs(sum(s for _, s in rep.values()) - 1.0) < 1e-12
+    # curate() wiring: the url stage runs first and its stat lands
+    out, stats = curation.curate(
+        docs, url_col="url", exact=False, neardup_threshold=None,
+        scrub_pii=False,
+    )
+    assert stats["url_deduped"] == 4
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 4, 5}
+    assert "canonical_url" not in out.columns
+
+
 def test_curate_span_and_learned_gates(spark):
     """Integration of the two curate stages added for the span/classifier
     families: every planted artifact lands in its intended stage of the
