@@ -131,6 +131,7 @@ def main() -> None:
     # after it exists) pins the warm-set state the walls assume; the
     # payload records it so cross-round walls are comparable by
     # contract, not by luck.  SPARK_GRAFT_PREWARM=0 opts out.
+    marker_start = _host_marker()
     prewarm_s = None
     if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
         t0 = time.perf_counter()
@@ -197,8 +198,11 @@ def main() -> None:
     # wall (not family) keeps the light 50+ rows cheap to interleave.
     heavy = [q for q in headline if q in HEAVY_ROWS]
     ordered = [q for q in headline if q not in HEAVY_ROWS] + heavy
+    marker_heavy = None
     for name in ordered:
         if name in HEAVY_ROWS:
+            if marker_heavy is None:
+                marker_heavy = _host_marker()
             # fresh session PER heavy row, not per group: the first r13
             # sf10 run proved the group self-contaminates — t06 read
             # 37 s after p04's two ~225 s reps in the same "fresh"
@@ -311,6 +315,10 @@ def main() -> None:
                 ),
                 # page-cache prewarm pass (r12 verdict stretch #10):
                 # null = opted out via SPARK_GRAFT_PREWARM=0
+                # host-contention markers (r13 verdict #3): fixed-work
+                # CPU probe + loadavg at suite start / heavy tail
+                "host_marker_start": marker_start,
+                "host_marker_heavy_tail": marker_heavy,
                 "prewarm_sec": prewarm_s,
                 "prewarm_bytes": (
                     prewarm_bytes if prewarm_s is not None else None
@@ -410,6 +418,30 @@ def main() -> None:
     )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
+
+
+def _host_marker() -> dict:
+    """Run-environment contention marker (r13 What's-wrong #1: a
+    driver run read every leg 40-50% slow WITH the same-session DuckDB
+    oracle equally slow — both engines moving together is host
+    weather, but the artifact alone couldn't prove it).  Fixed-work
+    CPU probe (~100 ms sha256 chain on an idle core) + 1/5/15-min
+    loadavg, recorded at suite start and again before the heavy tail;
+    a contended host reads the probe high, and the two samples bound
+    WHEN the contention arrived.  Recorded, not enforced: refusing to
+    bench on a busy host would deadlock the driver's own runs."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"x" * 4096
+    for _ in range(20000):
+        h = (hashlib.sha256(h).digest() * 128)[:4096]
+    probe = round(time.perf_counter() - t0, 4)
+    try:
+        la = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        la = None
+    return {"cpu_probe_sec": probe, "loadavg": la}
 
 
 def _prewarm_dir(path: str) -> int:
