@@ -1517,9 +1517,13 @@ def p04_minhash_lsh(spark, sf_dir):
     # shuffling pair rows with KB gram arrays 1.14-1.32x within-run.
     # Right while the per-doc gram table fits memory (sf10: 0.65 GB);
     # at corpus scales beyond that, drop the flag for the default
-    # co-partitioned joins.  NOT min_matching_bands: under the star
-    # valve the band counts are censored and the filter would drop
-    # ~54% of true output (the r13 outhist adjudication).
+    # co-partitioned joins.  NOT min_matching_bands: the r14
+    # censored-band slack makes it SOUND under the valve (sf10 output
+    # pinned identical, 8.7M pairs), but the A,B,B,A study measured no
+    # wall win — its fixed costs (cens pass + candidate attaches)
+    # match what it saves now that the verify is already map-side
+    # (PLANS.md r14).  It remains the right opt-in where verify
+    # dominates (longer docs -> heavier gram intersections).
     return _dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.9,
@@ -1547,14 +1551,14 @@ def p05_cosine_neardup(spark, sf_dir):
     )
 
 
-@q(
-    "p18_semdedup",
-    # Deterministic-centroid SemDeDup: the 8 lowest-id corpus vectors
-    # are the centroids, assignment is argmax cosine with ties (after
-    # the p05 4-decimal round) to the lowest cid, and a vector is
-    # removed when a lower-id same-cluster neighbor clears the
-    # threshold.  Every cosine uses p05's exact double-accumulation
-    # form, so assignment AND pruning are both under the differential.
+# Deterministic-centroid SemDeDup oracle (p18 AND p24): the
+# sqrt(N) lowest-id corpus vectors are the centroids, assignment is
+# argmax cosine with ties (after the p05 4-decimal round) to the lowest
+# cid, and a vector is removed when a lower-id same-cluster neighbor
+# clears the threshold.  Every cosine uses p05's exact
+# double-accumulation form, so assignment AND pruning are both under
+# the differential.
+_P18_ORACLE = (
     "WITH n AS (SELECT vec_id, embedding, "
     "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm "
     "FROM embeddings), "
@@ -1574,8 +1578,11 @@ def p05_cosine_neardup(spark, sf_dir):
     "WHERE round(list_sum(list_transform(list_zip(na.embedding, nb.embedding), "
     "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (na.nrm*nb.nrm), 4) >= 0.35) "
     "SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, "
-    "vec_id NOT IN (SELECT rid FROM rem) AS kept FROM asg",
+    "vec_id NOT IN (SELECT rid FROM rem) AS kept FROM asg"
 )
+
+
+@q("p18_semdedup", _P18_ORACLE)
 def p18_semdedup(spark, sf_dir):
     # SemDeDup (Abbas et al. 2023): IVF-style centroid partitioning
     # reused for pruning — broadcast-centroid argmax assignment, then
@@ -1596,6 +1603,27 @@ def p18_semdedup(spark, sf_dir):
         F.col("vec_id").alias("cid"), "embedding"
     )
     return _dedup.semantic_dedup(emb, cents, threshold=0.35)
+
+
+@q("p24_semdedup_two_level", _P18_ORACLE)
+def p24_semdedup_two_level(spark, sf_dir):
+    # The centroid-cell guard's upgrade path under the SAME full hash
+    # differential as p18: with coarse_nprobe = coarse_cells every
+    # centroid is scored, so the two-level machinery (distributed
+    # centroid cell assignment, doc probe pass, cogrouped fine scoring,
+    # cross-cell max_by) must land on the EXACT argmax the one-level
+    # kernel computes — same oracle SQL verbatim.  The scale win
+    # (nprobe=1, sub-linear scoring) is the documented approximation
+    # and is pinned separately in pytest on separated clusters.
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, int(emb.count() ** 0.5))
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    m = max(2, int(k**0.5))
+    return _dedup.semantic_dedup_two_level(
+        emb, cents, threshold=0.35, coarse_cells=m, coarse_nprobe=m
+    )
 
 
 @q(
@@ -4088,6 +4116,7 @@ _VERIFY_FIRST = [
     # null-id kernel fixes.  (m01/m05 park one more round: the codec
     # change is corrupt-stream-only, pinned by the fuzz suite.)
     "p23_url_dedup_domain_mix",
+    "p24_semdedup_two_level",
     "p04_minhash_lsh_pairs",
     "p13_duplicate_clusters",
     "p15_incremental_clusters",
@@ -4142,12 +4171,12 @@ _VERIFY_FIRST = [
     "t09_lexical_diversity",
     "p03_ngram_jaccard_pairs",
     "p05_cosine_neardup_pairs",
-    "j3_in_list",
     # -- driver window ends here (position 50) --
     # parked for r15 (r13-green, unchanged): h3, h4, h5, h6, h8, h9,
     # h10, h11, h12, h20, k01, m01, m05, o1, o5, p02, p07, p09, p10,
     # p12, s03, s07, t01, t04, t10, x01, x03, x04, x06, p22, p19,
-    # f01, f02, f03_range, f04, f05, f06, f07, f08, f09, f14, a7, p18
+    # f01, f02, f03_range, f04, f05, f06, f07, f08, f09, f14, a7, p18,
+    # j3 (displaced by the new p24 day-one slot)
 ]
 
 

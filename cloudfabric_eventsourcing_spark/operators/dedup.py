@@ -1671,6 +1671,114 @@ def remove_duplicated_spans(
 # semantic dedup — SemDeDup (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 
+def _semantic_prune(
+    assigned: DataFrame, dim: int, threshold: float, id_col: str, id_field
+) -> DataFrame:
+    """Shared SemDeDup pruning stage: (id, cid, v) -> (id_col,
+    cluster_id, kept).  One shuffle of N rows into per-cluster groups,
+    then a blockwise pairwise kernel per cluster (memory-bounded; the
+    Column fold's IEEE op order; Decimal HALF_UP only on the threshold
+    boundary zone; min-id survivor; null ids neither remove nor get
+    removed).  Used by both the exact Arrow path and the two-level
+    assignment path — assignment strategies differ, pruning semantics
+    must not."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    unit = 1e-4
+    unit_d = Decimal(1).scaleb(-4)
+
+    def _jround(x: float) -> float:
+        if np.isnan(x) or np.isinf(x):
+            return float(x)
+        return float(Decimal(repr(float(x))).quantize(unit_d, ROUND_HALF_UP))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("cluster_id", T.LongType(), False),
+            T.StructField("kept", T.BooleanType(), False),
+        ]
+    )
+
+    def _prune_cluster(pdf):
+        from cloudfabric_eventsourcing_spark.operators.similarity import (
+            _id_asc_key,
+        )
+
+        m = len(pdf)
+        ids = pdf["id"].to_numpy()
+        # sentinel key: a None/NaN id must not crash the object argsort
+        # (r13 advice) — and, matching the Column form, a null id can
+        # neither remove nor be removed (`a.id < b.id` is null), so
+        # null-id rows are excluded from the pairwise pass below
+        keys = [_id_asc_key(v) for v in ids]
+        order = np.array(
+            sorted(range(m), key=lambda i: keys[i]), dtype=np.int64
+        )
+        pdf = pdf.iloc[order]
+        ids = pdf["id"].to_numpy()
+        id_ok = np.array([keys[i][0] == 1 for i in order], dtype=bool)
+        vs = pdf["v"]
+        live = id_ok & np.array(
+            [v is not None and len(v) == dim for v in vs], dtype=bool
+        )
+        removed = np.zeros(m, dtype=bool)
+        li = np.flatnonzero(live)
+        if len(li) > 1:
+            mat = np.array([list(vs.iloc[i]) for i in li], dtype=np.float64)
+            lm = len(li)
+            nrm2 = np.zeros(lm, dtype=np.float64)
+            for t in range(dim):
+                nrm2 = nrm2 + mat[:, t] * mat[:, t]
+            nrm = np.sqrt(nrm2)
+            # blockwise pairwise pass bounds memory on runaway clusters
+            B = max(1, min(lm, (1 << 22) // max(lm, 1)))
+            hit = np.zeros(lm, dtype=bool)
+            for lo in range(0, lm, B):
+                hi = min(lo + B, lm)
+                blk = np.zeros((hi - lo, lm), dtype=np.float64)
+                for t in range(dim):  # sequential fold again
+                    blk = blk + mat[lo:hi, t][:, None] * mat[:, t][None, :]
+                dnb = nrm[lo:hi][:, None] * nrm[None, :]
+                nullb = dnb == 0.0  # Column form: NULL cosine
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    csb = np.where(
+                        nullb, np.nan, blk / np.where(nullb, 1.0, dnb)
+                    )
+                # threshold on ROUNDED cs: decide definitively outside
+                # the +/-unit boundary zone, Decimal only inside it
+                ge = csb >= (threshold + unit)
+                maybe = (csb >= (threshold - unit)) & ~ge
+                if maybe.any():
+                    mi, mj = np.nonzero(maybe)
+                    for a_, b_ in zip(mi, mj):
+                        v = csb[a_, b_]
+                        if not np.isnan(v) and _jround(v) >= threshold:
+                            ge[a_, b_] = True
+                # NaN cosine (NaN components): Spark NaN >= x is TRUE
+                # (NaN sorts largest); NULL cosine (zero norm) never
+                # passes a predicate — excluded via nullb
+                ge |= np.isnan(csb) & ~nullb
+                # row i removes column j when global i < j (ids sorted
+                # asc -> index order IS id order)
+                rows_idx = np.arange(lo, hi)[:, None]
+                cols_idx = np.arange(lm)[None, :]
+                hit |= (ge & (rows_idx < cols_idx)).any(axis=0)
+            removed[li] = hit
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cid"].to_numpy(),
+                "kept": ~removed,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(_prune_cluster, out_schema)
+
+
 def _semantic_dedup_arrow(
     df: DataFrame,
     centroids: DataFrame,
@@ -1832,88 +1940,7 @@ def _semantic_dedup_arrow(
         _assign_batches, assigned_schema
     )
 
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_field.dataType, id_field.nullable),
-            T.StructField("cluster_id", T.LongType(), False),
-            T.StructField("kept", T.BooleanType(), False),
-        ]
-    )
-
-    def _prune_cluster(pdf):
-        from cloudfabric_eventsourcing_spark.operators.similarity import (
-            _id_asc_key,
-        )
-
-        m = len(pdf)
-        ids = pdf["id"].to_numpy()
-        # sentinel key: a None/NaN id must not crash the object argsort
-        # (r13 advice) — and, matching the Column form, a null id can
-        # neither remove nor be removed (`a.id < b.id` is null), so
-        # null-id rows are excluded from the pairwise pass below
-        keys = [_id_asc_key(v) for v in ids]
-        order = np.array(
-            sorted(range(m), key=lambda i: keys[i]), dtype=np.int64
-        )
-        pdf = pdf.iloc[order]
-        ids = pdf["id"].to_numpy()
-        id_ok = np.array([keys[i][0] == 1 for i in order], dtype=bool)
-        vs = pdf["v"]
-        live = id_ok & np.array(
-            [v is not None and len(v) == dim for v in vs], dtype=bool
-        )
-        removed = np.zeros(m, dtype=bool)
-        li = np.flatnonzero(live)
-        if len(li) > 1:
-            mat = np.array([list(vs.iloc[i]) for i in li], dtype=np.float64)
-            lm = len(li)
-            nrm2 = np.zeros(lm, dtype=np.float64)
-            for t in range(dim):
-                nrm2 = nrm2 + mat[:, t] * mat[:, t]
-            nrm = np.sqrt(nrm2)
-            # blockwise pairwise pass bounds memory on runaway clusters
-            B = max(1, min(lm, (1 << 22) // max(lm, 1)))
-            hit = np.zeros(lm, dtype=bool)
-            for lo in range(0, lm, B):
-                hi = min(lo + B, lm)
-                blk = np.zeros((hi - lo, lm), dtype=np.float64)
-                for t in range(dim):  # sequential fold again
-                    blk = blk + mat[lo:hi, t][:, None] * mat[:, t][None, :]
-                dnb = nrm[lo:hi][:, None] * nrm[None, :]
-                nullb = dnb == 0.0  # Column form: NULL cosine
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    csb = np.where(
-                        nullb, np.nan, blk / np.where(nullb, 1.0, dnb)
-                    )
-                # threshold on ROUNDED cs: decide definitively outside
-                # the +/-unit boundary zone, Decimal only inside it
-                ge = csb >= (threshold + unit)
-                maybe = (csb >= (threshold - unit)) & ~ge
-                if maybe.any():
-                    mi, mj = np.nonzero(maybe)
-                    for a_, b_ in zip(mi, mj):
-                        v = csb[a_, b_]
-                        if not np.isnan(v) and _jround(v) >= threshold:
-                            ge[a_, b_] = True
-                # NaN cosine (NaN components): Spark NaN >= x is TRUE
-                # (NaN sorts largest); NULL cosine (zero norm) never
-                # passes a predicate — excluded via nullb
-                ge |= np.isnan(csb) & ~nullb
-                # row i removes column j when global i < j (ids sorted
-                # asc -> index order IS id order)
-                rows_idx = np.arange(lo, hi)[:, None]
-                cols_idx = np.arange(lm)[None, :]
-                hit |= (ge & (rows_idx < cols_idx)).any(axis=0)
-            removed[li] = hit
-        return pd.DataFrame(
-            {
-                id_col: ids,
-                "cluster_id": pdf["cid"].to_numpy(),
-                "kept": ~removed,
-            }
-        )
-
-    return assigned.groupBy("cid").applyInPandas(_prune_cluster, out_schema)
+    return _semantic_prune(assigned, dim, threshold, id_col, id_field)
 
 
 def _normed(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -2022,10 +2049,10 @@ def semantic_dedup(
     closure and the flops grow as N^1.5*dim.  `max_centroid_cells`
     (default 32M cells = 256 MB float64) is the budget-guard-family
     refusal: over the ceiling the call fails loudly BEFORE collecting,
-    naming the remedy — a two-level (coarse-then-fine) assignment:
-    cluster the centroids themselves into sqrt(k) coarse cells, assign
-    each doc to a coarse cell map-side, then score only that cell's
-    fine centroids (ivf_topk's nprobe pattern applied to assignment).
+    naming the remedy — `semantic_dedup_two_level`, the SHIPPED
+    coarse-then-fine assignment (only ~sqrt(k) seeds collected; the
+    centroid table streams as data into a cogrouped fine-scoring
+    stage; pinned equal to this operator at coarse_nprobe=cells).
     Raise the ceiling only with executor memory to back it."""
     if max_centroid_cells is not None:
         stats = centroids.select(
@@ -2039,10 +2066,10 @@ def semantic_dedup(
                 f"{stats['k']:,} x dim {stats['dim']} = {cells:,} "
                 f"cells (ceiling {max_centroid_cells:,}) — too large "
                 "to collect/broadcast, and N*k*dim assignment flops "
-                "would dominate. Use a two-level assignment (coarse "
-                "cells over the centroids, then score only the "
-                "matched cell's fine centroids — ivf_topk's nprobe "
-                "pattern), retrain with fewer centroids, or raise "
+                "would dominate. Use semantic_dedup_two_level (only "
+                "~sqrt(k) seeds are collected; the centroid table "
+                "streams as DATA into a cogrouped fine-scoring "
+                "stage), retrain with fewer centroids, or raise "
                 "max_centroid_cells if executor memory backs it."
             )
     if use_arrow:
@@ -2117,3 +2144,355 @@ def semantic_dedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "embedding",
+    coarse_cells: Optional[int] = None,
+    coarse_nprobe: int = 1,
+) -> DataFrame:
+    """semantic_dedup beyond the centroid-collect boundary: the
+    max_centroid_cells guard's upgrade path, SHIPPED (r13 verdict #3/
+    r14).  Only `coarse_cells` seed vectors (default ceil(sqrt(k)) —
+    the lowest-cid centroids, the deterministic ivf-seed pattern) are
+    collected and closed over; the full k-centroid table never touches
+    the driver — it is assigned to coarse cells distributively and
+    then streams as DATA into a cogrouped fine-scoring stage, so the
+    memory per task is one cell's centroids (~k/m * dim ~ sqrt(k)*dim
+    doubles) and assignment flops drop from N*k*dim to
+    N*(m + nprobe*k/m)*dim.
+
+    Semantics: each doc probes its `coarse_nprobe` nearest seed cells
+    and is assigned the best fine centroid AMONG THOSE CELLS (rounded
+    cosine desc, cid asc — the semantic_dedup tie rules; zero-norm /
+    null / ragged vectors assign to the global lowest cid with the
+    NULL-cosine convention, exactly as the exact path).  With
+    coarse_nprobe >= coarse_cells every centroid is scored and the
+    result is pytest-pinned EQUAL to semantic_dedup; with nprobe <
+    cells it is the standard IVF approximation — a doc whose true
+    nearest centroid lives outside its probed cells lands in a
+    neighboring cluster (deterministic, never crashes; SemDeDup is
+    itself an approximation family, and the paper's k ~ sqrt(N) regime
+    keeps cells well-separated).  The pruning stage is byte-identical
+    shared code (`_semantic_prune`): min-id survivor, no transitive
+    closure.
+
+    Scale shape: ONE m-row collect; one mapInArrow probe pass over
+    docs emitting nprobe slim rows each; one exchange of those rows +
+    the centroid table by cell into the cogroup; one per-doc max_by
+    reduce (map-side combinable); then the shared N-row pruning
+    shuffle.  Everything is doc- or centroid-proportional — nothing
+    quadratic, nothing driver-bound."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow  # noqa: F401  (env guard: Arrow path required)
+    from pyspark.sql import types as T
+
+    if coarse_nprobe < 1:
+        raise ValueError("coarse_nprobe must be >= 1")
+    k = centroids.count()
+    if k == 0:
+        raise ValueError("semantic_dedup_two_level: empty centroid table")
+    m = coarse_cells if coarse_cells is not None else max(1, int(k**0.5))
+    if not (1 <= m <= k):
+        raise ValueError(f"coarse_cells must be in [1, {k}], got {m}")
+    p = min(coarse_nprobe, m)
+
+    seed_rows = (
+        centroids.select(
+            F.col(centroid_id_col).alias("cid"),
+            F.col(centroid_vec_col).alias("cv"),
+        )
+        .orderBy("cid")
+        .limit(m)
+        .collect()
+    )
+    seeds = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in seed_rows]
+    global_min_cid = seeds[0][0]
+    smat = np.array([v for _, v in seeds], dtype=np.float64)
+    dim = smat.shape[1]
+    snrm2 = np.zeros(m, dtype=np.float64)
+    for t in range(dim):  # the shared sequential fold order
+        snrm2 = snrm2 + smat[:, t] * smat[:, t]
+    snrm = np.sqrt(snrm2)
+
+    unit = 1e-4
+    unit_d = Decimal(1).scaleb(-4)
+
+    def _jround(x: float) -> float:
+        if np.isnan(x) or np.isinf(x):
+            return float(x)
+        return float(Decimal(repr(float(x))).quantize(unit_d, ROUND_HALF_UP))
+
+    def _seed_keys(mat):
+        """(rows x m) comparison keys vs the seeds: jround(cos), with
+        NaN components -> +inf (Spark NaN sorts largest) and zero-norm
+        seeds -> -inf (NULL cosine sorts smallest)."""
+        n = mat.shape[0]
+        dot = np.zeros((n, m), dtype=np.float64)
+        nrm2 = np.zeros(n, dtype=np.float64)
+        for t in range(dim):
+            col = mat[:, t]
+            dot = dot + col[:, None] * smat[:, t][None, :]
+            nrm2 = nrm2 + col * col
+        nrm = np.sqrt(nrm2)
+        denom = nrm[:, None] * snrm[None, :]
+        null_cs = denom == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cs = np.where(null_cs, np.nan, dot / np.where(null_cs, 1.0, denom))
+        key = np.where(np.isnan(cs) & ~null_cs, np.inf, cs)
+        key = np.where(null_cs, -np.inf, key)
+        return key, nrm
+
+    id_field = df.schema[id_col]
+    vec_field = df.schema[vec_col]
+    probed_schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType, id_field.nullable),
+            T.StructField("rk", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("v", vec_field.dataType, True),
+        ]
+    )
+
+    def _probe_batches(batches):
+        import pyarrow as pa
+
+        seq = 0  # per-partition row counter: with the partition id it
+        # forms `rk`, the surrogate the cross-cell argmax groups on —
+        # grouping on `id` alone would merge distinct NULL-id docs
+        # (deterministic: stable input partitioning -> stable rk)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec = batch.column(batch.schema.get_field_index(vec_col))
+            idc = batch.column(batch.schema.get_field_index(id_col))
+            pid = int(batch.column(batch.schema.get_field_index("__pid"))[0].as_py())
+            rk0 = (pid << 40) + seq
+            seq += n
+            orig = list(range(n))  # original batch positions for rk
+            mat = None
+            if (
+                isinstance(vec, (pa.ListArray, pa.LargeListArray))
+                and vec.null_count == 0
+            ):
+                offs = vec.offsets.to_numpy(zero_copy_only=False)
+                widths = np.diff(offs)
+                if len(widths) and widths[0] == dim and (widths == widths[0]).all():
+                    vals = vec.values.to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.float64)
+                    mat = vals[offs[0]: offs[-1]].reshape(n, dim)
+            if mat is None:  # dirty batch: null / ragged rows
+                rows = vec.to_pylist()
+                live_i = [
+                    i for i, v in enumerate(rows)
+                    if v is not None and len(v) == dim
+                ]
+                dead_i = [
+                    i for i, v in enumerate(rows)
+                    if v is None or len(v) != dim
+                ]
+                if dead_i:
+                    sel = pa.array(dead_i)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            idc.take(sel),
+                            pa.array(
+                                [rk0 + i for i in dead_i], type=pa.int64()
+                            ),
+                            pa.array([-1] * len(dead_i), type=pa.int32()),
+                            pa.nulls(len(dead_i), type=vec.type),
+                        ],
+                        names=["id", "rk", "cell", "v"],
+                    )
+                if not live_i:
+                    continue
+                sel = pa.array(live_i)
+                idc = idc.take(sel)
+                vec = vec.take(sel)
+                n = len(live_i)
+                orig = live_i
+                mat = np.array([rows[i] for i in live_i], dtype=np.float64)
+            key, nrm = _seed_keys(mat)
+            # zero-norm docs: NULL cosine to EVERY centroid -> global
+            # lowest cid, same as the exact path's all-tie rule
+            zn = nrm == 0.0
+            # top-p cells per row by (key desc, seed index asc) — seed
+            # indices are cid-ascending by construction
+            order = np.argsort(-key, axis=1, kind="stable")[:, :p]
+            out_id, out_rk, out_cell, out_v = [], [], [], []
+            for i in range(n):
+                if zn[i]:
+                    out_id.append(i)
+                    out_rk.append(rk0 + orig[i])
+                    out_cell.append(-1)
+                    out_v.append(i)
+                    continue
+                for c in order[i]:
+                    out_id.append(i)
+                    out_rk.append(rk0 + orig[i])
+                    out_cell.append(int(c))
+                    out_v.append(i)
+            sel = pa.array(out_id)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    idc.take(sel),
+                    pa.array(out_rk, type=pa.int64()),
+                    pa.array(out_cell, type=pa.int32()),
+                    vec.take(pa.array(out_v)),
+                ],
+                names=["id", "rk", "cell", "v"],
+            )
+
+    probed = df.select(
+        F.col(id_col), F.col(vec_col), F.spark_partition_id().alias("__pid")
+    ).mapInArrow(_probe_batches, probed_schema)
+
+    cprobed_schema = T.StructType(
+        [
+            T.StructField("ccid", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("cv", centroids.schema[centroid_vec_col].dataType, True),
+        ]
+    )
+
+    def _centroid_cells(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cid_a = batch.column(batch.schema.get_field_index(centroid_id_col))
+            cv_a = batch.column(batch.schema.get_field_index(centroid_vec_col))
+            rows = cv_a.to_pylist()
+            bad = [
+                i for i, v in enumerate(rows)
+                if v is None or len(v) != dim
+            ]
+            if bad:
+                raise ValueError(
+                    "semantic_dedup_two_level: centroid "
+                    f"{cid_a[bad[0]].as_py()!r} is null/ragged — the "
+                    "centroid table must be clean (same requirement as "
+                    "semantic_dedup's collect)"
+                )
+            mat = np.array(rows, dtype=np.float64)
+            key, _ = _seed_keys(mat)
+            # nearest seed, ties to the lowest seed index (= lowest
+            # seed cid); zero-norm centroids land on seed 0 (all -inf)
+            cells = np.argmax(key, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        [int(cid_a[i].as_py()) for i in range(n)],
+                        type=pa.int64(),
+                    ),
+                    pa.array(cells, type=pa.int32()),
+                    cv_a,
+                ],
+                names=["ccid", "cell", "cv"],
+            )
+
+    cent_cells = centroids.select(
+        F.col(centroid_id_col), F.col(centroid_vec_col)
+    ).mapInArrow(_centroid_cells, cprobed_schema)
+
+    scored_schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType, id_field.nullable),
+            T.StructField("rk", T.LongType(), False),
+            T.StructField("cid", T.LongType(), False),
+            T.StructField("key", T.DoubleType(), False),
+            T.StructField("v", vec_field.dataType, True),
+        ]
+    )
+
+    def _score_cell(docs_pdf, cents_pdf):
+        if len(docs_pdf) == 0 or len(cents_pdf) == 0:
+            return pd.DataFrame(
+                {"id": [], "rk": [], "cid": [], "key": [], "v": []}
+            ).astype({"rk": "int64", "cid": "int64", "key": "float64"})
+        dmat = np.array([list(v) for v in docs_pdf["v"]], dtype=np.float64)
+        corder = np.argsort(cents_pdf["ccid"].to_numpy(), kind="stable")
+        cids = cents_pdf["ccid"].to_numpy()[corder]
+        cmat = np.array(
+            [list(v) for v in cents_pdf["cv"].iloc[corder]],
+            dtype=np.float64,
+        )
+        n, kc = dmat.shape[0], cmat.shape[0]
+        dot = np.zeros((n, kc), dtype=np.float64)
+        nrm2 = np.zeros(n, dtype=np.float64)
+        cnrm2 = np.zeros(kc, dtype=np.float64)
+        for t in range(dim):
+            col = dmat[:, t]
+            dot = dot + col[:, None] * cmat[:, t][None, :]
+            nrm2 = nrm2 + col * col
+            cnrm2 = cnrm2 + cmat[:, t] * cmat[:, t]
+        denom = np.sqrt(nrm2)[:, None] * np.sqrt(cnrm2)[None, :]
+        null_cs = denom == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cs = np.where(null_cs, np.nan, dot / np.where(null_cs, 1.0, denom))
+        key = np.where(np.isnan(cs) & ~null_cs, np.inf, cs)
+        key = np.where(null_cs, -np.inf, key)
+        raw_max = key.max(axis=1)
+        best_cid = np.empty(n, dtype=np.int64)
+        best_key = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            cand = np.flatnonzero(key[i] >= raw_max[i] - unit)
+            best = None
+            for j in cand:
+                rj = key[i, j] if np.isinf(key[i, j]) else _jround(cs[i, j])
+                if best is None or rj > best[0]:
+                    best = (rj, cids[j])
+            best_cid[i] = best[1]
+            best_key[i] = best[0]
+        return pd.DataFrame(
+            {
+                "id": docs_pdf["id"].to_numpy(),
+                "rk": docs_pdf["rk"].to_numpy(),
+                "cid": best_cid,
+                "key": best_key,
+                "v": docs_pdf["v"].to_numpy(),
+            }
+        )
+
+    live = probed.where(F.col("cell") >= 0)
+    dead = probed.where(F.col("cell") < 0).select(
+        "id", F.lit(int(global_min_cid)).alias("cid"), "v"
+    )
+    scored = (
+        live.groupBy("cell")
+        .cogroup(cent_cells.groupBy("cell"))
+        .applyInPandas(
+            lambda l, r: _score_cell(l, r), scored_schema
+        )
+    )
+    # cross-cell argmax, map-side combinable: (key desc, cid asc) — the
+    # exact path's tie rules (keys are already rounded per cell).
+    # Grouped on the surrogate rk, not id: NULL-id docs stay distinct
+    best = (
+        scored.groupBy("rk")
+        .agg(
+            F.max_by(
+                F.struct("id", "cid", "v"),
+                F.struct(F.col("key"), (-F.col("cid")).alias("nc")),
+            ).alias("__m")
+        )
+        .select(
+            F.col("__m.id").alias("id"),
+            F.col("__m.cid").alias("cid"),
+            F.col("__m.v").alias("v"),
+        )
+    )
+    assigned = best.unionByName(dead)
+    return _semantic_prune(assigned, dim, threshold, id_col, id_field)

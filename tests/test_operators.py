@@ -1166,6 +1166,104 @@ def test_semantic_dedup_centroid_cells_guard(spark):
             )
 
 
+def test_semantic_dedup_two_level_matches_exact(spark, sf_dir):
+    """The centroid-cell guard's shipped upgrade path: two-level
+    assignment collects only ~sqrt(k) seeds and streams the centroid
+    table as cogrouped DATA.  Pins: (a) with coarse_nprobe = all cells
+    it equals semantic_dedup EXACTLY (every centroid scored, same tie
+    rules) on the real corpus AND a dirty corpus (null/ragged/zero-norm
+    vectors, null + duplicate-null ids); (b) with nprobe=1 on
+    well-separated planted clusters it also matches (the IVF premise);
+    (c) parameter validation."""
+    import pytest as _pytest
+
+    from cloudfabric_eventsourcing_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_two_level,
+    )
+
+    def norm(df):
+        return sorted(
+            (
+                (r["vec_id"], r["cluster_id"], r["kept"])
+                for r in df.collect()
+            ),
+            key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+        )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), "embedding")
+    )
+    exact = norm(semantic_dedup(emb, cents, 0.95))
+    two_all = norm(
+        semantic_dedup_two_level(
+            emb, cents, 0.95, coarse_cells=4, coarse_nprobe=4
+        )
+    )
+    assert two_all == exact
+    # dirty corpus: nulls, ragged, zero-norm, null ids (two of them —
+    # the surrogate-key regression: they must stay DISTINCT rows)
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),
+            (3, None),
+            (4, [1.0, 2.0, 3.0]),
+            (5, [0.0, 0.0]),
+            (None, [1.0, 0.0]),
+            (None, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dcents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (7, [0.0, 1.0])],
+        "cid long, embedding array<double>",
+    )
+    dx = norm(semantic_dedup(dirty, dcents, 0.99))
+    dt = norm(
+        semantic_dedup_two_level(
+            dirty, dcents, 0.99, coarse_cells=2, coarse_nprobe=2
+        )
+    )
+    assert dt == dx
+    assert len(dt) == 7  # both null-id docs present as their own rows
+    # nprobe=1 on well-separated clusters: the coarse route finds the
+    # same cell the exact argmax does
+    sep = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),
+            (11, [1.0, 0.0, 0.0]),
+            (12, [0.99, 0.1, 0.0]),
+            (13, [0.0, 1.0, 0.0]),
+            (14, [0.0, 0.99, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    scents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cid long, embedding array<double>",
+    )
+    s1 = norm(semantic_dedup_two_level(
+        sep, scents, 0.99, coarse_cells=2, coarse_nprobe=1
+    ))
+    assert s1 == norm(semantic_dedup(sep, scents, 0.99))
+    with _pytest.raises(ValueError, match="coarse_nprobe"):
+        semantic_dedup_two_level(sep, scents, 0.9, coarse_nprobe=0)
+    with _pytest.raises(ValueError, match="coarse_cells"):
+        semantic_dedup_two_level(sep, scents, 0.9, coarse_cells=5)
+    # a dirty CENTROID table refuses loudly (executor-side ValueError
+    # surfaces as PySpark's PythonException wrapper)
+    with _pytest.raises(Exception, match="ragged"):
+        bad = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, None)],
+            "cid long, embedding array<double>",
+        )
+        semantic_dedup_two_level(sep, bad, 0.9).collect()
+
+
 def test_semantic_dedup_semantics(spark):
     """SemDeDup pins: broadcast-centroid argmax assignment, min-id
     survivor within a cluster, NO transitive closure (the documented
