@@ -1152,7 +1152,7 @@ def test_semantic_dedup_centroid_cells_guard(spark):
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
         "cid long, embedding array<float>",
     )
-    with _pytest.raises(ValueError, match="two-level"):
+    with _pytest.raises(ValueError, match="two_level"):
         semantic_dedup(emb, cents, 0.9, max_centroid_cells=3)
     # at/under the ceiling (4 cells = 2 centroids x dim 2) and with the
     # guard disabled, both paths run
