@@ -89,6 +89,12 @@ HEADLINE = [
     "s06_pq_adc_topk",
     # r12 rows, driver-tracked from day one
     "s07_pq_planted",
+    # r14 rows, driver-tracked from day one.  p24 (two-level SemDeDup)
+    # is deliberately NOT benched: its registry config is the
+    # exactness pin (coarse_nprobe = all cells — strictly more work
+    # than the one-level kernel by construction); benching it would
+    # price the proof harness, not the production nprobe=1 shape.
+    "p23_url_dedup_domain_mix",
 ]
 
 #: rows whose sf10 wall exceeds ~10 s — benched in a fresh session after

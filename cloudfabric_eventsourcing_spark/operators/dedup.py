@@ -1710,17 +1710,28 @@ def _semantic_prune(
 
         m = len(pdf)
         ids = pdf["id"].to_numpy()
-        # sentinel key: a None/NaN id must not crash the object argsort
-        # (r13 advice) — and, matching the Column form, a null id can
-        # neither remove nor be removed (`a.id < b.id` is null), so
-        # null-id rows are excluded from the pairwise pass below
-        keys = [_id_asc_key(v) for v in ids]
-        order = np.array(
-            sorted(range(m), key=lambda i: keys[i]), dtype=np.int64
-        )
+        # clean numeric ids (the common corpus) keep the C-speed
+        # argsort; otherwise the sentinel path: a None/NaN id must not
+        # crash the object argsort (r13 advice) — and, matching the
+        # Column form, a null id can neither remove nor be removed
+        # (`a.id < b.id` is null), so null-id rows are excluded from
+        # the pairwise pass below
+        if ids.dtype.kind in "iu":
+            order = np.argsort(ids, kind="stable")
+            id_ok = np.ones(m, dtype=bool)
+        elif ids.dtype.kind == "f" and not np.isnan(ids).any():
+            order = np.argsort(ids, kind="stable")
+            id_ok = np.ones(m, dtype=bool)
+        else:
+            keys = [_id_asc_key(v) for v in ids]
+            order = np.array(
+                sorted(range(m), key=lambda i: keys[i]), dtype=np.int64
+            )
+            id_ok = np.array(
+                [keys[i][0] == 1 for i in order], dtype=bool
+            )
         pdf = pdf.iloc[order]
         ids = pdf["id"].to_numpy()
-        id_ok = np.array([keys[i][0] == 1 for i in order], dtype=bool)
         vs = pdf["v"]
         live = id_ok & np.array(
             [v is not None and len(v) == dim for v in vs], dtype=bool
