@@ -1329,7 +1329,13 @@ def p23_url_dedup_domain_mix(spark, sf_dir):
         ),
     )
     with_url = docs.select("doc_id", url.alias("url"))
-    surv = _dedup.url_dedup(with_url, url_col="url", id_col="doc_id")
+    # materialize=True (A/B'd at sf10, adjacent-pair interleave:
+    # 1.5-2.5 s vs 7.3-10.8 s, output identical — PLANS r14): the
+    # ~12-regexp canonicalization chain is the row's wall and the
+    # localCheckpoint runs it once instead of once per consumer
+    surv = _dedup.url_dedup(
+        with_url, url_col="url", id_col="doc_id", materialize=True
+    )
     # ONE aggregation over the survivors computes count + identity sum
     # per domain; the share denominator rides a broadcast one-row
     # cross join (the domain_mix_report shape — that operator stays

@@ -75,7 +75,7 @@ def fingerprint_dedup(
 
 def url_dedup(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
-    canonicalize: bool = True,
+    canonicalize: bool = True, materialize: bool = False,
 ) -> DataFrame:
     """URL-level dedup — the first stage of every standard web pipeline
     (CCNet/RefinedWeb/Dolma dedup by canonicalized URL before touching
@@ -88,7 +88,13 @@ def url_dedup(
     a few hundred bytes worst case) to pick winners, then one join of
     the winner ids back to the input on (canonical, id).  The winner
     table is id+url only, so the full-width document rows ride exactly
-    one shuffle."""
+    one shuffle.
+
+    `materialize=True` localCheckpoints the canonicalized frame (the
+    p16 pattern) so the ~12-regexp canonicalization chain runs ONCE
+    instead of once per consumer (winners + semi-join + anything
+    downstream reading `canonical_url`) — the right trade when the
+    chain dominates, at the cost of an eager materialization."""
     from cloudfabric_eventsourcing_spark.operators.text import (
         canonicalize_url,
     )
@@ -97,6 +103,8 @@ def url_dedup(
         canonicalize_url(F.col(url_col)) if canonicalize else F.col(url_col)
     )
     keyed = df.withColumn("canonical_url", canon)
+    if materialize:
+        keyed = keyed.localCheckpoint()
     winners = (
         keyed.where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")

@@ -1821,6 +1821,15 @@ def test_url_canonicalize_dedup_domain_mix(spark):
     surv = dedup.url_dedup(docs, url_col="url", id_col="doc_id")
     assert {r["doc_id"] for r in surv.collect()} == {1, 3, 4, 5}
     assert "canonical_url" in surv.columns and "text" in surv.columns
+    # materialize=True is a plan-only change (localCheckpoint of the
+    # canonicalized frame): identical output
+    mat = dedup.url_dedup(
+        docs, url_col="url", id_col="doc_id", materialize=True
+    )
+    key = lambda d: d["doc_id"]  # noqa: E731
+    assert sorted((r.asDict() for r in mat.collect()), key=key) == sorted(
+        (r.asDict() for r in surv.collect()), key=key
+    )
     rep = {
         r["domain"]: (r["n_docs"], r["share"])
         for r in domain_mix_report(surv, url_col="url").collect()
