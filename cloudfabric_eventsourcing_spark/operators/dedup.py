@@ -2207,7 +2207,20 @@ def semantic_dedup_two_level(
     the centroid table by cell into the cogroup; one per-doc max_by
     reduce (map-side combinable); then the shared N-row pruning
     shuffle.  Everything is doc- or centroid-proportional — nothing
-    quadratic, nothing driver-bound."""
+    quadratic, nothing driver-bound.
+
+    WHEN TO USE, measured (sf10, N=200k, k=447, m=21 — PLANS r14):
+    below the collect guard the ONE-LEVEL kernel stays faster (13.0 s
+    vs 14.9/7.7 s at nprobe=1/2) — its closure is tiny and its
+    assignment is map-only, while this operator pays a probe pass and
+    a cell exchange regardless of k.  This operator's design point is
+    exactly where semantic_dedup REFUSES (k*dim over the guard).
+    Approximation quality is corpus-dependent: on the synthetic
+    sf10 embeddings (no real cluster structure — near-tied centroids
+    everywhere) nprobe=1 flips 64% of cluster ASSIGNMENTS yet the
+    kept/removed VERDICT still agrees 99.6%; on a corpus whose
+    centroids came from its own k-means (the production path) the
+    coarse route is the same IVF premise ivf_topk relies on."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
