@@ -1549,6 +1549,12 @@ def p04_minhash_lsh(spark, sf_dir):
         bands=32,
         max_bucket_size=512,
         broadcast_grams=True,
+        # materialize (r14 optimization round): localCheckpoint the slim
+        # banded table so the tokenize->signature->explode chain runs
+        # ONCE instead of the 8x the star-valve bookkeeping otherwise
+        # re-evaluates it (plans/r14/p04_minhash_lsh_pairs_{before,after}
+        # .txt: 8 Generate -> 1).  Output pinned row-identical on/off.
+        materialize=True,
     )
 
 
@@ -2805,6 +2811,7 @@ def _lsh_pairs_materialized(spark, sf_dir):
             bands=32,
             max_bucket_size=512,
             broadcast_grams=True,  # same rationale as the p04 row
+            materialize=True,  # same rationale as the p04 row
         )
         # localCheckpoint: pairs live as in-memory partitions; the
         # clustering loop's own per-round checkpoints already truncate

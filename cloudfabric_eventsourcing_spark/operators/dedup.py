@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     min_matching_bands: Optional[int] = None,
     cache_grams: bool = False,
     broadcast_grams: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding; candidates verified with
     exact Jaccard when `verify` (the production configuration).
@@ -308,6 +309,25 @@ def minhash_lsh_pairs(
     grams_df, banded = _grams_and_bands(
         df, num_perm, bands, n, text_col, id_col
     )
+    if materialize:
+        # The tokenize->gram-hash->128-perm-signature->band-explode
+        # chain is re-evaluated by EVERY consumer of `banded`: with the
+        # star valve engaged that is `sizes`, the `sized` re-attach,
+        # both aliases of the `small` self-join, the `big` branch and
+        # `hubs` — the r14 plan capture counted the chain EIGHT times
+        # in one p04 plan (8 Generate nodes, 10 scans of the corpus;
+        # only Exchange nodes are runtime-reused, and the signature
+        # projection sits above the reused exchange).  Eagerly
+        # localCheckpointing the SLIM band table (id + 2 int64s;
+        # num_docs x bands rows — sf10: 16M rows ~ 0.4 GB of
+        # per-executor local blocks) computes the chain once and lets
+        # every consumer read checkpoint blocks.  Unlike the rejected
+        # cache_grams (r13: persisting the HEAVY gram arrays lost to
+        # memory pressure during the verify join), this persists only
+        # the lightweight proxy rows.  Content is deterministic
+        # (per-row expressions, no RNG), so output is row-identical
+        # with the flag off; pinned by pytest and the oracle row.
+        banded = banded.localCheckpoint(eager=True)
     if cache_grams:
         from pyspark import StorageLevel
 

@@ -740,6 +740,33 @@ def test_minhash_lsh_bucket_cap_subset(spark, sf_dir):
     assert capped and capped <= exact
 
 
+def test_minhash_lsh_materialize_identical(spark, sf_dir):
+    """r14 optimization: materialize=True localCheckpoints the slim
+    banded table so the signature chain evaluates once instead of 8x
+    (the star-valve consumers).  Output must be row-identical to the
+    lazy form, valve engaged, verify on."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(
+        threshold=0.9,
+        num_perm=128,
+        bands=32,
+        max_bucket_size=8,  # engage the star valve on the fixture corpus
+        broadcast_grams=True,
+    )
+    lazy = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs(docs, **kw).collect()
+    )
+    mat = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs(docs, materialize=True, **kw).collect()
+    )
+    assert lazy and mat == lazy
+
+
 def test_redact_pii(spark):
     from cloudfabric_eventsourcing_spark.operators.text import redact_pii
     from pyspark.sql import functions as F
