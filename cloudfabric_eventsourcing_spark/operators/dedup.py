@@ -923,9 +923,24 @@ def simhash_signatures(
     return sig
 
 
-def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
+def simhash_candidate_pairs(
+    sig: DataFrame, materialize: bool = True
+) -> DataFrame:
     """Pairs sharing any 16-bit chunk — by pigeonhole, contains every pair
-    with Hamming distance <= 3."""
+    with Hamming distance <= 3.
+
+    `materialize` (default True) eagerly localCheckpoints `sig` before
+    the four band self-joins: the joins reference it EIGHT times (two
+    aliases x four bands), and each reference re-evaluates the caller's
+    entire upstream chain (tokenize + weighted vote matrix for text
+    SimHash — the r14 p21 plan capture counted 32 corpus scans in one
+    plan).  The signature table is slim by construction (id + hash +
+    4 chunk ints, ~48 bytes/row), so the checkpoint is cheap at any
+    corpus size; content is deterministic, so output is row-identical
+    either way.  Pass False to compose lazily (e.g. the caller already
+    materialized)."""
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
     out = None
     for c in range(4):
         a = sig.alias("a")
@@ -952,6 +967,7 @@ def hamming_neardup_pairs(
     hash_col: str,
     id_col: str,
     max_hamming: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs over ANY 64-bit fingerprint column
     (SimHash, image dHash, ...) by banded Hamming join: 4 x 16-bit
@@ -978,6 +994,17 @@ def hamming_neardup_pairs(
                 F.lit(0xFFFF)
             ),
         )
+    if materialize:
+        # same rationale as simhash_candidate_pairs: the four band
+        # self-joins reference `sig` eight times, and for media
+        # fingerprints each reference re-runs the upstream DECODE
+        # kernel (the r14 m05 plan capture counted 16 corpus scans
+        # through the dhash chain in one plan).  The table is slim
+        # (id + int64 + 4 chunk ints) — checkpoint once, decode once.
+        # Deterministic content -> row-identical output; micro-batch
+        # frames inside foreachBatch are static DataFrames, so the
+        # streaming curation caller is safe.
+        sig = sig.localCheckpoint(eager=True)
     out = None
     for c in range(4):
         a, b = sig.alias("a"), sig.alias("b")

@@ -767,6 +767,47 @@ def test_minhash_lsh_materialize_identical(spark, sf_dir):
     assert lazy and mat == lazy
 
 
+def test_banded_hamming_materialize_identical(spark, sf_dir):
+    """r14 optimization: simhash_candidate_pairs / hamming_neardup_pairs
+    localCheckpoint the slim signature table before the 4 band
+    self-joins (8 references otherwise re-run the upstream chain).
+    Output must be row-identical to the lazy form."""
+    from cloudfabric_eventsourcing_spark.operators import dedup
+    from cloudfabric_eventsourcing_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(docs, weighted=True)
+    lazy = sorted(
+        map(tuple, dedup.simhash_candidate_pairs(sig, materialize=False).collect())
+    )
+    mat = sorted(
+        map(tuple, dedup.simhash_candidate_pairs(sig, materialize=True).collect())
+    )
+    assert lazy and mat == lazy
+
+    hashes = docs.select(
+        F.col("doc_id"), F.xxhash64("text").alias("h64")
+    )
+    lazy_h = sorted(
+        map(
+            tuple,
+            dedup.hamming_neardup_pairs(
+                hashes, "h64", "doc_id", max_hamming=3, materialize=False
+            ).collect(),
+        )
+    )
+    mat_h = sorted(
+        map(
+            tuple,
+            dedup.hamming_neardup_pairs(
+                hashes, "h64", "doc_id", max_hamming=3, materialize=True
+            ).collect(),
+        )
+    )
+    assert mat_h == lazy_h
+
+
 def test_redact_pii(spark):
     from cloudfabric_eventsourcing_spark.operators.text import redact_pii
     from pyspark.sql import functions as F
