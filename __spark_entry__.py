@@ -4134,74 +4134,84 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - t03_token_counts: text.py token leaf shared with the in-window
 #     t01/t08 rows.
 _VERIFY_FIRST = [
-    # r14 window: changed rows take day-one slots — p23 is NEW (URL
-    # dedup + domain mix); p04/p13/p15 traverse the valve-aware
-    # min_matching_bands slack path's module; p18 runs the null-id-
-    # hardened _prune_cluster; s01/s04/s05 run the dead-row-order/
-    # null-id kernel fixes.  (m01/m05 park one more round: the codec
-    # change is corrupt-stream-only, pinned by the fuzz suite.)
-    "p23_url_dedup_domain_mix",
-    "p24_semdedup_two_level",
-    "p04_minhash_lsh_pairs",
+    # r15 window (optimization round 2).  Day-one slots, in order:
+    #   1. The r14 gate gap (verdict #3): p07/p21/m05 flipped to
+    #      materialize=True in e31521c AFTER the r14 window was set —
+    #      driver ground truth has never seen their new default path.
+    #   2. Every row whose code path THIS round touches: p16 (Arrow md5
+    #      fingerprint kernel), p13/p15/p04 (CC-loop partitioning fix +
+    #      shared pair build), o6/o5/o1/h14 (keyset/sort plan audits),
+    #      s06 (standing rows-only slot; seeding vectorization).
+    #   3. m01: parked since the r14-build codec change (fuzz-pinned);
+    #      clears its two-round debt here.
+    "p07_simhash_neardup",
+    "p21_simhash_weighted",
+    "m05_image_dhash_neardup",
+    "p16_winnowing_overlap",
     "p13_duplicate_clusters",
     "p15_incremental_clusters",
-    "p18_semdedup",
-    "s01_ann_brute_force_topk",
-    "s04_embedding_quantize",
-    "s05_quantized_topk",
+    "p04_minhash_lsh_pairs",
+    "o6_keyset_nulls",
+    "o5_keyset_pagination",
+    "o1_multi_sort_limit",
+    "h14_distinct_customers_per_nation",
     # s06 keeps a window slot every round: its driver row is the
     # deliberate rows-only check (no DuckDB oracle for real k-means),
     # so it never accrues a green hash row to coast on
     "s06_pq_adc_topk",
-    # the r13-parked backlog (r12-green + judge-sweep-green) fills the
-    # window so every registry row is re-verified within two rounds of
-    # its last check (r13 verdict #1)
-    "h24_product_profit",
-    "h25_customer_distribution",
-    "h27_waiting_suppliers",
-    "h7_rollup_revenue",
-    "m02_image_neardup",
-    "m03_audio_neardup",
-    "m04_video_neardup",
-    "o2_nested_sort",
-    "p06_cosine_neardup_lsh",
-    "p11_boilerplate_lines",
-    "p16_winnowing_overlap",
-    "p17_duplicated_spans",
-    "p20_dup_span_coverage",
-    "s02_ann_lsh_topk",
-    "t02_quality_score",
-    "t05_rarity_weighted_scores",
-    "t06_repetition_stats",
-    "t07_vocab_topk",
-    "u01_set_ops",
-    "w03_session_window",
-    "x02_sessionization",
-    "f03_ts_range",
-    "f10_bool_tree",
-    "f11_nested_path",
-    "f12_array_exists",
-    "f13_search_text",
-    "f16_search_tokenized",
-    "f17_search_scored",
-    "f23_search_match_analyzer",
-    "h1_pricing_summary",
-    "h2_revenue_by_nation",
-    "a2_max_stream_version",
-    "a3_store_statistics",
-    "a4_projection_fold_counts",
-    "a5_projection_fold_sum",
-    "a6_facet_counts",
-    "a6_facet_ranges",
-    "t09_lexical_diversity",
-    "p03_ngram_jaccard_pairs",
-    "p05_cosine_neardup_pairs",
+    "m01_multimodal_features",
+    # the parked backlog (r13-green or earlier, unchanged) fills the
+    # window oldest-debt-first so every registry row is re-verified
+    # within two rounds of its last driver check; heavier join/x/p
+    # paths outrank single-leaf f filters that share their physical
+    # leaf with an in-window sibling
+    "h3_top_customers",
+    "h4_semi_join_high_value_orders",
+    "h5_anti_join_customers_without_p_orders",
+    "h6_window_top3_orders_per_customer",
+    "h8_shipping_priority",
+    "h9_order_priority_check",
+    "h10_promo_revenue_share",
+    "h11_large_volume_customers",
+    "h12_rich_idle_customers",
+    "h13_cube_revenue",
+    "h15_nation_volume_shipping",
+    "h17_top_supplier_revenue",
+    "h18_small_quantity_revenue",
+    "h20_brand_size_quantity_revenue",
+    "h21_major_revenue_nations",
+    "h22_min_price_supplier",
+    "h23_market_share",
+    "h28_late_priority_lines",
+    "h29_dominant_suppliers",
+    "x01_asof_join",
+    "x03_range_join",
+    "x04_funnel_conversion",
+    "x05_retention_cohorts",
+    "x06_last_touch_attribution",
+    "x07_hourly_gapfill",
+    "x08_event_transitions",
+    "p01_exact_dedup",
+    "p02_fingerprint_dedup",
+    "p10_decontaminate",
+    "p12_pack_offsets",
+    "p14_train_shuffle",
+    "p19_dsir_weights",
+    "p22_line_dedup_first",
+    "t01_language_id",
+    "t10_unigram_surprisal",
+    "k01_salted_join",
+    "s03_ann_ivf_topk",
     # -- driver window ends here (position 50) --
-    # parked for r15 (r13-green, unchanged): h3, h4, h5, h6, h8, h9,
-    # h10, h11, h12, h20, k01, m01, m05, o1, o5, p02, p07, p09, p10,
-    # p12, s03, s07, t01, t04, t10, x01, x03, x04, x06, p22, p19,
-    # f01, f02, f03_range, f04, f05, f06, f07, f08, f09, f14, a7, p18,
-    # j3 (displaced by the new p24 day-one slot)
+    # parked for r16 (r13-green or leaf-shared with an in-window
+    # sibling, unchanged this round): h16, h19, h26 (light star-scan
+    # aggregates; scan family covered by the in-window h-rows), f01, f02, f03_range, f04, f05,
+    # f06, f07, f08, f09, f14, f15, f18, f19, f20, f21, f22, f24
+    # (translator comparison/search leaves, shared with the r14-green
+    # f10-f13/f16/f17/f23 family), t03, t04, t08, o3, o4 (share the
+    # in-window o1 sort leaf), a1 (bench warm-up query every round),
+    # a7, j3, p08, p09, s07 (planted oracle, r13-green), w01, w02
+    # (window-bucket leaf, r14-green w03 sibling)
 ]
 
 
