@@ -317,6 +317,73 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("rolling_fp", rolling_hash_fingerprint(F.col(text_col)))
 
 
+def _winnowing_md5_arrow(
+    df: DataFrame, k: int, window: int, text_col: str, id_col: str
+) -> DataFrame:
+    """mapInArrow winnowing kernel, bit-equal with the md5 expression
+    path: same ASCII-\\s tokenization, same `tok k-gram joined by ' '`
+    gram strings, standard MD5 hex, lexicographic window minima,
+    first-occurrence distinct.  One batch crosses the boundary as two
+    Arrow columns (id + text) and comes back as id + the fingerprint
+    array; hashlib's C MD5 plus a NumPy sliding-window minimum replace
+    the interpreted transform/arrays_zip HOF chain (guide §4.2), which
+    dominates the expression path's wall (r11 p16 study: 22-32 s per
+    evaluation at sf10)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("fingerprints", ArrayType(StringType()))]
+    )
+
+    def _batches(it):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        # Java's \s (no UNICODE_CHARACTER_CLASS) is the ASCII class
+        # [ \t\n\x0B\f\r]; Python's \s is Unicode-aware — spell it out
+        # so tokenization is bit-equal with F.split(text, r"\s+")
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        join = " ".join
+        for batch in it:
+            ids = batch.column(0)
+            vals: list[list[str]] = []
+            for cell in batch.column(1):
+                t = cell.as_py()
+                if t is None:
+                    vals.append([])
+                    continue
+                toks = [x for x in ws.split(t.lower()) if x]
+                g = len(toks) - (k - 1)
+                if g <= 0:
+                    vals.append([])
+                    continue
+                grams = [
+                    md5(join(toks[i : i + k]).encode()).hexdigest()
+                    for i in range(g)
+                ]
+                if g >= window:
+                    # width-`window` sliding minimum (hex is ASCII, so
+                    # Python str comparison == the JVM's UTF8 byte
+                    # order); slice+min run at C speed and the window
+                    # is small — md5 dominates, not this
+                    mins = [
+                        min(grams[i : i + window])
+                        for i in range(g - window + 1)
+                    ]
+                    vals.append(list(dict.fromkeys(mins)))
+                else:
+                    vals.append([min(grams)])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(vals, type=pa.list_(pa.string()))],
+                names=[id_col, "fingerprints"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(_batches, out_schema)
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 5,
@@ -324,6 +391,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash: str = "xxh64",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): hash every token k-gram, slide a width-`window`
@@ -339,6 +407,16 @@ def winnowing_fingerprints(
     selection — and therefore overlap pairs — exactly reproducible
     outside Spark; the p16 oracle row runs on it.
 
+    `use_arrow` (default None = auto: Arrow for md5) picks the
+    implementation of the md5 path: the mapInArrow kernel
+    (_winnowing_md5_arrow, bit-equal by construction and pinned by
+    tests) or the pure-expression chain.  The expression md5 path runs
+    interpreted (non-codegen HOF lambda over arrays_zip structs) and is
+    the wall of the p16 bench row; the kernel hashes with C MD5 and
+    takes the window minima vectorized.  xxh64 always uses the
+    expression path (no bit-equal Python xxhash64 is guaranteed
+    available).
+
     Plan shape: both the gram hashing and the window minimum use the
     t06 linear zip-of-shifted-slices form (never transform(sequence)
     whose nested re-evaluation goes quadratic); everything is per-row
@@ -348,6 +426,12 @@ def winnowing_fingerprints(
     standard short-document degeneration)."""
     if hash not in ("xxh64", "md5"):
         raise ValueError("hash must be 'xxh64' or 'md5'")
+    if use_arrow is None:
+        use_arrow = hash == "md5"
+    if use_arrow:
+        if hash != "md5":
+            raise ValueError("use_arrow requires hash='md5'")
+        return _winnowing_md5_arrow(df, k, window, text_col, id_col)
     toks = tokens_column(F.col(text_col))
     m = F.size(toks)
     gspan = m - (k - 1)
@@ -388,6 +472,7 @@ def winnowing_overlap_pairs(
     id_col: str = "doc_id",
     hash: str = "xxh64",
     materialize: bool = True,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
     (id_a, id_b, n_shared), id_a < id_b.  The inverted-index pattern:
@@ -412,7 +497,13 @@ def winnowing_overlap_pairs(
     for a purely-lazy plan (composition into a larger pipeline that
     materializes anyway)."""
     arrays = winnowing_fingerprints(
-        df, k=k, window=window, text_col=text_col, id_col=id_col, hash=hash
+        df,
+        k=k,
+        window=window,
+        text_col=text_col,
+        id_col=id_col,
+        hash=hash,
+        use_arrow=use_arrow,
     )
     if materialize:
         arrays = arrays.localCheckpoint(eager=True)

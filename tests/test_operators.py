@@ -1068,6 +1068,67 @@ def test_winnowing_guarantee_and_edges(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_winnowing_arrow_kernel_identical(spark, sf_dir):
+    """r15 optimization: the md5 winnowing path defaults to a mapInArrow
+    kernel (hashlib MD5 + NumPy window minima) replacing the interpreted
+    arrays_zip/transform HOF chain.  Fingerprint ARRAYS must be
+    element-for-element identical to the expression path (same gram
+    strings, same window minima, same first-occurrence distinct order),
+    and the pair surface must be row-identical — on the real fixture
+    corpus AND on the edge shapes (null/empty/short docs, mixed ASCII
+    whitespace)."""
+    from cloudfabric_eventsourcing_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+    from cloudfabric_eventsourcing_spark.sources import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "a b"),
+            (4, "exactly three tokens"),
+            (5, "four tokens right here"),
+            (6, "tab\tand\nnewline   runs\x0bform\fone token stream"),
+            (7, "UPPER Case MiXeD tokens lower the same way"),
+        ],
+        "doc_id long, text string",
+    )
+    for docs in (edge, load_table(spark, sf_dir, "documents")):
+        expr = {
+            r["doc_id"]: list(r["fingerprints"])
+            for r in winnowing_fingerprints(
+                docs, k=3, window=4, hash="md5", use_arrow=False
+            ).collect()
+        }
+        kern = {
+            r["doc_id"]: list(r["fingerprints"])
+            for r in winnowing_fingerprints(
+                docs, k=3, window=4, hash="md5", use_arrow=True
+            ).collect()
+        }
+        assert expr and kern == expr
+    docs = load_table(spark, sf_dir, "documents")
+    lazy_pairs = sorted(
+        map(
+            tuple,
+            winnowing_overlap_pairs(
+                docs, k=3, window=4, min_shared=2, hash="md5", use_arrow=False
+            ).collect(),
+        )
+    )
+    kern_pairs = sorted(
+        map(
+            tuple,
+            winnowing_overlap_pairs(
+                docs, k=3, window=4, min_shared=2, hash="md5"
+            ).collect(),
+        )
+    )
+    assert lazy_pairs and kern_pairs == lazy_pairs
+
+
 def test_duplicated_spans_and_removal(spark):
     """ExactSubstr spans (Lee et al. 2022, k-gram reformulation): the
     span boundaries are exact, within-doc repeats count toward

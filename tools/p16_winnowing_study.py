@@ -45,8 +45,9 @@ from cloudfabric_eventsourcing_spark.session import build_session  # noqa: E402
 from cloudfabric_eventsourcing_spark.sources import load_table  # noqa: E402
 
 VARIANTS = {
-    "md5+mat": dict(hash="md5", materialize=True),
-    "md5+nomat": dict(hash="md5", materialize=False),
+    "md5+mat": dict(hash="md5", materialize=True, use_arrow=False),
+    "md5+arrow": dict(hash="md5", materialize=True),  # r15 kernel default
+    "md5+nomat": dict(hash="md5", materialize=False, use_arrow=False),
     "xxh64+mat": dict(hash="xxh64", materialize=True),
     "md5+valve64": dict(hash="md5", materialize=True, max_postings=64),
 }
@@ -75,6 +76,7 @@ def main() -> None:
     # row runs md5); its pair count is reported, not equated.
     sigs = {name: _sig(run(kw)) for name, kw in VARIANTS.items()}
     assert sigs["md5+mat"] == sigs["md5+nomat"], f"materialize changed the answer: {sigs}"
+    assert sigs["md5+arrow"] == sigs["md5+mat"], f"arrow kernel changed the answer: {sigs}"
     assert sigs["md5+valve64"][0] <= sigs["md5+mat"][0], sigs
     print(f"mat == nomat: {sigs['md5+mat'][0]} pairs, hash "
           f"{sigs['md5+mat'][1]}; xxh64 selection: {sigs['xxh64+mat'][0]} "
