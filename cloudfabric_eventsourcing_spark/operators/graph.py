@@ -31,6 +31,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+#: target edge rows per partition for the slim (n, m) adjacency frame —
+#: two ids per row, so 2M rows is ~50-100 MB (guide §2.2's partition
+#: band).  The checkpointed adjacency inherits the pair build's
+#: partition count, which at small inputs leaves dozens of near-empty
+#: partitions whose per-task overhead dominates every loop round.
+_EDGE_ROWS_PER_PARTITION = 2_000_000
+
+#: broadcast the label frame into the propagation join while it has at
+#: most this many rows (~16 bytes/row -> tens of MB, far under the 8 GB
+#: / 512M-row broadcast cap).  Above it, the joins fall back to the
+#: shuffle path — node counts are unbounded at 100 TB even when the
+#: edge set fits.
+_LABEL_BROADCAST_MAX_ROWS = 4_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -65,6 +80,16 @@ def connected_components(
     fwd = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
     rev = edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
     adj = fwd.unionByName(rev).localCheckpoint(eager=True)
+    # right-size the checkpointed adjacency (r15: the inherited pair
+    # partitioning left the 32-thread loop rounds scheduling dozens of
+    # near-empty tasks per job — p13 ran 2.2x SLOWER at 32 cores than
+    # at 8).  Derived from the edge count, never from the local core
+    # count, so the same code right-sizes a 10^11-edge graph.
+    n_adj = adj.count()
+    want = max(1, min(adj.rdd.getNumPartitions(),
+                      -(-n_adj // _EDGE_ROWS_PER_PARTITION)))
+    if want < adj.rdd.getNumPartitions():
+        adj = adj.coalesce(want).localCheckpoint(eager=True)
 
     labels = (
         adj.select("n")
@@ -72,6 +97,11 @@ def connected_components(
         .withColumn("component", F.col("n"))
         .localCheckpoint(eager=True)
     )
+    # broadcast the (node, label) side of both loop joins while it is
+    # provably small (guide §3.1; the count is one cheap job over the
+    # checkpointed frame).  Labels never grow, so one decision holds
+    # for every round; big graphs keep the shuffle path.
+    bcast = labels.count() <= _LABEL_BROADCAST_MAX_ROWS
 
     # Convergence probe: each node's PREVIOUS label rides through the
     # same min-aggregate (tagged union + min-over-own-rows), so change
@@ -82,9 +112,9 @@ def connected_components(
     # int64 wraparound is a remote false-converge risk.)
     for _ in range(max_iter):
         # label each node with the min over: its own label and every
-        # neighbor's label.  One shuffle join + one combinable min.
+        # neighbor's label.  One join + one combinable min.
         neighbor_labels = (
-            adj.join(labels, on="n")
+            adj.join(F.broadcast(labels) if bcast else labels, on="n")
             .select(F.col("m").alias("n"), "component")
             .withColumn("__own", F.lit(False))
         )
@@ -98,27 +128,36 @@ def connected_components(
                     F.when(F.col("__own"), F.col("component"))
                 ).alias("__prev"),
             )
-            .localCheckpoint(eager=True)
         )
-        labels = merged.drop("__prev")
         # pointer jump: adopt the component's own component.  Inner
         # join is safe — every label value is a node id present in
         # `labels` (labels originate from node ids and only ever move
-        # between member ids).  Checkpointed so the next round's
-        # propagation join reads a materialized frame, not a re-run.
-        parent = labels.select(
+        # between member ids).  Planned ON TOP of `merged` and
+        # checkpointed ONCE (r15: the former merged-then-jump pair of
+        # checkpoints was a third driver-synchronous job per round;
+        # the propagation exchange is reused between the probe and
+        # build sides, so fusing costs no recompute).
+        parent = merged.select(
             F.col("n").alias("component"), F.col("component").alias("__pc")
         )
-        labels = (
-            labels.join(parent, "component")
-            .select("n", F.col("__pc").alias("component"))
+        jumped = (
+            merged.join(F.broadcast(parent) if bcast else parent, "component")
+            .select(
+                "n",
+                F.col("__pc").alias("component"),
+                F.col("component").alias("__mid"),
+                "__prev",
+            )
             .localCheckpoint(eager=True)
         )
+        labels = jumped.select("n", "component")
         # limit(1) short-circuits: the driver learns "any change?" from
         # at most one row, not a full count (reads the checkpointed
-        # `merged`, so this probe re-runs no joins)
+        # `jumped`, so this probe re-runs no joins).  __mid is the
+        # pre-jump label — the same compare the two-checkpoint form
+        # probed on `merged`.
         changed = (
-            merged.where(F.col("component") != F.col("__prev"))
+            jumped.where(F.col("__mid") != F.col("__prev"))
             .limit(1)
             .count()
         )

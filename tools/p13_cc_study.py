@@ -50,7 +50,21 @@ def _sized_parts(df, n_rows: int) -> int:
     return want
 
 
-def cc_coalesce(edges, src="id_a", dst="id_b", max_iter=20, fused=False):
+def cc_coalesce(edges, src="id_a", dst="id_b", max_iter=20, fused=False,
+                aqe_off=False, bcast=False):
+    spark = edges.sparkSession
+    if aqe_off:
+        old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_coalesce(edges, src, dst, max_iter, fused, bcast)
+    finally:
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def _cc_coalesce(edges, src="id_a", dst="id_b", max_iter=20, fused=False,
+                 bcast=False):
     fwd = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
     rev = edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
     adj = fwd.unionByName(rev).localCheckpoint(eager=True)
@@ -68,7 +82,7 @@ def cc_coalesce(edges, src="id_a", dst="id_b", max_iter=20, fused=False):
 
     for _ in range(max_iter):
         neighbor_labels = (
-            adj.join(labels, on="n")
+            adj.join(F.broadcast(labels) if bcast else labels, on="n")
             .select(F.col("m").alias("n"), "component")
             .withColumn("__own", F.lit(False))
         )
@@ -91,7 +105,7 @@ def cc_coalesce(edges, src="id_a", dst="id_b", max_iter=20, fused=False):
                 F.col("n").alias("component"), F.col("component").alias("__pc")
             )
             jumped = (
-                m2.join(parent, "component")
+                m2.join(F.broadcast(parent) if bcast else parent, "component")
                 .select("n", F.col("__pc").alias("component"), "__prev",
                         F.col("component").alias("__mid"))
                 .localCheckpoint(eager=True)
@@ -143,8 +157,11 @@ def main() -> None:
 
     variants = {
         "base": lambda: _graph.connected_components(pairs),
-        "coalesce": lambda: cc_coalesce(pairs),
         "fused": lambda: cc_coalesce(pairs, fused=True),
+        "fused+aqeoff": lambda: cc_coalesce(pairs, fused=True, aqe_off=True),
+        "fused+bcast": lambda: cc_coalesce(pairs, fused=True, bcast=True),
+        "fused+both": lambda: cc_coalesce(pairs, fused=True, aqe_off=True,
+                                          bcast=True),
     }
     sigs = {}
     walls = {name: [] for name in variants}
