@@ -1181,17 +1181,27 @@ def pq_train(
             cents.append(xs[rng.choice(len(xs), p=probs)])
             d2 = np.minimum(d2, np.sum((xs - cents[-1]) ** 2, axis=1))
         cb = np.vstack(cents)
+        # Lloyd refinement, bit-identical vectorized form (r15): the
+        # former per-cluster boolean masks scanned the whole sample
+        # k times per iteration (k*n element tests); a stable argsort
+        # groups members contiguously so each mean reads one slice.
+        # ||x||^2 is constant across iterations — hoisted.  Each slice
+        # holds the same rows in the same ascending order as the mask
+        # gather did, and numpy's pairwise mean over the same layout
+        # returns the same bits (pinned: test_pq_train_lloyd_pinned).
+        x_sq = np.sum(xs**2, axis=1, keepdims=True)
         for _ in range(lloyd_iters):
             assign = np.argmin(
-                np.sum(xs**2, axis=1, keepdims=True)
-                - 2 * xs @ cb.T
-                + np.sum(cb**2, axis=1),
+                x_sq - 2 * xs @ cb.T + np.sum(cb**2, axis=1),
                 axis=1,
             )
+            order = np.argsort(assign, kind="stable")
+            xs_sorted = xs[order]
+            bounds = np.searchsorted(assign[order], np.arange(k + 1))
             for c in range(k):
-                members = xs[assign == c]
-                if len(members):
-                    cb[c] = members.mean(axis=0)
+                lo, hi = bounds[c], bounds[c + 1]
+                if hi > lo:
+                    cb[c] = xs_sorted[lo:hi].mean(axis=0)
         books[j, :k] = cb
         if k < n_codes:
             # degenerate tiny-sample case: pad with the first centroid so

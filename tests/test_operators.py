@@ -5621,6 +5621,42 @@ def test_pq_train_deterministic_and_shapes(spark, sf_dir):
         assert "divisible" in str(e)
 
 
+def test_pq_train_lloyd_pinned(spark, sf_dir):
+    """r15 optimization: pq_train's Lloyd step was vectorized (stable
+    argsort + contiguous-slice means replacing k boolean masks per
+    iteration).  The codebooks must be BIT-identical to the former
+    mask-gather form — these hashes were captured from the pre-change
+    implementation on the fixture corpus."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cloudfabric_eventsourcing_spark.operators import similarity as S
+
+    if not sf_dir.endswith("sf0.001"):
+        pytest.skip("codebook hashes are pinned to the sf0.001 fixture")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    ).withColumn(
+        "__n",
+        F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x)),
+    ).withColumn(
+        "embedding", F.transform("embedding", lambda x: x / F.col("__n"))
+    ).drop("__n")
+    pins = {
+        ("raw", 16): "51cc632a96b54bb5",
+        ("raw", 256): "0454846eae79f5bd",
+        ("norm", 256): "fda45cc37703682e",
+    }
+    frames = {"raw": emb, "norm": norm}
+    for (which, k), expect in pins.items():
+        b = S.pq_train(frames[which], n_subspaces=8, n_codes=k)
+        got = hashlib.sha256(b.tobytes()).hexdigest()[:16]
+        assert got == expect, f"{which}/{k}: codebook bits changed: {got}"
+
+
 def test_pq_recall_vs_brute_force(spark, sf_dir):
     """PQ-ADC top-10 recalls >= 50% of the exact inner-product top-10
     (32x compression; measured 0.7 at sf0.01 with these settings) and
