@@ -938,7 +938,14 @@ def simhash_candidate_pairs(
     4 chunk ints, ~48 bytes/row), so the checkpoint is cheap at any
     corpus size; content is deterministic, so output is row-identical
     either way.  Pass False to compose lazily (e.g. the caller already
-    materialized)."""
+    materialized).
+
+    Cluster caveat (ADVICE r14): `materialize=True` makes construction
+    run an eager Spark job, and localCheckpoint blocks are executor-
+    local and NON-replicated — they are unrecoverable on executor loss
+    and discouraged under dynamic allocation.  On clusters where that
+    risk matters, pass False and persist the signature table yourself
+    (reliable checkpoint / write+read-back)."""
     if materialize:
         sig = sig.localCheckpoint(eager=True)
     out = None
@@ -977,7 +984,19 @@ def hamming_neardup_pairs(
     hashes (an on_error="null" decode) are excluded — a null
     fingerprint matches nothing rather than colliding in the 0-chunk
     band.  Same scale shape as simhash_candidate_pairs: candidates are
-    band-local, nothing all-pairs."""
+    band-local, nothing all-pairs.
+
+    `materialize` (default True) shares simhash_candidate_pairs'
+    behavior AND its cluster caveat (ADVICE r14): construction runs an
+    eager job, and the localCheckpoint blocks are executor-local and
+    non-replicated — unrecoverable on executor loss, discouraged under
+    dynamic allocation.  Pass False there and persist the slim
+    signature frame reliably yourself.  (minhash_lsh_pairs keeps
+    materialize=False as ITS default because its banded table is built
+    inside the operator from heavier inputs — callers opt in, as the
+    bench rows do; the differing defaults are deliberate and
+    documented rather than unified, to avoid changing any verified
+    default path again.)"""
     if max_hamming > 3:
         raise ValueError(
             "4x16-bit banding guarantees exhaustive recall only for "
