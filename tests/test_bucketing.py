@@ -23,6 +23,7 @@ def bucketed_tables(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+@pytest.mark.slow
 def test_bucketed_join_is_shuffle_free_and_correct(spark, sf_dir, bucketed_tables):
     # force the sort-merge path so the Exchange comparison is join-shaped
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -475,6 +475,7 @@ def test_multimodal_frame_sampling(spark, docs):
     assert all(isinstance(r["frame_bytes"], (bytes, bytearray)) for r in rows)
 
 
+@pytest.mark.slow
 def test_cosine_neardup_lsh_on_planted(spark, emb):
     # plant 6 near-identical copies of vec 1 (cosine ~0.9999) — the LSH
     # bucketed scan must find every planted pair the exact scan finds
@@ -505,6 +506,7 @@ def test_cosine_neardup_lsh_on_planted(spark, emb):
     assert approx == exact  # sim ~0.9999 -> bucket collision prob ~0.996^8
 
 
+@pytest.mark.slow
 def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
     """Persisted MinHash index (train-once/dedup-many): a new batch's
     pairs against the index must equal the cross-(new, corpus) slice of
@@ -580,6 +582,7 @@ def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_minhash_index_append_and_meta_guard(spark, docs, tmp_path):
     path = str(tmp_path / "mh_index2")
     # orderBy before limit: un-ordered limits give no row guarantee and
@@ -675,6 +678,7 @@ def test_cosine_index_incremental_dedup(spark, emb, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_cosine_index_multiprobe_recovers_bit_flip(spark, emb, tmp_path):
     """A true near-dup whose sign flips on ONE near-margin hyperplane
     lands one bucket-bit away: exact-bucket probing misses it, the
@@ -873,6 +877,7 @@ def test_multimodal_audio_chunking(spark, docs):
         multimodal.chunk_audio(media, fake=False).collect()
 
 
+@pytest.mark.slow
 def test_curation_pipeline_end_to_end(spark, docs):
     """The composed curation pipeline: every stage shrinks (or keeps) the
     corpus, output is deduplicated, decontaminated and capped."""
@@ -1295,6 +1300,7 @@ def test_semantic_dedup_centroid_cells_guard(spark):
             )
 
 
+@pytest.mark.slow
 def test_semantic_dedup_two_level_matches_exact(spark, sf_dir):
     """The centroid-cell guard's shipped upgrade path: two-level
     assignment collects only ~sqrt(k) seeds and streams the centroid
@@ -1533,6 +1539,7 @@ def test_duplicated_spans_matches_naive_reference(spark):
         assert got == naive(k, mc), f"mismatch at k={k}, min_count={mc}"
 
 
+@pytest.mark.slow
 def test_quality_classifier_and_pareto_filter(spark):
     """Quality-classifier pins: the boundary separates planted clean vs
     junk vocab on held-out docs, scoring preserves all input columns,
@@ -1785,6 +1792,7 @@ def test_bpe_train_sennrich_example(spark):
     assert out[100] == [] and out[101] == []
 
 
+@pytest.mark.slow
 def test_bpe_matches_naive_reference(spark):
     """Randomized differential: the distributed trainer (word-table
     groupBy + F.aggregate merge scan) vs a pure-Python reference BPE
@@ -1882,6 +1890,7 @@ def test_bpe_matches_naive_reference(spark):
     )
 
 
+@pytest.mark.slow
 def test_url_canonicalize_dedup_domain_mix(spark):
     """The web-pipeline URL stage (r13 verdict #7): every documented
     canonicalization rule on a table of tricky URLs, keep-min-id dedup
@@ -1976,6 +1985,7 @@ def test_url_canonicalize_dedup_domain_mix(spark):
     assert "canonical_url" not in out.columns
 
 
+@pytest.mark.slow
 def test_curate_span_and_learned_gates(spark):
     """Integration of the two curate stages added for the span/classifier
     families: every planted artifact lands in its intended stage of the
@@ -2478,6 +2488,7 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, emb, tmp_path):
     assert "cell#" in plan.split("PartitionFilters")[1][:200]
 
 
+@pytest.mark.slow
 def test_ivf_index_append_grows_searchable_corpus(spark, emb, tmp_path):
     """append_to_ivf_index assigns NEW vectors to the existing
     centroids: an appended vector becomes its own nearest neighbor in a
@@ -2529,6 +2540,7 @@ def _partition_dirs(d):
     return [p for p in _glob.glob(f"{d}/*=*") if os.path.isdir(p)]
 
 
+@pytest.mark.slow
 def test_compact_minhash_index(spark, docs, tmp_path):
     """N appends leave N files per band partition; compact_index folds
     each to one file and the probe's pair set is byte-identical."""
@@ -2567,6 +2579,7 @@ def test_compact_minhash_index(spark, docs, tmp_path):
     assert report2["grams"]["partitions_compacted"] == 0
 
 
+@pytest.mark.slow
 def test_compact_index_recovers_from_mid_swap_crash(
     spark, docs, tmp_path, monkeypatch
 ):
@@ -2657,6 +2670,7 @@ def test_compaction_tmp_dirs_invisible_to_partition_discovery(
     assert after.count() == before_rows  # tmp rows invisible
 
 
+@pytest.mark.slow
 def test_sweep_respects_marker_tmp_path_spelling(spark, docs, tmp_path):
     """A marker-referenced tmp dir must survive the orphan sweep even
     when the marker recorded the path under a different spelling than
@@ -2705,6 +2719,7 @@ def test_sweep_respects_marker_tmp_path_spelling(spark, docs, tmp_path):
     assert not os.path.exists(os.path.join(grams_dir, im._MARKER))
 
 
+@pytest.mark.slow
 def test_recover_dir_survives_missing_tmp(spark, docs, tmp_path):
     """If a marker's tmp dir is gone (external cleanup) with moves still
     outstanding, recovery must NOT roll the unlinks forward — that would
@@ -2758,6 +2773,7 @@ def test_recover_dir_survives_missing_tmp(spark, docs, tmp_path):
     ) == truth
 
 
+@pytest.mark.slow
 def test_compact_cosine_index(spark, emb, tmp_path):
     from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
         compact_index,
@@ -2792,6 +2808,7 @@ def test_compact_cosine_index(spark, emb, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_compact_ivf_index(spark, emb, tmp_path):
     from cloudfabric_eventsourcing_spark.operators.index_maintenance import (
         compact_index,
@@ -2880,6 +2897,7 @@ def test_curation_fluency_gate_and_shuffle_positions(spark, docs):
     assert len(rows) == stats["fluency_gate"]
 
 
+@pytest.mark.slow
 def test_curate_with_persisted_index_drops_corpus_dups(spark, docs, tmp_path):
     """curate(dedup_index_path=...) = incremental batch mode: documents
     near-duplicating the persisted corpus index are dropped after the
@@ -2946,6 +2964,7 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
     assert [r["position"] for r in rows] == list(range(n_docs))
 
 
+@pytest.mark.slow
 def test_ivf_index_report_flags_drifted_append(spark, emb, tmp_path):
     """ivf_index_report is the retrain signal append_to_ivf_index's
     docstring promises: a drifted append (vectors far from every trained
@@ -3004,6 +3023,7 @@ def test_ivf_index_report_flags_drifted_append(spark, emb, tmp_path):
     assert abs(r3["mean_cos_to_centroid"] - r2["mean_cos_to_centroid"]) < 1e-9
 
 
+@pytest.mark.slow
 def test_retrain_ivf_index_recovers_drift(spark, emb, tmp_path):
     """retrain_ivf_index closes the IVF lifecycle: after a drifted
     append, retraining from the stored vectors restores assignment
@@ -3173,6 +3193,7 @@ def test_quality_score_no_int_overflow_on_large_docs(spark):
     assert got == 0.92, got
 
 
+@pytest.mark.slow
 def test_incremental_components_equals_full_recompute(spark):
     """incremental_components(labels, new_edges) must equal a full
     connected_components over old+new edges, across the interesting
@@ -3223,6 +3244,7 @@ def test_incremental_components_equals_full_recompute(spark):
         check(edges[:cut], edges[cut:])
 
 
+@pytest.mark.slow
 def test_cluster_index_incremental_maintenance(spark, tmp_path):
     """Persisted cluster index: appends write ONLY batch-sized journal
     files (base labels untouched), the resolved view always equals a
@@ -3575,6 +3597,7 @@ def test_mp4_hostile_and_truncated_bytes_raise_valueerror():
             raise AssertionError(f"struct.error leaked at cut={cut}: {exc}")
 
 
+@pytest.mark.slow
 def test_cosine_index_legacy_layout_refused(spark, tmp_path):
     """r9 self-review: an index persisted by the pre-pbucket layout
     (partitionBy('bucket'), r8 and earlier) must be refused LOUDLY by
@@ -3732,6 +3755,7 @@ def test_m04_containers_agree():
         assert feats[b] == 1.0
 
 
+@pytest.mark.slow
 def test_video_feature_vectors_mean_pool(spark):
     """video_feature_vectors: a 3-frame constant-gray MP4 mean-pools to
     the exact one-hot histogram; two different-bin videos land in
@@ -3859,6 +3883,7 @@ def test_multimodal_real_video_frame_pipeline(spark):
         ).transform(lambda d: multimodal.sample_frames(d, every_n=5)).collect()
 
 
+@pytest.mark.slow
 def test_incremental_components_string_ids(spark):
     """String doc ids flow through the incremental merge exactly like
     the base CC (labels are min-by-lexicographic member id); pins the
@@ -3885,6 +3910,7 @@ def test_incremental_components_string_ids(spark):
     assert ("doc-b", "doc-a") in got
 
 
+@pytest.mark.slow
 def test_ivf_index_refuses_inconsistent_state(spark, emb, tmp_path):
     """save_ivf_index writes centroids and vectors as two jobs; a crash
     between them over a live index leaves new centroids beside old cell
@@ -3918,6 +3944,7 @@ def test_ivf_index_refuses_inconsistent_state(spark, emb, tmp_path):
     assert got.shape == cents.shape and vectors.count() == emb.count()
 
 
+@pytest.mark.slow
 def test_dedup_indexes_refuse_inconsistent_state(spark, docs, emb, tmp_path):
     """Full (overwrite) saves of the MinHash and cosine indexes write
     meta and data as separate jobs; a crash between them over a live
@@ -4561,6 +4588,7 @@ def test_bpe_encode_schema_and_case_parity(spark):
     assert words == trainer_words
 
 
+@pytest.mark.slow
 def test_bpe_save_load_roundtrip(spark, tmp_path):
     """A production tokenizer is an artifact: train -> save -> load
     returns the identical ranked merge list and encodes identically;
@@ -4629,6 +4657,7 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
         bpe.load_bpe(spark, path4)
 
 
+@pytest.mark.slow
 def test_bpe_byte_mode_covers_non_latin_and_roundtrips(spark, tmp_path):
     """Byte-level BPE (r10 verdict #6): the GPT-2 byte<->unicode table
     is a bijection over all 256 bytes; mode='byte' training on
@@ -4696,6 +4725,7 @@ def test_bpe_byte_mode_covers_non_latin_and_roundtrips(spark, tmp_path):
         bpe.train_bpe(docs, n_merges=2, mode="bytes")
 
 
+@pytest.mark.slow
 def test_trained_language_id_precision(spark):
     """The trained language identifier (r9 verdict ask #7): multinomial
     LR over hashed character 2+3-grams, fit on a planted 4-language
@@ -4789,6 +4819,7 @@ def test_lexical_diversity_semantics(spark):
     assert r4["ttr"] == 1.0 and r4["hapax_ratio"] == 1.0
 
 
+@pytest.mark.slow
 def test_quantize_embeddings_roundtrip_and_topk(spark):
     """s04/s05 pins: quantization error bounded by scale/254 per
     component (round-half-up to 127 levels), zero vectors quantize to
@@ -5081,6 +5112,7 @@ def test_brute_force_topk_arrow_matches_column_form(spark, sf_dir):
     assert {v for v, c in fast if c is None} == {2, 3, 4, 5}
 
 
+@pytest.mark.slow
 def test_topk_kernels_degenerate_order_and_null_ids(spark):
     """r13 advice, both findings: (a) per-batch dead-row pruning must
     respect the final (rank desc NULLS LAST, id asc NULLS FIRST) total
@@ -5386,6 +5418,7 @@ def test_hamming_index_probe_append_and_crash_discipline(spark, tmp_path):
         dedup.hamming_dedup_against_index(batch, path, max_hamming=4)
 
 
+@pytest.mark.slow
 def test_compact_hamming_index(spark, tmp_path):
     """The Hamming index is a first-class compact_index dataset (its
     bands dirs share the minhash layout): per-batch append fragments
@@ -5965,6 +5998,7 @@ def test_dsir_arrow_scoring_matches_join_form(spark, sf_dir):
     assert a == c
 
 
+@pytest.mark.slow
 def test_minhash_band_count_prefilter_and_cache_equal_exact(spark, sf_dir):
     """r12 verdict Next #2 levers: (a) cache_grams persists the gram
     table across signature build + verify re-attach; (c) the
@@ -6051,6 +6085,7 @@ def test_minhash_band_count_prefilter_and_cache_equal_exact(spark, sf_dir):
     assert cand_valved != cand_all
 
 
+@pytest.mark.slow
 def test_semantic_dedup_arrow_matches_column_form(spark, sf_dir):
     """r13: the N x k scoring cross-join and in-cluster pairwise pass
     were the interpreted-HOF trap (sf10: 169 s).  The Arrow path must

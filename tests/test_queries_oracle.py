@@ -48,7 +48,22 @@ def _canon(cols, rows):
     return sorted_cols, canon_rows
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+# the two recursive-closure differentials run the full CC loop AND a
+# DuckDB recursive CTE (~35 s each) — slow-marked so the default
+# (driver) gate stays under budget; the driver's own CORRECTNESS
+# window covers both rows with the same differential, and `-m slow`
+# runs them here on demand
+_SLOW_ORACLES = {"p13_duplicate_clusters", "p15_incremental_clusters"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLES
+        else n
+        for n in sorted(entry_mod.queries())
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
     fn = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()

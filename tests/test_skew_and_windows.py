@@ -145,6 +145,7 @@ def test_windowed_counts_batch_mode_matches_manual(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     """Streaming incremental curation: each batch dedups against the
     corpus index AND the index grows with accepted docs, so a later
@@ -211,6 +212,7 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {13}
 
 
+@pytest.mark.slow
 def test_curation_cold_start_from_empty_index(spark, tmp_path):
     """A brand-new pipeline has NO corpus yet: an index saved from an
     empty DataFrame must be probe-able (r8 find: the empty partitionBy
@@ -281,6 +283,7 @@ def test_cosine_index_cold_start_from_empty(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {1}
 
 
+@pytest.mark.slow
 def test_streaming_curation_maintains_cluster_index(spark, tmp_path):
     """curate_stream(clusters_path=...): duplicate families maintained
     ONLINE — rejected docs keep provenance (same component as what
@@ -356,6 +359,7 @@ def test_streaming_curation_maintains_cluster_index(spark, tmp_path):
     assert after == labels
 
 
+@pytest.mark.slow
 def test_streaming_curation_reingest_is_self_healing(spark, tmp_path):
     """Delivery-semantics pin: redelivered input cannot duplicate corpus
     rows.  The guarantee is CONTENT-keyed: the acceptance probe runs
@@ -412,6 +416,7 @@ def test_streaming_curation_reingest_is_self_healing(spark, tmp_path):
     assert second == first
 
 
+@pytest.mark.slow
 def test_streaming_curation_checkpoint_reset_preserves_old_runs(
     spark, tmp_path
 ):
@@ -472,6 +477,7 @@ def test_streaming_curation_checkpoint_reset_preserves_old_runs(
     assert accepted == [10, 11, 12]
 
 
+@pytest.mark.slow
 def test_streaming_curation_auto_compaction_bounds_files(spark, tmp_path):
     """curate_stream(compact_every=1): a long-running ingest must not
     accumulate one index fragment per batch per band partition — the
@@ -538,6 +544,7 @@ def test_streaming_curation_auto_compaction_bounds_files(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {11}
 
 
+@pytest.mark.slow
 def test_streaming_curation_partial_index_commit_never_shrinks_epoch(
     spark, tmp_path
 ):
@@ -674,6 +681,7 @@ def test_epoch_swap_never_exposes_empty_dir(spark, tmp_path):
     assert not os.path.exists(tmp_dir)
 
 
+@pytest.mark.slow
 def test_streaming_curation_rejects_legacy_flat_corpus(spark, tmp_path):
     """A corpus dir holding root-level parquet from the pre-run/epoch
     flat-append layout must fail fast: mixed-depth leaf files break
@@ -710,6 +718,7 @@ def test_streaming_curation_rejects_legacy_flat_corpus(spark, tmp_path):
         curate_stream(stream, index_path, corpus_out, str(tmp_path / "ck"))
 
 
+@pytest.mark.slow
 def test_deduped_stream_drops_replayed_events(spark, tmp_path):
     """At-least-once source + dropDuplicatesWithinWatermark = exactly-once
     delivery with bounded state (T3's streaming counterpart)."""
@@ -909,6 +918,7 @@ def test_interval_join_stream_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_index_corpus_divergence_detects_stranded_docs(spark, tmp_path):
     """The stranded-document detector: ids in the index but missing from
     the corpus (external loss of a committed epoch's files) are
@@ -964,6 +974,7 @@ def test_index_corpus_divergence_detects_stranded_docs(spark, tmp_path):
     assert div == {1, 10, 11}
 
 
+@pytest.mark.slow
 def test_streaming_curation_with_learned_quality_gate(spark, tmp_path):
     """Cookbook (r9 verdict ask #6): the r9 learned quality classifier
     composed into the streaming curation loop the way the media

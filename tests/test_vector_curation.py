@@ -36,6 +36,7 @@ def _ids(spark, path):
     return sorted(r["vec_id"] for r in spark.read.parquet(path).collect())
 
 
+@pytest.mark.slow
 def test_vector_curation_dedups_across_batches(spark, tmp_path):
     """Each batch dedups against the cosine index AND the index grows
     with accepted vectors, so a later batch cannot re-accept an earlier
@@ -76,6 +77,7 @@ def test_vector_curation_dedups_across_batches(spark, tmp_path):
     assert {r["index_id"] for r in hits} == {13}
 
 
+@pytest.mark.slow
 def test_vector_curation_reingest_is_self_healing(spark, tmp_path):
     """Content-keyed idempotence: the probe runs include_same_id=True,
     so a redelivered vector (same id, same embedding) finds its own
@@ -108,6 +110,7 @@ def test_vector_curation_reingest_is_self_healing(spark, tmp_path):
     assert _ids(spark, corpus_out) == [10, 11]
 
 
+@pytest.mark.slow
 def test_vector_curation_partial_index_commit_never_shrinks_epoch(
     spark, tmp_path
 ):
@@ -160,6 +163,7 @@ def test_vector_curation_partial_index_commit_never_shrinks_epoch(
     assert _ids(spark, corpus_out) == [10, 11]
 
 
+@pytest.mark.slow
 def test_vector_curation_maintains_cluster_index(spark, tmp_path):
     """curate_vector_stream(clusters_path=...): duplicate families
     maintained online — rejected vectors keep provenance, intra-batch
@@ -287,6 +291,7 @@ def test_vector_batch_probe_plan_partition_prunes(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_close_rejected_families_merges_text_families(spark, tmp_path):
     """The cluster index's documented scope limit, closed offline: R1
     and R2 are rejected in different batches against DIFFERENT accepted
@@ -358,6 +363,7 @@ def test_close_rejected_families_merges_text_families(spark, tmp_path):
     assert again["merges"] == 0 and again["new_nodes"] == 0
 
 
+@pytest.mark.slow
 def test_close_rejected_vector_families_merges(spark, tmp_path):
     """Embedding twin: an angle chain A–R1–R2–B where each rejected
     vector matches only its neighbor.  The stream leaves {A,R1} and
@@ -467,6 +473,7 @@ def test_image_neardup_pairs_across_reencodes(spark):
     assert pairs == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_image_stream_curation_composes_with_vector_loop(spark, tmp_path):
     """End-to-end multimodal curation via curate_image_stream (the
     production composition — on_error="skip", NOT the job-killing raise
@@ -520,6 +527,7 @@ def test_image_stream_curation_composes_with_vector_loop(spark, tmp_path):
     assert accepted == [10, 12]
 
 
+@pytest.mark.slow
 def test_image_stream_corrupt_blob_skipped_and_quarantined(spark, tmp_path):
     """r8 verdict #1 closed: a corrupt JPEG in the MIDDLE batch of an
     image curation stream must not kill the streaming query — the batch
@@ -596,6 +604,7 @@ def test_image_stream_corrupt_blob_skipped_and_quarantined(spark, tmp_path):
     ) == [10, 12]
 
 
+@pytest.mark.slow
 def test_audio_stream_curation_skips_and_quarantines(spark, tmp_path):
     """curate_audio_stream end-to-end: a later-batch gain-change
     re-encode of an accepted WAV is rejected by the cosine index, a
@@ -656,6 +665,7 @@ def test_audio_stream_curation_skips_and_quarantines(spark, tmp_path):
     assert [(r["media_id"], r["kind"]) for r in bad] == [(4, "audio")]
 
 
+@pytest.mark.slow
 def test_video_stream_curation_rejects_container_swap(spark, tmp_path):
     """curate_video_stream end-to-end (the modality triangle's third
     side): a later-batch AVI re-mux of an accepted MP4's frames is
@@ -754,6 +764,7 @@ def test_audio_neardup_pairs_across_reencodes(spark):
     assert pairs == {(1, 2), (1, 3), (2, 3)}
 
 
+@pytest.mark.slow
 def test_image_dhash_stream_curation(spark, tmp_path):
     """The perceptual-hash curation loop end-to-end: a 2x nearest
     upscale of an accepted image arriving in a LATER batch is rejected
@@ -840,6 +851,7 @@ def test_image_dhash_stream_curation(spark, tmp_path):
     assert spark.read.parquet(corpus_out).count() == n
 
 
+@pytest.mark.slow
 def test_simhash_stream_curation_via_hamming_loop(spark, tmp_path):
     """The generic fingerprint loop covers TEXT too: curate_hamming_stream
     with batch_transform = simhash_signatures dedups a document stream by
